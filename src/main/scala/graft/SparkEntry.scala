@@ -1,13 +1,561 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.RelOps
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2 (+ the large-scale training-data extensions), each with a
+  * DuckDB oracle where the semantics are ANSI-SQL-expressible.
+  *
+  * Alias discipline: every computed column is aliased identically in the
+  * Spark plan and the oracle SQL (the driver's compare is by column name).
+  * Numeric outputs are normalized to BIGINT / DECIMAL / passthrough DOUBLE so
+  * the hash compare never sees engine-specific float accumulation or integer
+  * width differences.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. TPC-H-Q1-shaped
+    * pricing summary — scan → codegen'd expressions → partial+final hash agg.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q05_groupby_agg(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // §2.2 projections / filters
+  // ------------------------------------------------------------------
+
+  /** P1 — explicit projection + rename (hts_transforms.py:60-67). */
+  private def q01_scan_project(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").as("cust_id"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"))
+
+  /** P4/P5/F7 — predicate filters (vls_transforms.py:56-75). */
+  private def q02_filter_predicates(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_quantity").cast("long").as("qty"))
+
+  // ------------------------------------------------------------------
+  // §2.4 aggregations / dedup
+  // ------------------------------------------------------------------
+
+  /** A4 — SELECT DISTINCT dedup (covid_transforms.py:43-47). */
+  private def q03_dedup_distinct(s: SparkSession, dir: String): DataFrame =
+    RelOps.dedupAll(Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("returnflag"),
+      col("l_linestatus").as("linestatus"),
+      col("l_quantity").cast("long").as("qty")))
+
+  /** A1 — entity-collapse dedup, MAX of every non-key column
+    * (mmd_transforms.py:74-96). */
+  private def q04_collapse_max(s: SparkSession, dir: String): DataFrame =
+    RelOps.collapseByMax(
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"),
+        col("l_quantity").cast("long").as("max_qty"),
+        col("l_shipdate").cast("date").as("max_ship"),
+        col("l_returnflag").as("max_flag")),
+      keys = Seq("l_orderkey"))
+
+  /** Headline grouped aggregation (pricing-summary shape): partial+final hash
+    * agg, exact DECIMAL money math so results are engine-portable. */
+  private def q05_groupby_agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+
+  /** A3 — conditional-count pivot to one row (hts_transforms.py:216-225). */
+  private def q06_conditional_counts(s: SparkSession, dir: String): DataFrame =
+    RelOps.conditionalCounts(Tables.lineitem(s, dir), col("l_returnflag"),
+      Seq("R" -> "n_returned", "A" -> "n_accepted", "N" -> "n_none"))
+
+  /** F2 — map-driven CASE normalization (hts_transforms.py:104-117). */
+  private def q07_case_normalize(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      RelOps.caseNormalize(col("o_orderpriority"),
+        Seq("1-URGENT" -> "Critical", "2-HIGH" -> "Critical",
+            "3-MEDIUM" -> "Normal", "4-NOT SPECIFIED" -> "Unknown"),
+        default = Some("Low")).as("priority_class"))
+
+  // ------------------------------------------------------------------
+  // §2.3 joins
+  // ------------------------------------------------------------------
+
+  /** J1 — fact ⋈ broadcast dimension (covid_transforms.py:58-67). */
+  private def q08_join_broadcast(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    RelOps.enrichJoin(o, c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").as("total_price"),
+        col("c_name").as("cust_name"),
+        col("c_mktsegment").as("segment"))
+  }
+
+  /** J4 — large ⟕ large (vls_transforms.py:132-148). */
+  private def q09_join_left(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    RelOps.factJoin(c, o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name").as("cust_name"),
+        col("o_orderkey"), col("o_orderstatus").as("status"))
+  }
+
+  /** A2 — greatest-per-group (vls_transforms.py:84-97). */
+  private def q10_latest_per_group(s: SparkSession, dir: String): DataFrame =
+    RelOps.latestPerGroupAgg(Tables.events(s, dir), Seq("user_id"), col("ts"), "last_ts")
+
+  /** J3+A2 fused — latest full row per group via window row_number
+    * (idiomatic replacement for vls_transforms.py:84-117; SURVEY §2.5). */
+  private def q11_latest_row_window(s: SparkSession, dir: String): DataFrame =
+    RelOps.latestRowPerGroup(Tables.events(s, dir), Seq("user_id"),
+        col("ts"), tiebreak = Seq(col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+
+  // ------------------------------------------------------------------
+  // §2.8 scalar functions
+  // ------------------------------------------------------------------
+
+  /** F3 — BQ DATE_DIFF boundary semantics, day/month/year
+    * (mmd_transforms.py:102-104). */
+  private def q12_datediff(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+        RelOps.boundaryDiffDays(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).as("d_days"),
+        RelOps.boundaryDiffMonths(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).as("d_months"),
+        RelOps.boundaryDiffYears(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).as("d_years"))
+  }
+
+  /** F4 — EXTRACT year/quarter/month/day (hts_transforms.py:85-90). */
+  private def q13_extract_parts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"))
+
+  /** F5 — FORMAT_DATETIME %Y / %B (mmd_transforms.py:218-222). */
+  private def q14_format_date(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy").as("y_str"),
+      date_format(col("o_orderdate"), "MMMM").as("month_name"))
+
+  /** §2.7 — UNION DISTINCT (parquet_solution.py:76-78). */
+  private def q15_union_distinct(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val pick = (p: String) => o.filter(col("o_orderpriority") === p)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+    RelOps.unionDistinct(Seq(pick("1-URGENT"), pick("2-HIGH")))
+  }
+
+  /** §2.6 — deterministic top-k (TakeOrderedAndProject, no global sort). */
+  private def q16_topk(s: SparkSession, dir: String): DataFrame =
+    RelOps.topK(Tables.orders(s, dir), 100, col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice").as("total_price"))
+
+  /** S4+F1 — stringify-everything ingest then explicit re-typing
+    * (parquet_solution.py:75 + mmd_transforms.py:52-72). */
+  private def q17_stringify_retype(s: SparkSession, dir: String): DataFrame = {
+    val str = RelOps.stringifyAll(Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate")))
+    RelOps.castColumns(str, Map(
+      "l_orderkey" -> LongType, "l_linenumber" -> LongType, "l_quantity" -> DoubleType))
+      .select(col("l_orderkey"), col("l_linenumber").as("line_no"),
+        col("l_quantity").as("qty_back"), col("l_shipdate").cast(DateType).as("ship_back"))
+  }
+
+  /** F8 — string/sentinel decode to DECIMAL (vls_transforms.py:187-190). */
+  private def q18_sentinel_decode(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+      when(col("l_returnflag") === "N", lit(0).cast(DecimalType(18, 2)))
+        .otherwise(col("l_quantity").cast("long").cast(DecimalType(18, 2))).cast("double").as("load_qty"))
+
+  /** F2 — null imputation after outer join (covid_transforms.py:96-110 null →
+    * "Unknown"). */
+  private def q19_null_impute(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    RelOps.factJoin(c, o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_mktsegment").as("segment"),
+        when(col("o_orderstatus").isNull, "Unknown").otherwise(col("o_orderstatus")).as("status_filled"))
+      .groupBy("segment", "status_filled").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Three-way join + grouped DECIMAL revenue — the full enrichment-chain
+    * shape (J1 ∘ J1 ∘ A): broadcast dim, shuffle fact once. */
+  private def q20_multi_join(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** §2.4 headroom — ROLLUP grouping sets. */
+  private def q21_rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** §2.5 headroom — running windows (row_number + running DECIMAL sum). */
+  private def q22_window_running(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      row_number().over(w).cast("long").as("rn"),
+      sum(col("value").cast(DecimalType(18, 6))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").as("running_value"))
+  }
+
+  /** Exact COUNT(DISTINCT) — multi-distinct aggregate (§2.4 headroom). */
+  private def q23_count_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag").as("returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("cnt"))
+
+  /** JSON field extraction from the events props payload (ST3's from_json
+    * analog in batch; cloud_function/main.py:28-31). */
+  private def q24_json_extract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Per-day per-type event counts (A3 generalized to grouped pivot). */
+  private def q25_pivot_counts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // ------------------------------------------------------------------
+  // Training-data extensions: text analysis / dedup / similarity
+  // ------------------------------------------------------------------
+
+  /** Text surface statistics: lengths, token counts, punctuation. */
+  private def q30_text_stats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.charLen(col("text")).as("char_len"),
+      TextOps.tokenCount(col("text")).as("token_count"),
+      TextOps.punctCount(col("text")).as("punct_count"))
+
+  /** Language-ID heuristic (stopword-hit argmax). */
+  private def q31_lang_id(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+
+  /** Quality-score bucketing (length/punct/word-shape filters). */
+  private def q32_quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), TextOps.qualityBucket(col("text")).as("quality"))
+
+  /** Content fingerprint (md5) — engine-portable exact-dedup key. */
+  private def q33_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("content_hash"))
+
+  /** Exact dedup groups over the content hash. */
+  private def q34_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+
+  /** Exact token-set Jaccard near-dup pairs (integer-arithmetic threshold) —
+    * correctness baseline for the MinHash path. */
+  private def q35_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsExact(Tables.documents(s, dir), "doc_id", "text", thresh10 = 8)
+
+  /** Locally a table is one parquet file = one input split; CPU-heavy
+    * per-row ops (signatures, vector math) need the row-level parallelism a
+    * real lake gets from thousands of splits. Cheap scans skip this (the
+    * shuffle would cost more than it buys).
+    */
+  private def par(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  /** MinHash+LSH near-dup pairs (the 100 TB-scale dedup path; no SQL oracle —
+    * hash-family specific). */
+  private def q36_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(par(s, Tables.documents(s, dir)), "doc_id", "text", thresh10 = 8)
+
+  /** SimHash near-dup pairs via pigeonhole banding (no SQL oracle). */
+  private def q37_simhash_neardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(par(s, Tables.documents(s, dir)), "doc_id", "text", maxDist = 3)
+
+  /** Brute-force cosine ANN top-k (exact baseline). Output is (ids, rank)
+    * only: cosine VALUES differ from DuckDB's float32 list_cosine_similarity
+    * at ~1e-7, but the induced ranking is stable (top-5 gaps ~1e-2), so the
+    * oracle checks the ranking — the thing ANN is actually for. */
+  private def q38_ann_brute(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    val queries = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.bruteForceTopK(queries, emb.select("vec_id", "embedding"), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** LSH-bucketed ANN (the scale path; recall<1 ⇒ no SQL oracle). */
+  private def q39_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    val queries = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.lshBucketTopK(queries, emb.select("vec_id", "embedding"), k = 5)
+  }
+
+  /** Order-sensitive rolling fingerprint (xxhash64 fold; no SQL oracle). */
+  private def q40_fingerprint_rolling(s: SparkSession, dir: String): DataFrame =
+    par(s, Tables.documents(s, dir)).select(col("doc_id"), TextOps.fingerprintRolling(col("text")).as("fp"))
+
+  /** Embedding-cosine near-duplicate pairs. ID pairs only in the output (same
+    * float32-vs-double rationale as q38); 0.45 sits ≥2e-3 from any pair's
+    * cosine in the synthetic data, so the engines agree on membership. */
+  private def q41_embed_neardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(par(s, Tables.embeddings(s, dir)), "vec_id", "embedding", thresh = 0.45)
+      .select(col("id_a"), col("id_b"))
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> (q01_scan_project _),
+    "q02_filter_predicates" -> (q02_filter_predicates _),
+    "q03_dedup_distinct" -> (q03_dedup_distinct _),
+    "q04_collapse_max" -> (q04_collapse_max _),
+    "q05_groupby_agg" -> (q05_groupby_agg _),
+    "q06_conditional_counts" -> (q06_conditional_counts _),
+    "q07_case_normalize" -> (q07_case_normalize _),
+    "q08_join_broadcast" -> (q08_join_broadcast _),
+    "q09_join_left" -> (q09_join_left _),
+    "q10_latest_per_group" -> (q10_latest_per_group _),
+    "q11_latest_row_window" -> (q11_latest_row_window _),
+    "q12_datediff" -> (q12_datediff _),
+    "q13_extract_parts" -> (q13_extract_parts _),
+    "q14_format_date" -> (q14_format_date _),
+    "q15_union_distinct" -> (q15_union_distinct _),
+    "q16_topk" -> (q16_topk _),
+    "q17_stringify_retype" -> (q17_stringify_retype _),
+    "q18_sentinel_decode" -> (q18_sentinel_decode _),
+    "q19_null_impute" -> (q19_null_impute _),
+    "q20_multi_join" -> (q20_multi_join _),
+    "q21_rollup" -> (q21_rollup _),
+    "q22_window_running" -> (q22_window_running _),
+    "q23_count_distinct" -> (q23_count_distinct _),
+    "q24_json_extract" -> (q24_json_extract _),
+    "q25_pivot_counts" -> (q25_pivot_counts _),
+    "q30_text_stats" -> (q30_text_stats _),
+    "q31_lang_id" -> (q31_lang_id _),
+    "q32_quality" -> (q32_quality _),
+    "q33_fingerprint" -> (q33_fingerprint _),
+    "q34_dedup_exact" -> (q34_dedup_exact _),
+    "q35_jaccard_pairs" -> (q35_jaccard_pairs _),
+    "q36_minhash_lsh" -> (q36_minhash_lsh _),
+    "q37_simhash_neardup" -> (q37_simhash_neardup _),
+    "q38_ann_brute" -> (q38_ann_brute _),
+    "q39_ann_lsh" -> (q39_ann_lsh _),
+    "q40_fingerprint_rolling" -> (q40_fingerprint_rolling _),
+    "q41_embed_neardup" -> (q41_embed_neardup _),
+  )
+
+  /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
+    * order; strftime for FORMAT_DATETIME; sum(BIGINT) returns HUGEINT in
+    * DuckDB → cast back to BIGINT; integer-arithmetic thresholds instead of
+    * float compares. Queries without an entry (MinHash/SimHash/LSH/xxhash64
+    * families) get the driver's rows-only check — their exact-result twins
+    * (q35, q38's brute-force, q33/q34 md5) ARE oracle-checked.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment FROM customer",
+    "q02_filter_predicates" ->
+      """SELECT l_orderkey, cast(l_linenumber as bigint) AS line_no, cast(l_quantity as bigint) AS qty
+         FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30""",
+    "q03_dedup_distinct" ->
+      """SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           cast(l_quantity as bigint) AS qty FROM lineitem""",
+    "q04_collapse_max" ->
+      """SELECT l_orderkey, max(cast(l_quantity as bigint)) AS max_qty,
+           max(cast(l_shipdate as date)) AS max_ship, max(l_returnflag) AS max_flag
+         FROM lineitem GROUP BY l_orderkey""",
+    "q05_groupby_agg" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+           cast(count(*) as bigint) AS cnt,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price
+         FROM lineitem GROUP BY 1, 2""",
+    "q06_conditional_counts" ->
+      """SELECT cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) as bigint) AS n_returned,
+           cast(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) as bigint) AS n_accepted,
+           cast(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) as bigint) AS n_none
+         FROM lineitem""",
+    "q07_case_normalize" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'Critical'
+                WHEN o_orderpriority = '2-HIGH' THEN 'Critical'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'Normal'
+                WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'Unknown'
+                ELSE 'Low' END AS priority_class
+         FROM orders""",
+    "q08_join_broadcast" ->
+      """SELECT o_orderkey, o_totalprice AS total_price, c_name AS cust_name, c_mktsegment AS segment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q09_join_left" ->
+      """SELECT c_custkey, c_name AS cust_name, o_orderkey, o_orderstatus AS status
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey""",
+    "q10_latest_per_group" ->
+      "SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id",
+    "q11_latest_row_window" ->
+      """SELECT user_id, event_id, event_type, ts FROM (
+           SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+    "q12_datediff" ->
+      """SELECT l_orderkey, cast(l_linenumber as bigint) AS line_no,
+           cast(date_diff('day', cast(o_orderdate as date), cast(l_shipdate as date)) as bigint) AS d_days,
+           cast(date_diff('month', cast(o_orderdate as date), cast(l_shipdate as date)) as bigint) AS d_months,
+           cast(date_diff('year', cast(o_orderdate as date), cast(l_shipdate as date)) as bigint) AS d_years
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "q13_extract_parts" ->
+      """SELECT o_orderkey, cast(year(o_orderdate) as bigint) AS y,
+           cast(quarter(o_orderdate) as bigint) AS q,
+           cast(month(o_orderdate) as bigint) AS m,
+           cast(day(o_orderdate) as bigint) AS d
+         FROM orders""",
+    "q14_format_date" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y') AS y_str,
+           strftime(o_orderdate, '%B') AS month_name FROM orders""",
+    "q15_union_distinct" ->
+      """SELECT DISTINCT o_orderkey, o_orderpriority AS priority FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+    "q16_topk" ->
+      """SELECT o_orderkey, o_totalprice AS total_price FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q17_stringify_retype" ->
+      """SELECT cast(cast(l_orderkey as varchar) as bigint) AS l_orderkey,
+           cast(cast(l_linenumber as varchar) as bigint) AS line_no,
+           cast(cast(l_quantity as varchar) as double) AS qty_back,
+           cast(cast(l_shipdate as varchar) as date) AS ship_back
+         FROM lineitem""",
+    "q18_sentinel_decode" ->
+      """SELECT l_orderkey, cast(l_linenumber as bigint) AS line_no,
+           cast(CASE WHEN l_returnflag = 'N' THEN cast(0 as decimal(18,2))
+                ELSE cast(cast(l_quantity as bigint) as decimal(18,2)) END as double) AS load_qty
+         FROM lineitem""",
+    "q19_null_impute" ->
+      """SELECT c_mktsegment AS segment,
+           CASE WHEN o_orderstatus IS NULL THEN 'Unknown' ELSE o_orderstatus END AS status_filled,
+           cast(count(*) as bigint) AS cnt
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1, 2""",
+    "q20_multi_join" ->
+      """SELECT c_mktsegment AS segment,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) AS revenue,
+           cast(count(*) as bigint) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "q21_rollup" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           cast(count(*) as bigint) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q22_window_running" ->
+      """SELECT user_id, event_id,
+           cast(row_number() OVER w as bigint) AS rn,
+           cast(sum(cast(value as decimal(18,6))) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_value
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
+    "q23_count_distinct" ->
+      """SELECT l_returnflag AS returnflag,
+           cast(count(DISTINCT l_partkey) as bigint) AS n_parts,
+           cast(count(DISTINCT l_suppkey) as bigint) AS n_supps,
+           cast(count(*) as bigint) AS cnt
+         FROM lineitem GROUP BY 1""",
+    "q24_json_extract" ->
+      """SELECT event_id, cast(json_extract_string(props, '$.k') as bigint) AS k FROM events""",
+    "q25_pivot_counts" ->
+      """SELECT cast(ts as date) AS day, event_type, cast(count(*) as bigint) AS cnt
+         FROM events GROUP BY 1, 2""",
+    "q30_text_stats" ->
+      """SELECT doc_id, cast(length(text) as bigint) AS char_len,
+           cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) as bigint) AS token_count,
+           cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) as bigint) AS punct_count
+         FROM documents""",
+    "q32_quality" ->
+      """WITH stats AS (
+           SELECT doc_id, cast(length(text) as bigint) AS n_char,
+             cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) as bigint) AS n_tok,
+             cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) as bigint) AS n_punct
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN n_tok < 5 THEN 'too_short'
+                WHEN n_char > 20000 THEN 'too_long'
+                WHEN n_punct * 10 > n_char * 3 THEN 'too_much_punct'
+                WHEN n_char > n_tok * 15 THEN 'words_too_long'
+                ELSE 'ok' END AS quality
+         FROM stats""",
+    "q31_lang_id" ->
+      """WITH sc AS (SELECT doc_id,
+           len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|that|it|for)\b')) AS s_en,
+           len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS s_de,
+           len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|un|une|des|que|pour)\b')) AS s_fr,
+           len(regexp_extract_all(text, '(?i)\b(el|los|las|y|es|un|una|que|por|para)\b')) AS s_es,
+           len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS s_zh
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+             CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END
+           WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS lang_pred
+         FROM sc""",
+    "q38_ann_brute" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           cast(row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) as bigint) AS rank
+         FROM embeddings q, embeddings c
+         WHERE q.label = 0 AND q.vec_id != c.vec_id
+         QUALIFY rank <= 5""",
+    "q41_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+    "q33_fingerprint" ->
+      "SELECT doc_id, md5(text) AS content_hash FROM documents",
+    "q34_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, cast(count(*) as bigint) AS n_copies,
+           min(doc_id) AS keep_id FROM documents GROUP BY 1""",
+    "q35_jaccard_pairs" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(len(list_intersect(a.ws, b.ws)) as bigint) AS inter,
+           cast(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) as bigint) AS uni
+         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.ws, b.ws)) * 10 >=
+               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) * 8""",
+  )
 }

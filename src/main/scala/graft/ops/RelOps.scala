@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Relational operator library — one reusable function per operator family in
+  * SURVEY.md §2, expressed as declarative DataFrame transformations so Catalyst
+  * keeps full freedom (pushdown, pruning, join-strategy, whole-stage codegen).
+  *
+  * Scale notes are attached per operator: these run on partitioned data with
+  * map-side partial aggregation / broadcast joins wherever the shape allows, so
+  * the same code that passes the sf0.01 oracle is the code you would run on a
+  * 1000-executor cluster.
+  */
+object RelOps {
+
+  /** A4 — `SELECT DISTINCT *` whole-row dedup (reference:
+    * dags/covid_transforms.py:43-47 and the three sibling DAGs).
+    *
+    * Spark plans this as a hash-aggregate over all columns with a map-side
+    * partial, so at scale only one shuffle of pre-deduped partitions occurs.
+    */
+  def dedupAll(df: DataFrame): DataFrame = df.distinct()
+
+  /** A4 restricted to a column subset (first-wins within partition; used when
+    * the caller wants key-dedup rather than whole-row dedup).
+    */
+  def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** A1 — entity-collapse dedup: GROUP BY `keys`, MAX of every other column
+    * (reference: dags/mmd_transforms.py:74-96, 31 max() columns).
+    *
+    * NOTE this intentionally mixes values from different source rows within a
+    * group (MAX per column, NOT latest-row-wins) — that is the reference's
+    * semantics (SURVEY.md §2.12 quirk 3). Partial aggregation makes this a
+    * single shuffle keyed on `keys` regardless of column count.
+    */
+  def collapseByMax(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(others.head -> "max", others.tail.map(_ -> "max"): _*)
+      .select(keys.map(col) ++ others.map(c => col(s"max($c)").as(c)): _*)
+  }
+
+  /** A2 — greatest-per-group: GROUP BY `keys`, MAX(`orderCol`)
+    * (reference: dags/vls_transforms.py:84-97).
+    */
+  def latestPerGroupAgg(df: DataFrame, keys: Seq[String], orderCol: Column, as: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(max(orderCol).as(as))
+
+  /** A2+J3 fused — latest full row per group via a window, the idiomatic Spark
+    * replacement for the reference's MAX-then-rejoin idiom
+    * (dags/vls_transforms.py:84-117): one shuffle on the group keys instead of
+    * an aggregate shuffle plus a join shuffle. `tiebreak` columns make the
+    * result deterministic when `orderCol` ties.
+    */
+  def latestRowPerGroup(df: DataFrame, keys: Seq[String], orderCol: Column, tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy((orderCol.desc +: tiebreak): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J1/J2 — fact ⋈ dimension equi-join with an explicit broadcast of the
+    * dimension side (reference: dags/covid_transforms.py:58-67,
+    * dags/mmd_transforms.py:236-250 — MFL/hub dims are tiny; on a 100 TB fact
+    * table this MUST be a broadcast-hash join, never a shuffle).
+    */
+  def enrichJoin(fact: DataFrame, dim: DataFrame, cond: Column, joinType: String = "inner"): DataFrame =
+    fact.join(broadcast(dim), cond, joinType)
+
+  /** J4 — large ⟕ large equi-join (reference: dags/vls_transforms.py:132-148).
+    * Both sides shuffle on the key → sort-merge join; AQE converts to
+    * broadcast at runtime if one side turns out small.
+    */
+  def factJoin(left: DataFrame, right: DataFrame, cond: Column, joinType: String = "left"): DataFrame =
+    left.join(right, cond, joinType)
+
+  /** F2 — map-driven CASE WHEN normalization, the reference's dominant scalar
+    * idiom (12 statements, e.g. dags/hts_transforms.py:104-117).
+    * `default` None = passthrough original value (CASE ... ELSE col END);
+    * Some(v) = constant fallback; to get SQL's null-when-no-ELSE pass
+    * `Some(null)` via [[caseNormalizeOrNull]].
+    */
+  def caseNormalize(c: Column, mapping: Seq[(String, String)], default: Option[String]): Column = {
+    val base = mapping.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
+      Some(acc.fold(when(c === from, to))(_.when(c === from, to)))
+    }.get
+    default match {
+      case Some(d) => base.otherwise(lit(d))
+      case None    => base.otherwise(c)
+    }
+  }
+
+  /** F2 variant — CASE without ELSE (yields NULL on no match), as used by the
+    * reference's suppression branch (dags/vls_transforms.py:181-185).
+    */
+  def caseNormalizeOrNull(c: Column, mapping: Seq[(String, String)]): Column =
+    mapping.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
+      Some(acc.fold(when(c === from, to))(_.when(c === from, to)))
+    }.get
+
+  /** A3 — conditional-count pivot to a single row: SUM(CASE WHEN c = v THEN 1
+    * ELSE 0 END) per value (reference: dags/hts_transforms.py:216-225).
+    * Global aggregate: partial-aggregates to one row per partition, then a
+    * single-row final merge — no full shuffle even at 100 TB.
+    */
+  def conditionalCounts(df: DataFrame, c: Column, values: Seq[(String, String)]): DataFrame =
+    df.agg(
+      sum(when(c === values.head._1, 1L).otherwise(0L)).as(values.head._2),
+      values.tail.map { case (v, as) => sum(when(c === v, 1L).otherwise(0L)).as(as) }: _*
+    )
+
+  /** F1 — bulk column retyping (reference: dags/mmd_transforms.py:52-72, 33
+    * casts in one stage). Non-ANSI cast semantics (malformed → null) — the
+    * deliberate softening documented in SURVEY.md §7.
+    */
+  def castColumns(df: DataFrame, types: Map[String, DataType]): DataFrame =
+    df.select(df.columns.map(c => types.get(c).fold(col(c))(t => col(c).cast(t).as(c))): _*)
+
+  /** S4 first half — stringify every column (reference:
+    * dags/dependencies/parquet_solution.py:75 `astype(str)`), with the
+    * reference's "None"-string → real null re-normalization
+    * (parquet_solution.py:81-82).
+    */
+  def stringifyAll(df: DataFrame): DataFrame =
+    df.select(df.columns.map { c =>
+      val s = col(c).cast("string")
+      when(s === "None", lit(null)).otherwise(s).as(c)
+    }: _*)
+
+  /** P4 — null-filter on one or more columns (reference:
+    * dags/vls_transforms.py:56-61; the redundant double-filter collapsed).
+    */
+  def filterNotNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+
+  /** F3 — BigQuery DATE_DIFF boundary semantics for YEAR: boundaries crossed,
+    * not elapsed periods (DATE_DIFF('2023-01-01','2022-12-31',YEAR) = 1).
+    * Pure expression composition — stays inside whole-stage codegen.
+    * Reference: dags/mmd_transforms.py:102.
+    */
+  def boundaryDiffYears(end: Column, start: Column): Column =
+    (year(end) - year(start)).cast("long")
+
+  /** F3 — BigQuery DATE_DIFF MONTH boundary semantics.
+    * Reference: dags/mmd_transforms.py:103.
+    */
+  def boundaryDiffMonths(end: Column, start: Column): Column =
+    (lit(12) * (year(end) - year(start)) + (month(end) - month(start))).cast("long")
+
+  /** F3 — day diff (calendar days, sign = end - start).
+    * Reference: dags/hts_transforms.py:84. */
+  def boundaryDiffDays(end: Column, start: Column): Column =
+    datediff(end, start).cast("long")
+
+  /** §2.6 headroom — deterministic top-k: total order via `order` columns
+    * (caller must include a unique tiebreak). Spark plans limit+sort as a
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    * driver, no global sort shuffle.
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** §2.7 — UNION DISTINCT across same-schema inputs (reference ingest concat,
+    * dags/dependencies/parquet_solution.py:76-78).
+    */
+  def unionDistinct(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_)).distinct()
+}

@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All are pure column
+  * expressions (builtin functions + higher-order array functions) — fully
+  * codegen'd, no UDFs, so they pipeline inside the parquet scan stage and scale
+  * linearly with input splits (no shuffle at all for per-document scoring).
+  */
+object TextOps {
+
+  /** Whitespace tokenization. `split` on \s+ yields a leading "" for texts
+    * with leading whitespace; `filter` drops empties so the count is stable.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** A BPE-ish subword proxy: word pieces split on non-alphanumerics plus
+    * digit/letter boundaries — a deterministic stand-in for a real tokenizer's
+    * piece count, cheap enough to run inline over 100 TB of text.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"), t => length(t) > 0)).cast("long")
+
+  def charLen(text: Column): Column = length(text).cast("long")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "\\p{Punct}", ""))).cast("long")
+
+  /** Count of tokens from `words` appearing in `text` (word-boundary matches).
+    * Basis for stopword-ratio quality scoring and language ID.
+    */
+  def wordHits(text: Column, words: Seq[String]): Column = {
+    val pattern = "(?i)\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"
+    size(regexp_extract_all(text, lit(pattern), lit(1))).cast("long")
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword-hit language-ID
+    * heuristic. Tiny on purpose: these ship to executors as literals inside
+    * the codegen'd plan, no broadcast needed.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "que", "por", "para"),
+  )
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts; texts
+    * with no hits (e.g. CJK under a Latin-stopword model) fall back to
+    * detecting any CJK codepoint, else "und". Deterministic tie-break by list
+    * order (greatest strictly-earlier wins).
+    */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (lang, words) => lang -> wordHits(text, words) }
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lang).otherwise(bestLang), when(score > bestScore, score).otherwise(bestScore))
+    }
+    when(best._2 > 0, best._1)
+      .when(size(regexp_extract_all(text, lit("[\\x{4E00}-\\x{9FFF}]"), lit(0))) > 0, "zh")
+      .otherwise("und")
+  }
+
+  /** Quality classification on cheap surface statistics — the classic
+    * pretraining-corpus filter (length bounds, punctuation ratio, mean word
+    * length). Returns a label so comparisons stay exact (no float thresholds
+    * in the output).
+    */
+  def qualityBucket(text: Column): Column = {
+    val nTok  = tokenCount(text)
+    val nChar = charLen(text)
+    val nPunct = punctCount(text)
+    when(nTok < lit(5L), "too_short")
+      .when(nChar > lit(20000L), "too_long")
+      .when(nPunct * lit(10L) > nChar * lit(3L), "too_much_punct") // punct ratio > 0.3, integer math
+      .when(nChar > nTok * lit(15L), "words_too_long")             // mean word len > 15
+      .otherwise("ok")
+  }
+
+  /** Content fingerprint (md5 hex) for exact dedup — portable across engines
+    * (DuckDB md5() computes the identical digest, which is what makes the
+    * exact-dedup oracle checkable).
+    */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** 64-bit rolling-ish document fingerprint: xxhash64 over the token stream
+    * folded left-to-right, so token order matters (unlike a bag-of-words
+    * hash). Pure HOF `aggregate` — codegen'd, shuffle-free.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L), (acc, t) => xxhash64(acc, t))
+
+  /** Word n-gram shingles (n consecutive tokens joined by space) — input to
+    * MinHash / Jaccard dedup. Empty array when the doc has fewer than n
+    * tokens.
+    *
+    * PERFORMANCE: `ts` MUST be a materialized column (attribute reference),
+    * not a nested expression — lambda bodies re-evaluate subexpressions per
+    * element, so passing `tokens(text)` here would re-split the text for
+    * every shingle. Stage with `.withColumn("toks", tokens(text))` first.
+    */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
+    filter(
+      transform(ts, (_, i) => when(i + n <= size(ts), array_join(slice(ts, i + lit(1), lit(n)), " "))),
+      s => s.isNotNull)
+}

@@ -1,0 +1,25 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // pair-finding queries can legitimately be empty at the tiny sf0.001 scale
+  private val mayBeEmptyAtTinySf =
+    Set("q35_jaccard_pairs", "q36_minhash_lsh", "q37_simhash_neardup", "q41_embed_neardup")
+
+  test("every declared query runs on sf0.001; non-pair queries return rows") {
+    val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (n == 0 && !mayBeEmptyAtTinySf(name)) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with zero rows: $empties")
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}

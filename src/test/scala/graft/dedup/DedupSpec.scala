@@ -1,0 +1,77 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles here"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "another unrelated snippet mentioning gradient descent optimization loops")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the exact duplicate and keeps min id") {
+    val groups = Dedup.exactDupGroups(docs, $"doc_id", $"text")
+    assert(groups.count() === 4)
+    val dup = groups.filter($"n_copies" === 2).head()
+    assert(dup.getLong(2) === 0L) // keep_id
+  }
+
+  test("exactDedup keeps one representative per content") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() === 4)
+    assert(out.filter($"doc_id" === 3).count() === 0)
+  }
+
+  test("jaccardPairsExact finds the near-dup pair and the exact pair") {
+    val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text", thresh10 = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("minhash signature has k entries; identical docs get identical signatures") {
+    val sigs = Dedup.withMinhashSignature(docs, "text", "sig", 3, 16)
+      .select($"doc_id", $"sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L).length === 16)
+    assert(sigs(0L) === sigs(3L))
+    assert(sigs(0L) != sigs(2L))
+  }
+
+  test("minhashNearDupPairs recovers the exact-dup and near-dup pairs, not the unrelated") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", thresh10 = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L || a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming; unrelated far") {
+    val fps = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(1L)) <= 12)
+    assert(ham(fps(0L), fps(2L)) > 12)
+  }
+
+  test("simhashNearDupPairs finds exact dup at distance 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("shingles produce n-token grams in order") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextOps.shingles($"t", 3).as("s")).head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+
+class RelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupAll is idempotent and drops exact duplicates") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 3)).toDF("k", "v")
+    val d1 = RelOps.dedupAll(df)
+    assert(d1.count() === 3)
+    assert(RelOps.dedupAll(d1).count() === 3)
+  }
+
+  test("collapseByMax keeps one row per key and takes per-column maxima (mixing rows)") {
+    // the MMD quirk: (k=1) group takes v=5 from row 1 and w="z" from row 2
+    val df = Seq((1, 5, "a"), (1, 2, "z"), (2, 1, "b")).toDF("k", "v", "w")
+    val out = RelOps.collapseByMax(df, Seq("k")).orderBy("k").collect()
+    assert(out.toSeq === Seq(Row(1, 5, "z"), Row(2, 1, "b")))
+  }
+
+  test("collapseByMax output keys are unique; max >= every group value") {
+    val df = Seq((1, 3), (1, 9), (1, 7), (2, 4)).toDF("k", "v")
+    val out = RelOps.collapseByMax(df, Seq("k"))
+    assert(out.select("k").distinct().count() === out.count())
+    assert(out.filter($"k" === 1).head().getInt(1) === 9)
+  }
+
+  test("latestRowPerGroup picks the row with max order col, tiebreak applied") {
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (1, 20, "newer"), (2, 5, "only"))
+      .toDF("k", "ts", "tag")
+    val out = RelOps.latestRowPerGroup(df, Seq("k"), $"ts", Seq($"tag".desc))
+      .orderBy("k").collect()
+    assert(out.map(_.getString(2)).toSeq === Seq("newer", "only"))
+  }
+
+  test("latestPerGroupAgg equals window form on the greatest value") {
+    val df = Seq((1, 10), (1, 30), (2, 7)).toDF("k", "ts")
+    val agg = RelOps.latestPerGroupAgg(df, Seq("k"), $"ts", "m").orderBy("k").collect()
+    assert(agg.map(_.getInt(1)).toSeq === Seq(30, 7))
+  }
+
+  test("enrichJoin inner drops facts without a dim match; row count bounded by fact") {
+    val fact = Seq((1, "x"), (2, "y"), (3, "z")).toDF("site", "v")
+    val dim = Seq((1, "A"), (2, "B")).toDF("site_code", "name")
+    val out = RelOps.enrichJoin(fact, dim, fact("site") === dim("site_code"))
+    assert(out.count() === 2)
+  }
+
+  test("caseNormalize maps listed values, default constant, and passthrough") {
+    val df = Seq("a", "b", "zzz", null).toDF("c")
+    val const = df.select(RelOps.caseNormalize($"c", Seq("a" -> "A", "b" -> "B"), Some("other")).as("o"))
+      .collect().map(_.getString(0))
+    assert(const.toSeq === Seq("A", "B", "other", "other"))
+    val pass = df.select(RelOps.caseNormalize($"c", Seq("a" -> "A"), None).as("o"))
+      .collect().map(_.getString(0))
+    assert(pass.toSeq === Seq("A", "b", "zzz", null))
+    val orNull = df.select(RelOps.caseNormalizeOrNull($"c", Seq("a" -> "A")).as("o"))
+      .collect().map(_.getString(0))
+    assert(orNull.toSeq === Seq("A", null, null, null))
+  }
+
+  test("conditionalCounts returns a single row of per-value counts") {
+    val df = Seq("R", "R", "A", "N", "R").toDF("f")
+    val row = RelOps.conditionalCounts(df, $"f", Seq("R" -> "r", "A" -> "a", "X" -> "x")).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 1L, 0L)))
+  }
+
+  test("stringifyAll turns 'None' strings into real nulls and all types to string") {
+    val df = Seq((1, "None"), (2, "ok")).toDF("i", "s")
+    val out = RelOps.stringifyAll(df).collect()
+    assert(out(0).getString(0) === "1" && out(0).isNullAt(1))
+    assert(out(1).getString(1) === "ok")
+  }
+
+  test("boundaryDiff month/year follow BigQuery boundary-crossing semantics") {
+    val df = Seq(("2023-01-01", "2022-12-31")).toDF("d1", "d2")
+      .select(to_date($"d1").as("d1"), to_date($"d2").as("d2"))
+    val row = df.select(
+      RelOps.boundaryDiffYears($"d1", $"d2"),
+      RelOps.boundaryDiffMonths($"d1", $"d2"),
+      RelOps.boundaryDiffDays($"d1", $"d2")).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((1L, 1L, 1L)))
+  }
+
+  test("boundaryDiffMonths property: matches java.time boundary count over a date sweep") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(40)((rnd.nextInt(20000).toLong, rnd.nextInt(20000).toLong))
+    val rows = samples.map { case (a, b) =>
+      (LocalDate.ofEpochDay(a).toString, LocalDate.ofEpochDay(b).toString)
+    }
+    val got = rows.toDF("d1", "d2")
+      .select(RelOps.boundaryDiffMonths(to_date($"d1"), to_date($"d2")).as("m"))
+      .collect().map(_.getLong(0))
+    val expected = samples.map { case (a, b) =>
+      val (d1, d2) = (LocalDate.ofEpochDay(a), LocalDate.ofEpochDay(b))
+      (d1.getYear - d2.getYear) * 12L + (d1.getMonthValue - d2.getMonthValue)
+    }
+    assert(got.toSeq === expected)
+  }
+
+  test("filterNotNull keeps only rows with all listed columns present") {
+    val df = Seq((Some("a"), Some("b")), (None, Some("b")), (Some("a"), None))
+      .toDF("x", "y")
+    assert(RelOps.filterNotNull(df, Seq("x", "y")).count() === 1)
+  }
+
+  test("topK returns exactly k rows in total order") {
+    val df = (1 to 100).map(i => (i, i * 2)).toDF("k", "v")
+    val out = RelOps.topK(df, 5, $"v".desc, $"k".asc).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(100, 99, 98, 97, 96))
+  }
+
+  test("unionDistinct = bag union then distinct") {
+    val a = Seq(1, 2, 3).toDF("v")
+    val b = Seq(3, 4).toDF("v")
+    assert(RelOps.unionDistinct(Seq(a, b)).count() === 4)
+  }
+}

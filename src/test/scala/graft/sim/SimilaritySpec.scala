@@ -1,0 +1,45 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(-1f, -2f, -3f), Array(3f, 0f, 0f), Array(0f, 4f, 0f)))
+      .toDF("a", "b", "c", "x", "y")
+    val row = df.select(
+      Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c"), Similarity.cosine($"x", $"y")).head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(1) + 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tiebreak") {
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("query_id", "query_vec")
+    val out = Similarity.bruteForceTopK(queries, vecs, 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 1), (2L, 2)))
+  }
+
+  test("lshBucketTopK candidates are a subset ranked by exact cosine; identical vec found") {
+    val queries = Seq((100L, Array(0.9f, 0.1f, 0.0f))).toDF("query_id", "query_vec")
+    val out = Similarity.lshBucketTopK(queries, vecs, 2, tables = 8, nbits = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out.contains(1L)) // identical direction must share a bucket in some table
+  }
+
+  test("cosineNearDupPairs finds only the close pair at a high threshold") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

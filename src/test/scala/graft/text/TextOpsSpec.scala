@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount ignores leading/trailing/multiple whitespace") {
+    val df = Seq("  a b   c ", "one", "").toDF("t")
+    val got = df.select(TextOps.tokenCount($"t")).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(3L, 1L, 0L))
+  }
+
+  test("charLen and punctCount") {
+    val row = Seq("ab, cd!").toDF("t")
+      .select(TextOps.charLen($"t"), TextOps.punctCount($"t")).head()
+    assert((row.getLong(0), row.getLong(1)) === ((7L, 2L)))
+  }
+
+  test("bpeish token count splits on letter/digit boundaries and punctuation") {
+    val got = Seq("hello world42x, foo-bar").toDF("t")
+      .select(TextOps.bpeishTokenCount($"t")).head().getLong(0)
+    // hello | world | 42 | x | foo | bar
+    assert(got === 6L)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat sat on the mat and it is happy",
+      "der hund ist nicht mit der katze und das ist gut",
+      "le chat est un animal et la maison est pour les amis",
+      "el perro es un animal y las casas son para los amigos",
+      "花 猫 在 垫子 上",
+      "xyzzy qwerty asdf").toDF("t")
+    val got = df.select(TextOps.langId($"t")).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("qualityBucket flags short docs and punctuation soup") {
+    val df = Seq(
+      "a b",                                        // too_short
+      "!!! ??? ;;; ,,, ... !!! ??? ;;;",            // punct soup (also short tokens)
+      "this is a perfectly reasonable sentence with enough words to pass the filters"
+    ).toDF("t")
+    val got = df.select(TextOps.qualityBucket($"t")).collect().map(_.getString(0))
+    assert(got(0) === "too_short")
+    assert(got(2) === "ok")
+  }
+
+  test("fingerprintRolling is order-sensitive; fingerprintMd5 matches known digest") {
+    val fps = Seq("a b c", "c b a").toDF("t")
+      .select(TextOps.fingerprintRolling($"t")).collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+    val h = Seq("abc").toDF("t").select(TextOps.fingerprintMd5($"t")).head().getString(0)
+    assert(h === "900150983cd24fb0d6963f7d28e17f72")
+  }
+}
