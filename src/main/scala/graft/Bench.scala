@@ -18,7 +18,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // absorb one-time JVM/codegen/parquet-reader warmup outside the timings
+    spark.read.parquet(s"$sfDir/customer.parquet").limit(1).count()
+    val results = SparkEntry.headlineQueries.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9

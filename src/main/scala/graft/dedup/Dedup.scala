@@ -89,20 +89,18 @@ object Dedup {
   def minhashSignature(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), seed => array_min(transform(sh, s => xxhash64(s, seed))))
 
-  /** Stage tokens -> shingles -> shingle hashes -> signature as materialized
-    * columns (each computed exactly once per row) and return df + `sigCol`.
-    * Each shingle string is hashed to a long ONCE; the k seed-hashes then
-    * operate on longs — k× fewer string hashes than hashing (shingle, seed)
-    * directly.
+  /** Attach a MinHash signature column via the codegen'd
+    * [[graft.functions.HashExprs.ShingleHashes]] +
+    * [[graft.functions.HashExprs.MinHashSignature]] kernels (single pass over
+    * the text, no per-element lambda interpretation). Rows with fewer than
+    * `shingleN` tokens (null signature) are dropped.
     */
   def withMinhashSignature(df: DataFrame, textCol: String, sigCol: String,
-                           shingleN: Int, k: Int): DataFrame =
-    df.withColumn("__mh_toks", TextOps.tokens(col(textCol)))
-      .filter(size(col("__mh_toks")) >= shingleN)
-      .withColumn("__mh_sh", TextOps.shinglesFromTokens(col("__mh_toks"), shingleN))
-      .withColumn("__mh_h", transform(col("__mh_sh"), s => xxhash64(s)))
-      .withColumn(sigCol, minhashSignature(col("__mh_h"), k))
-      .drop("__mh_toks", "__mh_sh", "__mh_h")
+                           shingleN: Int, k: Int): DataFrame = {
+    import graft.functions.HashExprs._
+    df.withColumn(sigCol, minhash_signature(shingle_hashes(col(textCol), shingleN), k))
+      .filter(col(sigCol).isNotNull)
+  }
 
   /** LSH banding: signature of k = bands*rows entries → one 64-bit bucket hash
     * per band. Two docs land in the same (band, bucket) iff their signature
@@ -147,24 +145,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens: per-token xxhash64; each bit
-    * position accumulates +1/-1 across tokens; fingerprint bit = sign.
-    * Single pass over the token array via `aggregate` — shuffle-free.
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64 (seed 42 —
+    * identical to the builtin xxhash64 on the token); each bit position
+    * accumulates +1/-1 across tokens; fingerprint bit = sign. Codegen'd
+    * single-pass kernel ([[graft.functions.HashExprs.SimHash64]]) —
+    * shuffle-free, pipelines inside the scan stage.
     */
-  def simhash(text: Column): Column = {
-    val counters = aggregate(
-      TextOps.tokens(text),
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
-          a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)), (c, i) =>
-        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash(text: Column): Column = graft.functions.HashExprs.simhash64(text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")

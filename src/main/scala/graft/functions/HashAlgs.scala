@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the custom expressions in [[HashExprs]].
+  * Called from both interpreted eval and generated code (static forwarders),
+  * so the hot path is identical either way: no boxing, no per-element lambda
+  * dispatch — this replaced a higher-order-function pipeline that spent ~10µs
+  * per element on interpreted lambda evaluation.
+  *
+  * Tokenization matches Java regex `\s+` exactly: ASCII space, \t, \n,
+  * \x0B, \f, \r (UTF-8 multibyte units never collide with ASCII bytes).
+  */
+object HashAlgs {
+
+  @inline private def isSpace(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** (start, end) byte offsets of whitespace-separated tokens. */
+  private def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var n = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      if (i < len) {
+        val s = i
+        while (i < len && !isSpace(bytes(i))) i += 1
+        if (n == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(n) = s; ends(n) = i; n += 1
+      }
+    }
+    (starts, ends, n)
+  }
+
+  /** xxhash64 of each word n-gram shingle (tokens joined by a single space),
+    * seed 42. One pass over the text, one small reused buffer — no string
+    * materialization.
+    */
+  def shingleHashes(text: UTF8String, n: Int, seed: Long): ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, nTok) = tokenSpans(bytes)
+    val nSh = nTok - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nSh)
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i < nSh) {
+      var blen = 0
+      var j = 0
+      while (j < n) {
+        val s = starts(i + j); val e = ends(i + j)
+        val need = blen + (e - s) + 1
+        if (need > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (j > 0) { buf(blen) = 0x20; blen += 1 }
+        System.arraycopy(bytes, s, buf, blen, e - s)
+        blen += e - s
+        j += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, blen, seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: out(s) = min over h in hashes of xxhash64(h, s).
+    * Null for an empty input (mirrors array_min semantics — "no shingles"
+    * must not collide with a real signature).
+    */
+  def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val out = new Array[Long](k)
+    var s = 0
+    while (s < k) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = XXH64.hashLong(hashes.getLong(i), s)
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(s) = mn
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over whitespace tokens, hashing each token's byte span in
+    * place (zero copies). Token hash = xxhash64(bytes, 42) — identical to
+    * Spark's builtin xxhash64 on the token string.
+    */
+  def simhash(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val (starts, ends, nTok) = tokenSpans(bytes)
+    val counters = new Array[Int](64)
+    var t = 0
+    while (t < nTok) {
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + starts(t), ends(t) - starts(t), 42L)
+      var b = 0
+      while (b < 64) {
+        counters(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+}

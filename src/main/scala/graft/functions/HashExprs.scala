@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the dedup hot path. These exist because
+  * the equivalent higher-order-function pipelines (transform/aggregate
+  * lambdas) are interpreted per element — measured ~10µs/element, which at
+  * k=64 hashes × ~100 shingles × row made MinHash the bottleneck. Each
+  * expression has real `doGenCode`, so it stays inside whole-stage codegen
+  * and runs the [[HashAlgs]] kernel as a static call per row.
+  *
+  * Preference-order note (SURVEY §4): these are tier (b) — scalar custom
+  * Expressions — chosen only after tier (a) (composed builtins) was measured
+  * too slow; no custom LogicalPlan/Strategy is needed since the surrounding
+  * join/agg shapes are all standard.
+  */
+object HashExprs {
+
+  /** array<long> of xxhash64 hashes of word n-gram shingles of `text`. */
+  case class ShingleHashes(child: Expression, n: Int, seed: Long = 42L)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashAlgs.shingleHashes(input.asInstanceOf[UTF8String], n, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashAlgs.shingleHashes($c, $n, ${seed}L);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature (array<long> of k minima) from shingle hashes.
+    * Null on an empty shingle array.
+    */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<BIGINT>, got $t")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_signature"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashAlgs.minhashSignature(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+         ${ev.value} = graft.functions.HashAlgs.minhashSignature($c, $k);
+         ${ev.isNull} = (${ev.value} == null);
+         """)
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash fingerprint of `text` (whitespace tokens). */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashAlgs.simhash(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashAlgs.simhash($c);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ---- Column API (Spark 4: Expression <-> Column goes through
+  // classic.ExpressionUtils; the old `new Column(expr)` is gone) ----
+
+  private def toCol(e: Expression): Column = ColumnBridge.column(e)
+  private def toExpr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def shingle_hashes(text: Column, n: Int): Column =
+    toCol(ShingleHashes(toExpr(text), n))
+
+  def minhash_signature(shingleHashes: Column, k: Int): Column =
+    toCol(MinHashSignature(toExpr(shingleHashes), k))
+
+  def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
+}

@@ -21,12 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0d), (acc, v) => acc + v)
+  /** Codegen'd fused kernels (graft.functions.VectorExprs) — one pass, double
+    * accumulation, same value as the HOF zip_with/aggregate form but without
+    * per-element interpreted lambda dispatch. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot_product(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.cosine_sim(a, b)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** HOF reference implementation, kept for differential testing. */
+  def cosineHof(a: Column, b: Column): Column = {
+    def d(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")), lit(0.0d), (acc, v) => acc + v)
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
 
   /** Exact brute-force cosine top-k: for each row of `queries`, the `k`
     * nearest `corpus` rows. Deterministic tie-break on corpus id. The join is
@@ -42,24 +49,11 @@ object Similarity {
       .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("__rk").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit, dim):
-    * xxhash64 folded to [-1000, 1000] — reproducible across runs and
-    * executors with zero state to ship.
-    */
-  private def planeComponent(table: Int, bit: Column, dim: Column): Column =
-    (pmod(xxhash64(lit(table), bit, dim), lit(2001L)) - lit(1000L)).cast("double")
-
-  /** Sign bucket of `vec` under `nbits` random hyperplanes of table `table`:
-    * an nbits-bit integer. */
-  def lshBucket(vec: Column, table: Int, nbits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nbits - 1)), bit => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => x.cast("double") * planeComponent(table, bit, d)),
-          lit(0.0d), (acc, v) => acc + v)
-        when(proj > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  /** Sign buckets of `vec` in all hash tables at once — codegen'd kernel with
+    * a cached deterministic hyperplane matrix (graft.functions.LshExprs);
+    * reproducible across runs and executors with zero state to ship. */
+  def lshBuckets(vec: Column, tables: Int, nbits: Int): Column =
+    graft.functions.LshExprs.hyperplane_buckets(vec, tables, nbits)
 
   /** LSH-bucketed ANN: candidates share a bucket in ≥1 of `tables` hash
     * tables; exact cosine re-rank keeps top-k per query. Recall < 1 by
@@ -70,18 +64,22 @@ object Similarity {
                     tables: Int = 8, nbits: Int = 12,
                     qId: String = "query_id", qVec: String = "query_vec",
                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, vec: String, idAs: String, vecAs: String): DataFrame =
-      df.select(
-        col(vec).as(vecAs), col(df.columns.head).as(idAs),
-        posexplode(array((0 until tables).map(t => lshBucket(col(vec), t, nbits)): _*)).as(Seq("table", "bucket")))
-    val qb = bucketed(queries.select(col(qId), col(qVec)), qVec, "q_id", "q_vec")
-    val cb = bucketed(corpus.select(col(cId), col(cVec)), cVec, "c_id", "c_vec")
+    // Candidate generation carries ONLY ids through the bucket join and the
+    // dedup — vectors rejoin afterwards (queries broadcast; corpus joined on
+    // id), so the shuffle payload is (table, bucket, id), never embeddings.
+    val qb = queries.select(col(qId).as("q_id"),
+      posexplode(lshBuckets(col(qVec), tables, nbits)).as(Seq("table", "bucket")))
+    val cb = corpus.select(col(cId).as("c_id"),
+      posexplode(lshBuckets(col(cVec), tables, nbits)).as(Seq("table", "bucket")))
     val cands = qb.join(cb, Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "q_vec", "c_id", "c_vec").distinct()
+      .select("q_id", "c_id").distinct()
+    val scored = cands
+      .join(broadcast(queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))), "q_id")
+      .join(corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec")), "c_id")
       .withColumn("cos_sim", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
-    cands.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
       .select(col("q_id").as(qId), col("c_id").as("neighbor_id"), col("cos_sim"), col("__rk").as("rank"))
   }
 

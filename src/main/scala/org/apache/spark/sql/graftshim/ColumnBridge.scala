@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(expr)` / `col.expr` bridge; the
+  * supported path (`classic.ExpressionUtils`) is private[sql]. This shim
+  * lives in the sql package namespace solely to re-export those two
+  * conversions for graft's custom expressions. No Spark internals are
+  * modified.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

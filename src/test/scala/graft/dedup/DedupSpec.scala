@@ -69,9 +69,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
-  test("shingles produce n-token grams in order") {
+  test("shinglesFromTokens produce n-token grams in order") {
     val sh = Seq("a b c d").toDF("t")
-      .select(TextOps.shingles($"t", 3).as("s")).head().getSeq[String](0)
+      .withColumn("toks", TextOps.tokens($"t"))
+      .select(TextOps.shinglesFromTokens($"toks", 3).as("s")).head().getSeq[String](0)
     assert(sh === Seq("a b c", "b c d"))
+  }
+
+  test("shingle_hashes expression matches hashing the HOF shingles") {
+    import graft.functions.HashExprs
+    import org.apache.spark.sql.functions.{transform => hof_transform, xxhash64}
+    val df = Seq("the quick brown fox jumps", "one two").toDF("t")
+    val got = df.select(HashExprs.shingle_hashes($"t", 3).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val exp = df.withColumn("toks", TextOps.tokens($"t"))
+      .withColumn("sh", TextOps.shinglesFromTokens($"toks", 3))
+      .select(hof_transform($"sh", s => xxhash64(s)).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(got.toSeq === exp.toSeq)
   }
 }

@@ -13,6 +13,17 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("codegen cosine matches the HOF reference bit-for-bit on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"id_a" < $"id_b").limit(2000)
+    val diff = pairs.select(
+      (Similarity.cosine($"va", $"vb") - Similarity.cosineHof($"va", $"vb")).as("d"))
+      .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.abs($"d"))).head().getDouble(0)
+    assert(diff === 0.0)
+  }
+
   test("cosine: identical=1, orthogonal=0, opposite=-1") {
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(-1f, -2f, -3f), Array(3f, 0f, 0f), Array(0f, 4f, 0f)))
       .toDF("a", "b", "c", "x", "y")
