@@ -337,6 +337,31 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(par(s, Tables.embeddings(s, dir)), "vec_id", "embedding", thresh = 0.45)
       .select(col("id_a"), col("id_b"))
 
+  /** Multimodal plumbing (binary payload + typed metadata + per-partition
+    * batched feature extraction; codec is a deterministic stub — no SQL
+    * oracle). */
+  private def q50_media_features(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticMediaFromDocs(par(s, Tables.documents(s, dir)), "doc_id", "text")
+    Multimodal.extractFeatures(media)
+  }
+
+  /** ST1/ST3 — bounded streaming drain (Trigger.AvailableNow) over the events
+    * parquet, aggregated in-stream; the oracle is the BATCH answer, proving
+    * stream/batch agreement. */
+  private def q51_stream_counts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // glob (not a bare file path): the file stream source requires a
+    // directory basePath and resolves the pattern beneath it
+    graft.streaming.EventIngest.streamCountsOverParquet(
+      s, s"$dir/events.parq*", raw, s"q51_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -377,6 +402,8 @@ object SparkEntry {
     "q39_ann_lsh" -> (q39_ann_lsh _),
     "q40_fingerprint_rolling" -> (q40_fingerprint_rolling _),
     "q41_embed_neardup" -> (q41_embed_neardup _),
+    "q50_media_features" -> (q50_media_features _),
+    "q51_stream_counts" -> (q51_stream_counts _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -551,6 +578,8 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+    "q51_stream_counts" ->
+      "SELECT event_type, cast(count(*) as bigint) AS cnt FROM events GROUP BY 1",
     "q33_fingerprint" ->
       "SELECT doc_id, md5(text) AS content_hash FROM documents",
     "q34_dedup_exact" ->

@@ -113,11 +113,13 @@ object RelOps {
     )
 
   /** F1 — bulk column retyping (reference: dags/mmd_transforms.py:52-72, 33
-    * casts in one stage). Non-ANSI cast semantics (malformed → null) — the
-    * deliberate softening documented in SURVEY.md §7.
+    * casts in one stage). Uses try_cast (malformed → null) regardless of the
+    * session's ANSI setting — the deliberate softening documented in
+    * SURVEY.md §7: the stringified ingest path manufactures junk ("None",
+    * stray text) that the reference had scrubbed before BigQuery ever cast.
     */
   def castColumns(df: DataFrame, types: Map[String, DataType]): DataFrame =
-    df.select(df.columns.map(c => types.get(c).fold(col(c))(t => col(c).cast(t).as(c))): _*)
+    df.select(df.columns.map(c => types.get(c).fold(col(c))(t => col(c).try_cast(t).as(c))): _*)
 
   /** S4 first half — stringify every column (reference:
     * dags/dependencies/parquet_solution.py:75 `astype(str)`), with the

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.schema.Schemas
+
+/** Structured-Streaming re-expression of the reference's event path
+  * (SURVEY §2.10): Pub/Sub pull → republish → append-metadata-row → trigger
+  * (dependencies/receiver.py, publisher.py, cloud_function/main.py).
+  *
+  * The local analog of a Pub/Sub subscription is a file-source stream over a
+  * directory of JSON event payloads; `Trigger.AvailableNow` reproduces the
+  * reference's bounded drain (receiver.py:10 `timeout = 10.0` — "consume
+  * what's queued, then stop"). Append-mode file sinks give at-least-once
+  * delivery, strictly stronger than the reference (ack-after-buffer can drop
+  * messages on crash; republish duplicates — its own staging `.distinct()`
+  * absorbs that, and ours does too).
+  *
+  * At scale this is the same code: swap the file source for a Kafka/PubSub
+  * connector source; the transforms and sinks are unchanged.
+  */
+object EventIngest {
+
+  /** ST1+ST3 — drain queued event JSON, append rows to the metadata table
+    * (cloud_function/main.py:34-47 `insert_rows` analog). Blocks until the
+    * drain completes.
+    */
+  def ingestAvailable(spark: SparkSession, eventsDir: String, metaPath: String,
+                      schema: StructType = Schemas.eventMetadata): Unit = {
+    val q = spark.readStream.schema(schema).json(eventsDir)
+      .withColumn("ingested_at", current_timestamp())
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", metaPath)
+      .option("checkpointLocation", s"${metaPath}__chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ST2 — republish: forward drained messages to a downstream "topic"
+    * directory (publisher.py:14-21). At-least-once, no dedup — faithful.
+    */
+  def republishAvailable(spark: SparkSession, eventsDir: String, topicDir: String,
+                         schema: StructType = Schemas.eventMetadata): Unit = {
+    val q = spark.readStream.schema(schema).json(eventsDir)
+      .writeStream
+      .outputMode("append")
+      .format("json")
+      .option("path", topicDir)
+      .option("checkpointLocation", s"${topicDir}__chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ST4 — event-driven trigger: run `callback` per micro-batch of events
+    * (composer2_airflow_rest_api.py dagRuns POST analog — e.g. kick a batch
+    * pipeline Runner when an extract-arrival event lands).
+    */
+  def onEvents(spark: SparkSession, eventsDir: String, checkpoint: String,
+               schema: StructType = Schemas.eventMetadata)
+              (callback: (DataFrame, Long) => Unit): Unit = {
+    val q = spark.readStream.schema(schema).json(eventsDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(callback)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Beyond-reference headroom: watermarked tumbling-window counts over an
+    * event stream — the standard streaming aggregation shape (late data
+    * dropped past the watermark; append output per closed window).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+                     window: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Bounded streaming aggregation to an in-memory sink, returned as a
+    * DataFrame — used by the driver-contract query q51: proves the streaming
+    * path computes the same answer as the batch oracle.
+    */
+  def streamCountsOverParquet(spark: SparkSession, parquetGlob: String,
+                              schema: StructType, name: String): DataFrame = {
+    val q = spark.readStream.schema(schema).parquet(parquetGlob)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventIngestSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private def writeEvents(dir: String, lines: Seq[String], file: String = "e1.json"): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, file),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  private val events = Seq(
+    """{"extract_type":"mmd","bucket":"lake","object":"mmd/x.parquet","uploaded_at":"2024-06-01T04:00:00"}""",
+    """{"extract_type":"hts","bucket":"lake","object":"hts/y.parquet","uploaded_at":"2024-06-01T04:01:00"}""")
+
+  test("ST1/ST3: bounded drain appends one metadata row per event") {
+    val in = tmp("events_in_"); val out = tmp("meta_out_") + "/meta"
+    writeEvents(in, events)
+    EventIngest.ingestAvailable(spark, in, out)
+    val meta = spark.read.parquet(out)
+    assert(meta.count() === 2)
+    assert(meta.columns.contains("ingested_at"))
+    assert(meta.filter(col("extract_type") === "mmd").count() === 1)
+
+    // new event arrives; a second drain picks up ONLY the new file
+    writeEvents(in, Seq("""{"extract_type":"vls","bucket":"lake","object":"z","uploaded_at":"t"}"""), "e2.json")
+    EventIngest.ingestAvailable(spark, in, out)
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
+  test("ST2: republish forwards messages to the downstream topic dir") {
+    val in = tmp("events_in2_"); val topic = tmp("topic_") + "/t"
+    writeEvents(in, events)
+    EventIngest.republishAvailable(spark, in, topic)
+    assert(spark.read.json(topic).count() === 2)
+  }
+
+  test("ST4: foreachBatch callback fires with the event batch (pipeline trigger analog)") {
+    val in = tmp("events_in3_")
+    writeEvents(in, events)
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    EventIngest.onEvents(spark, in, tmp("chk_")) { (batch, _) =>
+      seen ++= batch.select("extract_type").collect().map(_.getString(0))
+    }
+    assert(seen.toSet === Set("mmd", "hts"))
+  }
+
+  test("windowed counts with watermark (streaming headroom beyond reference)") {
+    import spark.implicits._
+    val df = Seq(
+      ("2024-06-01 00:00:10", "click", 1.0),
+      ("2024-06-01 00:00:50", "click", 2.0),
+      ("2024-06-01 00:01:10", "view", 3.0))
+      .toDF("ts", "event_type", "value")
+      .select(to_timestamp($"ts").as("ts"), $"event_type", $"value")
+    val out = EventIngest.windowedCounts(df, "ts", "10 minutes", "1 minute")
+    val rows = out.select($"event_type", $"n").as[(String, Long)].collect().toSet
+    assert(rows === Set(("click", 2L), ("view", 1L)))
+  }
+}
