@@ -250,6 +250,12 @@ object SparkEntry {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** §2.4 headroom — distinct-count sketches (exact + HLL++ + mergeable
+    * Datasketches HLL). Approximate values are engine-specific → rows-only
+    * check; the exact twin is oracle-checked in q23. */
+  private def q26_sketch_distinct(s: SparkSession, dir: String): DataFrame =
+    RelOps.distinctCounts(Tables.lineitem(s, dir), Seq("l_returnflag"), "l_partkey")
+
   /** Per-day per-type event counts (A3 generalized to grouped pivot). */
   private def q25_pivot_counts(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -390,6 +396,7 @@ object SparkEntry {
     "q23_count_distinct" -> (q23_count_distinct _),
     "q24_json_extract" -> (q24_json_extract _),
     "q25_pivot_counts" -> (q25_pivot_counts _),
+    "q26_sketch_distinct" -> (q26_sketch_distinct _),
     "q30_text_stats" -> (q30_text_stats _),
     "q31_lang_id" -> (q31_lang_id _),
     "q32_quality" -> (q32_quality _),

@@ -44,4 +44,22 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   def rowCount(table: String): Long = read(table).count()
   def columnCount(table: String): Int = read(table).schema.length
+
+  /** Bucketed catalog table: co-locates future joins/aggregations on
+    * `bucketCols` — two tables bucketed the same way join with NO shuffle
+    * (the exchange is elided because output partitioning already satisfies
+    * the join's distribution). This is the 100 TB answer to repeated
+    * fact-fact joins on the same key (e.g. nightly art_mmd ⟕ vls): pay the
+    * clustering once at write, never at read.
+    * Registered in the session catalog (bucketing metadata lives there, not
+    * in parquet), so reads go through `spark.table(name)`.
+    */
+  def writeBucketed(table: String, df: DataFrame, buckets: Int, bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path(table))
+      .saveAsTable(table)
+
+  def readTable(table: String): DataFrame = spark.table(table)
 }

@@ -170,4 +170,31 @@ object RelOps {
     */
   def unionDistinct(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_)).distinct()
+
+  /** Skew-resistant equi-join: salt the skewed (large) side into `salts`
+    * sub-keys and replicate the other side across all salts, so one hot key
+    * spreads over `salts` reducers instead of stalling a single task. Use
+    * when AQE's runtime skew-join split isn't available (e.g. the skew is in
+    * a non-shuffle-stage input) — otherwise prefer AQE.
+    *
+    * Semantics: inner/left equi-join on `key` only.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    val saltCol = pmod(hash(monotonically_increasing_id()), lit(salts))
+    val left = skewed.withColumn("__salt", saltCol)
+    val right = other.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    left.join(right, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** §2.4 headroom — distinct-count sketches: exact, approximate (HLL++ with
+    * rsd), and a mergeable Datasketches HLL state (hll_sketch_agg) for
+    * re-aggregation across partitions/days without rescanning — the pattern
+    * a 100 TB rollup needs.
+    */
+  def distinctCounts(df: DataFrame, groupKeys: Seq[String], target: String): DataFrame =
+    df.groupBy(groupKeys.map(col): _*).agg(
+      countDistinct(col(target)).as("exact_distinct"),
+      approx_count_distinct(col(target), 0.02).as("approx_distinct"),
+      hll_sketch_estimate(hll_sketch_agg(col(target))).as("hll_estimate"))
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.io.Warehouse
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators: salted skew joins, sketch aggregates, bucketed
+  * co-located joins. Assertions check both semantics AND the physical plan
+  * property that motivates the operator.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin: same result as a plain join, hot key spread over salts") {
+    // one pathologically hot key (90% of rows) + a tail
+    val fact = ((1 to 900).map(_ => (1L, "hot")) ++ (1 to 100).map(i => (i.toLong % 7 + 2, "cold")))
+      .toDF("k", "tag")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).groupBy("name").count()
+      .as[(String, Long)].collect().toMap
+    val salted = RelOps.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy("name").count().as[(String, Long)].collect().toMap
+    assert(salted === plain)
+    assert(salted("one") === 900L)
+  }
+
+  test("distinctCounts: exact matches countDistinct; approx and HLL within rsd") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val row = RelOps.distinctCounts(li, Seq.empty, "l_partkey").head()
+    val exact = row.getAs[Long]("exact_distinct").toDouble
+    assert(math.abs(row.getAs[Long]("approx_distinct") - exact) / exact < 0.1)
+    assert(math.abs(row.getAs[Long]("hll_estimate") - exact) / exact < 0.1)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    val wh = new Warehouse(spark, root)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    wh.writeBucketed("orders_bkt", o, 4, Seq("o_custkey"))
+    wh.writeBucketed("customer_bkt", c, 4, Seq("c_custkey"))
+    val joined = wh.readTable("orders_bkt")
+      .join(wh.readTable("customer_bkt").hint("shuffle_merge"),
+        col("o_custkey") === col("c_custkey"))
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$physical")
+    assert(joined.count() === o.count())
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+  }
+}
