@@ -343,6 +343,12 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(par(s, Tables.embeddings(s, dir)), "vec_id", "embedding", thresh = 0.45)
       .select(col("id_a"), col("id_b"))
 
+  /** EXACT shingle-set Jaccard pairs via prefix filtering — scalable exact
+    * set-similarity join (no cross join); the oracle brute-forces the same
+    * answer, proving the prefix filter loses nothing. */
+  private def q42_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleJaccardPairsPrefix(par(s, Tables.documents(s, dir)), "doc_id", "text", thresh10 = 7)
+
   /** Multimodal plumbing (binary payload + typed metadata + per-partition
     * batched feature extraction; codec is a deterministic stub — no SQL
     * oracle). */
@@ -409,6 +415,7 @@ object SparkEntry {
     "q39_ann_lsh" -> (q39_ann_lsh _),
     "q40_fingerprint_rolling" -> (q40_fingerprint_rolling _),
     "q41_embed_neardup" -> (q41_embed_neardup _),
+    "q42_ngram_jaccard" -> (q42_ngram_jaccard _),
     "q50_media_features" -> (q50_media_features _),
     "q51_stream_counts" -> (q51_stream_counts _),
   )
@@ -587,6 +594,19 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
     "q51_stream_counts" ->
       "SELECT event_type, cast(count(*) as bigint) AS cnt FROM events GROUP BY 1",
+    "q42_ngram_jaccard" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(len(list_intersect(a.sh, b.sh)) as bigint) AS inter,
+           cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as bigint) AS uni
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) * 10 >=
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 7""",
     "q33_fingerprint" ->
       "SELECT doc_id, md5(text) AS content_hash FROM documents",
     "q34_dedup_exact" ->

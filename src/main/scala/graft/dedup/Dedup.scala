@@ -74,6 +74,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** EXACT n-gram(shingle)-set Jaccard near-dup pairs at scale, via prefix
+    * filtering (AllPairs / Chaudhuri et al.): under any global total order
+    * (here: the shingle hash value), two sets with J ≥ τ must share their
+    * smallest common element within each set's first `|S| - ⌈τ|S|⌉ + 1`
+    * elements — so candidates come from an equi-join on exploded PREFIXES,
+    * never a cross join, and the result is still exact (prefix filtering
+    * loses no true pair; the verifier re-checks the full sets).
+    *
+    * Shuffle payload: (prefixHash, id, setSize) — documents never move until
+    * the (sparse) candidate verification join.
+    */
+  def shingleJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                                thresh10: Int, shingleN: Int = 3): DataFrame = {
+    import graft.functions.HashExprs._
+    val sets = docs.select(
+        col(idCol).as("id"),
+        array_sort(array_distinct(shingle_hashes(col(textCol), shingleN))).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+      .withColumn("plen",
+        (col("n") - floor((col("n") * thresh10 + lit(9)) / 10).cast("long") + 1))
+    val prefixes = sets.select(col("id"), col("n"),
+      explode(slice(col("sh"), lit(1), col("plen").cast("int"))).as("ph"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.ph") === col("b.ph") && col("a.id") < col("b.id") &&
+        col("a.n") * 10 >= col("b.n") * thresh10 &&
+        col("b.n") * 10 >= col("a.n") * thresh10)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * thresh10)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** MinHash signature over an already-materialized shingle array column: k

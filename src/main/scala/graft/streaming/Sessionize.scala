@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming: gap-based sessionization via
+  * `flatMapGroupsWithState` (the capability tier above the reference's
+  * stateless event path — SURVEY §2.10 notes the reference has no stateful
+  * ops; this is the standard shape a real event pipeline grows into).
+  *
+  * State per user = the currently-open session. A session closes when the
+  * event-time watermark passes `last event + gap` (EventTimeTimeout), so
+  * results are deterministic under out-of-order delivery within the
+  * watermark. State size is O(1) per active key — safe at any key
+  * cardinality; the state store shards by key across executors.
+  */
+object Sessionize {
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class OpenSession(start: Long, end: Long, n: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Events must already carry a watermark on `ts` (caller:
+    * `.withWatermark("ts", ...)`) for EventTimeTimeout to fire. */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[Session]
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[OpenSession]): Iterator[Session] = {
+      val incoming = evs.map(_.ts.getTime).toSeq.sorted
+      if (incoming.isEmpty) {
+        // timeout fired: watermark passed end+gap -> close the open session
+        val out = state.getOption.map(s =>
+          Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n))
+        state.remove()
+        out.iterator
+      } else {
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        incoming.foreach { t =>
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+            case Some(s) =>
+              closed ::= Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+              cur = Some(OpenSession(t, t, 1))
+            case None =>
+              cur = Some(OpenSession(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverse.iterator
+      }
+    }
+
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -8,7 +8,8 @@ class EntrySpec extends SparkSpec {
 
   // pair-finding queries can legitimately be empty at the tiny sf0.001 scale
   private val mayBeEmptyAtTinySf =
-    Set("q35_jaccard_pairs", "q36_minhash_lsh", "q37_simhash_neardup", "q41_embed_neardup")
+    Set("q35_jaccard_pairs", "q36_minhash_lsh", "q37_simhash_neardup", "q41_embed_neardup",
+      "q42_ngram_jaccard")
 
   test("every declared query runs on sf0.001; non-pair queries return rows") {
     val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

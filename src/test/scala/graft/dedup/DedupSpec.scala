@@ -69,6 +69,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("prefix-filtered shingle Jaccard equals the brute-force answer (no lost pairs)") {
+    import graft.functions.HashExprs._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    def brute(th: Int) = {
+      val sets = corpus.select($"doc_id".as("id"),
+        array_distinct(shingle_hashes($"text", 3)).as("sh"))
+        .filter(size($"sh") > 0)
+      val a = sets.select($"id".as("id_a"), $"sh".as("sh_a"))
+      val b = sets.select($"id".as("id_b"), $"sh".as("sh_b"))
+      a.join(b, $"id_a" < $"id_b")
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        .withColumn("uni", (size($"sh_a") + size($"sh_b") - $"inter").cast("long"))
+        .filter($"inter" * 10 >= $"uni" * th)
+        .select("id_a", "id_b", "inter", "uni")
+    }
+    for (th <- Seq(3, 7)) {
+      val exact = brute(th).collect().map(_.toSeq).toSet
+      val fast = Dedup.shingleJaccardPairsPrefix(corpus, "doc_id", "text", th)
+        .collect().map(_.toSeq).toSet
+      assert(fast === exact, s"threshold $th")
+    }
+  }
+
   test("shinglesFromTokens produce n-token grams in order") {
     val sh = Seq("a b c d").toDF("t")
       .withColumn("toks", TextOps.tokens($"t"))

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class SessionizeSpec extends SparkSpec {
+  import Sessionize._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("gap sessionization closes sessions as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val sessions = sessionize(
+      input.toDS().withWatermark("ts", "0 seconds").as[Ev],
+      gapMs = 10 * 60 * 1000) // 10-minute gap
+
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // user 1: two events 5 min apart (one session), then 30 min silence
+      input.addData(
+        Ev(1L, ts("2024-06-01 00:00:00"), "click"),
+        Ev(1L, ts("2024-06-01 00:05:00"), "view"))
+      q.processAllAvailable()
+      // advancing event for user 2 pushes the watermark past user 1's gap
+      input.addData(Ev(2L, ts("2024-06-01 01:00:00"), "click"))
+      q.processAllAvailable()
+      input.addData(Ev(2L, ts("2024-06-01 03:00:00"), "click"))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_out").as[Session].collect()
+      val u1 = out.filter(_.user_id == 1L)
+      assert(u1.length === 1)
+      assert(u1.head.n_events === 2L)
+      assert(u1.head.session_start === ts("2024-06-01 00:00:00"))
+      assert(u1.head.session_end === ts("2024-06-01 00:05:00"))
+    } finally q.stop()
+  }
+}
