@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan regression guards: the properties that make these operators
+  * scale are asserted, not assumed (DESIGN.md "Relational core"). If a future
+  * refactor silently turns a broadcast join into a shuffle or drops parquet
+  * pushdown, these fail.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sfDir)
+    df.queryExecution.explainString(SimpleMode) + "\n" +
+      df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicates are pushed into the parquet scan; scan is pruned") {
+    val p = planOf("q02_filter_predicates")
+    assert(p.contains("EqualTo(l_returnflag,R)") && p.contains("PushedFilters: [IsNotNull("), p)
+    assert(!p.contains("l_extendedprice"), "scan should prune unreferenced columns")
+  }
+
+  test("q08: dimension join is a broadcast-hash join, not a shuffle") {
+    val p = planOf("q08_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q11: latest-row window plans a partial WindowGroupLimit below the shuffle") {
+    val p = planOf("q11_latest_row_window")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("q16: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q16_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q05: aggregation is partial (map-side combine) before the exchange") {
+    val p = planOf("q05_groupby_agg")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+}
