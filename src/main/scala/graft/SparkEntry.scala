@@ -332,6 +332,15 @@ object SparkEntry {
     Similarity.lshBucketTopK(queries, emb.select("vec_id", "embedding"), k = 5)
   }
 
+  /** IVF ANN with sampled centroids (density-adaptive scale path; recall<1 ⇒
+    * no SQL oracle). */
+  private def q43_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    val queries = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"), k = 5)
+  }
+
   /** Order-sensitive rolling fingerprint (xxhash64 fold; no SQL oracle). */
   private def q40_fingerprint_rolling(s: SparkSession, dir: String): DataFrame =
     par(s, Tables.documents(s, dir)).select(col("doc_id"), TextOps.fingerprintRolling(col("text")).as("fp"))
@@ -416,6 +425,7 @@ object SparkEntry {
     "q40_fingerprint_rolling" -> (q40_fingerprint_rolling _),
     "q41_embed_neardup" -> (q41_embed_neardup _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),
+    "q43_ann_ivf" -> (q43_ann_ivf _),
     "q50_media_features" -> (q50_media_features _),
     "q51_stream_counts" -> (q51_stream_counts _),
   )

@@ -83,6 +83,41 @@ object Similarity {
       .select(col("q_id").as(qId), col("c_id").as("neighbor_id"), col("cos_sim"), col("__rk").as("rank"))
   }
 
+  /** IVF(-flat) ANN with deterministically sampled centroids: the corpus is
+    * assigned once to its nearest of `nlist` centroids (N×nlist fused-kernel
+    * cosines, embarrassingly parallel); each query probes its `nprobe`
+    * closest centroid cells and re-ranks exactly within them. Complement to
+    * [[lshBucketTopK]]: IVF adapts to the data distribution (cells follow
+    * density) where hyperplane LSH is data-oblivious. Centroids are the
+    * corpus vectors with the smallest xxhash64(id) — deterministic, no
+    * k-means iterations, no fitted state to ship (a k-means refinement drops
+    * in by replacing `centroids`).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              qId: String = "query_id", qVec: String = "query_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val centroids = corpus
+      .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
+      .withColumn("__h", xxhash64(col("cent_id")))
+      .orderBy(col("__h")).limit(nlist).drop("__h")
+    def nearest(df: DataFrame, id: String, vec: String, keep: Int, as: String): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("__cs").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__cs", cosine(col(vec), col("cent_vec")))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
+        .select(col(id), col(vec), col("cent_id").as(as))
+    }
+    val assigned = nearest(corpus.select(col(cId), col(cVec)), cId, cVec, 1, "cell")
+    val probes = nearest(queries.select(col(qId), col(qVec)), qId, qVec, nprobe, "cell")
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId).asc)
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("__rk").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ thresh).
     * Brute-force baseline; swap candidate generation for [[lshBucketTopK]]'s
     * bucket join at scale.

@@ -48,6 +48,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(1L)) // identical direction must share a bucket in some table
   }
 
+  test("ivfTopK: exact within probed cells; finds the nearest vector when its cell is probed") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(20)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    // probe ALL cells -> IVF must equal brute force exactly
+    val ivfAll = Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
+        k = 3, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, emb.select("vec_id", "embedding"), 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivfAll === brute)
+    // partial probing returns a subset ranking with <= k rows per query
+    val ivf = Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
+      k = 3, nlist = 8, nprobe = 2)
+    import org.apache.spark.sql.functions.{count => cnt, max => mx}
+    assert(ivf.groupBy("query_id").agg(cnt($"rank")).collect().forall(_.getLong(1) <= 3))
+  }
+
+  test("SQL surface: registered functions are callable from spark.sql") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(10).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(text) AS fp,
+                minhash_signature(shingle_hashes(text, 3), 8) AS sig
+         FROM docs_sql""").collect()
+    assert(viaSql.length === 10)
+    val viaCol = spark.table("docs_sql")
+      .select($"doc_id", graft.functions.HashExprs.simhash64($"text").as("fp")).collect()
+    assert(viaSql.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      viaCol.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(1)
+      .createOrReplaceTempView("emb_sql")
+    assert(math.abs(spark.sql("SELECT cosine_sim(embedding, embedding) AS c FROM emb_sql")
+      .head().getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("cosineNearDupPairs finds only the close pair at a high threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
