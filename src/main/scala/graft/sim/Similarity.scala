@@ -97,10 +97,19 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4,
               qId: String = "query_id", qVec: String = "query_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val centroids = corpus
-      .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
-      .withColumn("__h", xxhash64(col("cent_id")))
-      .orderBy(col("__h")).limit(nlist).drop("__h")
+    // nlist rows only — materialize once on the driver so the centroid
+    // subquery isn't recomputed for both the assignment and the probe pass
+    // (a tiny dim table, not distributed data pulled to the driver)
+    val spark = corpus.sparkSession
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(corpus
+        .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
+        .withColumn("__h", xxhash64(col("cent_id")))
+        .orderBy(col("__h")).limit(nlist).drop("__h")
+        .collect(): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id", corpus.schema(cId).dataType),
+        org.apache.spark.sql.types.StructField("cent_vec", corpus.schema(cVec).dataType))))
     def nearest(df: DataFrame, id: String, vec: String, keep: Int, as: String): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("__cs").desc, col("cent_id").asc)
       df.crossJoin(broadcast(centroids))
