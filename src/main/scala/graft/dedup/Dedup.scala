@@ -104,7 +104,8 @@ object Dedup {
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      // arrays are already sorted -> O(n+m) merge-scan kernel, not a hash set
+      .withColumn("inter", sorted_intersect_size(col("sh_a"), col("sh_b")))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * thresh10)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))

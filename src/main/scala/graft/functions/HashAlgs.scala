@@ -95,6 +95,20 @@ object HashAlgs {
     new GenericArrayData(out)
   }
 
+  /** Intersection size of two ascending-sorted long arrays (merge scan).
+    * Duplicates are counted pairwise (inputs here are distinct sets). */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Long = {
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over whitespace tokens, hashing each token's byte span in
     * place (zero copies). Token hash = xxhash64(bytes, 42) — identical to
     * Spark's builtin xxhash64 on the token string.

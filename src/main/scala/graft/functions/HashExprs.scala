@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -87,6 +87,31 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Intersection size of two ASCENDING-sorted long arrays — single merge
+    * scan (O(n+m)) instead of array_intersect's per-call hash set. Used by
+    * the exact similarity joins' verify step, where it runs once per
+    * candidate pair.
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName needs two ARRAY<BIGINT>, got $l, $r")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_size"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashAlgs.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.HashAlgs.sortedIntersectSize($a, $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ---- Column API (Spark 4: Expression <-> Column goes through
   // classic.ExpressionUtils; the old `new Column(expr)` is gone) ----
 
@@ -100,4 +125,7 @@ object HashExprs {
     toCol(MinHashSignature(toExpr(shingleHashes), k))
 
   def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
+
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    toCol(SortedIntersectSize(toExpr(a), toExpr(b)))
 }

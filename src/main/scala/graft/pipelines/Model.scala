@@ -59,9 +59,7 @@ class Runner(
   def run(p: Pipeline): Unit = p.stages.foreach(runStage(p.name, _))
 
   /** Topological run honoring `dependsOn` (covid/hts/mmd after load, vls
-    * after mmd — README.md:74). Independent pipelines could run as parallel
-    * groups (O6); sequential here keeps local-mode resource use sane while
-    * preserving the ordering contract.
+    * after mmd — README.md:74).
     */
   def runAll(pipelines: Seq[Pipeline]): Unit = {
     val byName = pipelines.map(p => p.name -> p).toMap
@@ -77,4 +75,43 @@ class Runner(
     }
     pipelines.foreach(visit(_, Nil))
   }
+
+  /** O6 — parallel groups: pipelines whose dependencies are satisfied run
+    * concurrently (the reference's `load_MMD >> [VLS, HTS, COVID]` fan-out,
+    * idr_load.py:129-130). Spark's scheduler interleaves the concurrent jobs;
+    * on a cluster this overlaps stages with unused executor capacity.
+    */
+  def runAllParallel(pipelines: Seq[Pipeline]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val names = pipelines.map(_.name).toSet
+    // cycle check up front (reuses the sequential visitor's validation)
+    locally {
+      val byName = pipelines.map(p => p.name -> p).toMap
+      val seen = scala.collection.mutable.Set[String]()
+      def chk(p: Pipeline, chain: List[String]): Unit = {
+        if (chain.contains(p.name))
+          throw new IllegalArgumentException(s"dependency cycle: ${(p.name :: chain).reverse.mkString(" -> ")}")
+        if (!seen(p.name)) { p.dependsOn.flatMap(byName.get).foreach(chk(_, p.name :: chain)); seen += p.name }
+      }
+      pipelines.foreach(chk(_, Nil))
+    }
+    val futures = scala.collection.mutable.Map[String, Future[Unit]]()
+    def futureFor(p: Pipeline): Future[Unit] = futures.getOrElseUpdate(p.name, {
+      val deps = p.dependsOn.filter(names.contains)
+        .map(d => futureFor(pipelines.find(_.name == d).get))
+      Future.sequence(deps).map(_ => run(p))
+    })
+    Await.result(Future.sequence(pipelines.map(futureFor)), Duration.Inf)
+  }
+}
+
+/** O4/F9 — failure-alert message composition (the reference posts
+  * `{dag, task, log_url}` to a Mattermost webhook, idr_load.py:28-35; the
+  * transport is the caller's concern, the message shape is this).
+  */
+object Alerts {
+  def format(f: StageFailure): String =
+    s"pipeline=${f.pipeline} task=${f.stage} failed: ${f.error.getMessage}"
 }
