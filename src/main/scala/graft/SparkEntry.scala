@@ -250,6 +250,26 @@ object SparkEntry {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** §2.4 headroom — CUBE grouping sets. */
+  private def q27_cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+
+  /** As-of join (composed from built-ins — one shuffle; RelOps.asOfJoin):
+    * each purchase event looks up the user's latest click at-or-before it.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  private def q28_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event"))
+    RelOps.asOfJoin(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "ts", rightVals = Seq("click_event"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_click_event").as("click_id"))
+  }
+
   /** §2.4 headroom — distinct-count sketches (exact + HLL++ + mergeable
     * Datasketches HLL). Approximate values are engine-specific → rows-only
     * check; the exact twin is oracle-checked in q23. */
@@ -412,6 +432,8 @@ object SparkEntry {
     "q24_json_extract" -> (q24_json_extract _),
     "q25_pivot_counts" -> (q25_pivot_counts _),
     "q26_sketch_distinct" -> (q26_sketch_distinct _),
+    "q27_cube" -> (q27_cube _),
+    "q28_asof_join" -> (q28_asof_join _),
     "q30_text_stats" -> (q30_text_stats _),
     "q31_lang_id" -> (q31_lang_id _),
     "q32_quality" -> (q32_quality _),
@@ -552,6 +574,16 @@ object SparkEntry {
            cast(count(DISTINCT l_suppkey) as bigint) AS n_supps,
            cast(count(*) as bigint) AS cnt
          FROM lineitem GROUP BY 1""",
+    "q27_cube" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           cast(count(*) as bigint) AS cnt,
+           cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q28_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "q24_json_extract" ->
       """SELECT event_id, cast(json_extract_string(props, '$.k') as bigint) AS k FROM events""",
     "q25_pivot_counts" ->

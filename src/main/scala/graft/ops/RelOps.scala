@@ -171,6 +171,44 @@ object RelOps {
   def unionDistinct(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_)).distinct()
 
+  /** As-of join (point-in-time lookup): for each left row, the latest right
+    * row with `rightTime <= leftTime` within the same `key` — the operator
+    * behind "state of X as of event time". Spark has no built-in; rather
+    * than a custom Strategy this composes built-ins (preference tier (a)):
+    * tag both sides, UNION, and carry the right side's values forward with
+    * `last(_, ignoreNulls)` over a (key, time)-ordered running window, then
+    * keep left rows. ONE shuffle on `key` total — the same cost as a plain
+    * join — and rows stream through the window in time order (no per-row
+    * probing). Right-side rows sort before left rows on time ties, so an
+    * exactly-simultaneous right row IS visible (>= semantics, matching
+    * DuckDB/kdb ASOF).
+    *
+    * @param rightVals right columns to carry (emitted as-is, null when no
+    *                  right row precedes the left row)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val tagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(leftCols.map(col) ++ Seq(col("__t"), col("__side")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .unionByName(
+        right.select(Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
+          rightVals.map(c => col(c).as(s"__r_$c")): _*),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightVals.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+  }
+
   /** Skew-resistant equi-join: salt the skewed (large) side into `salts`
     * sub-keys and replicate the other side across all salts, so one hot key
     * spreads over `salts` reducers instead of stalling a single task. Use

@@ -102,6 +102,19 @@ class RelOpsSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("asOfJoin picks the latest right row at-or-before each left time, per key") {
+    val trades = Seq((1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3"), (3, 5, "t4"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1, 5, 100.0), (1, 10, 101.0), (1, 18, 102.0), (2, 20, 200.0))
+      .toDF("k", "t", "px")
+    val out = RelOps.asOfJoin(trades, quotes, "k", "t", "t", Seq("px"))
+      .orderBy("trade").collect()
+    // t1@10: quote@10 visible (>= semantics); t2@20: quote@18; t3@15: none
+    // before 15 for k=2; t4: k=3 has no quotes at all
+    assert(out.map(r => (r.getString(2), Option(r.get(3)))).toSeq === Seq(
+      ("t1", Some(101.0)), ("t2", Some(102.0)), ("t3", None), ("t4", None)))
+  }
+
   test("filterNotNull keeps only rows with all listed columns present") {
     val df = Seq((Some("a"), Some("b")), (None, Some("b")), (Some("a"), None))
       .toDF("x", "y")
