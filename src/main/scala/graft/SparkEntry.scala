@@ -270,6 +270,20 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("ts"), col("asof_click_event").as("click_id"))
   }
 
+  /** Range (interval) join as a binned equi-join (RelOps.rangeJoinBinned);
+    * oracle is DuckDB's plain BETWEEN join. */
+  private def q29_range_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq((1L, 10L, "light"), (11L, 30L, "medium"), (31L, 50L, "heavy"))
+      .toDF("lo", "hi", "band")
+    RelOps.rangeJoinBinned(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          col("l_quantity").cast("long").as("qty")),
+        "qty", bands, "lo", "hi", binWidth = 16)
+      .select(col("l_orderkey"), col("line_no"), col("qty"), col("band"))
+  }
+
   /** §2.4 headroom — distinct-count sketches (exact + HLL++ + mergeable
     * Datasketches HLL). Approximate values are engine-specific → rows-only
     * check; the exact twin is oracle-checked in q23. */
@@ -434,6 +448,7 @@ object SparkEntry {
     "q26_sketch_distinct" -> (q26_sketch_distinct _),
     "q27_cube" -> (q27_cube _),
     "q28_asof_join" -> (q28_asof_join _),
+    "q29_range_join" -> (q29_range_join _),
     "q30_text_stats" -> (q30_text_stats _),
     "q31_lang_id" -> (q31_lang_id _),
     "q32_quality" -> (q32_quality _),
@@ -584,6 +599,12 @@ object SparkEntry {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q29_range_join" ->
+      """SELECT l_orderkey, cast(l_linenumber as bigint) AS line_no,
+           cast(l_quantity as bigint) AS qty, band
+         FROM lineitem
+         JOIN (VALUES (1, 10, 'light'), (11, 30, 'medium'), (31, 50, 'heavy')) AS r(lo, hi, band)
+           ON cast(l_quantity as bigint) BETWEEN lo AND hi""",
     "q24_json_extract" ->
       """SELECT event_id, cast(json_extract_string(props, '$.k') as bigint) AS k FROM events""",
     "q25_pivot_counts" ->

@@ -209,6 +209,27 @@ object RelOps {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
   }
 
+  /** Range (interval) join: fact rows matched to ranges with
+    * `lo <= value <= hi`, rewritten as a BINNED EQUI-JOIN — each range is
+    * exploded over the fixed-width bins it covers, the fact row computes its
+    * bin, and the join is a plain hash join on the bin plus a residual
+    * between-filter. Spark would otherwise plan a broadcast-nested-loop
+    * (per-row interval probing); with binning the 100 TB side takes one hash
+    * shuffle (or none, with a broadcast range table) and each fact row meets
+    * only ranges overlapping its bin. Pick `binWidth` near the median range
+    * width: replication factor = avg(rangeWidth/binWidth) + 1.
+    */
+  def rangeJoinBinned(fact: DataFrame, valueCol: String, ranges: DataFrame,
+                      loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    val f = fact.withColumn("__bin", floor(col(valueCol) / binWidth).cast("long"))
+    val r = ranges.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    f.join(broadcast(r), Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** Skew-resistant equi-join: salt the skewed (large) side into `salts`
     * sub-keys and replicate the other side across all salts, so one hot key
     * spreads over `salts` reducers instead of stalling a single task. Use

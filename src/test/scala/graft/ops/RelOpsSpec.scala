@@ -115,6 +115,19 @@ class RelOpsSpec extends SparkSpec {
       ("t1", Some(101.0)), ("t2", Some(102.0)), ("t3", None), ("t4", None)))
   }
 
+  test("rangeJoinBinned equals the naive BETWEEN join, including boundary values") {
+    val fact = Seq(0, 1, 10, 11, 16, 30, 31, 50, 51).map(v => (v.toLong, s"r$v")).toDF("v", "tag")
+    val ranges = Seq((1L, 10L, "A"), (11L, 30L, "B"), (31L, 50L, "C"), (5L, 35L, "WIDE"))
+      .toDF("lo", "hi", "band")
+    val binned = RelOps.rangeJoinBinned(fact, "v", ranges, "lo", "hi", binWidth = 7)
+      .select("tag", "band").as[(String, String)].collect().toSet
+    val naive = fact.join(ranges, $"v" >= $"lo" && $"v" <= $"hi")
+      .select("tag", "band").as[(String, String)].collect().toSet
+    assert(binned === naive)
+    assert(binned.contains(("r1", "A")) && binned.contains(("r50", "C")))
+    assert(!binned.exists(_._1 == "r0") && !binned.exists(_._1 == "r51"))
+  }
+
   test("filterNotNull keeps only rows with all listed columns present") {
     val df = Seq((Some("a"), Some("b")), (None, Some("b")), (Some("a"), None))
       .toDF("x", "y")
