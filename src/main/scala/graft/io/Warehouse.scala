@@ -45,6 +45,20 @@ class Warehouse(val spark: SparkSession, val root: String) {
   def rowCount(table: String): Long = read(table).count()
   def columnCount(table: String): Int = read(table).schema.length
 
+  /** Partitioned table with DYNAMIC partition overwrite: only the partitions
+    * present in `df` are replaced; the rest of the table is untouched. This
+    * is the 100 TB answer to the reference's whole-table snapshot rebuild
+    * (WRITE_TRUNCATE everywhere): a daily run rewrites yesterday's
+    * date/SiteCode partitions, not the full history — write cost goes from
+    * O(history) to O(delta). Reads with a partition predicate scan only the
+    * matching directories (partition pruning — asserted in tests).
+    */
+  def writePartitioned(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path(table))
+
   /** Bucketed catalog table: co-locates future joins/aggregations on
     * `bucketCols` — two tables bucketed the same way join with NO shuffle
     * (the exchange is elided because output partitioning already satisfies

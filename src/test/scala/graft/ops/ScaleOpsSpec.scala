@@ -32,6 +32,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("hll_estimate") - exact) / exact < 0.1)
   }
 
+  test("partitioned write: dynamic overwrite touches only the written partitions; reads prune") {
+    val root = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val wh = new Warehouse(spark, root)
+    val v1 = Seq(("2024-06-01", 1L, "a"), ("2024-06-02", 2L, "b"))
+      .toDF("day", "id", "v")
+    wh.writePartitioned("evts", v1, Seq("day"))
+    // dynamic overwrite: replace ONLY day=2024-06-02; 06-01 must survive
+    val v2 = Seq(("2024-06-02", 3L, "b2")).toDF("day", "id", "v")
+    wh.writePartitioned("evts", v2, Seq("day"))
+    val all = wh.read("evts")
+    assert(all.count() === 2)
+    assert(all.filter($"day" === "2024-06-01").head().getLong(all.columns.indexOf("id")) === 1L)
+    assert(all.filter($"day" === "2024-06-02").head().getAs[String]("v") === "b2")
+    // partition pruning: the filter becomes a PartitionFilter, not a data filter
+    val plan = wh.read("evts").filter($"day" === "2024-06-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val root = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
     val wh = new Warehouse(spark, root)
