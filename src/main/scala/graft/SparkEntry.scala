@@ -397,8 +397,16 @@ object SparkEntry {
     * oracle). */
   private def q50_media_features(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
+    import graft.functions.VectorExprs
     val media = Multimodal.syntheticMediaFromDocs(par(s, Tables.documents(s, dir)), "doc_id", "text")
-    Multimodal.extractFeatures(media)
+    // scalar projection only: the driver's rows-only compare sorts columns in
+    // pandas, which cannot sort an array column — keep the feature VECTOR
+    // inside the plan and emit dim/first/norm scalars
+    Multimodal.extractFeatures(media).select(
+      col("media_id"), col("kind"),
+      size(col("features")).cast("long").as("feature_dim"),
+      element_at(col("features"), 1).cast("double").as("f0"),
+      sqrt(VectorExprs.dot_product(col("features"), col("features"))).as("feature_norm"))
   }
 
   /** ST1/ST3 — bounded streaming drain (Trigger.AvailableNow) over the events

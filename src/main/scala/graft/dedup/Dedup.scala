@@ -113,18 +113,27 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** MinHash signature over an already-materialized shingle array column: k
-    * independent hash functions simulated as xxhash64(shingle, seed) for
-    * seed = 0..k-1; the signature entry is the min over shingles. Docs with
-    * no shingles (< n tokens) get a null signature — filter upstream.
+  /** MinHash signature over an already-materialized SHINGLE-HASH array column
+    * (the `array<long>` that [[graft.functions.HashExprs.shingle_hashes]]
+    * produces): k independent hash functions simulated as
+    * `xxhash64(h, seed)` for seed = 0..k-1; the signature entry is the min
+    * over shingles. BIT-IDENTICAL to the codegen'd kernel
+    * ([[graft.functions.HashAlgs.minhashSignature]]) — same builtin-xxhash64
+    * chain, asserted by a differential test (DedupSpec) — so HOF-built and
+    * kernel-built signatures/LSH buckets can be mixed. Seeds are generated as
+    * longs because xxhash64 hashes INT and BIGINT children differently.
+    * Docs with no shingles (< n tokens) yield `array(null, …)` here (array_min
+    * of empty) vs the kernel's null signature — filter empties upstream.
     *
-    * `sh` MUST be an attribute reference (staged via withColumn): lambda
-    * bodies re-evaluate nested subexpressions per element, so an inline
-    * shingle expression here would be recomputed k times per row (measured
-    * 100x slowdown at sf0.1). [[withMinhashSignature]] does the staging.
+    * This is the reference form, kept for differential testing; it is ~10µs
+    * per element (interpreted lambdas). `sh` MUST be an attribute reference
+    * (staged via withColumn): lambda bodies re-evaluate nested subexpressions
+    * per element, so an inline shingle expression here would be recomputed k
+    * times per row (measured 100x slowdown at sf0.1).
+    * [[withMinhashSignature]] does the staging on the kernel path.
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), seed => array_min(transform(sh, s => xxhash64(s, seed))))
+    transform(sequence(lit(0L), lit((k - 1).toLong)), seed => array_min(transform(sh, s => xxhash64(s, seed))))
 
   /** Attach a MinHash signature column via the codegen'd
     * [[graft.functions.HashExprs.ShingleHashes]] +

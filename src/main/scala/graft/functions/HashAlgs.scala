@@ -72,22 +72,36 @@ object HashAlgs {
     new GenericArrayData(out)
   }
 
-  /** MinHash signature: out(s) = min over h in hashes of xxhash64(h, s).
+  /** MinHash signature: out(s) = min over h in hashes of the exact value the
+    * BUILTIN `xxhash64(h, s)` produces on two BIGINT columns (chain: seed 42 →
+    * hashLong(h) → hashLong(s)) — so the HOF form in
+    * [[graft.dedup.Dedup.minhashSignature]] is bit-identical and the two are
+    * differentially testable / mixable. The h-chain half is hoisted out of the
+    * seed loop (one hashLong per element, not per element×seed).
     * Null for an empty input (mirrors array_min semantics — "no shingles"
-    * must not collide with a real signature).
+    * must not collide with a real signature). Null ELEMENTS are rejected
+    * loudly: getLong on a null slot would return undefined garbage.
     */
   def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
     val n = hashes.numElements()
     if (n == 0) return null
+    val g = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (hashes.isNullAt(i))
+        throw new IllegalArgumentException("minhash_signature: null element in shingle-hash array")
+      g(i) = XXH64.hashLong(hashes.getLong(i), 42L)
+      i += 1
+    }
     val out = new Array[Long](k)
     var s = 0
     while (s < k) {
       var mn = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        val v = XXH64.hashLong(hashes.getLong(i), s)
+      var j = 0
+      while (j < n) {
+        val v = XXH64.hashLong(s.toLong, g(j))
         if (v < mn) mn = v
-        i += 1
+        j += 1
       }
       out(s) = mn
       s += 1
@@ -96,11 +110,14 @@ object HashAlgs {
   }
 
   /** Intersection size of two ascending-sorted long arrays (merge scan).
-    * Duplicates are counted pairwise (inputs here are distinct sets). */
+    * Duplicates are counted pairwise (inputs here are distinct sets).
+    * Null elements are rejected loudly (getLong on a null slot is undefined). */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Long = {
     val (n, m) = (a.numElements(), b.numElements())
     var i = 0; var j = 0; var c = 0L
     while (i < n && j < m) {
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException("sorted_intersect_size: null element in input array")
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1

@@ -30,14 +30,20 @@ object LshAlgs {
       }
     })
 
-  /** One sign-bucket long per table. */
+  /** One sign-bucket long per table. Null elements are rejected loudly
+    * (getFloat on a null slot is undefined garbage, which would silently
+    * scatter the row across wrong buckets). */
   def buckets(vec: ArrayData, tables: Int, nbits: Int): ArrayData = {
     val dim = vec.numElements()
     val p = planes(tables, nbits, dim)
     val out = new Array[Long](tables)
     val v = new Array[Double](dim)
     var d = 0
-    while (d < dim) { v(d) = vec.getFloat(d).toDouble; d += 1 }
+    while (d < dim) {
+      if (vec.isNullAt(d))
+        throw new IllegalArgumentException("hyperplane_buckets: null element in embedding array")
+      v(d) = vec.getFloat(d).toDouble; d += 1
+    }
     var t = 0
     while (t < tables) {
       var bucket = 0L

@@ -13,14 +13,27 @@ import org.apache.spark.sql.types._
   * of magnitude more than a fused loop (interpreted lambda dispatch per
   * element); this expression runs one pass accumulating dot and both norms,
   * with real codegen so it stays inside the whole-stage-codegen'd join stage.
-  * Accumulation is double, left-to-right — same value the HOF form produces.
+  * Accumulation is double, left-to-right — same value the HOF form produces
+  * on well-formed input; on MISMATCHED lengths the HOF form yields NULL and
+  * this kernel throws (never a silently-truncated similarity).
   */
 /** Kernels at top level: Scala only emits Java-static forwarders for
   * top-level objects, and generated code calls these statically. */
 object VectorAlgs {
+    /** Mismatched lengths mean malformed embeddings — fail loudly (the HOF
+      * zip_with form yields NULL there; a truncated dot would be a silently
+      * wrong similarity). */
+    @inline private def checkLen(a: ArrayData, b: ArrayData): Int = {
+      val n = a.numElements()
+      if (n != b.numElements())
+        throw new IllegalArgumentException(
+          s"vector length mismatch: $n vs ${b.numElements()} (malformed embedding)")
+      n
+    }
+
     /** cosine(a, b) with double accumulation; NaN on zero-norm input. */
     def cosine(a: ArrayData, b: ArrayData): Double = {
-      val n = math.min(a.numElements(), b.numElements())
+      val n = checkLen(a, b)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -33,7 +46,7 @@ object VectorAlgs {
     }
 
     def dot(a: ArrayData, b: ArrayData): Double = {
-      val n = math.min(a.numElements(), b.numElements())
+      val n = checkLen(a, b)
       var acc = 0.0
       var i = 0
       while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }

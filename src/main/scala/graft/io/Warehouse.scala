@@ -19,23 +19,48 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   def path(table: String): String = s"$root/$table"
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  private def fs(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Reads fall back to the `__old` snapshot if a crash mid-[[write]] left the
+    * destination missing — so a Runner retry of a self-overwrite stage (S8)
+    * can still read its input instead of failing permanently. */
+  def read(table: String): DataFrame = {
+    val dest = new Path(path(table))
+    val old = new Path(path(table + "__old"))
+    val f = fs(dest)
+    if (!f.exists(dest) && f.exists(old)) spark.read.parquet(old.toString)
+    else spark.read.parquet(dest.toString)
+  }
 
   def exists(table: String): Boolean = {
     val p = new Path(path(table))
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    fs(p).exists(p) || fs(p).exists(new Path(path(table + "__old")))
   }
 
   /** WRITE_TRUNCATE semantics (snapshot rebuild, S6/S8). Safe when `df` reads
-    * from `table` itself. */
+    * from `table` itself, and crash-safe: the current snapshot is renamed
+    * aside (`<table>__old`) before the new one is renamed into place, so no
+    * instant exists at which the only copy is deleted — matching the
+    * atomicity of the reference's BigQuery WRITE_TRUNCATE
+    * (covid_transforms.py:48-50). A failure between the renames leaves
+    * `__old` recoverable (see [[read]]); the old snapshot is dropped only
+    * after the new one is live.
+    */
   def write(table: String, df: DataFrame): Unit = {
     val dest = new Path(path(table))
     val tmp = new Path(path(table + "__tmp"))
-    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(path(table + "__old"))
+    val f = fs(dest)
     df.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dest, true)
-    if (!fs.rename(tmp, dest))
+    f.delete(old, true) // leftover from a previous crashed swap
+    val hadDest = f.exists(dest)
+    if (hadDest && !f.rename(dest, old))
+      throw new java.io.IOException(s"Warehouse swap failed for $table: could not retire old snapshot")
+    if (!f.rename(tmp, dest)) {
+      if (hadDest) f.rename(old, dest) // roll back to the retired snapshot
       throw new java.io.IOException(s"Warehouse swap failed for $table")
+    }
+    if (hadDest) f.delete(old, true)
   }
 
   /** Append (streaming metadata sink, S7). */

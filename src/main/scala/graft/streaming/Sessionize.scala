@@ -41,7 +41,10 @@ object Sessionize {
         incoming.foreach { t =>
           cur match {
             case Some(s) if t - s.end <= gapMs =>
-              cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+              // a late (within-watermark) event from a later micro-batch can
+              // precede the open session's start — lower it, or session_start
+              // is wrong under the out-of-order delivery we claim to handle
+              cur = Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
             case Some(s) =>
               closed ::= Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
               cur = Some(OpenSession(t, t, 1))

@@ -99,6 +99,27 @@ class DedupSpec extends SparkSpec {
     assert(sh === Seq("a b c", "b c d"))
   }
 
+  test("HOF minhashSignature is bit-identical to the codegen'd kernel (same hash family)") {
+    import graft.functions.HashExprs
+    val staged = docs.withColumn("sh", HashExprs.shingle_hashes($"text", 3))
+    val hof = staged.select($"doc_id", Dedup.minhashSignature($"sh", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kernel = Dedup.withMinhashSignature(docs, "text", "sig", 3, 16)
+      .select($"doc_id", $"sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hof === kernel)
+  }
+
+  test("minhash_signature rejects null elements instead of hashing garbage") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT 1").select(
+        graft.functions.HashExprs.minhash_signature(
+          array(lit(1L), lit(null).cast("long")), 4)).collect()
+    }
+    assert(ex.getMessage.contains("null element") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null element")))
+  }
+
   test("shingle_hashes expression matches hashing the HOF shingles") {
     import graft.functions.HashExprs
     import org.apache.spark.sql.functions.{transform => hof_transform, xxhash64}

@@ -51,6 +51,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
   }
 
+  test("Warehouse.write survives a crash between swap renames (old snapshot recoverable)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_swap_").toString
+    val wh = new Warehouse(spark, root)
+    wh.write("t", Seq((1L, "v1")).toDF("id", "v"))
+    // self-overwrite (S8): the new snapshot is computed FROM the table itself
+    wh.write("t", wh.read("t").withColumn("v", lit("v2")))
+    assert(wh.read("t").head().getString(1) === "v2")
+    // simulate a crash after dest was retired but before tmp was promoted:
+    // dest missing, __old present — read()/exists() must fall back to __old
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(wh.path("t")),
+      new org.apache.hadoop.fs.Path(wh.path("t__old"))))
+    assert(wh.exists("t"))
+    assert(wh.read("t").head().getString(1) === "v2")
+    // the retry's write heals the table and clears the leftover snapshot
+    wh.write("t", wh.read("t").withColumn("v", lit("v3")))
+    assert(wh.read("t").head().getString(1) === "v3")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(wh.path("t__old"))))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val root = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
     val wh = new Warehouse(spark, root)

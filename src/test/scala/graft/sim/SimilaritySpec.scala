@@ -84,6 +84,15 @@ class SimilaritySpec extends SparkSpec {
       .head().getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("cosine/dot reject mismatched vector lengths (HOF form yields NULL there)") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val ex = intercept[Exception] { df.select(Similarity.cosine($"a", $"b")).collect() }
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && t.getMessage.contains("length mismatch") || hasMsg(t.getCause))
+    assert(hasMsg(ex))
+    assert(df.select(Similarity.cosineHof($"a", $"b")).head().isNullAt(0))
+  }
+
   test("cosineNearDupPairs finds only the close pair at a high threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -42,4 +42,37 @@ class SessionizeSpec extends SparkSpec {
       assert(u1.head.session_end === ts("2024-06-01 00:05:00"))
     } finally q.stop()
   }
+
+  test("late within-watermark event earlier than the open session lowers session_start") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val sessions = sessionize(
+      input.toDS().withWatermark("ts", "1 hour").as[Ev],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_late")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-06-01 00:10:00"), "click"),
+        Ev(1L, ts("2024-06-01 00:12:00"), "view"))
+      q.processAllAvailable()
+      // late but within the 1h watermark: precedes the open session's start
+      input.addData(Ev(1L, ts("2024-06-01 00:05:00"), "late"))
+      q.processAllAvailable()
+      // two advancing batches close user 1's session via event-time timeout
+      input.addData(Ev(2L, ts("2024-06-01 02:00:00"), "click"))
+      q.processAllAvailable()
+      input.addData(Ev(2L, ts("2024-06-01 04:00:00"), "click"))
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_late").as[Session].collect().filter(_.user_id == 1L)
+      assert(u1.length === 1)
+      assert(u1.head.n_events === 3L)
+      assert(u1.head.session_start === ts("2024-06-01 00:05:00"))
+      assert(u1.head.session_end === ts("2024-06-01 00:12:00"))
+    } finally q.stop()
+  }
 }
