@@ -85,17 +85,50 @@ object Dedup {
     * Shuffle payload: (prefixHash, id, setSize) — documents never move until
     * the (sparse) candidate verification join.
     */
+  /** `dfOrderedPrefixes` picks the global order the prefix filter slices
+    * under — EITHER is exact (any consistent total order is; tested):
+    *
+    *  - `false` (default): the shingle hash value. Prefix extraction is a
+    *    zero-shuffle `slice` of the already-sorted array — the right choice
+    *    until candidate VERIFICATION dominates the runtime.
+    *  - `true`: ascending document frequency (canonical AllPairs ordering) —
+    *    rare shingles land in the prefix, so prefix collisions track shared
+    *    rare content rather than shared boilerplate, cutting the candidate
+    *    count. Costs a df pass (partial-agg groupBy, kept only for REPEATED
+    *    shingles — df=1 is implicit — then a rank window per doc). Flip this
+    *    on when the corpus is large and boilerplate-heavy enough that the
+    *    verification join, not candidate generation, is the bottleneck —
+    *    the 100 TB regime; at bench scale the df pass costs more than it
+    *    saves (measured).
+    */
   def shingleJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
-                                thresh10: Int, shingleN: Int = 3): DataFrame = {
+                                thresh10: Int, shingleN: Int = 3,
+                                dfOrderedPrefixes: Boolean = false): DataFrame = {
     import graft.functions.HashExprs._
+    import org.apache.spark.sql.expressions.Window
     val sets = docs.select(
         col(idCol).as("id"),
         array_sort(array_distinct(shingle_hashes(col(textCol), shingleN))).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
       .withColumn("plen",
         (col("n") - floor((col("n") * thresh10 + lit(9)) / 10).cast("long") + 1))
-    val prefixes = sets.select(col("id"), col("n"),
-      explode(slice(col("sh"), lit(1), col("plen").cast("int"))).as("ph"))
+    // `sh` itself stays VALUE-sorted for the O(n+m) merge-scan verifier.
+    val prefixes =
+      if (!dfOrderedPrefixes)
+        sets.select(col("id"), col("n"),
+          explode(slice(col("sh"), lit(1), col("plen").cast("int"))).as("ph"))
+      else {
+        val exploded = sets.select(col("id"), col("n"), col("plen"), explode(col("sh")).as("h"))
+        val repeatedDf = exploded.groupBy(col("h"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > 1)
+        exploded
+          .join(broadcast(repeatedDf), Seq("h"), "left")
+          .withColumn("df", coalesce(col("df"), lit(1L)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)))
+          .filter(col("rn") <= col("plen"))
+          .select(col("id"), col("n"), col("h").as("ph"))
+      }
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.ph") === col("b.ph") && col("a.id") < col("b.id") &&
         col("a.n") * 10 >= col("b.n") * thresh10 &&

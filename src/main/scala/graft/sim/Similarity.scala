@@ -93,6 +93,20 @@ object Similarity {
     * k-means iterations, no fitted state to ship (a k-means refinement drops
     * in by replacing `centroids`).
     */
+  /** Nearest centroid of `vec` among a driver-side centroid list, as a PURE
+    * ROW EXPRESSION: one codegen'd cosine per centroid against a literal
+    * vector, argmax via lexicographic `greatest(struct(cos, -id))` (ties →
+    * smallest id, matching `orderBy(cos.desc, id.asc)`). No join, no window,
+    * NO SHUFFLE — at a 100 TB corpus the assignment pass stays entirely
+    * map-side inside the scan stage, which is what makes IVF build viable
+    * at that scale. */
+  def nearestCentroidExpr(vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
+    val scored = centroids.map { case (id, cv) =>
+      struct(cosine(vec, typedLit(cv)).as("cs"), lit(-id).as("negId"))
+    }
+    -greatest(scored: _*).getField("negId")
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               qId: String = "query_id", qVec: String = "query_vec",
@@ -101,12 +115,15 @@ object Similarity {
     // subquery isn't recomputed for both the assignment and the probe pass
     // (a tiny dim table, not distributed data pulled to the driver)
     val spark = corpus.sparkSession
+    val centroidRows = corpus
+      .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
+      .withColumn("__h", xxhash64(col("cent_id")))
+      .orderBy(col("__h")).limit(nlist).drop("__h")
+      .collect()
+    val centroidSeq: Seq[(Long, Array[Float])] = centroidRows.toSeq.map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray)
     val centroids = spark.createDataFrame(
-      java.util.Arrays.asList(corpus
-        .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
-        .withColumn("__h", xxhash64(col("cent_id")))
-        .orderBy(col("__h")).limit(nlist).drop("__h")
-        .collect(): _*),
+      java.util.Arrays.asList(centroidRows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cent_id", corpus.schema(cId).dataType),
         org.apache.spark.sql.types.StructField("cent_vec", corpus.schema(cVec).dataType))))
@@ -117,7 +134,10 @@ object Similarity {
         .withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
         .select(col(id), col(vec), col("cent_id").as(as))
     }
-    val assigned = nearest(corpus.select(col(cId), col(cVec)), cId, cVec, 1, "cell")
+    // assignment (the 100 TB side, keep=1): shuffle-free row expression;
+    // probes (the small query side, keep=nprobe): crossJoin + window
+    val assigned = corpus.select(col(cId), col(cVec))
+      .withColumn("cell", nearestCentroidExpr(col(cVec), centroidSeq))
     val probes = nearest(queries.select(col(qId), col(qVec)), qId, qVec, nprobe, "cell")
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col(qId) =!= col(cId))

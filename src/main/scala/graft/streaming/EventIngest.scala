@@ -89,19 +89,31 @@ object EventIngest {
   /** Bounded streaming aggregation to an in-memory sink, returned as a
     * DataFrame — used by the driver-contract query q51: proves the streaming
     * path computes the same answer as the batch oracle.
+    *
+    * `statePartitions` sizes the stateful shuffle: a streaming agg opens one
+    * state-store instance per shuffle partition and pays its load/commit on
+    * every micro-batch, so the partition count should track the expected
+    * DISTINCT-KEY cardinality, not the session default (here: a handful of
+    * event types — 32 stores would be 4× pure overhead). Fixed at the first
+    * checkpoint, so it is set for this query only and restored after.
     */
   def streamCountsOverParquet(spark: SparkSession, parquetGlob: String,
-                              schema: StructType, name: String): DataFrame = {
-    val q = spark.readStream.schema(schema).parquet(parquetGlob)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                              schema: StructType, name: String,
+                              statePartitions: Int = 8): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = spark.readStream.schema(schema).parquet(parquetGlob)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(name)
   }
 }

@@ -84,11 +84,12 @@ class DedupSpec extends SparkSpec {
         .filter($"inter" * 10 >= $"uni" * th)
         .select("id_a", "id_b", "inter", "uni")
     }
-    for (th <- Seq(3, 7)) {
+    for (th <- Seq(3, 7); dfOrder <- Seq(false, true)) {
       val exact = brute(th).collect().map(_.toSeq).toSet
-      val fast = Dedup.shingleJaccardPairsPrefix(corpus, "doc_id", "text", th)
+      val fast = Dedup.shingleJaccardPairsPrefix(corpus, "doc_id", "text", th,
+          dfOrderedPrefixes = dfOrder)
         .collect().map(_.toSeq).toSet
-      assert(fast === exact, s"threshold $th")
+      assert(fast === exact, s"threshold $th dfOrder $dfOrder")
     }
   }
 
