@@ -409,6 +409,90 @@ object SparkEntry {
       sqrt(VectorExprs.dot_product(col("features"), col("features"))).as("feature_norm"))
   }
 
+  /** §2.3 headroom — semi join (EXISTS): orders having any high-quantity
+    * line. Right side contributes no columns and never multiplies rows. */
+  private def q44_join_semi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+    RelOps.semiJoin(o, li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice").as("total_price"))
+  }
+
+  /** §2.3 headroom — anti join (NOT EXISTS): customers with no URGENT order
+    * (predicate chosen so the result is non-empty at every scale factor). */
+  private def q45_join_anti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    RelOps.antiJoin(c, o, c("c_custkey") === o("o_custkey"))
+      .select(col("c_custkey"), col("c_name").as("cust_name"))
+  }
+
+  /** Skew-resistant salted equi-join (RelOps.saltedJoin): same answer as the
+    * plain join — the oracle IS the plain join — with the hot key spread
+    * over `salts` reducers. */
+  private def q46_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    RelOps.saltedJoin(li, o, "okey", salts = 8)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
+  /** §2.4 headroom — explicit GROUPING SETS (beyond rollup/cube): per-flag
+    * and per-status marginals in one pass over the fact table. */
+  private def q47_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        // grouping columns must be passed UNALIASED: groupingSets matches the
+        // set expressions against the grouping columns structurally, and an
+        // alias breaks the match (the column then reads as null everywhere)
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"),
+        col("cnt"), col("sum_qty"))
+
+  /** §2.5 headroom — lag/lead/dense_rank windows over the event stream. */
+  private def q48_lag_lead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      lag(col("event_type"), 1).over(w).as("prev_type"),
+      lead(col("event_type"), 1).over(w).as("next_type"),
+      dense_rank().over(wv).cast("long").as("value_rank"))
+  }
+
+  /** Gap-based sessionization in BATCH (Sessionize.batch) — the exact twin of
+    * the streaming flatMapGroupsWithState operator, oracled in plain SQL. */
+  private def q49_sessionize_batch(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.batch(Tables.events(s, dir), "user_id", "ts",
+        gapMinutes = 30, tiebreak = Seq(col("event_id")))
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"))
+
+  /** A3 generalized — WIDE pivot (one column per event type) via
+    * groupBy().pivot() with explicit values (no extra distinct-scan job). */
+  private def q52_pivot_wide(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** BPE-ish subword piece count (TextOps.bpeishTokenCount) — RE2-compatible
+    * alternation, so DuckDB computes the identical count. */
+  private def q53_token_bpe(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.bpeishTokenCount(col("text")).as("n_pieces"))
+
   /** ST1/ST3 — bounded streaming drain (Trigger.AvailableNow) over the events
     * parquet, aggregated in-stream; the oracle is the BATCH answer, proving
     * stream/batch agreement. */
@@ -471,8 +555,16 @@ object SparkEntry {
     "q41_embed_neardup" -> (q41_embed_neardup _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),
     "q43_ann_ivf" -> (q43_ann_ivf _),
+    "q44_join_semi" -> (q44_join_semi _),
+    "q45_join_anti" -> (q45_join_anti _),
+    "q46_salted_join" -> (q46_salted_join _),
+    "q47_grouping_sets" -> (q47_grouping_sets _),
+    "q48_lag_lead" -> (q48_lag_lead _),
+    "q49_sessionize_batch" -> (q49_sessionize_batch _),
     "q50_media_features" -> (q50_media_features _),
     "q51_stream_counts" -> (q51_stream_counts _),
+    "q52_pivot_wide" -> (q52_pivot_wide _),
+    "q53_token_bpe" -> (q53_token_bpe _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -683,6 +775,59 @@ object SparkEntry {
     "q34_dedup_exact" ->
       """SELECT md5(text) AS content_hash, cast(count(*) as bigint) AS n_copies,
            min(doc_id) AS keep_id FROM documents GROUP BY 1""",
+    "q44_join_semi" ->
+      """SELECT o_orderkey, o_totalprice AS total_price FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)""",
+    "q45_join_anti" ->
+      """SELECT c_custkey, c_name AS cust_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+    "q46_salted_join" ->
+      """SELECT o_orderpriority AS priority,
+           cast(count(*) as bigint) AS n_lines,
+           cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q47_grouping_sets" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           cast(count(*) as bigint) AS cnt,
+           cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    "q48_lag_lead" ->
+      """SELECT user_id, event_id,
+           lag(event_type, 1) OVER w AS prev_type,
+           lead(event_type, 1) OVER w AS next_type,
+           cast(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) as bigint) AS value_rank
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
+    "q49_sessionize_batch" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts, 1) OVER w IS NULL
+                       OR ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         numbered AS (
+           SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged)
+         SELECT user_id, cast(session_idx as bigint) AS session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           cast(count(*) as bigint) AS n_events
+         FROM numbered GROUP BY 1, 2""",
+    "q52_pivot_wide" ->
+      """SELECT cast(ts as date) AS day,
+           cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n_click,
+           cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) as bigint) AS n_error,
+           cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS n_purchase,
+           cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) as bigint) AS n_signup,
+           cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view
+         FROM events GROUP BY 1""",
+    "q53_token_bpe" ->
+      """SELECT doc_id,
+           cast(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]|[^\p{L}\p{N}\s]')) as bigint) AS n_pieces
+         FROM documents""",
     "q35_jaccard_pairs" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws

@@ -246,6 +246,22 @@ object RelOps {
     left.join(right, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** §2.3 headroom — existence (semi) join: left rows with ≥1 match on the
+    * right; the right side contributes NO columns and NEVER multiplies rows,
+    * so the planner ships only the join keys of the filter side (broadcast
+    * when small) and each left row short-circuits on first match — strictly
+    * cheaper than `join∘distinct` at any scale.
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+
+  /** §2.3 headroom — anti join: left rows with NO match on the right (the
+    * NOT EXISTS shape, e.g. "customers who never ordered"). Same physical
+    * properties as [[semiJoin]].
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+
   /** §2.4 headroom — distinct-count sketches: exact, approximate (HLL++ with
     * rsd), and a mergeable Datasketches HLL state (hll_sketch_agg) for
     * re-aggregation across partitions/days without rescanning — the pattern

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful streaming: gap-based sessionization via
@@ -62,5 +64,35 @@ object Sessionize {
 
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch twin of [[sessionize]] — the same gap semantics as two windows
+    * over the full history: a session-break flag (`gap exceeded vs previous
+    * event`) and its running sum as the per-user session index, then one
+    * aggregation per session. ONE shuffle on the user key for both windows
+    * plus a partial-aggregated groupBy; no state store. Differentially
+    * tested against the streaming form (SessionizeSpec) — closed streaming
+    * sessions must equal the batch answer on the same events.
+    *
+    * @param tiebreak orders simultaneous events deterministically (session
+    *                 CONTENT is order-insensitive on ties, but determinism
+    *                 keeps cross-engine comparisons exact)
+    */
+  def batch(events: DataFrame, userCol: String, tsCol: String, gapMinutes: Int,
+            tiebreak: Seq[Column] = Nil): DataFrame = {
+    val wOrd = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc +: tiebreak.map(_.asc): _*)
+    val gap = expr(s"INTERVAL $gapMinutes MINUTES")
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(wOrd))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsCol) > col("__prev") + gap, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
   }
 }

@@ -20,12 +20,15 @@ object TextOps {
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** A BPE-ish subword proxy: word pieces split on non-alphanumerics plus
-    * digit/letter boundaries — a deterministic stand-in for a real tokenizer's
-    * piece count, cheap enough to run inline over 100 TB of text.
+  /** A BPE-ish subword proxy: a letter run is one piece, each digit its own
+    * piece, each other non-space character its own piece — a deterministic
+    * stand-in for a real tokenizer's piece count, cheap enough to run inline
+    * over 100 TB of text. The pattern is a plain alternation (no lookaround),
+    * so it means the same thing under Java regex and RE2 — which is what
+    * makes the q53 oracle checkable in DuckDB.
     */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"), t => length(t) > 0)).cast("long")
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long")
 
   def charLen(text: Column): Column = length(text).cast("long")
 

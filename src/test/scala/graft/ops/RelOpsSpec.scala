@@ -145,4 +145,15 @@ class RelOpsSpec extends SparkSpec {
     val b = Seq(3, 4).toDF("v")
     assert(RelOps.unionDistinct(Seq(a, b)).count() === 4)
   }
+
+  test("semiJoin filters by existence without multiplying rows; antiJoin is its complement") {
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    // k=1 matches TWICE: a plain join would duplicate the row, semi must not
+    val right = Seq((1L, "x"), (1L, "y"), (3L, "z")).toDF("rk", "w")
+    val semi = RelOps.semiJoin(left, right, left("k") === right("rk"))
+    assert(semi.columns.toSeq === Seq("k", "v"))
+    assert(semi.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    val anti = RelOps.antiJoin(left, right, left("k") === right("rk"))
+    assert(anti.select("k").as[Long].collect().toSeq === Seq(2L))
+  }
 }

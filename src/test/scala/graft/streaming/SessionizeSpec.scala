@@ -43,6 +43,41 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions equal the batch twin on the same events (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // users 1..3 with varied gaps; user 99 only advances the watermark so
+    // every real session closes
+    val evs = Seq(
+      Ev(1L, ts("2024-06-01 00:00:00"), "a"), Ev(1L, ts("2024-06-01 00:04:00"), "b"),
+      Ev(1L, ts("2024-06-01 00:30:00"), "c"), Ev(1L, ts("2024-06-01 00:31:00"), "d"),
+      Ev(2L, ts("2024-06-01 01:00:00"), "a"),
+      Ev(3L, ts("2024-06-01 00:00:00"), "a"), Ev(3L, ts("2024-06-01 00:09:00"), "b"),
+      Ev(3L, ts("2024-06-01 00:18:00"), "c"))
+    val input = MemoryStream[Ev]
+    val q = sessionize(input.toDS().withWatermark("ts", "0 seconds").as[Ev],
+        gapMs = 10 * 60 * 1000)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_diff")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(Ev(99L, ts("2024-06-02 00:00:00"), "advance"))
+      q.processAllAvailable()
+      input.addData(Ev(99L, ts("2024-06-03 00:00:00"), "advance"))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_diff").as[Session].collect()
+        .filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      val batch = Sessionize.batch(evs.toDF(), "user_id", "ts", gapMinutes = 10)
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.size === 4) // u1: 2 sessions; u2: 1; u3: 1 (chained 9-min gaps)
+    } finally q.stop()
+  }
+
   test("late within-watermark event earlier than the open session lowers session_start") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -18,11 +18,11 @@ class TextOpsSpec extends SparkSpec {
     assert((row.getLong(0), row.getLong(1)) === ((7L, 2L)))
   }
 
-  test("bpeish token count splits on letter/digit boundaries and punctuation") {
+  test("bpeish token count: letter runs one piece, digits and punctuation one each") {
     val got = Seq("hello world42x, foo-bar").toDF("t")
       .select(TextOps.bpeishTokenCount($"t")).head().getLong(0)
-    // hello | world | 42 | x | foo | bar
-    assert(got === 6L)
+    // hello | world | 4 | 2 | x | , | foo | - | bar
+    assert(got === 9L)
   }
 
   test("langId picks the language with most stopword hits") {
