@@ -493,6 +493,87 @@ object SparkEntry {
       col("doc_id"),
       TextOps.bpeishTokenCount(col("text")).as("n_pieces"))
 
+  /** Ordered string aggregation per group (collect → sort → join): the
+    * deterministic form of collect_list — scalar output, so it stays
+    * engine-comparable (and driver-sortable) where an array column wouldn't. */
+  private def q54_collect_sorted(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_list(col("event_type"))), ",").as("types_sorted"),
+        count(lit(1)).as("n_events"))
+
+  /** Generator / flatten — posexplode of the token array (one row per token
+    * with its position); the lateral-view shape every text pipeline needs. */
+  private def q55_explode_pos(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+
+  /** F5/F6 headroom — date arithmetic: day/month offsets (with end-of-month
+    * clamping), last_day, month truncation. */
+  private def q56_date_arith(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      date_add(col("o_orderdate"), 30).as("due_date"),
+      add_months(col("o_orderdate"), 3).as("review_date"),
+      last_day(col("o_orderdate")).as("month_end"),
+      trunc(col("o_orderdate"), "month").as("month_start"))
+
+  /** String-function family over the customer dim (upper/lower/substring/
+    * concat_ws/replace/lpad — the normalization toolkit of §2.8). */
+  private def q57_string_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("name_upper"),
+      lower(col("c_mktsegment")).as("segment_lower"),
+      substring(col("c_name"), 1, 10).as("name_prefix"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+      regexp_replace(col("c_name"), " ", "").as("name_nospace"),
+      lpad(col("c_custkey").cast("string"), 12, "0").as("key_padded"))
+
+  /** Exact interpolated percentiles per group (sort-based `percentile`, not
+    * the approximate sketch — the approximate twin is q26's territory). */
+  private def q58_quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        percentile(col("l_quantity").cast("long"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity").cast("long"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity").cast("long"), lit(0.9)).as("p90"))
+
+  /** Multimodal frame sampling (Multimodal.sampleFrames): one row per sampled
+    * frame timestamp for video rows — pure plan (posexplode over a sequence),
+    * no decode; ORACLED via the synthetic metadata formula. */
+  private def q59_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticMediaFromDocs(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.sampleFrames(media, everyMs = 2000L)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_ts_ms").cast("long").as("frame_ts_ms"))
+  }
+
+  /** Event-time tumbling windows + watermark in a BOUNDED stream
+    * (Trigger.AvailableNow): the oracle is the batch date_trunc answer —
+    * windowed streaming and batch agree. */
+  private def q60_stream_windows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    graft.streaming.EventIngest.streamWindowedCountsOverParquet(
+      s, s"$dir/events.parq*", raw,
+      // watermarks require TIMESTAMP (instant) — the helper casts the window
+      // start back to NTZ for engine comparison; session TZ is UTC so the
+      // wall-clock value is unchanged
+      tsExpr = "timestamp_micros(ts div 1000)",
+      windowLen = "1 hour", watermark = "1 minute",
+      name = s"q60_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
   /** ST1/ST3 — bounded streaming drain (Trigger.AvailableNow) over the events
     * parquet, aggregated in-stream; the oracle is the BATCH answer, proving
     * stream/batch agreement. */
@@ -565,6 +646,13 @@ object SparkEntry {
     "q51_stream_counts" -> (q51_stream_counts _),
     "q52_pivot_wide" -> (q52_pivot_wide _),
     "q53_token_bpe" -> (q53_token_bpe _),
+    "q54_collect_sorted" -> (q54_collect_sorted _),
+    "q55_explode_pos" -> (q55_explode_pos _),
+    "q56_date_arith" -> (q56_date_arith _),
+    "q57_string_funcs" -> (q57_string_funcs _),
+    "q58_quantiles" -> (q58_quantiles _),
+    "q59_frame_sample" -> (q59_frame_sample _),
+    "q60_stream_windows" -> (q60_stream_windows _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -828,6 +916,53 @@ object SparkEntry {
       """SELECT doc_id,
            cast(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]|[^\p{L}\p{N}\s]')) as bigint) AS n_pieces
          FROM documents""",
+    "q54_collect_sorted" ->
+      """SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS types_sorted,
+           cast(count(*) as bigint) AS n_events
+         FROM events GROUP BY 1""",
+    "q55_explode_pos" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id,
+           cast(unnest(range(0, len(toks))) as bigint) AS pos,
+           unnest(toks) AS token
+         FROM t""",
+    "q56_date_arith" ->
+      """SELECT o_orderkey,
+           cast(o_orderdate + INTERVAL 30 DAY as date) AS due_date,
+           cast(o_orderdate + INTERVAL 3 MONTH as date) AS review_date,
+           last_day(o_orderdate) AS month_end,
+           cast(date_trunc('month', o_orderdate) as date) AS month_start
+         FROM orders""",
+    "q57_string_funcs" ->
+      """SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS segment_lower,
+           substring(c_name, 1, 10) AS name_prefix,
+           concat_ws('|', c_mktsegment, c_name) AS seg_name,
+           replace(c_name, ' ', '') AS name_nospace,
+           lpad(cast(c_custkey as varchar), 12, '0') AS key_padded
+         FROM customer""",
+    "q58_quantiles" ->
+      """SELECT l_returnflag AS returnflag,
+           quantile_cont(cast(l_quantity as bigint), 0.25) AS p25,
+           quantile_cont(cast(l_quantity as bigint), 0.5) AS p50,
+           quantile_cont(cast(l_quantity as bigint), 0.9) AS p90
+         FROM lineitem GROUP BY 1""",
+    "q59_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id, range(0, (doc_id % 10) * 1000 + 1, 2000) AS fts
+           FROM documents WHERE doc_id % 3 = 2)
+         SELECT doc_id AS media_id,
+           cast(unnest(range(0, len(fts))) as bigint) AS frame_idx,
+           cast(unnest(fts) as bigint) AS frame_ts_ms
+         FROM v""",
+    "q60_stream_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           cast(count(*) as bigint) AS cnt
+         FROM events GROUP BY 1, 2""",
     "q35_jaccard_pairs" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws

@@ -86,6 +86,42 @@ object EventIngest {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Bounded EVENT-TIME-WINDOWED streaming aggregation (tumbling windows +
+    * watermark) to an in-memory sink — the driver-contract query q60: the
+    * oracle is the batch `date_trunc` answer, proving the windowed streaming
+    * path and batch agree. Complete output mode so the final (never-closed
+    * under AvailableNow) window is emitted too — the batch answer includes
+    * it. Same state-partition sizing rationale as
+    * [[streamCountsOverParquet]].
+    */
+  def streamWindowedCountsOverParquet(spark: SparkSession, parquetGlob: String,
+                                      schema: StructType, tsExpr: String,
+                                      windowLen: String, watermark: String,
+                                      name: String,
+                                      statePartitions: Int = 8): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = spark.readStream.schema(schema).parquet(parquetGlob)
+        .withColumn("__ts", expr(tsExpr))
+        .withWatermark("__ts", watermark)
+        .groupBy(window(col("__ts"), windowLen), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        // NTZ for cross-engine comparison (watermark itself needs TIMESTAMP);
+        // session TZ is UTC so the wall-clock value is unchanged
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("cnt"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(name)
+  }
+
   /** Bounded streaming aggregation to an in-memory sink, returned as a
     * DataFrame — used by the driver-contract query q51: proves the streaming
     * path computes the same answer as the batch oracle.
