@@ -107,8 +107,38 @@ object Similarity {
     -greatest(scored: _*).getField("negId")
   }
 
+  /** Lloyd (k-means) refinement of an IVF centroid set: assign every corpus
+    * vector to its nearest centroid with the shuffle-free
+    * [[nearestCentroidExpr]], then recompute each cell's per-dimension mean.
+    * The mean is a `(cell, dim)`-keyed partial aggregation — executors ship
+    * nlist×dim partial sums per partition, never vectors — so one iteration
+    * costs one map pass + a tiny shuffle, viable at 100 TB corpus scale.
+    * Deterministic: init is the hash-sampled seed set, iteration order fixed;
+    * empty cells keep their previous centroid. Returned ids are 0..nlist-1.
+    */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String,
+                      init: Seq[(Long, Array[Float])], iters: Int): Seq[(Long, Array[Float])] = {
+    var cents = init.zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .withColumn("__cell", nearestCentroidExpr(col(vecCol), cents))
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy("__cell", "__d").agg(avg(col("__x")).as("__m"))
+        .groupBy("__cell").agg(map_from_arrays(
+          collect_list(col("__d")), collect_list(col("__m"))).as("__dims"))
+        .collect()
+        .map(r => r.getLong(0) -> {
+          val m = r.getMap[Int, Double](1)
+          Array.tabulate(m.size)(d => m(d).toFloat)
+        }).toMap
+      cents = cents.map { case (id, v) => id -> means.getOrElse(id, v) }
+    }
+    cents
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
+              centroidIters: Int = 0,
               qId: String = "query_id", qVec: String = "query_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     // nlist rows only — materialize once on the driver so the centroid
@@ -120,13 +150,20 @@ object Similarity {
       .withColumn("__h", xxhash64(col("cent_id")))
       .orderBy(col("__h")).limit(nlist).drop("__h")
       .collect()
-    val centroidSeq: Seq[(Long, Array[Float])] = centroidRows.toSeq.map(r =>
+    val sampled: Seq[(Long, Array[Float])] = centroidRows.toSeq.map(r =>
       r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // optional Lloyd refinement: density-following centroids (cells shrink
+    // where data is dense) at one map pass + tiny shuffle per iteration
+    val centroidSeq =
+      if (centroidIters > 0) kmeansCentroids(corpus.select(col(cVec)), cVec, sampled, centroidIters)
+      else sampled
     val centroids = spark.createDataFrame(
-      java.util.Arrays.asList(centroidRows: _*),
+      java.util.Arrays.asList(centroidSeq.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v.toSeq) }: _*),
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cent_id", corpus.schema(cId).dataType),
-        org.apache.spark.sql.types.StructField("cent_vec", corpus.schema(cVec).dataType))))
+        org.apache.spark.sql.types.StructField("cent_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cent_vec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)))))
     def nearest(df: DataFrame, id: String, vec: String, keep: Int, as: String): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("__cs").desc, col("cent_id").asc)
       df.crossJoin(broadcast(centroids))

@@ -75,6 +75,28 @@ object EventIngest {
     q.awaitTermination()
   }
 
+  /** ST4 as a LISTENER (the push-side analog of [[onEvents]]'s foreachBatch):
+    * a session-level StreamingQueryListener that fires `onBatch(queryName,
+    * batchId, numInputRows)` after every micro-batch that ingested rows —
+    * the hook a batch-pipeline Runner registers so extract-arrival events
+    * trigger the transform chains (the reference's Cloud Function → Airflow
+    * dagRuns POST, composer2_airflow_rest_api.py:40-67). Returns the
+    * listener so callers can remove it.
+    */
+  def onProgressTrigger(spark: SparkSession)
+                       (onBatch: (String, Long, Long) => Unit): org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0)
+          onBatch(Option(e.progress.name).getOrElse(""), e.progress.batchId, e.progress.numInputRows)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(l)
+    l
+  }
+
   /** Beyond-reference headroom: watermarked tumbling-window counts over an
     * event stream — the standard streaming aggregation shape (late data
     * dropped past the watermark; append output per closed window).

@@ -66,6 +66,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.groupBy("query_id").agg(cnt($"rank")).collect().forall(_.getLong(1) <= 3))
   }
 
+  test("ivfTopK with k-means-refined centroids: still exact when probing all cells") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val refined = Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"),
+        k = 3, nlist = 8, nprobe = 8, centroidIters = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, emb.select("vec_id", "embedding"), 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(refined === brute)
+  }
+
+  test("kmeansCentroids is deterministic and keeps nlist centroids") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val init = emb.limit(4).collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val a = Similarity.kmeansCentroids(emb.select($"embedding"), "embedding", init, 2)
+    val b = Similarity.kmeansCentroids(emb.select($"embedding"), "embedding", init, 2)
+    assert(a.size === 4)
+    assert(a.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(a.map(_._2.toSeq) === b.map(_._2.toSeq))
+    // refinement moved at least one centroid off its seed
+    assert(a.map(_._2.toSeq) != init.map(_._2.toSeq))
+  }
+
   test("SQL surface: registered functions are callable from spark.sql") {
     graft.functions.GraftFunctions.registerAll(spark)
     spark.read.parquet(s"$sfDir/documents.parquet").limit(10).createOrReplaceTempView("docs_sql")

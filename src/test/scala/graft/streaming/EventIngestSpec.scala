@@ -48,6 +48,23 @@ class EventIngestSpec extends SparkSpec {
     assert(seen.toSet === Set("mmd", "hts"))
   }
 
+  test("ST4: StreamingQueryListener progress trigger fires for ingesting batches") {
+    val in = tmp("events_in4_")
+    writeEvents(in, events)
+    val fired = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
+    val listener = EventIngest.onProgressTrigger(spark) { (name, _, rows) =>
+      fired.add(name -> rows)
+    }
+    try {
+      EventIngest.ingestAvailable(spark, in, tmp("meta_out4_") + "/meta")
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (fired.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!fired.isEmpty)
+      assert(fired.get(0)._2 === 2L)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("windowed counts with watermark (streaming headroom beyond reference)") {
     import spark.implicits._
     val df = Seq(
