@@ -42,4 +42,18 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q05_groupby_agg")
     assert(p.contains("partial_sum") || p.contains("Partial"), p)
   }
+
+  test("q44/q45: existence joins broadcast the filter side and push its predicate to the scan") {
+    val semi = planOf("q44_join_semi")
+    assert(semi.contains("LeftSemi") && semi.contains("BroadcastHashJoin"), semi)
+    assert(semi.contains("GreaterThan(l_quantity,45.0)"), "filter must reach the parquet scan")
+    val anti = planOf("q45_join_anti")
+    assert(anti.contains("LeftAnti") && anti.contains("BroadcastHashJoin"), anti)
+    assert(anti.contains("EqualTo(o_orderpriority,1-URGENT)"), anti)
+  }
+
+  test("q58: exact percentiles aggregate partially map-side (no raw-row shuffle)") {
+    val p = planOf("q58_quantiles")
+    assert(p.contains("partial_percentile"), p)
+  }
 }

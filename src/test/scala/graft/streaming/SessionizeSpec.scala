@@ -78,6 +78,38 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch sessionization invariants hold on a randomized event set (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-06-01 00:00:00").getTime
+    val evs = (1 to 500).map { i =>
+      Ev(rnd.nextInt(8).toLong, new java.sql.Timestamp(base + rnd.nextInt(6 * 3600) * 1000L), s"e$i")
+    }
+    val gapMin = 10
+    val out = Sessionize.batch(evs.toDF(), "user_id", "ts", gapMin)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+    // conservation: every event lands in exactly one session
+    assert(out.map(_._4).sum === evs.length)
+    out.foreach { case (_, s, e, _) => assert(!e.before(s)) }
+    // per user: sessions ordered, separated by more than the gap, and every
+    // event inside some session's span
+    out.groupBy(_._1).foreach { case (u, sessions) =>
+      val sorted = sessions.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2.getTime - e1.getTime > gapMin * 60 * 1000L,
+            s"user $u: adjacent sessions closer than the gap")
+        case _ =>
+      }
+      val userEvents = evs.filter(_.user_id == u)
+      userEvents.foreach { ev =>
+        assert(sorted.exists(s => !ev.ts.before(s._2) && !ev.ts.after(s._3)),
+          s"event ${ev.ts} of user $u outside all sessions")
+      }
+    }
+  }
+
   test("late within-watermark event earlier than the open session lowers session_start") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
