@@ -574,6 +574,20 @@ object SparkEntry {
       name = s"q60_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
 
+  /** Array-function family over the token arrays (distinct/contains/
+    * position/element_at) — scalar outputs so the comparison stays exact. */
+  private def q61_array_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        array_contains(col("toks"), "the").as("has_the"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        array_position(col("toks"), "the").cast("long").as("the_pos"))
+
   /** ST1/ST3 — bounded streaming drain (Trigger.AvailableNow) over the events
     * parquet, aggregated in-stream; the oracle is the BATCH answer, proving
     * stream/batch agreement. */
@@ -653,6 +667,7 @@ object SparkEntry {
     "q58_quantiles" -> (q58_quantiles _),
     "q59_frame_sample" -> (q59_frame_sample _),
     "q60_stream_windows" -> (q60_stream_windows _),
+    "q61_array_funcs" -> (q61_array_funcs _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -963,6 +978,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            cast(count(*) as bigint) AS cnt
          FROM events GROUP BY 1, 2""",
+    "q61_array_funcs" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id,
+           cast(len(list_distinct(toks)) as bigint) AS n_uniq,
+           list_contains(toks, 'the') AS has_the,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           cast(coalesce(list_position(toks, 'the'), 0) as bigint) AS the_pos
+         FROM t WHERE len(toks) > 0""",
     "q35_jaccard_pairs" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws

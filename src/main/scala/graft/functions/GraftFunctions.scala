@@ -1,15 +1,23 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** SQL-surface registration for the custom expressions, so `spark.sql`
   * users get the same operators as the Column API:
   *
   * {{{
-  *   GraftFunctions.registerAll(spark)
+  *   GraftFunctions.registerAll(spark)   // imperative, current session
   *   spark.sql("SELECT simhash64(text), minhash_signature(shingle_hashes(text, 3), 64) FROM docs")
+  * }}}
+  *
+  * or declaratively for every session via the standard extensions mechanism
+  * (the way a cluster rolls the library out — no code change in user jobs):
+  *
+  * {{{
+  *   spark.sql.extensions=graft.functions.GraftSparkExtensions
   * }}}
   *
   * Integer parameters arrive as foldable literals (the SQL-function calling
@@ -24,31 +32,59 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
-  def registerAll(spark: SparkSession): Unit = {
-    ColumnBridge.registerFunction(spark, "shingle_hashes", {
+  /** name -> (usage doc, builder). Single source of truth for both
+    * registration paths. */
+  private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("shingle_hashes", "shingle_hashes(text, n) - xxhash64 of each word n-gram", {
       case Seq(text, n) => HashExprs.ShingleHashes(text, intArg(n, "shingle n"))
       case args => throw new IllegalArgumentException(s"shingle_hashes(text, n): got ${args.length} args")
-    })
-    ColumnBridge.registerFunction(spark, "minhash_signature", {
+    }),
+    ("minhash_signature", "minhash_signature(hashes, k) - k-entry MinHash signature", {
       case Seq(hashes, k) => HashExprs.MinHashSignature(hashes, intArg(k, "k"))
       case args => throw new IllegalArgumentException(s"minhash_signature(hashes, k): got ${args.length} args")
-    })
-    ColumnBridge.registerFunction(spark, "simhash64", {
+    }),
+    ("simhash64", "simhash64(text) - 64-bit SimHash fingerprint", {
       case Seq(text) => HashExprs.SimHash64(text)
       case args => throw new IllegalArgumentException(s"simhash64(text): got ${args.length} args")
-    })
-    ColumnBridge.registerFunction(spark, "cosine_sim", {
+    }),
+    ("sorted_intersect_size", "sorted_intersect_size(a, b) - merge-scan intersection size of sorted arrays", {
+      case Seq(a, b) => HashExprs.SortedIntersectSize(a, b)
+      case args => throw new IllegalArgumentException(s"sorted_intersect_size(a, b): got ${args.length} args")
+    }),
+    ("cosine_sim", "cosine_sim(a, b) - cosine similarity of float vectors", {
       case Seq(a, b) => VectorExprs.CosineSim(a, b)
       case args => throw new IllegalArgumentException(s"cosine_sim(a, b): got ${args.length} args")
-    })
-    ColumnBridge.registerFunction(spark, "dot_product", {
+    }),
+    ("dot_product", "dot_product(a, b) - dot product of float vectors", {
       case Seq(a, b) => VectorExprs.DotProduct(a, b)
       case args => throw new IllegalArgumentException(s"dot_product(a, b): got ${args.length} args")
-    })
-    ColumnBridge.registerFunction(spark, "hyperplane_buckets", {
+    }),
+    ("hyperplane_buckets", "hyperplane_buckets(vec, tables, nbits) - LSH sign buckets", {
       case Seq(vec, tables, nbits) =>
         LshExprs.HyperplaneBuckets(vec, intArg(tables, "tables"), intArg(nbits, "nbits"))
       case args => throw new IllegalArgumentException(s"hyperplane_buckets(vec, tables, nbits): got ${args.length} args")
-    })
-  }
+    }))
+
+  /** Imperative per-session registration. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      ColumnBridge.registerFunction(spark, name, builder)
+    }
+
+  /** Declarative injection for `spark.sql.extensions` (see
+    * [[GraftSparkExtensions]]). */
+  def injectAll(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, null, name, usage, ""),
+        builder))
+    }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftSparkExtensions` — standard
+  * extensions hook: every session built on the cluster gets the custom
+  * functions without calling [[GraftFunctions.registerAll]]. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.injectAll(ext)
 }

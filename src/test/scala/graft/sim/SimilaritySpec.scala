@@ -108,6 +108,31 @@ class SimilaritySpec extends SparkSpec {
       .head().getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("spark.sql.extensions entry point injects the custom functions into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // same SparkContext, new session built through the extensions hook —
+      // exactly what spark.sql.extensions=graft.functions.GraftSparkExtensions does
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftSparkExtensions()(_))
+        .getOrCreate()
+      val fp = s2.sql("SELECT simhash64('the quick brown fox') AS fp").head().getLong(0)
+      val direct = spark.range(1)
+        .select(graft.functions.HashExprs.simhash64(lit("the quick brown fox"))).head().getLong(0)
+      assert(fp === direct)
+      assert(s2.sql("SELECT sorted_intersect_size(array(1L,2L,3L), array(2L,3L,9L)) AS n")
+        .head().getLong(0) === 2L)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("cosine/dot reject mismatched vector lengths (HOF form yields NULL there)") {
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
     val ex = intercept[Exception] { df.select(Similarity.cosine($"a", $"b")).collect() }
