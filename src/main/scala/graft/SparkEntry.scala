@@ -588,6 +588,18 @@ object SparkEntry {
         element_at(col("toks"), -1).as("last_tok"),
         array_position(col("toks"), "the").cast("long").as("the_pos"))
 
+  /** Engine-portable moment statistics (RelOps.momentStats): variance/stddev/
+    * correlation derived from exact BIGINT sufficient statistics, float math
+    * confined to one final formula mirrored in the oracle — bit-reproducible
+    * where streaming stddev/corr aggregates are accumulation-order-dependent. */
+  private def q62_moment_stats(s: SparkSession, dir: String): DataFrame =
+    RelOps.momentStats(
+      Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        col("l_linenumber").cast("long").as("y")),
+      groupKeys = Seq("returnflag"), x = col("x"), y = col("y"))
+
   /** ST1/ST3 — bounded streaming drain (Trigger.AvailableNow) over the events
     * parquet, aggregated in-stream; the oracle is the BATCH answer, proving
     * stream/batch agreement. */
@@ -668,6 +680,7 @@ object SparkEntry {
     "q59_frame_sample" -> (q59_frame_sample _),
     "q60_stream_windows" -> (q60_stream_windows _),
     "q61_array_funcs" -> (q61_array_funcs _),
+    "q62_moment_stats" -> (q62_moment_stats _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -989,6 +1002,22 @@ object SparkEntry {
            toks[-1] AS last_tok,
            cast(coalesce(list_position(toks, 'the'), 0) as bigint) AS the_pos
          FROM t WHERE len(toks) > 0""",
+    "q62_moment_stats" ->
+      """WITH m AS (
+           SELECT l_returnflag AS returnflag,
+             cast(count(*) as bigint) AS n,
+             cast(sum(cast(l_quantity as bigint)) as bigint) AS sx,
+             cast(sum(cast(l_quantity as bigint) * cast(l_quantity as bigint)) as bigint) AS sxx,
+             cast(sum(cast(l_linenumber as bigint)) as bigint) AS sy,
+             cast(sum(cast(l_linenumber as bigint) * cast(l_linenumber as bigint)) as bigint) AS syy,
+             cast(sum(cast(l_quantity as bigint) * cast(l_linenumber as bigint)) as bigint) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT returnflag, n,
+           cast(n * sxx - sx * sx as double) / cast(n * (n - 1) as double) AS var_x,
+           sqrt(cast(n * sxx - sx * sx as double) / cast(n * (n - 1) as double)) AS stddev_x,
+           cast(n * sxy - sx * sy as double) /
+             (sqrt(cast(n * sxx - sx * sx as double)) * sqrt(cast(n * syy - sy * sy as double))) AS corr_xy
+         FROM m""",
     "q35_jaccard_pairs" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws

@@ -262,6 +262,31 @@ object RelOps {
   def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_anti")
 
+  /** Second-moment statistics (sample variance/stddev of `x`, correlation of
+    * `x`,`y`) computed from EXACT INTEGER sufficient statistics
+    * (n, Σx, Σx², Σy, Σy², Σxy as BIGINTs) with the float math confined to
+    * one final identical formula — so the result is bit-reproducible across
+    * engines and run orders, unlike streaming `stddev`/`corr` aggregates
+    * whose accumulation order varies. The sufficient statistics are also
+    * MERGEABLE: at 100 TB, keep (n, Σx, …) per partition/day and re-derive
+    * any window's moments without rescanning — same pattern as the HLL
+    * sketches. `x`,`y` must be integer-typed (the sums must stay exact).
+    */
+  def momentStats(df: DataFrame, groupKeys: Seq[String], x: Column, y: Column): DataFrame = {
+    val g = df.groupBy(groupKeys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(x * x).as("sxx"),
+      sum(y).as("sy"), sum(y * y).as("syy"),
+      sum(x * y).as("sxy"))
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+      (col("n") * (col("n") - 1)).cast("double")
+    val corrXY = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+       sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+    g.select(groupKeys.map(col) ++ Seq(col("n"), varX.as("var_x"),
+      sqrt(varX).as("stddev_x"), corrXY.as("corr_xy")): _*)
+  }
+
   /** §2.4 headroom — distinct-count sketches: exact, approximate (HLL++ with
     * rsd), and a mergeable Datasketches HLL state (hll_sketch_agg) for
     * re-aggregation across partitions/days without rescanning — the pattern

@@ -146,6 +146,22 @@ class RelOpsSpec extends SparkSpec {
     assert(RelOps.unionDistinct(Seq(a, b)).count() === 4)
   }
 
+  test("momentStats matches hand-computed variance/corr exactly and builtin stddev closely") {
+    val df = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L)).toDF("x", "y")
+    val row = RelOps.momentStats(df, Seq.empty, $"x", $"y").head()
+    // var of 1..4 = 5/3 (sample); y = 2x -> corr 1 up to the sqrt rounding
+    // (the operator's guarantee is cross-engine BIT-reproducibility of the
+    // formula, not algebraic exactness of the float result)
+    assert(math.abs(row.getAs[Double]("var_x") - 5.0 / 3.0) < 1e-15)
+    assert(math.abs(row.getAs[Double]("corr_xy") - 1.0) < 1e-12)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_quantity".cast("long").as("x"), $"l_linenumber".cast("long").as("y"))
+    val got = RelOps.momentStats(li, Seq.empty, $"x", $"y").head()
+    val builtin = li.agg(stddev($"x"), corr($"x", $"y")).head()
+    assert(math.abs(got.getAs[Double]("stddev_x") - builtin.getDouble(0)) < 1e-9)
+    assert(math.abs(got.getAs[Double]("corr_xy") - builtin.getDouble(1)) < 1e-9)
+  }
+
   test("semiJoin filters by existence without multiplying rows; antiJoin is its complement") {
     val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     // k=1 matches TWICE: a plain join would duplicate the row, semi must not
