@@ -600,6 +600,17 @@ object SparkEntry {
         col("l_linenumber").cast("long").as("y")),
       groupKeys = Seq("returnflag"), x = col("x"), y = col("y"))
 
+  /** §2.7 headroom — INTERSECT / EXCEPT (distinct set semantics): customer
+    * keys present in both halves of a split vs only the first half. */
+  private def q63_intersect_except(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val high = o.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+    urgent.intersect(high).withColumn("relation", lit("both"))
+      .unionByName(urgent.except(high).withColumn("relation", lit("urgent_only")))
+      .select(col("o_custkey").as("custkey"), col("relation"))
+  }
+
   /** ST1/ST3 — bounded streaming drain (Trigger.AvailableNow) over the events
     * parquet, aggregated in-stream; the oracle is the BATCH answer, proving
     * stream/batch agreement. */
@@ -681,6 +692,7 @@ object SparkEntry {
     "q60_stream_windows" -> (q60_stream_windows _),
     "q61_array_funcs" -> (q61_array_funcs _),
     "q62_moment_stats" -> (q62_moment_stats _),
+    "q63_intersect_except" -> (q63_intersect_except _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -1018,6 +1030,17 @@ object SparkEntry {
            cast(n * sxy - sx * sy as double) /
              (sqrt(cast(n * sxx - sx * sx as double)) * sqrt(cast(n * syy - sy * sy as double))) AS corr_xy
          FROM m""",
+    "q63_intersect_except" ->
+      """SELECT custkey, relation FROM (
+           SELECT o_custkey AS custkey, 'both' AS relation FROM (
+             SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+           UNION ALL
+           SELECT o_custkey AS custkey, 'urgent_only' AS relation FROM (
+             SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))""",
     "q35_jaccard_pairs" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws
