@@ -435,7 +435,9 @@ object SparkEntry {
       .select(col("l_orderkey").as("okey"), col("l_quantity"))
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-    RelOps.saltedJoin(li, o, "okey", salts = 8)
+    // salts sized to the executor count that needs de-hotspotting, not
+    // higher — each salt replicates the other side once
+    RelOps.saltedJoin(li, o, "okey", salts = 4)
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("l_quantity").cast("long")).as("sum_qty"))
