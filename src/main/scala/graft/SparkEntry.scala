@@ -613,6 +613,24 @@ object SparkEntry {
       .select(col("o_custkey").as("custkey"), col("relation"))
   }
 
+  /** Fill-down / observation carry-forward (RelOps.fillDown): each event sees
+    * the user's latest purchase value at-or-before it. */
+  private def q64_fill_down(s: SparkSession, dir: String): DataFrame =
+    RelOps.fillDown(Tables.events(s, dir),
+        keys = Seq("user_id"), order = Seq(col("ts").asc, col("event_id").asc),
+        value = when(col("event_type") === "purchase", col("value")),
+        as = "last_purchase_value")
+      .select(col("user_id"), col("event_id"), col("last_purchase_value"))
+
+  /** F1 with ANSI softening — try_cast: malformed numerics parse to NULL
+    * instead of throwing (Spark 4 defaults ANSI on; the stringify ingest path
+    * manufactures junk). Junk injected deterministically every 7th key. */
+  private def q65_try_cast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+      expr("""try_cast(concat(cast(cast(l_quantity as bigint) as string),
+                case when l_orderkey % 7 = 0 then 'x' else '' end) as bigint)""").as("qty_parsed"))
+
   /** ST1/ST3 — bounded streaming drain (Trigger.AvailableNow) over the events
     * parquet, aggregated in-stream; the oracle is the BATCH answer, proving
     * stream/batch agreement. */
@@ -695,6 +713,8 @@ object SparkEntry {
     "q61_array_funcs" -> (q61_array_funcs _),
     "q62_moment_stats" -> (q62_moment_stats _),
     "q63_intersect_except" -> (q63_intersect_except _),
+    "q64_fill_down" -> (q64_fill_down _),
+    "q65_try_cast" -> (q65_try_cast _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -1043,6 +1063,17 @@ object SparkEntry {
              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
              EXCEPT
              SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))""",
+    "q64_fill_down" ->
+      """SELECT user_id, event_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+         FROM events""",
+    "q65_try_cast" ->
+      """SELECT l_orderkey, cast(l_linenumber as bigint) AS line_no,
+           TRY_CAST(cast(cast(l_quantity as bigint) as varchar) ||
+             (CASE WHEN l_orderkey % 7 = 0 THEN 'x' ELSE '' END) AS BIGINT) AS qty_parsed
+         FROM lineitem""",
     "q35_jaccard_pairs" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws

@@ -262,6 +262,20 @@ object RelOps {
   def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_anti")
 
+  /** Observation carry-forward ("fill down"): the last non-null value of
+    * `value` at or before each row in `(keys, order)` — the ETL idiom for
+    * sparse observations (e.g. latest recorded weight per patient as of each
+    * visit). Same single-shuffle running-window machinery as [[asOfJoin]]
+    * (which is fillDown across two tables).
+    */
+  def fillDown(df: DataFrame, keys: Seq[String], order: Seq[Column],
+               value: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(as, last(value, ignoreNulls = true).over(w))
+  }
+
   /** Second-moment statistics (sample variance/stddev of `x`, correlation of
     * `x`,`y`) computed from EXACT INTEGER sufficient statistics
     * (n, Σx, Σx², Σy, Σy², Σxy as BIGINTs) with the float math confined to
