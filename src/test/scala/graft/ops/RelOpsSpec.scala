@@ -162,6 +162,41 @@ class RelOpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("corr_xy") - builtin.getDouble(1)) < 1e-9)
   }
 
+  test("asOfJoin equals the naive per-row latest-lookup on a randomized set (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .toDF("lid", "k", "lt")
+    // unique (k, rt) pairs: on an exact tie the window's pick among equal
+    // times is unspecified, so the generator avoids ties rather than the
+    // oracle guessing them
+    val pairs = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    while (pairs.size < 300) pairs += ((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val right = pairs.toSeq.zipWithIndex.map { case ((k, rt), i) => (k, rt, i.toLong * 10) }
+      .toDF("k", "rt", "rv")
+    val got = RelOps.asOfJoin(
+        left, right.withColumnRenamed("rt", "t_r"), key = "k",
+        leftTime = "lt", rightTime = "t_r", rightVals = Seq("rv"))
+      .select($"lid", $"asof_rv").as[(Long, Option[Long])].collect().toMap
+    // naive oracle: for each left row, the unique max-rt right row with rt <= lt
+    val rightRows = right.as[(Long, Long, Long)].collect()
+    val exp = left.as[(Long, Long, Long)].collect().map { case (lid, k, lt) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= lt)
+      lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("fillDown carries the last non-null value forward per key") {
+    val df = Seq(
+      (1L, 1L, Some(10L)), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some(40L)),
+      (2L, 1L, None), (2L, 2L, Some(5L))).toDF("k", "t", "v")
+    val out = RelOps.fillDown(df, Seq("k"), Seq($"t".asc), $"v", "filled")
+      .select($"k", $"t", $"filled").as[(Long, Long, Option[Long])].collect().toSet
+    assert(out === Set(
+      (1L, 1L, Some(10L)), (1L, 2L, Some(10L)), (1L, 3L, Some(10L)), (1L, 4L, Some(40L)),
+      (2L, 1L, None), (2L, 2L, Some(5L))))
+  }
+
   test("semiJoin filters by existence without multiplying rows; antiJoin is its complement") {
     val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     // k=1 matches TWICE: a plain join would duplicate the row, semi must not
