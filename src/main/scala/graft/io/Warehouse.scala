@@ -63,6 +63,27 @@ class Warehouse(val spark: SparkSession, val root: String) {
     if (hadDest) f.delete(old, true)
   }
 
+  /** MERGE / upsert (the BigQuery MERGE analog the reference never needed
+    * because it truncate-rebuilds daily): rows of `updates` replace current
+    * rows sharing the same key; unmatched current rows survive; new keys
+    * insert. Implemented as `updates ∪ (current ⟻anti updates-keys)` through
+    * the crash-safe swap — the anti join ships only key columns of the
+    * updates side (broadcast when small), so at 100 TB the current table
+    * streams through one pass. When history accretes, pair with
+    * [[writePartitioned]] so only partitions containing touched keys
+    * rewrite (O(delta), not O(history)).
+    */
+  def merge(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    if (!exists(table)) write(table, updates)
+    else {
+      val kept = read(table).join(
+        org.apache.spark.sql.functions.broadcast(
+          updates.select(keys.map(updates.col): _*).distinct()),
+        keys, "left_anti")
+      write(table, updates.unionByName(kept))
+    }
+  }
+
   /** Append (streaming metadata sink, S7). */
   def append(table: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(path(table))

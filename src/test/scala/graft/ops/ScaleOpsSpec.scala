@@ -72,6 +72,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(wh.path("t__old"))))
   }
 
+  test("Warehouse.merge upserts: updates replace, unmatched survive, new keys insert") {
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    val wh = new Warehouse(spark, root)
+    wh.merge("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k")) // creates
+    wh.merge("t", Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    val out = wh.read("t").as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val root = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
     val wh = new Warehouse(spark, root)
