@@ -631,6 +631,13 @@ object SparkEntry {
       expr("""try_cast(concat(cast(cast(l_quantity as bigint) as string),
                 case when l_orderkey % 7 = 0 then 'x' else '' end) as bigint)""").as("qty_parsed"))
 
+  /** Column profiling (RelOps.profileColumns): null/distinct/min/max per
+    * column in ONE scan — the systematic form of the reference's eyeball
+    * BI checks. */
+  private def q66_profile(s: SparkSession, dir: String): DataFrame =
+    RelOps.profileColumns(Tables.lineitem(s, dir),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+
   /** ST1/ST3 — bounded streaming drain (Trigger.AvailableNow) over the events
     * parquet, aggregated in-stream; the oracle is the BATCH answer, proving
     * stream/batch agreement. */
@@ -715,6 +722,7 @@ object SparkEntry {
     "q63_intersect_except" -> (q63_intersect_except _),
     "q64_fill_down" -> (q64_fill_down _),
     "q65_try_cast" -> (q65_try_cast _),
+    "q66_profile" -> (q66_profile _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -1073,6 +1081,30 @@ object SparkEntry {
       """SELECT l_orderkey, cast(l_linenumber as bigint) AS line_no,
            TRY_CAST(cast(cast(l_quantity as bigint) as varchar) ||
              (CASE WHEN l_orderkey % 7 = 0 THEN 'x' ELSE '' END) AS BIGINT) AS qty_parsed
+         FROM lineitem""",
+    "q66_profile" ->
+      """SELECT 'l_orderkey' AS column_name, cast(count(*) as bigint) AS n_rows,
+           cast(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null,
+           cast(count(DISTINCT l_orderkey) as bigint) AS n_distinct,
+           cast(min(l_orderkey) as varchar) AS min_str, cast(max(l_orderkey) as varchar) AS max_str
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', cast(count(*) as bigint),
+           cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) as bigint),
+           cast(count(DISTINCT l_quantity) as bigint),
+           cast(min(l_quantity) as varchar), cast(max(l_quantity) as varchar)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', cast(count(*) as bigint),
+           cast(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) as bigint),
+           cast(count(DISTINCT l_returnflag) as bigint),
+           cast(min(l_returnflag) as varchar), cast(max(l_returnflag) as varchar)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_shipdate', cast(count(*) as bigint),
+           cast(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) as bigint),
+           cast(count(DISTINCT l_shipdate) as bigint),
+           cast(min(l_shipdate) as varchar), cast(max(l_shipdate) as varchar)
          FROM lineitem""",
     "q35_jaccard_pairs" ->
       """WITH sets AS (
