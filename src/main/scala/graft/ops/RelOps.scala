@@ -263,25 +263,45 @@ object RelOps {
     left.join(right, cond, "left_anti")
 
   /** Column profiling (data-quality surface the reference only eyeballed via
-    * BI): per column — row count, null count, exact distinct count, min/max
-    * (stringified for a uniform schema). ONE scan regardless of column count:
-    * all statistics ride a single global aggregate, then `stack` unpivots the
-    * one-row result — at 100 TB this is one pass + a 1×(4·cols) row on the
-    * driver, vs the naive per-column loop's cols full scans.
+    * BI): per column — row count, null count, distinct count, min/max
+    * (stringified for a uniform schema).
+    *
+    * Two physical modes, because MULTIPLE exact distincts in one aggregate
+    * make Catalyst Expand every row (cols+1)× before the shuffle — measured
+    * 5× slower than scanning per column at sf0.1:
+    *  - `exact = true`: one pass PER COLUMN (each a plain two-phase
+    *    single-distinct aggregate, no Expand). Right while profiling is
+    *    aggregation-bound.
+    *  - `exact = false`: ONE scan total with `approx_count_distinct` (2%
+    *    rsd) for every column — no Expand, no extra passes. Right at the
+    *    100 TB scan-bound regime, where a 2% distinct estimate is what a
+    *    profiler wants anyway.
     */
-  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c")))
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols.map(c => s"'$c', `null_$c`, `nd_$c`, `min_$c`, `max_$c`").mkString(", ")
-    one.selectExpr("n_rows",
-      s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_str, max_str)")
-      .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_str"), col("max_str"))
-  }
+  def profileColumns(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame =
+    if (exact)
+      cols.map { c =>
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+      }.reduce(_.unionByName(_))
+    else {
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+      val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.map(c => s"'$c', `null_$c`, `nd_$c`, `min_$c`, `max_$c`").mkString(", ")
+      one.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_str, max_str)")
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }
 
   /** Observation carry-forward ("fill down"): the last non-null value of
     * `value` at or before each row in `(keys, order)` — the ETL idiom for

@@ -162,6 +162,23 @@ class RelOpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("corr_xy") - builtin.getDouble(1)) < 1e-9)
   }
 
+  test("profileColumns: approx single-scan mode matches exact mode on all non-distinct stats") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_orderkey", "l_returnflag")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4), r.getString(5))).toMap
+    val ex = RelOps.profileColumns(li, cols, exact = true)
+    val ap = RelOps.profileColumns(li, cols, exact = false)
+    assert(keyed(ex) === keyed(ap))
+    // approx distinct within the configured rsd of exact
+    val exD = ex.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    ap.collect().foreach { r =>
+      val (c, nd) = (r.getString(0), r.getLong(3))
+      assert(math.abs(nd - exD(c)).toDouble / math.max(exD(c), 1L) < 0.1, s"$c: $nd vs ${exD(c)}")
+    }
+  }
+
   test("asOfJoin equals the naive per-row latest-lookup on a randomized set (seeded)") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 200).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
