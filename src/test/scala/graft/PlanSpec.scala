@@ -56,4 +56,9 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q58_quantiles")
     assert(p.contains("partial_percentile"), p)
   }
+
+  test("q66: exact profiling never plans an Expand (the multi-distinct row-replication)") {
+    val p = planOf("q66_profile")
+    assert(!p.contains("Expand"), p)
+  }
 }
