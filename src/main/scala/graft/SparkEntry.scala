@@ -654,6 +654,216 @@ object SparkEntry {
       s, s"$dir/events.parq*", raw, s"q51_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
 
+  /** Co-located (BUCKETED) join — the 100 TB answer to repeated fact-fact
+    * joins: both sides written bucketed on the join key
+    * (Warehouse.writeBucketed), so the join needs NO shuffle exchange
+    * (asserted in ScaleOpsSpec/PlanSpec). The oracle is the plain join —
+    * clustering changes the physical plan, never the answer. */
+  private def q67_bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Warehouse
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = new Warehouse(s, java.nio.file.Files.createTempDirectory("graft_bkt").toString)
+    val liT = s"li_bkt_$uid"; val oT = s"o_bkt_$uid"
+    wh.writeBucketed(liT, Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
+      buckets = 8, Seq("l_orderkey"))
+    wh.writeBucketed(oT, Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      buckets = 8, Seq("o_orderkey"))
+    val li = wh.readTable(liT); val o = wh.readTable(oT)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
+  /** Partition-PRUNED scan — orders written partitioned by year
+    * (Warehouse.writePartitioned, dynamic overwrite), then read with a
+    * partition predicate: only the matching directory is scanned
+    * (PartitionFilters — asserted in PlanSpec), the O(delta)-not-O(history)
+    * read/write pattern a daily 100 TB warehouse needs. */
+  private def q68_partition_prune(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Warehouse
+    val wh = new Warehouse(s, java.nio.file.Files.createTempDirectory("graft_part").toString)
+    wh.writePartitioned("orders_by_year",
+      Tables.orders(s, dir).withColumn("o_year", year(col("o_orderdate"))), Seq("o_year"))
+    s.read.parquet(wh.path("orders_by_year"))
+      .filter(col("o_year") === 1995)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  /** APPROXIMATE percentiles (KLL-style sketch, single pass, mergeable
+    * partials) — the 100 TB twin of q58's exact sort-based percentile; the
+    * sketch is accuracy-bounded, not exact, so no SQL oracle (rows-only);
+    * Round3Spec asserts it lands within the sketch's error bound of q58. */
+  private def q69_approx_quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(approx_percentile(col("l_quantity").cast("long"),
+          array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("ps"))
+      .select(col("returnflag"),
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p90"))
+
+  /** MERGEABLE distinct-count sketches (Datasketches HLL builtins): per-
+    * (flag,status) sketches unioned up to flag level without re-scanning the
+    * fact table — the re-aggregatable form q26's scalar estimate can't give
+    * you. At 100 TB this is the pattern: store sketch BYTES per fine-grained
+    * cell once, answer any coarser rollup by sketch union. Estimates ⇒ no
+    * SQL oracle; Round3Spec bounds the error vs exact. */
+  private def q70_hll_union(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_orders"))
+
+  /** NATIVE session windows (Sessionize.sessionWindows): break detection and
+    * aggregation fused in one `session_window` grouping — one shuffle, no
+    * two-pass window, streaming-ready. Oracled by the gaps-and-islands SQL
+    * with the operator's exact boundary semantics (merge iff gap <= 30 min;
+    * session_end = last_ts + gap). */
+  private def q71_session_window(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.sessionWindows(
+        Tables.events(s, dir), "user_id", "ts", gapMinutes = 30)
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+
+  /** STREAMING dedup (`dropDuplicatesWithinWatermark`) over a bounded drain —
+    * state-bounded exactly-once per event_id within the watermark horizon;
+    * horizon here exceeds the dataset span, so the batch COUNT(DISTINCT)
+    * oracle is exact. */
+  private def q72_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    graft.streaming.EventIngest.streamDedupCountsOverParquet(
+      s, s"$dir/events.parq*", raw,
+      tsExpr = "timestamp_micros(ts div 1000)",
+      watermark = "3650 days", idCols = Seq("event_id"),
+      name = s"q72_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
+  /** TYPED aggregation (Dataset[T] + custom `Aggregator`,
+    * TypedAggs.WeightedMean): quantity-weighted mean price per flag from
+    * exact integer partials — §2.9 headroom, oracled because the only float
+    * op is the final division, mirrored verbatim in the SQL. */
+  private def q73_typed_agg(s: SparkSession, dir: String): DataFrame = {
+    import graft.typed.TypedAggs
+    import org.apache.spark.sql.Encoders
+    val ds = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("key"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[TypedAggs.Weighted](Encoders.product[TypedAggs.Weighted])
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .agg(TypedAggs.WeightedMean.toColumn.name("wavg_price"))
+      .toDF("returnflag", "wavg_price")
+  }
+
+  /** Math-function family (§2.8 headroom): abs/sign, integer-division
+    * floor/ceil (kept in exact BIGINT arithmetic — no decimal-division
+    * rounding to disagree on), IEEE-exact sqrt, modulo. */
+  private def q74_math_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("cents", (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+        abs(col("l_quantity").cast("long") - 25).as("abs_dev"),
+        expr("cents div 100000").as("price_kfloor"),
+        expr("(cents + 99999) div 100000").as("price_kceil"),
+        sqrt(col("l_quantity").cast("long").cast("double")).as("qty_sqrt"),
+        (col("l_orderkey") % 7).as("key_mod7"),
+        signum(col("l_quantity").cast("double") - 25.0).cast("long").as("dev_sign"))
+
+  /** Conditional-expression family (§2.8 headroom): coalesce/nullif/nvl/
+    * greatest/least — the forms the reference spells as CASE (F2). greatest/
+    * least SELECT one of their inputs (no arithmetic), so doubles pass
+    * through bit-exact. */
+  private def q75_conditional_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")), lit("UNSPECIFIED"))
+        .as("priority_clean"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("price_floor"),
+      least(col("o_totalprice"), lit(100000.0)).as("price_cap"),
+      nvl(col("o_orderstatus"), lit("?")).as("status_nn"),
+      when(col("o_totalprice") > 200000.0, lit("big")).otherwise(lit("small")).as("size_class"))
+
+  /** Regex-function family over documents (extract/count/replace/rlike) —
+    * RE2-compatible patterns only (plain classes/alternations, no
+    * lookaround), so the DuckDB oracle computes the identical answer. */
+  private def q76_regex_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_numruns"),
+      regexp_replace(col("text"), "[0-9]+", "#").as("masked"),
+      col("text").rlike("data").as("has_data"))
+
+  /** INCREMENTAL upsert as an oracled query: a snapshot with stale rows for
+    * the post-split window is healed by Warehouse.merge with the correct
+    * delta — the final table must equal the full source (the oracle
+    * aggregates the source directly). This is the O(delta) daily-run
+    * alternative to the reference's whole-table WRITE_TRUNCATE rebuild. */
+  private def q77_incremental_merge(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Warehouse
+    val wh = new Warehouse(s, java.nio.file.Files.createTempDirectory("graft_mrg").toString)
+    val o = Tables.orders(s, dir)
+    val split = lit("1997-01-01").cast("timestamp")
+    wh.write("orders_snap", o.withColumn("o_totalprice",
+      when(col("o_orderdate") >= split, lit(-1.0)).otherwise(col("o_totalprice"))))
+    wh.merge("orders_snap", o.filter(col("o_orderdate") >= split), Seq("o_orderkey"))
+    wh.read("orders_snap")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  /** Map-function family (§2.8 headroom): construct/lookup/concat/cardinality
+    * — scalar outputs so the comparison stays exact (driver cannot sort map
+    * columns). */
+  private def q78_map_funcs(s: SparkSession, dir: String): DataFrame = {
+    val m = map(lit("status"), col("o_orderstatus"), lit("priority"), col("o_orderpriority"))
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      element_at(m, "status").as("m_status"),
+      map_contains_key(m, "priority").as("has_priority"),
+      size(m).cast("long").as("m_size"),
+      element_at(map_concat(m, map(lit("source"), lit("orders"))), "source").as("m_source"))
+  }
+
+  /** UNPIVOT / melt (the inverse of q52's wide pivot): measures to rows —
+    * the long-form reshape feeding per-metric dashboards. */
+  private def q79_unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        max(col("l_quantity").cast("long")).as("max_qty"))
+      .unpivot(Array(col("returnflag")),
+        Array(col("sum_qty"), col("cnt"), col("max_qty")), "measure", "value")
+
+  /** RANGE window frames (value-based, not row-count): events within 10
+    * value-units at or below each event's own value, per user — the frame
+    * kind q22's running totals (ROWS) don't exercise. RANGE includes all
+    * ORDER BY peers, so the answer is deterministic under ties. */
+  private def q80_range_frame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("vfloor"))
+      .rangeBetween(-10, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("vfloor", floor(col("value")).cast("long"))
+      .select(col("user_id"), col("event_id"), col("vfloor"),
+        count(lit(1)).over(w).as("n_near"),
+        sum(col("vfloor")).over(w).as("sum_near"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -723,6 +933,20 @@ object SparkEntry {
     "q64_fill_down" -> (q64_fill_down _),
     "q65_try_cast" -> (q65_try_cast _),
     "q66_profile" -> (q66_profile _),
+    "q67_bucketed_join" -> (q67_bucketed_join _),
+    "q68_partition_prune" -> (q68_partition_prune _),
+    "q69_approx_quantiles" -> (q69_approx_quantiles _),
+    "q70_hll_union" -> (q70_hll_union _),
+    "q71_session_window" -> (q71_session_window _),
+    "q72_stream_dedup" -> (q72_stream_dedup _),
+    "q73_typed_agg" -> (q73_typed_agg _),
+    "q74_math_funcs" -> (q74_math_funcs _),
+    "q75_conditional_funcs" -> (q75_conditional_funcs _),
+    "q76_regex_funcs" -> (q76_regex_funcs _),
+    "q77_incremental_merge" -> (q77_incremental_merge _),
+    "q78_map_funcs" -> (q78_map_funcs _),
+    "q79_unpivot" -> (q79_unpivot _),
+    "q80_range_frame" -> (q80_range_frame _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -1116,5 +1340,100 @@ object SparkEntry {
          FROM sets a JOIN sets b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.ws, b.ws)) * 10 >=
                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) * 8""",
+    // q67: bucketing changes the physical plan, never the answer — the
+    // oracle is the plain join+agg
+    "q67_bucketed_join" ->
+      """SELECT o_orderpriority AS priority, cast(count(*) as bigint) AS n_lines,
+           cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q68_partition_prune" ->
+      """SELECT o_orderpriority AS priority, cast(count(*) as bigint) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+         FROM orders WHERE year(o_orderdate) = 1995
+         GROUP BY 1""",
+    // q71: gaps-and-islands with session_window's exact boundary semantics —
+    // Spark coalesces touching windows, so merge iff gap <= 30 min (a break
+    // needs STRICTLY more), and session_end is last_ts + gap
+    "q71_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           cast(count(*) as bigint) AS n_events
+         FROM s GROUP BY user_id, sid""",
+    "q72_stream_dedup" ->
+      """SELECT event_type, cast(count(DISTINCT event_id) as bigint) AS n_unique
+         FROM events GROUP BY 1""",
+    // q73: the only float ops are the two final divisions, written in the
+    // same order as Aggregator.finish (sum/100.0/qty)
+    "q73_typed_agg" ->
+      """SELECT l_returnflag AS returnflag,
+           cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+                    * cast(l_quantity as bigint)) as double) / 100.0
+             / cast(sum(cast(l_quantity as bigint)) as double) AS wavg_price
+         FROM lineitem GROUP BY 1""",
+    // q74: floor/ceil via positive-operand integer division (Spark `div`
+    // truncates toward zero, DuckDB `//` floors — equal on positives)
+    "q74_math_funcs" ->
+      """SELECT l_orderkey, cast(l_linenumber as bigint) AS line_no,
+           abs(cast(l_quantity as bigint) - 25) AS abs_dev,
+           cast(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) // 100000 as bigint) AS price_kfloor,
+           cast((cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) + 99999) // 100000 as bigint) AS price_kceil,
+           sqrt(cast(cast(l_quantity as bigint) as double)) AS qty_sqrt,
+           l_orderkey % 7 AS key_mod7,
+           cast(sign(cast(l_quantity as double) - 25.0) as bigint) AS dev_sign
+         FROM lineitem""",
+    "q75_conditional_funcs" ->
+      """SELECT o_orderkey,
+           coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED') AS priority_clean,
+           greatest(o_totalprice, 100000.0) AS price_floor,
+           least(o_totalprice, 100000.0) AS price_cap,
+           coalesce(o_orderstatus, '?') AS status_nn,
+           CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class
+         FROM orders""",
+    // q76: RE2-safe patterns; DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's global-replace default
+    "q76_regex_funcs" ->
+      """SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           cast(len(regexp_extract_all(text, '[0-9]+')) as bigint) AS n_numruns,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+           regexp_matches(text, 'data') AS has_data
+         FROM documents""",
+    // q77: merge heals the stale snapshot back to the source — the oracle
+    // aggregates the source directly
+    "q77_incremental_merge" ->
+      """SELECT o_orderstatus AS status, cast(count(*) as bigint) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+         FROM orders GROUP BY 1""",
+    "q78_map_funcs" ->
+      """SELECT o_orderkey, o_orderstatus AS m_status, true AS has_priority,
+           cast(2 as bigint) AS m_size, 'orders' AS m_source
+         FROM orders""",
+    "q79_unpivot" ->
+      """WITH a AS (
+           SELECT l_returnflag AS returnflag,
+             cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+             cast(count(*) as bigint) AS cnt,
+             cast(max(cast(l_quantity as bigint)) as bigint) AS max_qty
+           FROM lineitem GROUP BY 1)
+         SELECT returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+         UNION ALL SELECT returnflag, 'cnt' AS measure, cnt AS value FROM a
+         UNION ALL SELECT returnflag, 'max_qty' AS measure, max_qty AS value FROM a""",
+    "q80_range_frame" ->
+      """SELECT user_id, event_id, vfloor,
+           cast(count(*) OVER fr as bigint) AS n_near,
+           cast(sum(vfloor) OVER fr as bigint) AS sum_near
+         FROM (SELECT user_id, event_id, cast(floor(value) as bigint) AS vfloor FROM events)
+         WINDOW fr AS (PARTITION BY user_id ORDER BY vfloor
+                       RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""",
   )
 }

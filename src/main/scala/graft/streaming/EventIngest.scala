@@ -144,6 +144,43 @@ object EventIngest {
     spark.table(name)
   }
 
+  /** STREAMING DEDUPLICATION (`dropDuplicatesWithinWatermark`) over a bounded
+    * drain — the streaming twin of the batch `.distinct()` staging dedup
+    * (A4/A5): exactly-once per `idCols` key within the watermark horizon,
+    * state expiring as event time advances. At 100 TB-ingest scale this is
+    * the operator that absorbs the at-least-once duplicates of the
+    * republish path (ST2) without holding unbounded state — key state is
+    * dropped once the watermark passes, so memory is O(keys-per-horizon),
+    * not O(keys-ever). The driver-contract query q72 runs it with a horizon
+    * wider than the dataset so the batch `COUNT(DISTINCT)` oracle is exact.
+    * Dedup emits in append mode to the sink; the per-type counts are then a
+    * batch aggregate over the sink table.
+    */
+  def streamDedupCountsOverParquet(spark: SparkSession, parquetGlob: String,
+                                   schema: StructType, tsExpr: String,
+                                   watermark: String, idCols: Seq[String],
+                                   name: String,
+                                   statePartitions: Int = 8): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = spark.readStream.schema(schema).parquet(parquetGlob)
+        .withColumn("__ts", expr(tsExpr))
+        .withWatermark("__ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
   /** Bounded streaming aggregation to an in-memory sink, returned as a
     * DataFrame — used by the driver-contract query q51: proves the streaming
     * path computes the same answer as the batch oracle.

@@ -95,4 +95,29 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Spark's NATIVE session windows (`session_window` grouping) — the
+    * engine-supported form of [[batch]]: one `groupBy(session_window(ts,
+    * gap), user)` does the break detection and the aggregation in a single
+    * operator (physically: shuffle on the user key, in-partition sort, then
+    * session merge inside the aggregate — same one-shuffle cost as [[batch]]
+    * but without materializing two window passes, and it runs unchanged in
+    * Structured Streaming with a watermark).
+    *
+    * Boundary semantics (measured, Round3Spec): Spark merges a new event
+    * into the current session when its window `[ts, ts+gap)` starts at or
+    * before the session's end, i.e. merge iff `diff <= gap` — two events
+    * exactly `gap` apart are the SAME session, matching [[batch]].
+    * `session_end` is `last_ts + gap` (the window bound), not the last
+    * event time.
+    */
+  def sessionWindows(events: DataFrame, userCol: String, tsCol: String,
+                     gapMinutes: Int): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), s"$gapMinutes minutes"), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }
