@@ -864,6 +864,210 @@ object SparkEntry {
         sum(col("vfloor")).over(w).as("sum_near"))
   }
 
+  /** Gopher-style REPETITION filters (training-corpus quality rule: a doc
+    * whose tokens/bigrams are mostly copies of each other is template or
+    * looping output): exact duplicate-token and duplicate-bigram fractions.
+    * All counting is integer; each fraction is ONE final IEEE division —
+    * oracle-exact. Shuffle-free: pure per-row expressions inside the scan.
+    */
+  private def q81_repetition(s: SparkSession, dir: String): DataFrame =
+    par(s, Tables.documents(s, dir))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("bg", TextOps.bigramsFromTokens(col("toks")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq_tok"),
+        size(col("bg")).cast("long").as("n_bigram"),
+        size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigram"))
+      .withColumn("dup_tok_frac",
+        when(col("n_tok") > 0,
+          (col("n_tok") - col("n_uniq_tok")).cast("double") / col("n_tok").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigram") > 0,
+          (col("n_bigram") - col("n_uniq_bigram")).cast("double") / col("n_bigram").cast("double"))
+          .otherwise(lit(0.0)))
+
+  /** PII redaction (the pre-training scrub pass): mask emails and phone-like
+    * digit runs, count what was masked. The corpus has no natural PII, so a
+    * deterministic synthetic email+phone derived from doc_id is appended
+    * first — the redaction regexes then have real work to do and the oracle
+    * still checks exactly. RE2-safe patterns (plain classes, no lookaround);
+    * DuckDB needs the 'g' flag to match Spark's replace-all default.
+    */
+  private def q82_pii_mask(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9_.]+@[A-Za-z0-9_.-]+"
+    val phoneRe = "[+][0-9][0-9-]{5,}"
+    par(s, Tables.documents(s, dir))
+      .withColumn("aug", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 7, "0")))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("masked"))
+  }
+
+  /** DETERMINISTIC stratified sampling (RelOps.hashSampleFilter): keep 50%
+    * of URGENT orders, 10% of the rest, membership a pure function of the
+    * key — so the held-out split is stable across re-ingests and
+    * re-partitionings (df.sample() is neither). Codegen'd md5 filter inside
+    * the scan: no shuffle, no RNG state, trivially parallel at 100 TB.
+    */
+  private def q83_hash_sample(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(when(col("o_orderpriority") === "1-URGENT",
+          RelOps.hashSampleFilter(col("o_orderkey"), 0.5))
+        .otherwise(RelOps.hashSampleFilter(col("o_orderkey"), 0.1)))
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        col("o_totalprice").as("total_price"))
+
+  /** DATE-SPINE gap fill: per-user daily activity series with explicit
+    * zero-rows for silent days (`sequence` + `explode` of the per-user
+    * [min,max] day range, left-joined back onto the daily counts). The
+    * time-series densification every dashboard/forecast feed needs; the
+    * spine is generated from a per-user aggregate (O(users) rows), not a
+    * driver-side calendar loop.
+    */
+  private def q84_date_spine(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** Edit-distance fuzzy canonicalization (entity resolution's core scalar):
+    * inputs deterministically corrupted with a key-dependent suffix, then
+    * snapped to the nearest canonical label by `levenshtein` (ties and the
+    * argmin spelled as an explicit comparison chain mirrored verbatim in the
+    * oracle). Per-row codegen'd expressions — shuffle-free.
+    */
+  private def q85_levenshtein(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("p_type"), expr("repeat('x', cast(p_partkey % 3 as int))"))
+    val dEcon = levenshtein(col("dirty"), lit("ECONOMY")).cast("long")
+    val dStd  = levenshtein(col("dirty"), lit("STANDARD")).cast("long")
+    val dProm = levenshtein(col("dirty"), lit("PROMO")).cast("long")
+    Tables.part(s, dir)
+      .withColumn("dirty", dirty)
+      .select(col("p_partkey"), col("dirty"),
+        dEcon.as("d_economy"), dStd.as("d_standard"), dProm.as("d_promo"),
+        when(dEcon <= dStd && dEcon <= dProm, "ECONOMY")
+          .when(dStd <= dProm, "STANDARD")
+          .otherwise("PROMO").as("canonical"))
+  }
+
+  /** The full RANKING-window battery (rank / dense_rank / ntile /
+    * percent_rank / cume_dist) per customer — §2.5 headroom beyond
+    * q11/q48's row_number/lag. Total order inside each partition
+    * (price desc, key asc) makes every rank deterministic; percent_rank and
+    * cume_dist are exact rationals of BIGINTs, so the one IEEE division per
+    * value is engine-identical.
+    */
+  private def q86_rank_battery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cdist"))
+  }
+
+  /** Per-row Z-SCORE anomaly flags from exact integer sufficient statistics
+    * (RelOps.zscore): the O(groups) stats aggregate is broadcast back onto
+    * the fact scan — facts never shuffle, the pattern that survives 100 TB.
+    * Float math is one final formula mirrored verbatim in the oracle.
+    */
+  private def q87_zscore_outliers(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+      col("l_returnflag").as("returnflag"), col("l_quantity").cast("long").as("qty"))
+    RelOps.zscore(base, "returnflag", col("qty"), "z")
+      .select(col("l_orderkey"), col("line_no"), col("returnflag"), col("qty"),
+        col("z"), (abs(col("z")) > 2.0).as("is_outlier"))
+  }
+
+  /** Transitive NEAR-DUP CLUSTERS: the verified exact-Jaccard pairs (q42's
+    * operator) become edges; Clusters.connectedComponents collapses each
+    * group of mutual near-dups to its minimum doc_id — A≈B≈C dedups to one
+    * keeper even when A,C don't match directly. Oracle = recursive CTE over
+    * the identical pair set. Singleton docs keep themselves.
+    */
+  private def q88_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Clusters
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.shingleJaccardPairsPrefix(par(s, docs), "doc_id", "text", thresh10 = 7)
+    Clusters.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+  }
+
+  /** Sliding-window CHUNKING for context-window packing (chunk 128 tokens,
+    * stride 96): one row per (doc, chunk) with exact token offsets —
+    * the reshape that turns a document corpus into fixed-size training
+    * examples. Offsets derive from a counted token stream, so the op is a
+    * generate-per-row explode: no shuffle, scales with input splits.
+    */
+  private def q89_chunk_windows(s: SparkSession, dir: String): DataFrame =
+    par(s, Tables.documents(s, dir))
+      .withColumn("n_tok", TextOps.tokenCount(col("text")))
+      .select(col("doc_id"), col("n_tok"),
+        explode(TextOps.chunkStarts(col("n_tok"), 96)).as("tok_start"))
+      .select(col("doc_id"),
+        expr("tok_start div 96").as("chunk_idx"),
+        col("tok_start"),
+        least(col("tok_start") + 128L, col("n_tok")).as("tok_end"))
+
+  /** VOCABULARY induction: global top-N token counts with a total-order
+    * tie-break (count desc, token asc) so the cut is deterministic — the
+    * first step of tokenizer training. explode → partial-agg count →
+    * TakeOrderedAndProject (Spark's top-K operator: no global sort at scale).
+    */
+  private def q90_vocab_topn(s: SparkSession, dir: String): DataFrame =
+    par(s, Tables.documents(s, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token").rlike("^[a-z]+$"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(200)
+
+  /** STREAM–STREAM join (EventIngest.streamStreamJoinOverParquet): clicks
+    * joined to the same user's purchases within 30 minutes, both sides
+    * watermarked so join state is bounded — the streaming attribution join.
+    * Oracle = the equivalent batch self-join.
+    */
+  private def q91_stream_join(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    graft.streaming.EventIngest.streamStreamJoinOverParquet(
+      s, s"$dir/events.parq*", raw,
+      tsExpr = "timestamp_micros(ts div 1000)",
+      leftType = "click", rightType = "purchase", maxDelay = "30 minutes",
+      name = s"q91_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
+  /** MIN-MAX feature scaling within each priority class
+    * (RelOps.minMaxScale): whole-partition window, min/max select existing
+    * doubles (no float accumulation), one mirrored subtraction+division.
+    */
+  private def q92_minmax_scale(s: SparkSession, dir: String): DataFrame =
+    RelOps.minMaxScale(
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority").as("priority"), col("o_totalprice")),
+      "priority", col("o_totalprice"), "price_scaled")
+      .select(col("o_orderkey"), col("priority"),
+        col("o_totalprice").as("total_price"), col("price_scaled"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -947,6 +1151,18 @@ object SparkEntry {
     "q78_map_funcs" -> (q78_map_funcs _),
     "q79_unpivot" -> (q79_unpivot _),
     "q80_range_frame" -> (q80_range_frame _),
+    "q81_repetition" -> (q81_repetition _),
+    "q82_pii_mask" -> (q82_pii_mask _),
+    "q83_hash_sample" -> (q83_hash_sample _),
+    "q84_date_spine" -> (q84_date_spine _),
+    "q85_levenshtein" -> (q85_levenshtein _),
+    "q86_rank_battery" -> (q86_rank_battery _),
+    "q87_zscore_outliers" -> (q87_zscore_outliers _),
+    "q88_dup_clusters" -> (q88_dup_clusters _),
+    "q89_chunk_windows" -> (q89_chunk_windows _),
+    "q90_vocab_topn" -> (q90_vocab_topn _),
+    "q91_stream_join" -> (q91_stream_join _),
+    "q92_minmax_scale" -> (q92_minmax_scale _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -1435,5 +1651,146 @@ object SparkEntry {
          FROM (SELECT user_id, event_id, cast(floor(value) as bigint) AS vfloor FROM events)
          WINDOW fr AS (PARTITION BY user_id ORDER BY vfloor
                        RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""",
+    // q81: DuckDB range(1,0) is empty (never descends) so the bigram list is
+    // safely empty for 0/1-token docs; Spark side has an explicit guard
+    "q81_repetition" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         b AS (SELECT doc_id, toks,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+           FROM t)
+         SELECT doc_id,
+           cast(len(toks) as bigint) AS n_tok,
+           cast(len(list_distinct(toks)) as bigint) AS n_uniq_tok,
+           cast(len(bg) as bigint) AS n_bigram,
+           cast(len(list_distinct(bg)) as bigint) AS n_uniq_bigram,
+           CASE WHEN len(toks) > 0
+                THEN cast(len(toks) - len(list_distinct(toks)) as double) / cast(len(toks) as double)
+                ELSE 0.0 END AS dup_tok_frac,
+           CASE WHEN len(bg) > 0
+                THEN cast(len(bg) - len(list_distinct(bg)) as double) / cast(len(bg) as double)
+                ELSE 0.0 END AS dup_bigram_frac
+         FROM b""",
+    "q82_pii_mask" ->
+      """WITH a AS (SELECT doc_id,
+             text || ' contact user' || cast(doc_id as varchar) ||
+               '@example.com or call +1-555-' || lpad(cast(doc_id % 10000 as varchar), 7, '0') AS aug
+           FROM documents)
+         SELECT doc_id,
+           cast(len(regexp_extract_all(aug, '[A-Za-z0-9_.]+@[A-Za-z0-9_.-]+')) as bigint) AS n_emails,
+           cast(len(regexp_extract_all(aug, '[+][0-9][0-9-]{5,}')) as bigint) AS n_phones,
+           regexp_replace(regexp_replace(aug, '[A-Za-z0-9_.]+@[A-Za-z0-9_.-]+', '<EMAIL>', 'g'),
+             '[+][0-9][0-9-]{5,}', '<PHONE>', 'g') AS masked
+         FROM a""",
+    // q83: md5 of the stringified key is engine-identical; lowercase hex
+    // compares lexicographically == numerically at fixed width
+    "q83_hash_sample" ->
+      """SELECT o_orderkey, o_orderpriority AS priority, o_totalprice AS total_price
+         FROM orders
+         WHERE CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN substring(md5(cast(o_orderkey as varchar)), 1, 4) < '8000'
+                    ELSE substring(md5(cast(o_orderkey as varchar)), 1, 4) < '199a' END""",
+    "q84_date_spine" ->
+      """WITH daily AS (
+           SELECT user_id, cast(ts as date) AS day, cast(count(*) as bigint) AS n
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         spine AS (SELECT user_id,
+             cast(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) as date) AS day
+           FROM bounds)
+         SELECT s.user_id, s.day, coalesce(n, 0) AS n_events
+         FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""",
+    "q85_levenshtein" ->
+      """WITH t AS (SELECT p_partkey,
+             p_type || repeat('x', cast(p_partkey % 3 as int)) AS dirty
+           FROM part)
+         SELECT p_partkey, dirty,
+           cast(levenshtein(dirty, 'ECONOMY') as bigint) AS d_economy,
+           cast(levenshtein(dirty, 'STANDARD') as bigint) AS d_standard,
+           cast(levenshtein(dirty, 'PROMO') as bigint) AS d_promo,
+           CASE WHEN levenshtein(dirty, 'ECONOMY') <= levenshtein(dirty, 'STANDARD')
+                 AND levenshtein(dirty, 'ECONOMY') <= levenshtein(dirty, 'PROMO') THEN 'ECONOMY'
+                WHEN levenshtein(dirty, 'STANDARD') <= levenshtein(dirty, 'PROMO') THEN 'STANDARD'
+                ELSE 'PROMO' END AS canonical
+         FROM t""",
+    "q86_rank_battery" ->
+      """SELECT o_custkey AS custkey, o_orderkey,
+           cast(rank() OVER w as bigint) AS rnk,
+           cast(dense_rank() OVER w as bigint) AS drnk,
+           cast(ntile(4) OVER w as bigint) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    // q87: z from exact integer (n, Σx, Σx²); the float formula is written
+    // in the identical operation order on both sides
+    "q87_zscore_outliers" ->
+      """WITH st AS (
+           SELECT l_returnflag AS rf, cast(count(*) as bigint) AS n,
+             cast(sum(cast(l_quantity as bigint)) as bigint) AS sx,
+             cast(sum(cast(l_quantity as bigint) * cast(l_quantity as bigint)) as bigint) AS sxx
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, cast(l_linenumber as bigint) AS line_no,
+           l_returnflag AS returnflag, cast(l_quantity as bigint) AS qty,
+           (cast(cast(l_quantity as bigint) as double) - cast(sx as double) / cast(n as double)) /
+             sqrt(cast(n * sxx - sx * sx as double) / cast(n * (n - 1) as double)) AS z,
+           abs((cast(cast(l_quantity as bigint) as double) - cast(sx as double) / cast(n as double)) /
+             sqrt(cast(n * sxx - sx * sx as double) / cast(n * (n - 1) as double))) > 2.0 AS is_outlier
+         FROM lineitem JOIN st ON l_returnflag = rf""",
+    // q88: same pair set as q42 (hash-distinct == string-distinct shingle
+    // counts), closed transitively by a recursive CTE; min reachable id is
+    // the cluster id
+    "q88_dup_clusters" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 10 >=
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 7),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         walk(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
+         SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id""",
+    // q89: DuckDB range(0, n, 96) == Spark sequence(0, n-1, 96) for n > 0;
+    // both empty for empty docs
+    "q89_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+             cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) as bigint) AS n_tok
+           FROM documents)
+         SELECT doc_id, cast(st // 96 as bigint) AS chunk_idx,
+           cast(st as bigint) AS tok_start,
+           cast(least(st + 128, n_tok) as bigint) AS tok_end
+         FROM (SELECT doc_id, n_tok, unnest(range(0, n_tok, 96)) AS st FROM t)""",
+    "q90_vocab_topn" ->
+      """SELECT token, cast(count(*) as bigint) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+           FROM documents)
+         WHERE regexp_matches(token, '^[a-z]+$')
+         GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 200""",
+    "q91_stream_join" ->
+      """SELECT c.user_id, cast(count(*) as bigint) AS n_pairs,
+           cast(count(DISTINCT c.event_id) as bigint) AS n_lefts,
+           cast(count(DISTINCT p.event_id) as bigint) AS n_rights
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         GROUP BY 1""",
+    "q92_minmax_scale" ->
+      """SELECT o_orderkey, o_orderpriority AS priority, o_totalprice AS total_price,
+           CASE WHEN max(o_totalprice) OVER w = min(o_totalprice) OVER w THEN 0.5
+                ELSE (o_totalprice - min(o_totalprice) OVER w) /
+                     (max(o_totalprice) OVER w - min(o_totalprice) OVER w) END AS price_scaled
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority)""",
   )
 }

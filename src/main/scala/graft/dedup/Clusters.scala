@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster canonicalization: turn pairwise near-duplicate matches
+  * (the output of MinHash-LSH / exact-Jaccard verification — `Dedup`'s pair
+  * producers) into connected components, so each group of mutual near-dups
+  * collapses to ONE canonical representative (the minimum id).
+  *
+  * The reference dedups row-identical records only (`SELECT DISTINCT *`,
+  * e.g. reference covid_transforms.py:43-47); clustering TRANSITIVE
+  * near-duplicates is the corpus-level generalization a training-data
+  * pipeline needs — A≈B and B≈C must collapse to one keeper even when A and
+  * C don't match directly.
+  */
+object Clusters {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * Each vertex starts labeled with its own id; every round each vertex
+    * takes the minimum label among itself and its neighbors; fixpoint =
+    * components. Rounds needed = graph diameter. Near-dup graphs are dense
+    * little cliques (every member matches most others), so diameters are
+    * tiny and this converges in 2–3 rounds — which is why plain
+    * min-propagation is the right algorithm here, and the
+    * alternating-star-contraction variants (large-star/small-star) that fix
+    * min-propagation's O(diameter) behavior on long-path graphs are not
+    * needed for the dedup workload.
+    *
+    * Scale notes for the 100 TB regime:
+    *  - the per-round shuffle is keyed on vertex id both in the neighbor
+    *    join and the min-aggregation, so AQE reuses one exchange layout;
+    *  - `localCheckpoint` after each round truncates the lineage — without
+    *    it round k replays rounds 1..k-1 and the job goes quadratic;
+    *  - the edge set is symmetrized once and cached: it is reused every
+    *    round and never grows;
+    *  - convergence is detected with a `limit(1)` existence probe on changed
+    *    labels, not a full count — the probe short-circuits.
+    *
+    * @param vertices one row per vertex (extra columns ignored)
+    * @param edges    undirected pair list (extra columns ignored)
+    * @return (`idCol`, cluster_id) — cluster_id = min vertex id reachable
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaNeighbors = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as(idCol), col("cluster_id"))
+  }
+}

@@ -352,4 +352,59 @@ object RelOps {
       countDistinct(col(target)).as("exact_distinct"),
       approx_count_distinct(col(target), 0.02).as("approx_distinct"),
       hll_sketch_estimate(hll_sketch_agg(col(target))).as("hll_estimate"))
+
+  /** DETERMINISTIC Bernoulli sampling keyed on a stable column — the
+    * reproducible alternative to `df.sample()` (whose output depends on
+    * partitioning and row order, so it can't be oracle-checked or re-run
+    * byte-identically). A row is kept iff the first 4 hex chars of
+    * md5(key) fall below rate·65536 — md5 of the same key string is the
+    * same everywhere (any engine, any partitioning, any day), which is
+    * exactly what a training-data pipeline needs for held-out splits:
+    * membership is a pure function of the key, so re-ingesting or
+    * re-partitioning the corpus never migrates rows across splits. Plain
+    * filter over a codegen'd hash — pipelines inside the scan, no shuffle,
+    * no RNG state.
+    */
+  def hashSampleFilter(key: Column, rate: Double): Column = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    // rate 1.0 must short-circuit: its threshold would format as the 5-char
+    // "10000", which sorts BELOW most 4-char hex strings lexicographically
+    if (rate >= 1.0) lit(true)
+    else {
+      val threshold = f"${math.round(rate * 65536).toInt}%04x"
+      substring(md5(key.cast("string").cast("binary")), 1, 4) < lit(threshold)
+    }
+  }
+
+  /** Min-max feature scaling within a group: (x − min)/(max − min) over a
+    * whole-partition window. min/max SELECT existing values (no float
+    * accumulation), and the only arithmetic is one subtraction pair and one
+    * division — deterministic IEEE ops mirrored verbatim by the oracle.
+    * Window-without-ORDER-BY = one shuffle on the group key, each partition
+    * computed in a single pass.
+    */
+  def minMaxScale(df: DataFrame, groupKey: String, x: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(col(groupKey))
+    val lo = min(x).over(w); val hi = max(x).over(w)
+    df.withColumn(as, when(hi === lo, lit(0.5)).otherwise((x - lo) / (hi - lo)))
+  }
+
+  /** Per-row z-scores (and |z|>`sigmas` outlier flags) from EXACT INTEGER
+    * sufficient statistics: the tiny per-group (n, Σx, Σx²) aggregate is
+    * broadcast back onto the fact rows, so the scan side never shuffles —
+    * the anomaly-detection shape that survives 100 TB (stats are O(groups),
+    * facts stream through map-side). Float math is confined to one final
+    * formula identical on both engines (see [[momentStats]] for why not
+    * `stddev_samp` directly). `x` must be integer-typed.
+    */
+  def zscore(df: DataFrame, groupKey: String, x: Column, as: String): DataFrame = {
+    val stats = df.groupBy(col(groupKey)).agg(
+      count(lit(1)).as("__n"), sum(x).as("__sx"), sum(x * x).as("__sxx"))
+    val z = (x.cast("double") - col("__sx").cast("double") / col("__n").cast("double")) /
+      sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double"))
+    df.join(broadcast(stats), groupKey)
+      .withColumn(as, z)
+      .drop("__n", "__sx", "__sxx")
+  }
 }

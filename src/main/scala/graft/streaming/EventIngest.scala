@@ -192,6 +192,56 @@ object EventIngest {
     * event types — 32 stores would be 4× pure overhead). Fixed at the first
     * checkpoint, so it is set for this query only and restored after.
     */
+  /** STREAM–STREAM inner join with watermarks and an event-time range
+    * condition — the one stateful-join shape Structured Streaming supports
+    * natively, and the streaming twin of the batch range join (q29): every
+    * `rightType` event is matched to the `leftType` events of the same user
+    * that preceded it by at most `maxDelay` (the attribution join). Both
+    * sides carry a watermark and the join predicate bounds `r_ts` in
+    * [`l_ts`, `l_ts` + `maxDelay`], so each side's buffered state is evicted
+    * once the other side's watermark passes — state is O(events-per-horizon)
+    * per key, not O(stream) (this is what makes the operator viable over an
+    * unbounded 100 TB/day feed; an unconstrained stream join would buffer
+    * forever). Pair rows land append-mode in the sink; the returned frame is
+    * the per-user pair/count rollup, whose oracle is the equivalent batch
+    * self-join.
+    */
+  def streamStreamJoinOverParquet(spark: SparkSession, parquetGlob: String,
+                                  schema: StructType, tsExpr: String,
+                                  leftType: String, rightType: String,
+                                  maxDelay: String, name: String,
+                                  statePartitions: Int = 8): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val src = spark.readStream.schema(schema).parquet(parquetGlob)
+        .withColumn("__ts", expr(tsExpr))
+      val left = src.filter(col("event_type") === leftType)
+        .select(col("user_id"), col("__ts").as("l_ts"), col("event_id").as("l_id"))
+        .withWatermark("l_ts", maxDelay)
+      val right = src.filter(col("event_type") === rightType)
+        .select(col("user_id").as("r_user"), col("__ts").as("r_ts"), col("event_id").as("r_id"))
+        .withWatermark("r_ts", maxDelay)
+      val q = left.join(right,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+        .select(col("user_id"), col("l_id"), col("r_id"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("l_id")).as("n_lefts"),
+        countDistinct(col("r_id")).as("n_rights"))
+  }
+
   def streamCountsOverParquet(spark: SparkSession, parquetGlob: String,
                               schema: StructType, name: String,
                               statePartitions: Int = 8): DataFrame = {

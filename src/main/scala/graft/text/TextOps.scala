@@ -113,4 +113,37 @@ object TextOps {
     filter(
       transform(ts, (_, i) => when(i + n <= size(ts), array_join(slice(ts, i + lit(1), lit(n)), " "))),
       s => s.isNotNull)
+
+  /** Adjacent token bigrams ("a b", "b c", …) — the unit of the
+    * repeated-n-gram repetition filters (Gopher-style corpus quality rules:
+    * a document whose bigrams are mostly copies of each other is template or
+    * looping output, not prose). Guarded `when`: Spark's `sequence(1, 0)`
+    * with an inferred step would DESCEND, so short inputs return an
+    * explicit empty array. Same caveat as [[shinglesFromTokens]]: pass a
+    * materialized token column, not `tokens(text)` inline.
+    */
+  def bigramsFromTokens(ts: Column): Column =
+    when(size(ts) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - 1, lit(1)),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+
+  /** Duplicate fraction of an array: (count - distinct count) / count as an
+    * exact integer pair; callers divide once at the end so the only float op
+    * is one IEEE division (oracle-exact). Returns (n, n_distinct) columns
+    * via a struct.
+    */
+  def dupStats(arr: Column): Column =
+    struct(size(arr).cast("long").as("n"),
+      size(array_distinct(arr)).cast("long").as("n_distinct"))
+
+  /** Sliding-window chunk START offsets for context-window packing: token
+    * offsets 0, stride, 2·stride, … strictly below `nTok`. The training-data
+    * chunking primitive: each start yields the chunk
+    * [start, min(start+chunkSize, nTok)). Empty array for empty docs (the
+    * `when` guard — `sequence` throws on inconsistent bounds with an
+    * explicit positive step).
+    */
+  def chunkStarts(nTok: Column, stride: Int): Column =
+    when(nTok <= 0, array().cast("array<long>"))
+      .otherwise(sequence(lit(0L), nTok.cast("long") - 1L, lit(stride.toLong)))
 }

@@ -1,0 +1,44 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val v = vertices.toDF("id")
+    val e = edges.toDF("src", "dst")
+    Clusters.connectedComponents(v, "id", e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("transitive chain collapses to one cluster; isolated vertex keeps itself") {
+    // A≈B and B≈C but no direct A≈C edge — the case pairwise dedup misses
+    val got = cc(Seq(1L, 2L, 3L, 9L), Seq((2L, 3L), (1L, 2L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("disjoint cliques get distinct minimum-id labels") {
+    val got = cc(Seq(1L, 2L, 3L, 10L, 11L, 12L),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L)))
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+  }
+
+  test("no edges: every vertex is its own cluster") {
+    val got = cc(Seq(5L, 6L, 7L), Seq.empty)
+    assert(got === Map(5L -> 5L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("long path needs multiple propagation rounds and still converges") {
+    // diameter 7: label 1 must walk the whole path
+    val path = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = cc((1L to 8L), path)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("edge direction does not matter (symmetrized internally)") {
+    assert(cc(Seq(1L, 2L), Seq((2L, 1L))) === Map(1L -> 1L, 2L -> 1L))
+  }
+}
