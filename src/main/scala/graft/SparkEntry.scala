@@ -1068,6 +1068,152 @@ object SparkEntry {
       .select(col("o_orderkey"), col("priority"),
         col("o_totalprice").as("total_price"), col("price_scaled"))
 
+  /** FULL OUTER join (§2.3 headroom — the one outer-join shape q09/q44/q45
+    * don't cover): a filtered dimension slice against per-customer urgent
+    * counts, with unmatched rows surviving from BOTH sides and coalesced
+    * keys/flags making the provenance explicit. Spark plans this as a
+    * sort-merge join (full outer cannot broadcast either side — both sides'
+    * unmatched rows must be emitted, and only the stream side of a
+    * broadcast join can do that).
+    */
+  private def q93_full_outer(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("ckey"), col("c_name"))
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+    c.join(o, col("ckey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("ckey"), col("o_custkey")).as("custkey"),
+        col("c_name").as("cust_name"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        col("ckey").isNotNull.as("in_dim"),
+        col("o_custkey").isNotNull.as("in_fact"))
+  }
+
+  /** CROSS join (explicit Cartesian, §2.3 headroom): the tiny-dims product
+    * that seeds enumeration patterns (calendar × category scaffolds). Kept
+    * to dimension tables on purpose — at scale a cross join is only ever
+    * sane when one side fits in a broadcast (Spark plans
+    * BroadcastNestedLoopJoin here).
+    */
+  private def q94_cross_join(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+      .crossJoin(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")))
+      .select(col("r_regionkey"), col("n_nationkey"),
+        concat_ws("/", col("r_name"), col("n_name")).as("pair_label"))
+
+  /** SLIDING (hopping) event-time windows over the stream — 1-hour windows
+    * every 15 minutes, so each event lands in 4 overlapping windows; the
+    * tumbling twin is q60. Oracle: batch expansion of each event into its 4
+    * epoch-aligned window starts.
+    */
+  private def q95_sliding_windows(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    graft.streaming.EventIngest.streamWindowedCountsOverParquet(
+      s, s"$dir/events.parq*", raw,
+      tsExpr = "timestamp_micros(ts div 1000)",
+      windowLen = "1 hour", watermark = "1 minute",
+      name = s"q95_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      slide = Some("15 minutes"))
+  }
+
+  /** Exact per-group MODE with a deterministic tie-break (most frequent
+    * event type per user; ties go to the lexicographically smallest) — in
+    * ONE aggregation pass via struct ordering: min(struct(-count, type))
+    * picks highest count then smallest type, with no second window shuffle.
+    * (Spark's builtin `mode` is tie-nondeterministic, so it can't be
+    * oracle-checked; this form can.)
+    */
+  private def q96_mode(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("event_type").as("et"))).as("m"),
+        sum(col("cnt")).as("n_events"))
+      .select(col("user_id"), col("m.et").as("mode_type"),
+        (-col("m.neg")).as("mode_count"), col("n_events"))
+
+  /** Schema-ful JSON round-trip (to_json → from_json with a NESTED struct
+    * schema → field extraction) — the structured half of §2.8's JSON surface
+    * (q24 covers schemaless get_json_object). The parse is a codegen'd
+    * expression against a static schema: no inference pass, which is what
+    * keeps it viable inside a 100 TB scan stage.
+    */
+  private def q97_json_struct(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("t", StringType), StructField("u", LongType))))))
+    Tables.events(s, dir)
+      .withColumn("packed", to_json(struct(
+        col("event_id").as("id"),
+        struct(col("event_type").as("t"), col("user_id").as("u")).as("meta"))))
+      .withColumn("parsed", from_json(col("packed"), schema))
+      .select(col("event_id"),
+        col("parsed.id").as("id_back"),
+        col("parsed.meta.t").as("type_back"),
+        col("parsed.meta.u").as("user_back"))
+  }
+
+  /** CSV source/sink round-trip (S1 headroom — the reference's loader keeps
+    * CSV-only options around): explicit-schema header CSV write + read back,
+    * then an aggregate the oracle computes from the original parquet — the
+    * round-trip must be lossless (dates ISO, doubles shortest-repr exact).
+    */
+  private def q98_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
+      StructField("o_orderdate", DateType), StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).option("header", "true").csv(tmp)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+  }
+
+  /** JSON-lines source/sink round-trip (S7's wire format as a bulk lake
+    * format): explicit-schema read back — same losslessness bar as q98.
+    */
+  private def q99_json_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
+      .write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
+      StructField("o_orderdate", DateType), StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).json(tmp)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  /** first_value / last_value / nth_value with explicit ROWS frames (§2.5
+    * headroom beyond q48/q64/q80): per-user first/last/second event types
+    * under a (ts, event_id) total order — running frame for first/second,
+    * whole-partition frame for last.
+    */
+  private def q100_value_windows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      first(col("event_type")).over(running).as("first_type"),
+      last(col("event_type")).over(whole).as("last_type"),
+      nth_value(col("event_type"), 2).over(running).as("second_type"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1163,6 +1309,14 @@ object SparkEntry {
     "q90_vocab_topn" -> (q90_vocab_topn _),
     "q91_stream_join" -> (q91_stream_join _),
     "q92_minmax_scale" -> (q92_minmax_scale _),
+    "q93_full_outer" -> (q93_full_outer _),
+    "q94_cross_join" -> (q94_cross_join _),
+    "q95_sliding_windows" -> (q95_sliding_windows _),
+    "q96_mode" -> (q96_mode _),
+    "q97_json_struct" -> (q97_json_struct _),
+    "q98_csv_roundtrip" -> (q98_csv_roundtrip _),
+    "q99_json_roundtrip" -> (q99_json_roundtrip _),
+    "q100_value_windows" -> (q100_value_windows _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -1792,5 +1946,64 @@ object SparkEntry {
                      (max(o_totalprice) OVER w - min(o_totalprice) OVER w) END AS price_scaled
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority)""",
+    "q93_full_outer" ->
+      """WITH c AS (SELECT c_custkey AS ckey, c_name FROM customer WHERE c_custkey % 3 = 0),
+         o AS (SELECT o_custkey, cast(count(*) as bigint) AS n_urgent
+               FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+         SELECT coalesce(ckey, o_custkey) AS custkey,
+           c_name AS cust_name,
+           coalesce(n_urgent, 0) AS n_urgent,
+           ckey IS NOT NULL AS in_dim,
+           o_custkey IS NOT NULL AS in_fact
+         FROM c FULL OUTER JOIN o ON ckey = o_custkey""",
+    "q94_cross_join" ->
+      """SELECT r_regionkey, n_nationkey,
+           r_name || '/' || n_name AS pair_label
+         FROM region CROSS JOIN nation""",
+    // q95: each event expands into windowLen/slide = 4 epoch-aligned window
+    // starts (time_bucket == Spark's slide-aligned window start)
+    "q95_sliding_windows" ->
+      """SELECT ws AS window_start, event_type, cast(count(*) as bigint) AS cnt
+         FROM (SELECT event_type,
+                 unnest(generate_series(time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL 45 MINUTE,
+                   time_bucket(INTERVAL 15 MINUTE, ts), INTERVAL 15 MINUTE)) AS ws
+               FROM events)
+         GROUP BY 1, 2""",
+    "q96_mode" ->
+      """WITH c AS (SELECT user_id, event_type, cast(count(*) as bigint) AS cnt
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type, cnt,
+                 row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn,
+                 sum(cnt) OVER (PARTITION BY user_id) AS n_events
+               FROM c)
+         SELECT user_id, event_type AS mode_type, cnt AS mode_count,
+           cast(n_events as bigint) AS n_events
+         FROM r WHERE rn = 1""",
+    // q97: the round-trip is the identity — the oracle reads the original
+    // columns straight off the table
+    "q97_json_struct" ->
+      """SELECT event_id, event_id AS id_back, event_type AS type_back, user_id AS user_back
+         FROM events""",
+    // q98/q99: lossless round-trip — the oracle aggregates the original
+    "q98_csv_roundtrip" ->
+      """SELECT o_orderpriority AS priority, cast(count(*) as bigint) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price,
+           min(cast(o_orderdate as date)) AS first_date,
+           max(cast(o_orderdate as date)) AS last_date
+         FROM orders GROUP BY 1""",
+    "q99_json_roundtrip" ->
+      """SELECT o_orderpriority AS priority, cast(count(*) as bigint) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+         FROM orders GROUP BY 1""",
+    "q100_value_windows" ->
+      """SELECT user_id, event_id,
+           first_value(event_type) OVER run AS first_type,
+           last_value(event_type) OVER whole AS last_type,
+           nth_value(event_type, 2) OVER run AS second_type
+         FROM events
+         WINDOW run AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           whole AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
   )
 }

@@ -120,14 +120,18 @@ object EventIngest {
                                       schema: StructType, tsExpr: String,
                                       windowLen: String, watermark: String,
                                       name: String,
-                                      statePartitions: Int = 8): DataFrame = {
+                                      statePartitions: Int = 8,
+                                      slide: Option[String] = None): DataFrame = {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       val q = spark.readStream.schema(schema).parquet(parquetGlob)
         .withColumn("__ts", expr(tsExpr))
         .withWatermark("__ts", watermark)
-        .groupBy(window(col("__ts"), windowLen), col("event_type"))
+        // SLIDING windows when `slide` < `windowLen`: each event lands in
+        // windowLen/slide overlapping epoch-aligned windows (the hopping
+        // aggregation); default is tumbling (slide == length)
+        .groupBy(window(col("__ts"), windowLen, slide.getOrElse(windowLen)), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         // NTZ for cross-engine comparison (watermark itself needs TIMESTAMP);
         // session TZ is UTC so the wall-clock value is unchanged

@@ -61,4 +61,39 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q66_profile")
     assert(!p.contains("Expand"), p)
   }
+
+  test("q83: the deterministic sample is a scan-stage filter, no shuffle at all") {
+    val p = planOf("q83_hash_sample")
+    assert(!p.contains("Exchange"), "sampling must not shuffle:\n" + p)
+  }
+
+  test("q87: z-score stats re-join is broadcast — fact rows never shuffle") {
+    val p = planOf("q87_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q90: vocab top-N plans as TakeOrderedAndProject over a partial agg") {
+    val p = planOf("q90_vocab_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("q93: full outer joins sort-merge (neither side can broadcast)") {
+    val p = planOf("q93_full_outer")
+    assert(p.contains("FullOuter") && p.contains("SortMergeJoin"), p)
+  }
+
+  test("q94: tiny-dim cross join plans a broadcast nested loop, not a shuffle product") {
+    val p = planOf("q94_cross_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q92: min-max scaling is one exchange (the window's own partitioning)") {
+    val p = planOf("q92_minmax_scale")
+    assert("Exchange".r.findAllIn(p
+      .replace("ReusedExchange", "")).size <= 2, // logical+executed dump each show the plan once
+      "scaling should shuffle once:\n" + p)
+  }
 }
