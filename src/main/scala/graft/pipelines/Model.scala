@@ -12,7 +12,13 @@ import graft.io.Warehouse
 final case class Stage(
     name: String,                                   // = reference task_id
     sink: String,                                   // destination table
-    run: (SparkSession, Warehouse) => DataFrame)
+    run: (SparkSession, Warehouse) => DataFrame,
+    // optional inline QA metrics (aggregate expressions over the stage
+    // output, e.g. sum(key.isNull) null-counts) — collected by `observe`
+    // DURING the write pass, costing zero extra jobs. Observed metrics
+    // forbid DISTINCT aggregates (Spark INVALID_OBSERVED_METRICS); use
+    // approx_count_distinct for cardinality QA
+    qaMetrics: Seq[org.apache.spark.sql.Column] = Nil)
 
 final case class Pipeline(
     name: String,
@@ -20,6 +26,14 @@ final case class Pipeline(
     dependsOn: Seq[String] = Nil)                   // O2 ExternalTaskSensor edges
 
 final case class StageFailure(pipeline: String, stage: String, error: Throwable)
+
+/** S5's post-load report (rows + columns, parquet_solution.py:120-124) as a
+  * per-stage metrics record, extended with any stage-declared QA metrics
+  * (null-key counts, domain violations, …).
+  */
+final case class StageMetrics(pipeline: String, stage: String, sink: String,
+                              nRows: Long, nCols: Int,
+                              qa: Map[String, Any])
 
 /** O1 task chain + O2 cross-pipeline deps + O3 retries + O4 failure hook.
   *
@@ -35,14 +49,27 @@ class Runner(
     wh: Warehouse,
     retries: Int = 2,                               // idr_load.py:55
     retryDelayMs: Long = 0,                         // 3 min in the reference; 0 for tests
-    onFailure: StageFailure => Unit = _ => ()) {    // O4 Mattermost-webhook analog
+    onFailure: StageFailure => Unit = _ => (),      // O4 Mattermost-webhook analog
+    onMetrics: StageMetrics => Unit = _ => ()) {    // S5 rows/cols report analog
 
   def runStage(pipeline: String, st: Stage): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
       try {
-        wh.write(st.sink, st.run(spark, wh))
+        val out = st.run(spark, wh)
+        // S5's rows/cols report, but measured DURING the write pass via
+        // `observe` — the reference pays a separate count job
+        // (parquet_solution.py:120-121); observation metrics ride the
+        // write's own action, an O(0) extra cost that still holds at 100 TB
+        val obs = org.apache.spark.sql.Observation()
+        val metrics =
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__n_rows") +: st.qaMetrics
+        wh.write(st.sink, out.observe(obs, metrics.head, metrics.tail: _*))
+        val got = obs.get
+        onMetrics(StageMetrics(pipeline, st.name, st.sink,
+          got("__n_rows").asInstanceOf[Long], out.schema.length, got - "__n_rows"))
         done = true
       } catch {
         case e: Throwable =>

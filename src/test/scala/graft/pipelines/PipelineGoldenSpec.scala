@@ -185,4 +185,27 @@ class PipelineGoldenSpec extends SparkSpec {
     val b = Pipeline("b", Nil, dependsOn = Seq("a"))
     intercept[IllegalArgumentException](new Runner(spark, wh).runAll(Seq(a, b)))
   }
+
+  test("runner: observe-based stage metrics report rows/cols + QA during the write pass") {
+    import org.apache.spark.sql.functions._
+    val metrics = scala.collection.mutable.ArrayBuffer[StageMetrics]()
+    val whm = new graft.io.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_whm_").toString)
+    val r = new Runner(spark, whm, onMetrics = metrics += _)
+    val st = Stage("load_customers", "cust", (s, _) =>
+        graft.Tables.customer(s, sfDir).select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      qaMetrics = Seq(
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("null_keys"),
+        // observed metrics forbid DISTINCT aggregates; the HLL++ sketch is
+        // the observable stand-in (exact at this cardinality)
+        approx_count_distinct(col("c_mktsegment")).as("n_segments")))
+    r.run(Pipeline("load", Seq(st)))
+    assert(metrics.size === 1)
+    val m = metrics.head
+    assert((m.pipeline, m.stage, m.sink) === (("load", "load_customers", "cust")))
+    assert(m.nRows === whm.read("cust").count())
+    assert(m.nCols === 3)
+    assert(m.qa("null_keys") === 0L)
+    assert(m.qa("n_segments") === whm.read("cust").select("c_mktsegment").distinct().count())
+  }
 }
