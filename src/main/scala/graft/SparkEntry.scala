@@ -1214,6 +1214,74 @@ object SparkEntry {
       nth_value(col("event_type"), 2).over(running).as("second_type"))
   }
 
+  /** SCHEMA-EVOLUTION union (`unionByName(allowMissingColumns = true)`):
+    * two extract generations with different column sets combine by NAME,
+    * absent columns null-filled — the ingest op that keeps a pipeline alive
+    * across upstream schema changes (the reference's pandas `concat` at
+    * parquet_solution.py:76 does this positionally and silently; by-name is
+    * the survivable form). Oracle: DuckDB UNION ALL BY NAME.
+    */
+  private def q101_union_evolve(s: SparkSession, dir: String): DataFrame = {
+    val gen1 = Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+    val gen2 = Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        col("o_totalprice").as("total_price"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("priority"), col("total_price"))
+  }
+
+  /** SCHEMA-EVOLUTION parquet read (`mergeSchema`): two physical batches
+    * written with different schemas under one dataset dir read back as the
+    * union schema, old-batch rows null-filled — the lake-side dual of q101
+    * (evolution absorbed at the scan, no rewrite of historical files; at
+    * 100 TB rewriting history for a new column is not an option). Oracle:
+    * the same union expressed over the source table.
+    */
+  private def q102_merge_schema(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/batch=1", s"$tmp/batch=2")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_legacy_rows"),
+        sum(coalesce(col("o_totalprice"), lit(0.0)).cast("decimal(18,2)"))
+          .cast("double").as("sum_price_new"))
+  }
+
+  /** CDC-style SNAPSHOT DIFF: today's extract vs yesterday's, keyed full
+    * outer join + per-row md5 content hash → added/removed/changed/unchanged
+    * counts — the change-detection pass that turns the reference's daily
+    * WRITE_TRUNCATE rebuild into an O(delta) incremental feed (pairs with
+    * Warehouse.merge). The "yesterday" snapshot is derived deterministically
+    * (drop every 101st key, perturb every 97th price) so the oracle can
+    * rebuild it. Hash input uses DECIMAL-stringified money (double→varchar
+    * formatting differs across engines; decimal doesn't).
+    */
+  private def q103_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    def rowHash(price: Column, prio: Column): Column =
+      md5(concat_ws("|", price.cast("decimal(18,2)").cast("string"), prio))
+    val today = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k_new"),
+        rowHash(col("o_totalprice"), col("o_orderpriority")).as("h_new"))
+    val yesterday = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey").as("k_old"),
+        rowHash(when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")), col("o_orderpriority")).as("h_old"))
+    today.join(yesterday, col("k_new") === col("k_old"), "full_outer")
+      .select(when(col("k_old").isNull, "added")
+        .when(col("k_new").isNull, "removed")
+        .when(col("h_new") =!= col("h_old"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1317,6 +1385,9 @@ object SparkEntry {
     "q98_csv_roundtrip" -> (q98_csv_roundtrip _),
     "q99_json_roundtrip" -> (q99_json_roundtrip _),
     "q100_value_windows" -> (q100_value_windows _),
+    "q101_union_evolve" -> (q101_union_evolve _),
+    "q102_merge_schema" -> (q102_merge_schema _),
+    "q103_snapshot_diff" -> (q103_snapshot_diff _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2005,5 +2076,41 @@ object SparkEntry {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
            whole AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q101_union_evolve" ->
+      """SELECT o_orderkey, priority, total_price FROM (
+           SELECT o_orderkey, o_orderpriority AS priority, NULL::double AS total_price
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL BY NAME
+           SELECT o_orderkey, o_orderpriority AS priority, o_totalprice AS total_price
+           FROM orders WHERE o_orderkey % 2 = 1)""",
+    "q102_merge_schema" ->
+      """WITH merged AS (
+           SELECT o_orderpriority, NULL::double AS o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT o_orderpriority AS priority, cast(count(*) as bigint) AS n_orders,
+           cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) as bigint) AS n_legacy_rows,
+           cast(sum(cast(coalesce(o_totalprice, 0.0) as decimal(18,2))) as double) AS sum_price_new
+         FROM merged GROUP BY 1""",
+    "q103_snapshot_diff" ->
+      """WITH today AS (
+           SELECT o_orderkey AS k_new,
+             md5(cast(cast(o_totalprice as decimal(18,2)) as varchar) || '|' || o_orderpriority) AS h_new
+           FROM orders),
+         yesterday AS (
+           SELECT o_orderkey AS k_old,
+             md5(cast(cast(CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                                ELSE o_totalprice END as decimal(18,2)) as varchar) ||
+                 '|' || o_orderpriority) AS h_old
+           FROM orders WHERE o_orderkey % 101 <> 0)
+         SELECT CASE WHEN k_old IS NULL THEN 'added'
+                     WHEN k_new IS NULL THEN 'removed'
+                     WHEN h_new <> h_old THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+           cast(count(*) as bigint) AS n_rows
+         FROM today FULL OUTER JOIN yesterday ON k_new = k_old
+         GROUP BY 1""",
   )
 }
