@@ -196,6 +196,32 @@ object EventIngest {
     * event types — 32 stores would be 4× pure overhead). Fixed at the first
     * checkpoint, so it is set for this query only and restored after.
     */
+  /** Continuous UPSERT ingest: each drained micro-batch is MERGEd into a
+    * warehouse table by key (`foreachBatch` → Warehouse.merge) — the
+    * streaming form of the O(delta) incremental load (vs the reference's
+    * daily WRITE_TRUNCATE rebuild). The checkpoint makes the file source
+    * exactly-once across drains (a re-run never re-reads absorbed files),
+    * and merge-by-key makes each batch idempotent on top of that — the
+    * at-least-once duplicates of the republish path (ST2) collapse into
+    * the key. In-batch duplicates are pre-collapsed with
+    * `dropDuplicates(keys)` so one batch cannot insert a key twice.
+    */
+  def streamMergeIntoWarehouse(spark: SparkSession, sourceDir: String,
+                               schema: StructType, wh: graft.io.Warehouse,
+                               table: String, keys: Seq[String],
+                               checkpoint: String,
+                               format: String = "parquet"): Unit = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => wh.merge(table, batch.dropDuplicates(keys), keys)
+    val q = spark.readStream.schema(schema).format(format).load(sourceDir)
+      .writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAM–STREAM inner join with watermarks and an event-time range
     * condition — the one stateful-join shape Structured Streaming supports
     * natively, and the streaming twin of the batch range join (q29): every

@@ -41,4 +41,29 @@ class ClustersSpec extends SparkSpec {
   test("edge direction does not matter (symmetrized internally)") {
     assert(cc(Seq(1L, 2L), Seq((2L, 1L))) === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("randomized graphs match a driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 20 + trial * 10
+      val vertices = (1L to n.toLong)
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1)
+      }.filter { case (a, b) => a != b }
+
+      val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min id per component
+      val expected = vertices.map { v =>
+        val root = find(v)
+        v -> vertices.filter(find(_) == root).min
+      }.toMap
+
+      assert(cc(vertices, edges) === expected, s"trial $trial: n=$n edges=$edges")
+    }
+  }
 }
