@@ -1282,6 +1282,50 @@ object SparkEntry {
       .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
   }
 
+  /** INCREMENTAL aggregation via mergeable sufficient statistics: the first
+    * half-year's exact (n, Σx, Σx²) partials are "yesterday's" state table;
+    * the second half's partials MERGE into them by addition — no rescan of
+    * history — and the final variance derives from the merged sums. The
+    * oracle computes the same stats over the full table in one pass: merged
+    * must equal monolithic EXACTLY (integer sums are associative — this is
+    * the property float accumulators lack, and why the state table stores
+    * integers). The 100 TB pattern: keep per-day partials, answer any window
+    * by summing O(days) tiny rows.
+    */
+  private def q104_incremental_stats(s: SparkSession, dir: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag").as("returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sx"),
+          sum(col("l_quantity").cast("long") * col("l_quantity").cast("long")).as("sxx"))
+    val li = Tables.lineitem(s, dir)
+    val split = lit("1995-01-01").cast("date")
+    val merged = partials(li.filter(col("l_shipdate") < split))
+      .unionByName(partials(li.filter(col("l_shipdate") >= split)))
+      .groupBy(col("returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"))
+    merged.select(col("returnflag"), col("n"),
+      ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("n") * (col("n") - 1)).cast("double")).as("var_qty"))
+  }
+
+  /** TOP-K PER GROUP (k=3 priciest orders per customer): the window-rank
+    * filter Spark compiles to a partial WindowGroupLimit BELOW the shuffle —
+    * each map task forwards at most k rows per key, so the exchange carries
+    * O(groups·k), not O(rows). q11 proves the k=1 case; this is the general
+    * k (asserted in PlanSpec).
+    */
+  private def q105_topk_per_group(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey").as("custkey"), col("rnk").cast("long").as("rnk"),
+        col("o_orderkey"), col("o_totalprice").as("total_price"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1388,6 +1432,8 @@ object SparkEntry {
     "q101_union_evolve" -> (q101_union_evolve _),
     "q102_merge_schema" -> (q102_merge_schema _),
     "q103_snapshot_diff" -> (q103_snapshot_diff _),
+    "q104_incremental_stats" -> (q104_incremental_stats _),
+    "q105_topk_per_group" -> (q105_topk_per_group _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2112,5 +2158,20 @@ object SparkEntry {
            cast(count(*) as bigint) AS n_rows
          FROM today FULL OUTER JOIN yesterday ON k_new = k_old
          GROUP BY 1""",
+    // q104: the merged partials must equal one monolithic pass exactly
+    "q104_incremental_stats" ->
+      """SELECT l_returnflag AS returnflag, cast(count(*) as bigint) AS n,
+           cast(count(*) * sum(cast(l_quantity as bigint) * cast(l_quantity as bigint))
+                - sum(cast(l_quantity as bigint)) * sum(cast(l_quantity as bigint)) as double) /
+             cast(count(*) * (count(*) - 1) as double) AS var_qty
+         FROM lineitem GROUP BY 1""",
+    "q105_topk_per_group" ->
+      """SELECT o_custkey AS custkey, cast(rnk as bigint) AS rnk, o_orderkey,
+           o_totalprice AS total_price
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+               FROM orders)
+         WHERE rnk <= 3""",
   )
 }

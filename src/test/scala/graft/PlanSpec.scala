@@ -79,6 +79,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("q105: top-k per group plans a partial WindowGroupLimit below the shuffle") {
+    val p = planOf("q105_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("q93: full outer joins sort-merge (neither side can broadcast)") {
     val p = planOf("q93_full_outer")
     assert(p.contains("FullOuter") && p.contains("SortMergeJoin"), p)
