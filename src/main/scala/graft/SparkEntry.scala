@@ -1326,6 +1326,39 @@ object SparkEntry {
         col("o_orderkey"), col("o_totalprice").as("total_price"))
   }
 
+  /** ORC source/sink round-trip — the third columnar lake format next to
+    * parquet (native) and CSV/JSON-lines (q98/q99); same losslessness bar.
+    */
+  private def q106_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        min(col("o_orderdate")).as("first_date"))
+  }
+
+  /** NULL-SAFE equality join (`<=>` — SQL's IS NOT DISTINCT FROM): a
+    * priority dimension containing an explicit NULL row matches fact rows
+    * whose priority was nullified — the join shape that keeps "unknown"
+    * buckets joined instead of silently dropped (a plain equi-join loses
+    * every NULL key). The dimension stays broadcast-able.
+    */
+  private def q107_nullsafe_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("1-URGENT", "now"), ("2-HIGH", "soon"), ("3-MEDIUM", "later"),
+      ("5-LOW", "whenever"), (null.asInstanceOf[String], "unknown"))
+      .toDF("d_priority", "sla")
+    val facts = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")).as("priority"))
+    facts.join(broadcast(dim), col("priority") <=> col("d_priority"), "inner")
+      .groupBy(col("sla")).agg(count(lit(1)).as("n_orders"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1434,6 +1467,8 @@ object SparkEntry {
     "q103_snapshot_diff" -> (q103_snapshot_diff _),
     "q104_incremental_stats" -> (q104_incremental_stats _),
     "q105_topk_per_group" -> (q105_topk_per_group _),
+    "q106_orc_roundtrip" -> (q106_orc_roundtrip _),
+    "q107_nullsafe_join" -> (q107_nullsafe_join _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2173,5 +2208,21 @@ object SparkEntry {
                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
                FROM orders)
          WHERE rnk <= 3""",
+    "q106_orc_roundtrip" ->
+      """SELECT o_orderpriority AS priority, cast(count(*) as bigint) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price,
+           min(cast(o_orderdate as date)) AS first_date
+         FROM orders GROUP BY 1""",
+    "q107_nullsafe_join" ->
+      """WITH dim AS (
+           SELECT * FROM (VALUES ('1-URGENT', 'now'), ('2-HIGH', 'soon'),
+             ('3-MEDIUM', 'later'), ('5-LOW', 'whenever'), (NULL, 'unknown'))
+             AS t(d_priority, sla)),
+         facts AS (
+           SELECT o_orderkey, nullif(o_orderpriority, '4-NOT SPECIFIED') AS priority
+           FROM orders)
+         SELECT sla, cast(count(*) as bigint) AS n_orders
+         FROM facts JOIN dim ON priority IS NOT DISTINCT FROM d_priority
+         GROUP BY 1""",
   )
 }
