@@ -1359,6 +1359,43 @@ object SparkEntry {
       .groupBy(col("sla")).agg(count(lit(1)).as("n_orders"))
   }
 
+  /** Cluster-aware KEEP-BEST dedup policy: q88's transitive near-dup
+    * clusters joined back to the corpus, each cluster keeping its LONGEST
+    * member (ties → smallest doc_id) rather than blindly the minimum id —
+    * the policy form real corpus dedup uses (keep the richest copy, drop
+    * the rest). The keeper argmax is one aggregation via struct ordering
+    * (max(struct(n_chars, -doc_id))) — no second window pass.
+    */
+  private def q108_dedup_keep_best(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Clusters
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.shingleJaccardPairsPrefix(par(s, docs), "doc_id", "text", thresh10 = 7)
+    Clusters.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("m.negid")).as("keeper_id"),
+        col("m.n_chars").as("keeper_chars"), col("n_members"))
+  }
+
+  /** Composed CORPUS QUALITY FILTER (the C4-style cleaning pass): ordered
+    * rules — minimum length, bigram-repetition ceiling, language — emit a
+    * verdict per document (first failing rule, else "keep"). All thresholds
+    * compare exact integers; the language rule reuses the q31 classifier —
+    * one shuffle-free scan pass over the corpus.
+    */
+  private def q109_quality_filter(s: SparkSession, dir: String): DataFrame =
+    par(s, Tables.documents(s, dir))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("bg", TextOps.bigramsFromTokens(col("toks")))
+      .select(col("doc_id"),
+        when(size(col("toks")) < 5, "too_short")
+          .when((size(col("bg")) - size(array_distinct(col("bg")))).cast("long") * 10 >
+            size(col("bg")).cast("long") * 3, "too_repetitive")
+          .when(TextOps.langId(col("text")) =!= "en", "non_english")
+          .otherwise("keep").as("verdict"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1469,6 +1506,8 @@ object SparkEntry {
     "q105_topk_per_group" -> (q105_topk_per_group _),
     "q106_orc_roundtrip" -> (q106_orc_roundtrip _),
     "q107_nullsafe_join" -> (q107_nullsafe_join _),
+    "q108_dedup_keep_best" -> (q108_dedup_keep_best _),
+    "q109_quality_filter" -> (q109_quality_filter _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2224,5 +2263,58 @@ object SparkEntry {
          SELECT sla, cast(count(*) as bigint) AS n_orders
          FROM facts JOIN dim ON priority IS NOT DISTINCT FROM d_priority
          GROUP BY 1""",
+    "q108_dedup_keep_best" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 10 >=
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 7),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         walk(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+         clusters AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id),
+         ranked AS (
+           SELECT c.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+           FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+         SELECT cluster_id, doc_id AS keeper_id, n_chars AS keeper_chars,
+           cast(n_members as bigint) AS n_members
+         FROM ranked WHERE rn = 1""",
+    "q109_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         b AS (SELECT doc_id, text, toks,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+           FROM t),
+         sc AS (SELECT doc_id, text, toks, bg,
+           len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|that|it|for)\b')) AS s_en,
+           len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS s_de,
+           len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|un|une|des|que|pour)\b')) AS s_fr,
+           len(regexp_extract_all(text, '(?i)\b(el|los|las|y|es|un|una|que|por|para)\b')) AS s_es,
+           len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS s_zh
+         FROM b)
+         SELECT doc_id,
+           CASE WHEN len(toks) < 5 THEN 'too_short'
+                WHEN (len(bg) - len(list_distinct(bg))) * 10 > len(bg) * 3 THEN 'too_repetitive'
+                WHEN (CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+                        CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                             WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                             ELSE 'es' END
+                      WHEN s_zh > 0 THEN 'zh' ELSE 'und' END) <> 'en' THEN 'non_english'
+                ELSE 'keep' END AS verdict
+         FROM sc""",
   )
 }
