@@ -23,4 +23,19 @@ class EntrySpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  // approximate/sketch/stub operators whose values are engine-specific by
+  // nature; each has an oracle-checked exact twin (README coverage map)
+  private val rowsOnlyByDesign = Set(
+    "q26_sketch_distinct", "q36_minhash_lsh", "q37_simhash_neardup",
+    "q39_ann_lsh", "q40_fingerprint_rolling", "q43_ann_ivf",
+    "q50_media_features", "q69_approx_quantiles", "q70_hll_union")
+
+  test("every query has an oracle unless it is rows-only by design") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    assert(unoracled.isEmpty,
+      s"queries missing an oracle (add SQL or justify rows-only): $unoracled")
+    val stale = rowsOnlyByDesign -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only allowlist entries with no query: $stale")
+  }
 }
