@@ -1396,6 +1396,28 @@ object SparkEntry {
           .when(TextOps.langId(col("text")) =!= "en", "non_english")
           .otherwise("keep").as("verdict"))
 
+  /** Typed Dataset[T] LAMBDA pipeline (case-class Encoder + typed
+    * filter/map) — the §2.9 API surface q73's Aggregator doesn't show.
+    * Deliberately thin: typed lambdas deserialize every row and are opaque
+    * to Catalyst (no pushdown through the closure, no codegen inside it),
+    * so the library keeps them for genuinely imperative row logic and does
+    * everything else as columns; this query exists to prove the surface and
+    * pin its semantics, with the heavy lifting (the aggregate) back in
+    * DataFrame land where it partial-aggs map-side.
+    */
+  private def q110_typed_lambda(s: SparkSession, dir: String): DataFrame = {
+    import graft.typed.TypedAggs.Line
+    import org.apache.spark.sql.Encoders
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").cast("long").as("lineNo"),
+        col("l_quantity").cast("long").as("qty"), col("l_returnflag").as("flag"))
+      .as[Line](Encoders.product[Line])
+      .filter((l: Line) => l.qty > 30 && l.flag != "N")
+      .map((l: Line) => l.copy(qty = l.qty - 30))(Encoders.product[Line])
+      .groupBy(col("flag").as("returnflag"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("excess_qty"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1508,6 +1530,7 @@ object SparkEntry {
     "q107_nullsafe_join" -> (q107_nullsafe_join _),
     "q108_dedup_keep_best" -> (q108_dedup_keep_best _),
     "q109_quality_filter" -> (q109_quality_filter _),
+    "q110_typed_lambda" -> (q110_typed_lambda _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2316,5 +2339,11 @@ object SparkEntry {
                       WHEN s_zh > 0 THEN 'zh' ELSE 'und' END) <> 'en' THEN 'non_english'
                 ELSE 'keep' END AS verdict
          FROM sc""",
+    "q110_typed_lambda" ->
+      """SELECT l_returnflag AS returnflag, cast(count(*) as bigint) AS n_lines,
+           cast(sum(cast(l_quantity as bigint) - 30) as bigint) AS excess_qty
+         FROM lineitem
+         WHERE cast(l_quantity as bigint) > 30 AND l_returnflag <> 'N'
+         GROUP BY 1""",
   )
 }

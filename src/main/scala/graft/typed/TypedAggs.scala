@@ -21,6 +21,10 @@ object TypedAggs {
     * ×100 (exact), `qty` the integer weight. */
   case class Weighted(key: String, qty: Long, cents: Long)
 
+  /** Typed view of a lineitem row for the Dataset[T] lambda pipeline
+    * (SparkEntry q110). */
+  case class Line(okey: Long, lineNo: Long, qty: Long, flag: String)
+
   /** Quantity-weighted mean of a money column: Σ(cents·qty)/100/Σqty.
     * Buffer is two Longs — partial aggregation (map-side combine) is exact
     * integer addition, so merge order cannot change the answer. */
