@@ -1418,6 +1418,46 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("excess_qty"))
   }
 
+  /** FUNNEL conversion (first click → first subsequent purchase): the
+    * event-sequence analytics the warehouse's BI layer asks of event data.
+    * Two tiny per-user aggregates and one summary row; the only join is
+    * per-user firsts against purchases (shuffle keyed on user both times —
+    * AQE reuses the layout). All outputs are exact counts.
+    */
+  private def q111_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val conv = firstClick
+      .join(ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts").as("p_ts")),
+        Seq("user_id"), "left")
+      .filter(col("p_ts").isNull || col("p_ts") >= col("c_ts"))
+      .groupBy(col("user_id"), col("c_ts"))
+      .agg(min(when(col("p_ts") >= col("c_ts"), col("p_ts"))).as("first_p_ts"))
+    conv.agg(
+      count(lit(1)).as("n_clickers"),
+      sum(when(col("first_p_ts").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+      sum(when(col("first_p_ts") <= col("c_ts") + expr("INTERVAL 1 DAY"), 1L).otherwise(0L))
+        .as("n_converted_1d"))
+  }
+
+  /** COHORT RETENTION matrix: users bucketed by first-active ISO week, then
+    * (cohort_week, week_offset) → active-user counts — the other staple BI
+    * reshape over event data. Weeks align via date_trunc so the offset is an
+    * exact integer division of whole days; one distinct pass + one
+    * broadcast-able cohort join.
+    */
+  private def q112_cohort(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohort = weekly.groupBy(col("user_id")).agg(min(col("wk")).as("c_wk"))
+    weekly.join(cohort, Seq("user_id"))
+      .groupBy(col("c_wk").as("cohort_week"),
+        expr("datediff(wk, c_wk) div 7").as("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1531,6 +1571,8 @@ object SparkEntry {
     "q108_dedup_keep_best" -> (q108_dedup_keep_best _),
     "q109_quality_filter" -> (q109_quality_filter _),
     "q110_typed_lambda" -> (q110_typed_lambda _),
+    "q111_funnel" -> (q111_funnel _),
+    "q112_cohort" -> (q112_cohort _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2345,5 +2387,29 @@ object SparkEntry {
          FROM lineitem
          WHERE cast(l_quantity as bigint) > 30 AND l_returnflag <> 'N'
          GROUP BY 1""",
+    "q111_funnel" ->
+      """WITH fc AS (
+           SELECT user_id, min(ts) AS c_ts FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         conv AS (
+           SELECT fc.user_id, fc.c_ts,
+             min(CASE WHEN p.ts >= fc.c_ts THEN p.ts END) AS first_p_ts
+           FROM fc LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+             ON fc.user_id = p.user_id
+           WHERE p.ts IS NULL OR p.ts >= fc.c_ts
+           GROUP BY 1, 2)
+         SELECT cast(count(*) as bigint) AS n_clickers,
+           cast(sum(CASE WHEN first_p_ts IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_converted,
+           cast(sum(CASE WHEN first_p_ts <= c_ts + INTERVAL 1 DAY THEN 1 ELSE 0 END) as bigint) AS n_converted_1d
+         FROM conv""",
+    "q112_cohort" ->
+      """WITH weekly AS (
+           SELECT DISTINCT user_id, cast(date_trunc('week', ts) as date) AS wk FROM events),
+         cohort AS (SELECT user_id, min(wk) AS c_wk FROM weekly GROUP BY 1)
+         SELECT c_wk AS cohort_week,
+           cast(date_diff('day', c_wk, wk) // 7 as bigint) AS week_offset,
+           cast(count(*) as bigint) AS n_active_users
+         FROM weekly JOIN cohort USING (user_id)
+         GROUP BY 1, 2""",
   )
 }
