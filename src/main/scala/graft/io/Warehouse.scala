@@ -113,9 +113,22 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * clustering once at write, never at read.
     * Registered in the session catalog (bucketing metadata lives there, not
     * in parquet), so reads go through `spark.table(name)`.
+    *
+    * Buckets are also SORTED on the key and written one-file-per-bucket, so
+    * with `spark.sql.legacy.bucketedTableScan.outputOrdering=true` a merge
+    * join additionally skips its per-partition Sort (the flag is off by
+    * default because its one-file-per-bucket precondition is the writer's
+    * responsibility — which the pre-repartition here guarantees; asserted
+    * in ScaleOpsSpec).
     */
   def writeBucketed(table: String, df: DataFrame, buckets: Int, bucketCols: Seq[String]): Unit =
-    df.write.mode("overwrite")
+    // repartition on the bucket key first so each bucket lands as ONE file:
+    // the scan only advertises the buckets' sort order (outputOrdering) when
+    // a bucket is a single file, and only then can a downstream merge join
+    // skip its Sort as well as its Exchange. Also caps file count at
+    // `buckets` instead of tasks×buckets — the small-files guard at scale.
+    df.repartition(buckets, bucketCols.map(df.col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", path(table))

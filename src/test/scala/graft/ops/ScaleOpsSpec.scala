@@ -88,12 +88,21 @@ class ScaleOpsSpec extends SparkSpec {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
     wh.writeBucketed("orders_bkt", o, 4, Seq("o_custkey"))
     wh.writeBucketed("customer_bkt", c, 4, Seq("c_custkey"))
+    // sorted-bucket scans only advertise their ordering under this flag
+    // (off by default since 3.0 because it requires one file per bucket —
+    // which writeBucketed now guarantees via its pre-repartition)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val joined = wh.readTable("orders_bkt")
       .join(wh.readTable("customer_bkt").hint("shuffle_merge"),
         col("o_custkey") === col("c_custkey"))
     val physical = joined.queryExecution.executedPlan.toString
+    spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     assert(!physical.contains("Exchange hashpartitioning"),
       s"bucketed join should not shuffle:\n$physical")
+    // one file per bucket ⇒ the scan advertises the bucket sort order and
+    // the merge join skips its Sort too (clustering fully paid at write)
+    assert(!physical.contains("+- Sort "),
+      s"bucketed+sorted join should not re-sort:\n$physical")
     assert(joined.count() === o.count())
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
