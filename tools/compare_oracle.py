@@ -12,12 +12,21 @@ import pyarrow.parquet as pq
 import pandas as pd
 
 sfdir, vout = sys.argv[1], sys.argv[2]
+# optional: --skip q35_jaccard_pairs,q88_dup_clusters — for cross-sf runs
+# where the O(n^2) DuckDB oracles (pair joins / recursive CTEs) are
+# impractical; the driver's gate runs at sf0.01 where they are seconds
+skip = set()
+if len(sys.argv) > 4 and sys.argv[3] == "--skip":
+    skip = set(sys.argv[4].split(","))
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{vout}/oracle_sql.json"))
+for name in sorted(skip & oracle.keys()):
+    print(f"SKIP {name} (--skip)")
+    del oracle[name]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
