@@ -1458,6 +1458,70 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_active_users"))
   }
 
+  /** CONTEXT-WINDOW PACKING: documents assigned to fixed token-budget bins
+    * (4096 tokens) by running-sum position — the reshape that turns a
+    * filtered corpus into training-batch shards. Packing is per SHARD
+    * (doc_id mod 8) with a window ordered inside each shard: the global
+    * single-partition window a naive cumsum needs would serialize 100 TB
+    * through one task, so the shard key IS the scale design, not a demo
+    * convenience. Bin = floor(preceding-token-sum / budget): exact integer
+    * math end to end.
+    */
+  private def q113_pack_bins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        TextOps.tokenCount(col("text")).as("n_tok"))
+      .withColumn("toks_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr("toks_before div 4096").as("bin"))
+  }
+
+  /** Three-way train/val/test SPLIT LABELING (RelOps.hashSplit 80/10/10):
+    * the labeling form of q83's sampling — every document gets exactly one
+    * split, stable across re-ingestion/re-partitioning because membership
+    * is a pure function of the key. Codegen'd md5 CASE inside the scan.
+    */
+  private def q114_split_labels(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        RelOps.hashSplit(col("doc_id"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))).as("split"))
+
+  /** TEXT NORMALIZATION pipeline (lowercase → strip non-alphanumerics →
+    * collapse whitespace → trim): the canonicalization pass upstream of
+    * exact dedup and vocab induction, as one codegen'd expression chain —
+    * RE2-safe patterns so the oracle is bit-identical.
+    */
+  private def q115_normalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), norm.as("norm_text"),
+        (length(col("text")) - length(norm)).cast("long").as("n_chars_removed"))
+  }
+
+  /** KEY-SKEW diagnostics: per-key frequency profile (distinct keys, max and
+    * mean rows per key, the hottest key with a deterministic tie-break) —
+    * the measurement that decides whether a join needs salting (q46) BEFORE
+    * it burns a cluster-hour. One partial-agg count pass + an O(keys)
+    * summary.
+    */
+  private def q116_key_skew(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_rows_per_key"),
+        sum(col("n")).as("n_rows"),
+        (-min(struct((-col("n")).as("neg"), col("l_orderkey").as("k"))).getField("neg"))
+          .as("hot_rows"),
+        min(struct((-col("n")).as("neg"), col("l_orderkey").as("k"))).getField("k")
+          .as("hot_key"))
+      .withColumn("mean_rows_per_key",
+        col("n_rows").cast("double") / col("n_keys").cast("double"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1573,6 +1637,10 @@ object SparkEntry {
     "q110_typed_lambda" -> (q110_typed_lambda _),
     "q111_funnel" -> (q111_funnel _),
     "q112_cohort" -> (q112_cohort _),
+    "q113_pack_bins" -> (q113_pack_bins _),
+    "q114_split_labels" -> (q114_split_labels _),
+    "q115_normalize" -> (q115_normalize _),
+    "q116_key_skew" -> (q116_key_skew _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2411,5 +2479,36 @@ object SparkEntry {
            cast(count(*) as bigint) AS n_active_users
          FROM weekly JOIN cohort USING (user_id)
          GROUP BY 1, 2""",
+    "q113_pack_bins" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) as bigint) AS n_tok
+           FROM documents)
+         SELECT doc_id, shard, n_tok,
+           cast(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 as bigint) AS bin
+         FROM t""",
+    "q114_split_labels" ->
+      """SELECT doc_id,
+           CASE WHEN substring(md5(cast(doc_id as varchar)), 1, 4) < 'cccd' THEN 'train'
+                WHEN substring(md5(cast(doc_id as varchar)), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+    "q115_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text,
+           cast(len(text) - len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) as bigint) AS n_chars_removed
+         FROM documents""",
+    "q116_key_skew" ->
+      """WITH c AS (SELECT l_orderkey, cast(count(*) as bigint) AS n
+                    FROM lineitem GROUP BY 1)
+         SELECT cast(count(*) as bigint) AS n_keys,
+           max(n) AS max_rows_per_key,
+           cast(sum(n) as bigint) AS n_rows,
+           max(n) AS hot_rows,
+           (SELECT min(l_orderkey) FROM c WHERE n = (SELECT max(n) FROM c)) AS hot_key,
+           cast(sum(n) as double) / cast(count(*) as double) AS mean_rows_per_key
+         FROM c""",
   )
 }

@@ -376,6 +376,24 @@ object RelOps {
     }
   }
 
+  /** Multi-way DETERMINISTIC split labeling (train/val/test): the labeling
+    * form of [[hashSampleFilter]] — each key lands in exactly one split,
+    * decided by where its md5 bucket falls among the cumulative fractions.
+    * Same reproducibility contract: membership is a pure function of the
+    * key, immune to re-partitioning and re-ingestion, and mirrorable in any
+    * engine with md5.
+    */
+  def hashSplit(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val bucket = substring(md5(key.cast("string").cast("binary")), 1, 4)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((label, _), cumFrac), rest) =>
+        when(bucket < lit(f"${math.round(cumFrac * 65536).toInt}%04x"), label).otherwise(rest)
+    }
+  }
+
   /** Min-max feature scaling within a group: (x − min)/(max − min) over a
     * whole-partition window. min/max SELECT existing values (no float
     * accumulation), and the only arithmetic is one subtraction pair and one
