@@ -47,6 +47,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(kept(1.0).size === 2000)
   }
 
+  test("hashSplit partitions the keyspace; train bucket equals the 80% sample") {
+    val keys = (1L to 3000L).toDF("k")
+    val labeled = keys.select(col("k"),
+        RelOps.hashSplit(col("k"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labeled.size === 3000, "every key gets exactly one label")
+    val byLabel = labeled.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train") > 2200 && byLabel("train") < 2600, byLabel.toString)
+    assert(byLabel("val") > 150 && byLabel("val") < 450, byLabel.toString)
+    // the split's train bucket and the standalone 80% sample must agree
+    // key-for-key (same hash, same threshold) — splits nest inside samples
+    val sampled = keys.filter(RelOps.hashSampleFilter(col("k"), 0.8))
+      .collect().map(_.getLong(0)).toSet
+    assert(labeled.filter(_._2 == "train").keySet === sampled)
+  }
+
   test("zscore matches stddev_samp-based z within float tolerance") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 10L),
       ("b", 5L), ("b", 5L), ("b", 8L)).toDF("g", "x")
