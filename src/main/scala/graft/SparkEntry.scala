@@ -1522,6 +1522,24 @@ object SparkEntry {
       .withColumn("mean_rows_per_key",
         col("n_rows").cast("double") / col("n_keys").cast("double"))
 
+  /** Plain-TEXT source/sink round-trip (`spark.read.text` — the line-stream
+    * format raw corpus drops arrive in before they ever become parquet):
+    * documents written one-per-line, read back as a `value` line stream,
+    * reduced to corpus-level invariants the oracle computes from the
+    * original table. Line identity is lexical (the corpus has no
+    * newlines), so counts, distinct-line count and total token count must
+    * survive the trip exactly.
+    */
+  private def q117_text_lines(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    Tables.documents(s, dir).select(col("text")).write.mode("overwrite").text(tmp)
+    s.read.text(tmp)
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("value")).as("n_distinct_lines"),
+        sum(TextOps.tokenCount(col("value"))).as("n_tokens"),
+        sum(length(col("value")).cast("long")).as("n_chars"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1641,6 +1659,7 @@ object SparkEntry {
     "q114_split_labels" -> (q114_split_labels _),
     "q115_normalize" -> (q115_normalize _),
     "q116_key_skew" -> (q116_key_skew _),
+    "q117_text_lines" -> (q117_text_lines _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2510,5 +2529,11 @@ object SparkEntry {
            (SELECT min(l_orderkey) FROM c WHERE n = (SELECT max(n) FROM c)) AS hot_key,
            cast(sum(n) as double) / cast(count(*) as double) AS mean_rows_per_key
          FROM c""",
+    "q117_text_lines" ->
+      """SELECT cast(count(*) as bigint) AS n_lines,
+           cast(count(DISTINCT text) as bigint) AS n_distinct_lines,
+           cast(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) as bigint) AS n_tokens,
+           cast(sum(len(text)) as bigint) AS n_chars
+         FROM documents""",
   )
 }
