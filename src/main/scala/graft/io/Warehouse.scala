@@ -135,4 +135,20 @@ class Warehouse(val spark: SparkSession, val root: String) {
       .saveAsTable(table)
 
   def readTable(table: String): DataFrame = spark.table(table)
+
+  /** GLOBALLY-ORDERED export: range-partition on the key then sort within
+    * each partition, so the output is `files` shards covering disjoint,
+    * ascending key ranges, each internally sorted — the layout downstream
+    * consumers (external loaders, merge readers, binary-searchable archives)
+    * want, produced WITHOUT a single-reducer global sort: `repartitionByRange`
+    * samples the key distribution and gives every task an equal slice, so
+    * the sort is n/files per task at any scale. Asserted file-level in
+    * ScaleOpsSpec (disjoint ranges + internal order).
+    */
+  def writeSorted(table: String, df: DataFrame, sortCols: Seq[String], files: Int): Unit = {
+    val cols = sortCols.map(df.col)
+    df.repartitionByRange(files, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path(table))
+  }
 }

@@ -81,6 +81,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out === Set((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("writeSorted: shards cover disjoint ascending ranges, each internally sorted") {
+    val root = java.nio.file.Files.createTempDirectory("graft_srt_").toString
+    val wh = new Warehouse(spark, root)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    wh.writeSorted("orders_sorted", o, Seq("o_orderkey"), files = 4)
+    val parts = new java.io.File(s"$root/orders_sorted").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length === 4)
+    val ranges = parts.map { f =>
+      val keys = spark.read.parquet(f.getAbsolutePath)
+        .select(col("o_orderkey")).collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"${f.getName} not internally sorted")
+      (keys.head, keys.last)
+    }
+    // files sorted by task id == ascending ranges; ranges must not overlap
+    val ordered = ranges.sortBy(_._1)
+    for (pair <- ordered.toSeq.sliding(2) if pair.size == 2)
+      assert(pair(0)._2 < pair(1)._1,
+        s"overlapping shard ranges: ${ordered.mkString(", ")}")
+    assert(spark.read.parquet(s"$root/orders_sorted").count() === o.count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val root = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
     val wh = new Warehouse(spark, root)
