@@ -1540,6 +1540,63 @@ object SparkEntry {
         sum(length(col("value")).cast("long")).as("n_chars"))
   }
 
+  /** FORWARD as-of join (RelOps.asOfJoinForward): each click finds the
+    * user's NEXT purchase at-or-after it — q28's mirror; oracle is DuckDB's
+    * native ASOF with a <= condition. Same one-shuffle cost as a plain
+    * join.
+    */
+  private def q118_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_event"))
+    RelOps.asOfJoinForward(clicks, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "ts", rightVals = Seq("purchase_event"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asofnext_purchase_event").as("next_purchase_id"))
+  }
+
+  /** Exact DISCRETE percentiles (the value-at-rank form, vs q58's
+    * interpolating continuous form): rank = ⌈p·n⌉ computed in exact integer
+    * arithmetic, value picked by a row_number window — no floats anywhere,
+    * and the oracle mirrors the same rank construction (engines disagree on
+    * quantile_disc's rank convention, so the construction IS the
+    * definition).
+    */
+  private def q119_percentile_disc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col("returnflag")).orderBy(col("qty").asc)
+    val grp = Window.partitionBy(col("returnflag"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("returnflag"), col("l_quantity").cast("long").as("qty"))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy(col("returnflag"))
+      .agg(max(when(col("rn") === expr("(n + 3) div 4"), col("qty"))).as("p25_disc"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("qty"))).as("p50_disc"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("qty"))).as("p90_disc"))
+  }
+
+  /** INTERVAL-OVERLAP join: per-user-per-day activity intervals
+    * [first_ts, last_ts], then cross-user pairs that overlapped on each day
+    * — the concurrency-analysis join. The day key IS the bin (the
+    * rangeJoinBinned strategy with natural calendar bins): the join is a
+    * plain hash join on day and each interval meets only same-day
+    * intervals, never a nested-loop over the corpus.
+    */
+  private def q120_interval_overlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val a = iv.select(col("day"), col("user_id").as("u_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = iv.select(col("day"), col("user_id").as("u_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+    a.join(b, Seq("day"))
+      .filter(col("u_a") < col("u_b") && col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_overlapping_pairs"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1660,6 +1717,9 @@ object SparkEntry {
     "q115_normalize" -> (q115_normalize _),
     "q116_key_skew" -> (q116_key_skew _),
     "q117_text_lines" -> (q117_text_lines _),
+    "q118_asof_forward" -> (q118_asof_forward _),
+    "q119_percentile_disc" -> (q119_percentile_disc _),
+    "q120_interval_overlap" -> (q120_interval_overlap _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2535,5 +2595,29 @@ object SparkEntry {
            cast(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) as bigint) AS n_tokens,
            cast(sum(len(text)) as bigint) AS n_chars
          FROM documents""",
+    "q118_asof_forward" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.event_id AS next_purchase_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts <= p.ts""",
+    "q119_percentile_disc" ->
+      """WITH r AS (
+           SELECT l_returnflag AS returnflag, cast(l_quantity as bigint) AS qty,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY cast(l_quantity as bigint) ASC) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT returnflag,
+           max(CASE WHEN rn = (n + 3) // 4 THEN qty END) AS p25_disc,
+           max(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS p50_disc,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN qty END) AS p90_disc
+         FROM r GROUP BY 1""",
+    "q120_interval_overlap" ->
+      """WITH iv AS (
+           SELECT user_id, cast(ts as date) AS day, min(ts) AS lo, max(ts) AS hi
+           FROM events GROUP BY 1, 2)
+         SELECT a.day, cast(count(*) as bigint) AS n_overlapping_pairs
+         FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
+           AND a.lo <= b.hi AND b.lo <= a.hi
+         GROUP BY 1""",
   )
 }

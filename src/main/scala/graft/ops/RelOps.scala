@@ -209,6 +209,37 @@ object RelOps {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
   }
 
+  /** FORWARD as-of join: each left row takes the EARLIEST right row
+    * at-or-after its time (next-event attribution — "the purchase that
+    * followed this click"), the mirror of [[asOfJoin]]'s latest-at-or-before.
+    * Same one-shuffle union+window construction, with the frame flipped to
+    * [current row, ∞) and `first(ignoreNulls)`; left rows sort before right
+    * rows on time ties so an exactly-simultaneous right row IS visible
+    * (<= semantics, matching DuckDB ASOF with a <= condition).
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val tagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+      .select(leftCols.map(col) ++ Seq(col("__t"), col("__side")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .unionByName(
+        right.select(Seq(col(key), col(rightTime).as("__t"), lit(1).as("__side")) ++
+          rightVals.map(c => col(c).as(s"__r_$c")): _*),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val carried = rightVals.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"__r_$c", first(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 0)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"asofnext_$c")): _*)
+  }
+
   /** Range (interval) join: fact rows matched to ranges with
     * `lo <= value <= hi`, rewritten as a BINNED EQUI-JOIN — each range is
     * exploded over the fixed-width bins it covers, the fact row computes its

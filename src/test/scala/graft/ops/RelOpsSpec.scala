@@ -203,6 +203,26 @@ class RelOpsSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("asOfJoinForward equals the naive per-row earliest-lookup (seeded), ties visible") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 200).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .toDF("lid", "k", "lt")
+    val pairs = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    while (pairs.size < 300) pairs += ((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val right = pairs.toSeq.zipWithIndex.map { case ((k, rt), i) => (k, rt, i.toLong * 10) }
+      .toDF("k", "rt", "rv")
+    val got = RelOps.asOfJoinForward(
+        left, right.withColumnRenamed("rt", "t_r"), key = "k",
+        leftTime = "lt", rightTime = "t_r", rightVals = Seq("rv"))
+      .select($"lid", $"asofnext_rv").as[(Long, Option[Long])].collect().toMap
+    val rightRows = right.as[(Long, Long, Long)].collect()
+    val exp = left.as[(Long, Long, Long)].collect().map { case (lid, k, lt) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 >= lt)
+      lid -> (if (cands.isEmpty) None else Some(cands.minBy(_._2)._3))
+    }.toMap
+    assert(got === exp)
+  }
+
   test("fillDown carries the last non-null value forward per key") {
     val df = Seq(
       (1L, 1L, Some(10L)), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some(40L)),
