@@ -1597,6 +1597,76 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_overlapping_pairs"))
   }
 
+  /** explode_outer — generator with LEFT-JOIN semantics: documents too short
+    * to shingle (under 3 tokens) survive as a null-shingle row instead of
+    * vanishing (q55's plain explode drops them) — the difference between
+    * "no shingles" and "document lost" in a corpus audit.
+    */
+  private def q121_explode_outer(s: SparkSession, dir: String): DataFrame =
+    par(s, Tables.documents(s, dir))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", TextOps.shinglesFromTokens(col("toks"), 3))
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("shingle")).as("n_shingles"),
+        sum(when(col("shingle").isNull, 1L).otherwise(0L)).as("n_null_rows"))
+
+  /** GAPS-AND-ISLANDS over an integer key space (the okey − row_number
+    * grouping trick): contiguous runs of present orderkeys collapse to
+    * (island_start, island_end, n_keys) ranges — the completeness audit
+    * that finds what a feed DROPPED, in one window pass + one aggregate
+    * (never a self-join against the expected range). The unpartitioned
+    * window is a single reducer over the DISTINCT KEYS (not the fact rows);
+    * at key counts where even that breaks, shard with repartitionByRange
+    * (contiguity-preserving) and stitch islands that touch shard edges —
+    * documented here, not needed at any tested scale.
+    */
+  private def q122_islands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("okey"))
+    Tables.orders(s, dir).select(col("o_orderkey").as("okey")).distinct()
+      .withColumn("grp", col("okey") - row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(min(col("okey")).as("island_start"), max(col("okey")).as("island_end"),
+        count(lit(1)).as("n_keys"))
+      .drop("grp")
+  }
+
+  /** RATIO-TO-REPORT (percent of total): each priority's revenue share via
+    * an unpartitioned whole-table window over the aggregated groups —
+    * O(groups) rows through the final window, exact decimal sums underneath,
+    * one mirrored division at the end.
+    */
+  private def q123_ratio_to_report(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .withColumn("revenue", col("rev").cast("double"))
+      .withColumn("share", col("rev").cast("double") / sum(col("rev")).over(w).cast("double"))
+      .drop("rev")
+  }
+
+  /** CUMULATIVE DISTINCT users by day — windowed COUNT(DISTINCT) doesn't
+    * exist in any engine's window frame, so the scalable form is the
+    * first-seen trick: mark each user's first day (row_number = 1), count
+    * first-seens per day, running-sum over days. Two narrow shuffles
+    * (user, then day) instead of a quadratic distinct-per-prefix.
+    */
+  private def q124_cumulative_users(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new_users"))
+    val allDays = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day")).distinct()
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    allDays.join(firstDay, Seq("day"), "left")
+      .withColumn("n_new_users", coalesce(col("n_new_users"), lit(0L)))
+      .withColumn("n_users_cum", sum(col("n_new_users")).over(w))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1720,6 +1790,10 @@ object SparkEntry {
     "q118_asof_forward" -> (q118_asof_forward _),
     "q119_percentile_disc" -> (q119_percentile_disc _),
     "q120_interval_overlap" -> (q120_interval_overlap _),
+    "q121_explode_outer" -> (q121_explode_outer _),
+    "q122_islands" -> (q122_islands _),
+    "q123_ratio_to_report" -> (q123_ratio_to_report _),
+    "q124_cumulative_users" -> (q124_cumulative_users _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2619,5 +2693,42 @@ object SparkEntry {
          FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
            AND a.lo <= b.hi AND b.lo <= a.hi
          GROUP BY 1""",
+    // q121: DuckDB unnest drops empty lists, so empties are padded to [NULL]
+    // to mirror explode_outer's survive-as-null semantics
+    "q121_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) AS sh
+           FROM t),
+         e AS (SELECT doc_id,
+             unnest(CASE WHEN len(sh) = 0 THEN [NULL] ELSE sh END) AS shingle
+           FROM s)
+         SELECT doc_id, cast(count(shingle) as bigint) AS n_shingles,
+           cast(sum(CASE WHEN shingle IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null_rows
+         FROM e GROUP BY 1""",
+    "q122_islands" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey AS okey FROM orders),
+         g AS (SELECT okey, okey - row_number() OVER (ORDER BY okey) AS grp FROM k)
+         SELECT min(okey) AS island_start, max(okey) AS island_end,
+           cast(count(*) as bigint) AS n_keys
+         FROM g GROUP BY grp""",
+    "q123_ratio_to_report" ->
+      """WITH a AS (SELECT o_orderpriority AS priority,
+             sum(cast(o_totalprice as decimal(18,2))) AS rev
+           FROM orders GROUP BY 1)
+         SELECT priority, cast(rev as double) AS revenue,
+           cast(rev as double) / cast(sum(rev) OVER () as double) AS share
+         FROM a""",
+    "q124_cumulative_users" ->
+      """WITH fd AS (
+           SELECT min(cast(ts as date)) AS day, user_id FROM events GROUP BY user_id),
+         nu AS (SELECT day, cast(count(*) as bigint) AS n_new_users FROM fd GROUP BY 1),
+         ad AS (SELECT DISTINCT cast(ts as date) AS day FROM events)
+         SELECT ad.day, coalesce(n_new_users, 0) AS n_new_users,
+           cast(sum(coalesce(n_new_users, 0)) OVER (ORDER BY ad.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_users_cum
+         FROM ad LEFT JOIN nu ON ad.day = nu.day""",
   )
 }
