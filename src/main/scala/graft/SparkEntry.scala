@@ -1667,6 +1667,48 @@ object SparkEntry {
       .withColumn("n_users_cum", sum(col("n_new_users")).over(w))
   }
 
+  /** IN-SESSION funnel (q49's sessionizer composed with q111's funnel):
+    * conversion measured WITHIN a 30-minute session — a purchase only
+    * counts if it follows the session's first click — the attribution
+    * granularity BI actually asks for. Per-event session assignment
+    * (Sessionize.batchAssign) + one whole-session window + one summary row.
+    */
+  private def q125_session_funnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = graft.streaming.Sessionize.batchAssign(
+      Tables.events(s, dir), "user_id", "ts", gapMinutes = 30, tiebreak = Seq(col("event_id")))
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+    val sess = assigned
+      .withColumn("c_first", min(when(col("event_type") === "click", col("ts"))).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(max(col("c_first")).as("c_ts"),
+        max(when(col("event_type") === "purchase" && col("ts") >= col("c_first"), 1L)
+          .otherwise(0L)).as("converted"))
+    sess.agg(count(lit(1)).as("n_sessions"),
+      sum(when(col("c_ts").isNotNull, 1L).otherwise(0L)).as("n_with_click"),
+      sum(col("converted")).as("n_converted"))
+  }
+
+  /** EQUI-DEPTH deciles per group (`ntile(10)` under a total order):
+    * decile boundaries + populations — the histogram form that adapts to
+    * the distribution, complementing q119's value-at-rank and q58's
+    * interpolated percentiles. Partitioned by returnflag so the sort is
+    * per-group, not a single global reducer.
+    */
+  private def q126_deciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("returnflag"))
+      .orderBy(col("qty").asc, col("l_orderkey").asc, col("line_no").asc)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("returnflag"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("returnflag"), col("decile"))
+      .agg(min(col("qty")).as("lo_qty"), max(col("qty")).as("hi_qty"),
+        count(lit(1)).as("n_rows"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1794,6 +1836,8 @@ object SparkEntry {
     "q122_islands" -> (q122_islands _),
     "q123_ratio_to_report" -> (q123_ratio_to_report _),
     "q124_cumulative_users" -> (q124_cumulative_users _),
+    "q125_session_funnel" -> (q125_session_funnel _),
+    "q126_deciles" -> (q126_deciles _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2730,5 +2774,42 @@ object SparkEntry {
            cast(sum(coalesce(n_new_users, 0)) OVER (ORDER BY ad.day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_users_cum
          FROM ad LEFT JOIN nu ON ad.day = nu.day""",
+    // q125: same session construction as q49, event_type carried through;
+    // sessions without a click have NULL c_ts -> comparisons null -> 0
+    "q125_session_funnel" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         numbered AS (
+           SELECT user_id, ts, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         withc AS (
+           SELECT user_id, sid, ts, event_type,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id, sid) AS c_first
+           FROM numbered),
+         sess AS (
+           SELECT user_id, sid, max(c_first) AS c_ts,
+             max(CASE WHEN event_type = 'purchase' AND ts >= c_first THEN 1 ELSE 0 END) AS converted
+           FROM withc GROUP BY 1, 2)
+         SELECT cast(count(*) as bigint) AS n_sessions,
+           cast(sum(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_with_click,
+           cast(sum(converted) as bigint) AS n_converted
+         FROM sess""",
+    "q126_deciles" ->
+      """WITH t AS (
+           SELECT l_returnflag AS returnflag, cast(l_quantity as bigint) AS qty,
+             ntile(10) OVER (PARTITION BY l_returnflag
+               ORDER BY cast(l_quantity as bigint) ASC, l_orderkey ASC,
+                 cast(l_linenumber as bigint) ASC) AS decile
+           FROM lineitem)
+         SELECT returnflag, cast(decile as bigint) AS decile,
+           min(qty) AS lo_qty, max(qty) AS hi_qty, cast(count(*) as bigint) AS n_rows
+         FROM t GROUP BY 1, 2""",
   )
 }

@@ -78,8 +78,13 @@ object Sessionize {
     *                 CONTENT is order-insensitive on ties, but determinism
     *                 keeps cross-engine comparisons exact)
     */
-  def batch(events: DataFrame, userCol: String, tsCol: String, gapMinutes: Int,
-            tiebreak: Seq[Column] = Nil): DataFrame = {
+  /** Per-EVENT session assignment (the window half of [[batch]]): every
+    * input row comes back with its `session_idx`, for analyses that need
+    * event-level context inside sessions (in-session funnels, dwell gaps)
+    * rather than just session summaries.
+    */
+  def batchAssign(events: DataFrame, userCol: String, tsCol: String, gapMinutes: Int,
+                  tiebreak: Seq[Column] = Nil): DataFrame = {
     val wOrd = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol).asc +: tiebreak.map(_.asc): _*)
     val gap = expr(s"INTERVAL $gapMinutes MINUTES")
@@ -89,12 +94,17 @@ object Sessionize {
         when(col("__prev").isNull || col(tsCol) > col("__prev") + gap, 1L).otherwise(0L))
       .withColumn("session_idx",
         sum(col("__new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev", "__new")
+  }
+
+  def batch(events: DataFrame, userCol: String, tsCol: String, gapMinutes: Int,
+            tiebreak: Seq[Column] = Nil): DataFrame =
+    batchAssign(events, userCol, tsCol, gapMinutes, tiebreak)
       .groupBy(col(userCol), col("session_idx"))
       .agg(
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
-  }
 
   /** Spark's NATIVE session windows (`session_window` grouping) — the
     * engine-supported form of [[batch]]: one `groupBy(session_window(ts,
