@@ -79,6 +79,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("q28/q118: both as-of joins cost exactly ONE shuffle (the union+window form)") {
+    for (q <- Seq("q28_asof_join", "q118_asof_forward")) {
+      val p = planOf(q)
+      val uniqueExchanges = "Exchange hashpartitioning\\([^)]*\\)".r
+        .findAllIn(p).toSet
+      assert(uniqueExchanges.size == 1, s"$q should shuffle once, saw $uniqueExchanges")
+    }
+  }
+
   test("q105: top-k per group plans a partial WindowGroupLimit below the shuffle") {
     val p = planOf("q105_topk_per_group")
     assert(p.contains("WindowGroupLimit"), p)
