@@ -1709,6 +1709,40 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
   }
 
+  /** WEIGHTED deterministic sampling: keep probability proportional to a
+    * per-row weight (here document length — the "sample long documents
+    * more" mixing knob): keep iff h16(key) · max_weight < 65536 · weight,
+    * ALL integer arithmetic with h16 a Knuth multiplicative hash — md5 hex
+    * has no portable hex→int across engines, whereas exact BIGINT
+    * multiply/mod is identical everywhere. Same reproducibility contract
+    * as q83; the global max is one window scalar over the O(groups)=1
+    * aggregate, so the filter still pipelines in the scan stage.
+    */
+  private def q127_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h16 = (col("doc_id") * 2654435761L) % 65536L
+    par(s, Tables.documents(s, dir))
+      .withColumn("max_chars", max(col("n_chars")).over(Window.partitionBy()))
+      .filter(h16 * col("max_chars") < lit(65536L) * col("n_chars"))
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  /** BALANCED per-group subset (equal allocation): at most N=50 documents
+    * per language, chosen by hash order — deterministic, and unbiased
+    * within each group because the md5 order is unrelated to any document
+    * property. The eval-set construction op; the per-group WindowGroupLimit
+    * keeps the shuffle at O(groups·N).
+    */
+  private def q128_balanced_sample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1838,6 +1872,8 @@ object SparkEntry {
     "q124_cumulative_users" -> (q124_cumulative_users _),
     "q125_session_funnel" -> (q125_session_funnel _),
     "q126_deciles" -> (q126_deciles _),
+    "q127_weighted_sample" -> (q127_weighted_sample _),
+    "q128_balanced_sample" -> (q128_balanced_sample _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2811,5 +2847,16 @@ object SparkEntry {
          SELECT returnflag, cast(decile as bigint) AS decile,
            min(qty) AS lo_qty, max(qty) AS hi_qty, cast(count(*) as bigint) AS n_rows
          FROM t GROUP BY 1, 2""",
+    "q127_weighted_sample" ->
+      """WITH m AS (SELECT max(n_chars) AS max_chars FROM documents)
+         SELECT doc_id, n_chars FROM documents, m
+         WHERE ((doc_id * 2654435761) % 65536) * max_chars < 65536 * n_chars""",
+    "q128_balanced_sample" ->
+      """SELECT lang, cast(rn as bigint) AS rn, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(cast(doc_id as varchar)) ASC, doc_id ASC) AS rn
+           FROM documents)
+         WHERE rn <= 50""",
   )
 }
