@@ -136,6 +136,17 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   def readTable(table: String): DataFrame = spark.table(table)
 
+  /** Small-file COMPACTION: rewrite a table into `targetFiles` parquet
+    * files through the same crash-safe swap as [[write]] — the maintenance
+    * pass a long-lived warehouse needs after many incremental
+    * merges/appends (each append lands its own files; thousands of tiny
+    * files turn every scan's task-scheduling overhead into the bottleneck
+    * and break the one-split=one-file locality assumption). Values are
+    * untouched: compaction is observable only in the file listing.
+    */
+  def compact(table: String, targetFiles: Int): Unit =
+    write(table, read(table).repartition(targetFiles))
+
   /** GLOBALLY-ORDERED export: range-partition on the key then sort within
     * each partition, so the output is `files` shards covering disjoint,
     * ascending key ranges, each internally sorted — the layout downstream

@@ -81,6 +81,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out === Set((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("compact: rewrites many small files into the target count, values untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cmp_").toString
+    val wh = new Warehouse(spark, root)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    // simulate incremental-append fragmentation: many tiny files
+    wh.write("frag", o.repartition(24))
+    def files(t: String): Int = new java.io.File(s"$root/$t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files("frag") === 24)
+    val before = wh.read("frag").orderBy("o_orderkey").collect()
+    wh.compact("frag", targetFiles = 2)
+    assert(files("frag") === 2)
+    assert(wh.read("frag").orderBy("o_orderkey").collect() === before)
+  }
+
   test("writeSorted: shards cover disjoint ascending ranges, each internally sorted") {
     val root = java.nio.file.Files.createTempDirectory("graft_srt_").toString
     val wh = new Warehouse(spark, root)
