@@ -41,4 +41,23 @@ object TypedAggs {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** [[WeightedMean]] in positional-argument form, for SQL registration via
+    * `functions.udaf` — `spark.udf.register("graft_wavg", udaf(WeightedMeanUdaf))`
+    * makes it callable as `graft_wavg(qty, cents)` from `spark.sql`
+    * (§2.9's UDAF surface). Same exact-integer buffer, same single final
+    * float expression.
+    */
+  object WeightedMeanUdaf extends Aggregator[(Long, Long), (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
+      (b._1 + a._2 * a._1, b._2 + a._1)
+    override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Long, Long)): Double =
+      if (r._2 == 0L) 0.0 else r._1.toDouble / 100.0 / r._2.toDouble
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
 }

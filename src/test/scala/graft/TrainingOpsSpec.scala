@@ -109,6 +109,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("SQL UDAF registration: graft_wavg from spark.sql equals the typed Aggregator (q73)") {
+    spark.udf.register("graft_wavg",
+      org.apache.spark.sql.functions.udaf(graft.typed.TypedAggs.WeightedMeanUdaf))
+    Tables.lineitem(spark, sfDir).select(
+        col("l_returnflag").as("returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("li_w")
+    val viaSql = spark.sql(
+        "SELECT returnflag, graft_wavg(qty, cents) AS wavg_price FROM li_w GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val typed = SparkEntry.queries("q73_typed_agg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql === typed)
+  }
+
   test("q81 repetition fractions are consistent with their integer parts") {
     val rows = SparkEntry.queries("q81_repetition")(spark, sfDir).collect()
     assert(rows.nonEmpty)
