@@ -15,6 +15,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir)
+    spark.stop()
+  }
+
+  /** The dump itself, session-free for testability. FAIL-SOFT by contract:
+    * a failing query logs and is skipped — never aborts the run — and
+    * oracle_sql.json is ALWAYS written, because the driver needs per-query
+    * granularity, not an all-or-nothing exit (VerifySpec pins this).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -38,6 +48,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
