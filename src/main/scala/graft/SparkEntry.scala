@@ -1743,6 +1743,61 @@ object SparkEntry {
       .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
   }
 
+  /** GROUPED top-N: the 20 most frequent tokens PER LANGUAGE (q90's global
+    * vocab, grouped) — window rank over aggregated counts, so the group
+    * limit prunes map-side over O(lang × vocab) count rows, never raw
+    * tokens.
+    */
+  private def q129_vocab_by_lang(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = par(s, Tables.documents(s, dir))
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select(col("lang"), col("rnk").cast("long").as("rnk"), col("token"), col("n"))
+  }
+
+  /** Top BIGRAM collocations with a total-order tie-break — the phrase-table
+    * seed (and the corpus-level view of q81's per-doc repetition): explode
+    * the bigram stream, partial-agg count, TakeOrderedAndProject the top 50.
+    */
+  private def q130_bigram_top(s: SparkSession, dir: String): DataFrame =
+    par(s, Tables.documents(s, dir))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(explode(TextOps.bigramsFromTokens(col("toks"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(50)
+
+  /** CORPUS COMPOSITION report: per (source, lang) — document count, token
+    * mass, exact mean length — the data-mixing dashboard that decides
+    * sampling weights (q127). One scan, one narrow shuffle on the tiny
+    * (source, lang) key space.
+    */
+  private def q131_corpus_composition(s: SparkSession, dir: String): DataFrame =
+    par(s, Tables.documents(s, dir))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("mean_chars", col("n_chars").cast("double") / col("n_docs").cast("double"))
+
+  /** SPLIT-BALANCE audit: quality-bucket × split crosstab (q114's labels ×
+    * q32's buckets) — checks the held-out splits are compositionally
+    * representative, the thing hash splitting promises and this query
+    * actually measures.
+    */
+  private def q132_split_balance(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        RelOps.hashSplit(col("doc_id"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))).as("split"),
+        TextOps.qualityBucket(col("text")).as("quality"))
+      .groupBy(col("split"), col("quality"))
+      .agg(count(lit(1)).as("n_docs"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1874,6 +1929,10 @@ object SparkEntry {
     "q126_deciles" -> (q126_deciles _),
     "q127_weighted_sample" -> (q127_weighted_sample _),
     "q128_balanced_sample" -> (q128_balanced_sample _),
+    "q129_vocab_by_lang" -> (q129_vocab_by_lang _),
+    "q130_bigram_top" -> (q130_bigram_top _),
+    "q131_corpus_composition" -> (q131_corpus_composition _),
+    "q132_split_balance" -> (q132_split_balance _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2858,5 +2917,46 @@ object SparkEntry {
                ORDER BY md5(cast(doc_id as varchar)) ASC, doc_id ASC) AS rn
            FROM documents)
          WHERE rn <= 50""",
+    "q129_vocab_by_lang" ->
+      """WITH c AS (
+           SELECT lang, token, cast(count(*) as bigint) AS n FROM (
+             SELECT lang, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+             FROM documents)
+           GROUP BY 1, 2)
+         SELECT lang, cast(rnk as bigint) AS rnk, token, n FROM (
+           SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rnk
+           FROM c)
+         WHERE rnk <= 20""",
+    "q130_bigram_top" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM t)
+         SELECT bigram, cast(count(*) as bigint) AS n
+         FROM b GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 50""",
+    "q131_corpus_composition" ->
+      """SELECT source, lang, cast(count(*) as bigint) AS n_docs,
+           cast(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) as bigint) AS n_tokens,
+           cast(sum(n_chars) as bigint) AS n_chars,
+           cast(sum(n_chars) as double) / cast(count(*) as double) AS mean_chars
+         FROM documents GROUP BY 1, 2""",
+    "q132_split_balance" ->
+      """WITH labeled AS (
+           SELECT CASE WHEN substring(md5(cast(doc_id as varchar)), 1, 4) < 'cccd' THEN 'train'
+                       WHEN substring(md5(cast(doc_id as varchar)), 1, 4) < 'e666' THEN 'val'
+                       ELSE 'test' END AS split,
+             cast(length(text) as bigint) AS n_char,
+             cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) as bigint) AS n_tok,
+             cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) as bigint) AS n_punct
+           FROM documents)
+         SELECT split,
+           CASE WHEN n_tok < 5 THEN 'too_short'
+                WHEN n_char > 20000 THEN 'too_long'
+                WHEN n_punct * 10 > n_char * 3 THEN 'too_much_punct'
+                WHEN n_char > n_tok * 15 THEN 'words_too_long'
+                ELSE 'ok' END AS quality,
+           cast(count(*) as bigint) AS n_docs
+         FROM labeled GROUP BY 1, 2""",
   )
 }
