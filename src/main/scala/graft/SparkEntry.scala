@@ -1798,6 +1798,107 @@ object SparkEntry {
       .groupBy(col("split"), col("quality"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** DECONTAMINATION — the eval-leak guard every training pipeline needs:
+    * flag training documents sharing word 5-grams with a held-out benchmark
+    * set (here: doc_id % 10 == 0). The benchmark's distinct gram set is
+    * small by construction (benchmarks are), so it BROADCASTS — the training
+    * corpus is scanned once and never shuffles for the membership probe;
+    * only the (sparse) per-doc hit counts aggregate.
+    */
+  private def q133_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = par(s, Tables.documents(s, dir))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shinglesFromTokens(col("toks"), 5))).as("gram"))
+    val benchGrams = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+    val hits = train.join(broadcast(benchGrams), Seq("gram"), "inner")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) * 2 >= col("n_grams"), "contaminated")
+          .otherwise("clean").as("status"))
+  }
+
+  /** TIME-RANGE rolling window — per-user trailing-7-day event count and
+    * value sum (RANGE frame over event-time µs, peer-inclusive so ties are
+    * deterministic in any engine). One shuffle on user_id; the frame is
+    * evaluated in a single sorted pass per partition. Money discipline:
+    * per-value DECIMAL cast → exact windowed sum → one final double.
+    */
+  private def q134_rolling_window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-(sevenDaysUs - 1), Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("roll_cnt", count(lit(1)).over(w).cast("long"))
+      .withColumn("roll_sum",
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("roll_cnt"), col("roll_sum"))
+  }
+
+  /** SOURCE-OVERLAP matrix — pairwise vocabulary Jaccard between corpus
+    * sources, the data-mixing diagnostic that says which snapshots are
+    * near-copies before any row-level dedup runs. The corpus collapses to
+    * distinct (source, token) rows FIRST — O(sources × vocab), not O(corpus)
+    * — so the pairwise join touches vocabularies, never documents. Exact
+    * integer intersections; one final IEEE division.
+    */
+  private def q135_source_overlap(s: SparkSession, dir: String): DataFrame = {
+    val st = par(s, Tables.documents(s, dir))
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = sizes.as("sa").select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(sizes.as("sb").select(col("source").as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).as("uni"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double")).as("jaccard"))
+  }
+
+  /** EQUI-WIDTH HISTOGRAM of a money column — 20 bins over exact cents.
+    * The (min, max) support is a 1-row broadcast back onto the scan; bin
+    * assignment is pure integer arithmetic (`div`), so the histogram is
+    * bit-identical in any engine. Two scans of one column beat a shuffle of
+    * the table, and at 100 TB the second scan prunes to that column alone.
+    */
+  private def q136_histogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(s, dir)
+      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val support = cents.agg(min("cents").as("lo"), max("cents").as("hi"))
+    cents.crossJoin(broadcast(support))
+      .select(expr("(cents - lo) * 20 div (hi - lo + 1)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** SEMANTIC DEDUP, end to end: embedding-cosine near-dup pairs (q41's
+    * exact threshold) → connected components → keep the minimum vec_id per
+    * cluster. Output is the per-vector verdict (cluster root + keep flag) —
+    * the row-level filter a dedup stage applies. Singletons keep themselves;
+    * the iterative CC only ever shuffles the (sparse) edge list.
+    */
+  private def q137_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Clusters
+    val vecs = par(s, Tables.embeddings(s, dir))
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", thresh = 0.45)
+    Clusters.connectedComponents(vecs, "vec_id", pairs, "id_a", "id_b")
+      .select(col("vec_id"), col("cluster_id"),
+        when(col("vec_id") === col("cluster_id"), lit("keep")).otherwise(lit("drop")).as("verdict"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1933,6 +2034,11 @@ object SparkEntry {
     "q130_bigram_top" -> (q130_bigram_top _),
     "q131_corpus_composition" -> (q131_corpus_composition _),
     "q132_split_balance" -> (q132_split_balance _),
+    "q133_decontaminate" -> (q133_decontaminate _),
+    "q134_rolling_window" -> (q134_rolling_window _),
+    "q135_source_overlap" -> (q135_source_overlap _),
+    "q136_histogram" -> (q136_histogram _),
+    "q137_semantic_dedup" -> (q137_semantic_dedup _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -2958,5 +3064,68 @@ object SparkEntry {
                 ELSE 'ok' END AS quality,
            cast(count(*) as bigint) AS n_docs
          FROM labeled GROUP BY 1, 2""",
+    // q133: DuckDB inclusive slice toks[i:i+4] = 5 tokens; range end-exclusive
+    // so i walks 1..len-4 — exactly Spark's shinglesFromTokens(toks, 5)
+    "q133_decontaminate" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+                 FROM documents)),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+         train AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+         counts AS (SELECT doc_id, cast(count(*) as bigint) AS n_grams FROM train GROUP BY 1),
+         hits AS (SELECT t.doc_id, cast(count(*) as bigint) AS n_hits
+                  FROM train t JOIN bench b USING (gram) GROUP BY 1)
+         SELECT c.doc_id, c.n_grams, coalesce(h.n_hits, 0) AS n_hits,
+           CASE WHEN coalesce(h.n_hits, 0) * 2 >= c.n_grams THEN 'contaminated'
+                ELSE 'clean' END AS status
+         FROM counts c LEFT JOIN hits h USING (doc_id)""",
+    // q134: RANGE frames are peer-inclusive in both engines; epoch_us(naive
+    // ts) == Spark unix_micros(ntz→UTC); decimal window sum is order-free
+    "q134_rolling_window" ->
+      """SELECT event_id, user_id,
+           cast(count(*) OVER w as bigint) AS roll_cnt,
+           cast(sum(cast(value as DECIMAL(18,4))) OVER w as double) AS roll_sum
+         FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)""",
+    "q135_source_overlap" ->
+      """WITH st AS (
+           SELECT DISTINCT source, token FROM (
+             SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+             FROM documents)),
+         sizes AS (SELECT source, cast(count(*) as bigint) AS n FROM st GROUP BY 1),
+         inter AS (
+           SELECT a.source AS source_a, b.source AS source_b, cast(count(*) as bigint) AS i
+           FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT sa.source AS source_a, sb.source AS source_b,
+           coalesce(i.i, 0) AS inter,
+           sa.n + sb.n - coalesce(i.i, 0) AS uni,
+           cast(coalesce(i.i, 0) as double) / cast(sa.n + sb.n - coalesce(i.i, 0) as double) AS jaccard
+         FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+         LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source""",
+    "q136_histogram" ->
+      """WITH c AS (SELECT cast(cast(l_extendedprice as DECIMAL(18,2)) * 100 as bigint) AS cents
+                    FROM lineitem),
+         mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+         SELECT cast((cents - lo) * 20 // (hi - lo + 1) as bigint) AS bin,
+           cast(count(*) as bigint) AS n
+         FROM c, mm GROUP BY 1""",
+    "q137_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         walk(id, lab) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
+         SELECT id AS vec_id, min(lab) AS cluster_id,
+           CASE WHEN id = min(lab) THEN 'keep' ELSE 'drop' END AS verdict
+         FROM walk GROUP BY id""",
   )
 }
