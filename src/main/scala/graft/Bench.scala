@@ -36,7 +36,12 @@ object Bench {
     // single timing up to 5× (measured — identical code, same round); the
     // min of two runs is the standard noise-robust estimate of what the
     // query actually costs. Both timings go to stderr for transparency.
-    val results = SparkEntry.headlineQueries.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
+    // Dev-loop filter (unset in the driver ⇒ full headline set):
+    // SPARK_GRAFT_BENCH_ONLY=q140_record_linkage times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    val selected = SparkEntry.headlineQueries.filter(n => only.forall(_.contains(n)))
+    val results = selected.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
       def timeOnce(): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }

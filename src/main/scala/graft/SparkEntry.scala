@@ -1899,6 +1899,222 @@ object SparkEntry {
         when(col("vec_id") === col("cluster_id"), lit("keep")).otherwise(lit("drop")).as("verdict"))
   }
 
+  /** BLOOM-PREFILTERED SEMI JOIN — large probe ⋉ filtered build. One pass
+    * over the build side folds its keys into a broadcast bloom; the probe is
+    * thinned *before* its shuffle by the codegen'd `might_contain`, and the
+    * exact semi join afterwards removes false positives, so the result is
+    * identical to a plain `IN` subquery. At 100 TB the bloom (a few MB) stands
+    * in for shuffling the ~¾ of lineitem that can't match an URGENT order.
+    */
+  private def q138_bloom_semi(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.BloomPrefilter
+    val li = Tables.lineitem(s, dir)
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    BloomPrefilter.semiJoin(li, "l_orderkey", urgent, "o_orderkey",
+        expectedKeys = 1 << 18, fpp = 0.01)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_quantity").cast("long").as("qty"))
+  }
+
+  /** TF-IDF TERM IMPORTANCE — top-3 terms per document. One tokenize pass
+    * feeds both term frequency (per doc) and document frequency (per term);
+    * the score is integer-scaled `tf·1e6 ÷ df` so ranking is bit-identical in
+    * any engine (no float log). The df side is a token-level aggregate — tiny
+    * next to the corpus — and comes back as a broadcast join; the final top-k
+    * is a per-doc window (WindowGroupLimit prunes it before the sort at
+    * scale).
+    */
+  private def q139_tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** RECORD LINKAGE — blocked fuzzy entity matching. Candidate pairs are
+    * generated only inside a blocking key (nation) — the standard trick that
+    * turns an O(N²) all-pairs compare into Σ per-block quadratics — then each
+    * pair gets an additive match score from cheap exact predicates plus an
+    * edit-distance test. All components are integers (money compared in exact
+    * DECIMAL cents), so the score is engine-portable. The self-join shuffles
+    * each block to one partition: at 100 TB you'd salt oversized blocks the
+    * same way q46 salts its skewed join key.
+    */
+  private def q140_record_linkage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nation"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+      col("c_mktsegment").as("segment"))
+    val a = c.as("a"); val b = c.as("b")
+    // The edit-distance test runs 4.5M times per 15k-row block structure at
+    // sf0.1 — graft's codegen'd bounded_levenshtein (prefix/suffix trim +
+    // banded DP, StringExprs) keeps it off the flame graph; Spark's builtin
+    // 3-arg levenshtein measured ~1.4µs/call here (~6s of the query).
+    val trimmedLev = graft.functions.StringExprs.bounded_levenshtein(
+      col("a.name"), col("b.name"), 3)
+    a.join(b, col("a.nation") === col("b.nation") && col("a.id") < col("b.id"))
+      .select(
+        col("a.nation").as("nation"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        when(trimmedLev >= 0, lit(3L)).otherwise(lit(0L)).as("name_pts"),
+        when(col("a.segment") === col("b.segment"), lit(2L)).otherwise(lit(0L)).as("seg_pts"),
+        when(abs(col("a.cents") - col("b.cents")) <= 10000L, lit(1L)).otherwise(lit(0L)).as("bal_pts"))
+      .withColumn("score", col("name_pts") + col("seg_pts") + col("bal_pts"))
+      .filter(col("score") >= 4)
+  }
+
+  /** Z-ORDER CLUSTERING KEY — bit-interleave two dimensions into one sort
+    * key, then range-bucket on it. Each z-bucket covers a bounded rectangle
+    * in (custkey, orderday) space — the min/max output *is* the data-skipping
+    * index a z-ordered write layout gives a lake: a scan filtered on either
+    * dimension prunes most buckets. The interleave is pure integer bit
+    * arithmetic (codegen'd, no shuffle); bucketing is fixed-width on z, so
+    * the whole layout computation is embarrassingly parallel — no global
+    * sort, unlike ntile.
+    */
+  private def q141_zorder(s: SparkSession, dir: String): DataFrame = {
+    val bits = 10
+    val x = "(o_custkey % 1024)"
+    val y = "(datediff(o_orderdate, date'1970-01-01') % 1024)"
+    val z = (0 until bits).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)}) + ((($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+    Tables.orders(s, dir)
+      .select(expr(x).cast("long").as("x"), expr(y).cast("long").as("y"),
+        expr(z).cast("long").as("z"))
+      .groupBy(expr(s"z * 16 div ${1L << (2 * bits)}").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("x_lo"), max("x").as("x_hi"),
+        min("y").as("y_lo"), max("y").as("y_hi"))
+  }
+
+  /** INT8 SCALAR QUANTIZATION of embeddings — the memory-side half of a
+    * vector index: per-dimension (min,max) support over the corpus, then each
+    * float maps to ⌊(v−lo)·255/(hi−lo)⌋. The per-dim stats table is ~dims
+    * rows — broadcast back over the exploded corpus — and every arithmetic
+    * step is IEEE-deterministic double math, so codes are bit-identical
+    * across engines. Output is per-vector code stats (scalar-only contract).
+    * At 100 TB this shrinks a float32 index 4× with one extra scan.
+    */
+  private def q142_quantize(s: SparkSession, dir: String): DataFrame = {
+    val dims = par(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+    val support = dims.groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+    dims.join(broadcast(support), "dim")
+      .select(col("vec_id"),
+        least(floor((col("v") - col("lo")) * 255d / (col("hi") - col("lo"))), lit(255d))
+          .cast("long").as("code"))
+      .groupBy("vec_id")
+      .agg(sum("code").as("code_sum"), min("code").as("code_min"),
+        max("code").as("code_max"), count(lit(1)).as("n_dims"))
+  }
+
+  /** TOKENIZER VOCAB COVERAGE — per-document out-of-vocabulary rate against
+    * the corpus top-200 vocabulary (q90's deterministic tie-break). The vocab
+    * is a token-level aggregate (tiny) broadcast back over the token stream;
+    * the rate is integer per-mille so the comparison never sees a float. The
+    * training-data use: route high-OOV documents to tokenizer retraining or
+    * drop them before they waste context window.
+    */
+  private def q143_vocab_coverage(s: SparkSession, dir: String): DataFrame = {
+    val tok = par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(200).select("token")
+    tok.join(broadcast(vocab).withColumn("in_vocab", lit(1L)), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in"))
+      .withColumn("oov_permille", expr("(n_tok - n_in) * 1000 div n_tok"))
+  }
+
+  /** ARBITRARY STATEFUL STREAMING (Spark 4 `transformWithState`): running
+    * per-user (count, exact-cents sum) kept in RocksDB-backed ValueState,
+    * drained with AvailableNow. The batch groupBy is the oracle — the
+    * stateful stream must converge to exactly the batch answer. See
+    * [[graft.streaming.Stateful]] for the processor.
+    */
+  private def q144_stateful_stream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    graft.streaming.Stateful.runningUserAggOverParquet(
+      s, s"$dir/events.parq*", raw,
+      centsExpr = "cast(cast(value as decimal(18,4)) * 10000 as long)",
+      name = s"q144_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
+  /** CROSS-DOCUMENT CHUNK DEDUP — the paragraph-dedup analog for a corpus
+    * whose texts have no paragraph marks: each document is cut into
+    * non-overlapping 10-token chunks, and a chunk-level aggregate counts how
+    * many distinct documents share each chunk. The per-doc output (total
+    * chunks, shared chunks, per-mille) is the signal a pipeline uses to strip
+    * boilerplate that exact whole-doc dedup (q34) can't see. The join key at
+    * scale would be the chunk's 128-bit hash; joining on the text itself is
+    * the same result and keeps the oracle trivially portable.
+    */
+  private def q145_chunk_dedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val chunks = par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 10) // guards sequence(0, -1), which DESCENDS
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, int(size(toks) div 10) - 1)," +
+          " i -> array_join(slice(toks, i*10+1, 10), ' '))")).as("chunk"))
+    val shared = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(shared, "chunk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_permille", expr("n_dup * 1000 div n_chunks"))
+  }
+
+  /** PAGERANK (2 unrolled iterations, integer micro-units) over the
+    * customer→supplier purchase graph. Rank mass moves along distinct
+    * (customer, supplier) edges; each hop is contribution = rank ÷ out-degree
+    * (integer), then rank' = 0.15 + 0.85·Σ in integer micro-units — so every
+    * iteration is a join + aggregate with *no float anywhere*, and the result
+    * is bit-identical in any engine. Dangling mass (suppliers are sinks) is
+    * deliberately dropped — documented simplification, deterministic. The
+    * Spark shape is the scale shape: edges partition by src for the
+    * contribution join, by dst for the sum; ranks are the only small side.
+    */
+  private def q146_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    def step(rank: DataFrame): DataFrame = {
+      val contrib = edges.join(rank, edges("src") === rank("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+      val insum = contrib.groupBy("dst").agg(sum("c").as("insum"))
+      nodes.join(insum, nodes("node") === insum("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("85 * coalesce(insum, 0L) div 100")).as("r"))
+    }
+    val r0 = nodes.select(col("node"), lit(1000000L).as("r"))
+    step(step(r0)).withColumnRenamed("r", "rank_ppm")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2039,6 +2255,15 @@ object SparkEntry {
     "q135_source_overlap" -> (q135_source_overlap _),
     "q136_histogram" -> (q136_histogram _),
     "q137_semantic_dedup" -> (q137_semantic_dedup _),
+    "q138_bloom_semi" -> (q138_bloom_semi _),
+    "q139_tfidf" -> (q139_tfidf _),
+    "q140_record_linkage" -> (q140_record_linkage _),
+    "q141_zorder" -> (q141_zorder _),
+    "q142_quantize" -> (q142_quantize _),
+    "q143_vocab_coverage" -> (q143_vocab_coverage _),
+    "q144_stateful_stream" -> (q144_stateful_stream _),
+    "q145_chunk_dedup" -> (q145_chunk_dedup _),
+    "q146_pagerank" -> (q146_pagerank _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -3127,5 +3352,125 @@ object SparkEntry {
          SELECT id AS vec_id, min(lab) AS cluster_id,
            CASE WHEN id = min(lab) THEN 'keep' ELSE 'drop' END AS verdict
          FROM walk GROUP BY id""",
+    // q138: the bloom is a shuffle-volume optimization only — exact result is
+    // the plain IN-subquery semi join
+    "q138_bloom_semi" ->
+      """SELECT l_orderkey, cast(l_linenumber as bigint) AS line_no,
+           cast(l_quantity as bigint) AS qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+    // q139: integer-scaled tf·1e6//df keeps the ranking float-free; row_number
+    // tie-break on token makes top-3 deterministic in both engines
+    "q139_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, cast(count(*) as bigint) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, cast(count(*) as bigint) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1)
+         SELECT doc_id, token, tf, df, cast(tf * 1000000 // df as bigint) AS score, rank FROM (
+           SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             cast(row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * 1000000 // df.df DESC, tf.token ASC) as bigint) AS rank
+           FROM tf JOIN df USING (token)) t
+         WHERE rank <= 3""",
+    // q140: all score components integer (money in DECIMAL cents); DuckDB
+    // levenshtein == Spark levenshtein (q85-established parity)
+    "q140_record_linkage" ->
+      """WITH c AS (
+           SELECT c_custkey AS id, c_name AS name, cast(c_nationkey as bigint) AS nation,
+             cast(cast(c_acctbal as DECIMAL(18,2)) * 100 as bigint) AS cents,
+             c_mktsegment AS segment
+           FROM customer)
+         SELECT nation, id_a, id_b, name_pts, seg_pts, bal_pts,
+           name_pts + seg_pts + bal_pts AS score
+         FROM (
+           SELECT a.nation AS nation, a.id AS id_a, b.id AS id_b,
+             cast(CASE WHEN levenshtein(a.name, b.name) <= 3 THEN 3 ELSE 0 END as bigint) AS name_pts,
+             cast(CASE WHEN a.segment = b.segment THEN 2 ELSE 0 END as bigint) AS seg_pts,
+             cast(CASE WHEN abs(a.cents - b.cents) <= 10000 THEN 1 ELSE 0 END as bigint) AS bal_pts
+           FROM c a JOIN c b ON a.nation = b.nation AND a.id < b.id) t
+         WHERE name_pts + seg_pts + bal_pts >= 4""",
+    // q141: the bit-interleave is generated from the same (bits, x, y) spec as
+    // the Spark plan so the two expressions cannot drift
+    "q141_zorder" -> {
+      val x = "(o_custkey % 1024)"
+      val y = "(date_diff('day', DATE '1970-01-01', o_orderdate) % 1024)"
+      val z = (0 until 10).map { i =>
+        s"((($x >> $i) & 1) * ${1L << (2 * i)}) + ((($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT cast($x as bigint) AS x, cast($y as bigint) AS y,
+             cast($z as bigint) AS z FROM orders)
+         SELECT cast(z * 16 // ${1L << 20} as bigint) AS bucket,
+           cast(count(*) as bigint) AS n,
+           min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+         FROM t GROUP BY 1"""
+    },
+    // q142: float32 widens exactly to double in both engines; every step after
+    // that is IEEE double (sub, mul, div, floor), so codes are bit-identical
+    "q142_quantize" ->
+      """WITH d AS (
+           SELECT vec_id, cast(unnest(range(0, len(embedding))) as bigint) AS dim,
+             cast(unnest(embedding) as double) AS v
+           FROM embeddings),
+         s AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM d GROUP BY 1)
+         SELECT vec_id, cast(sum(code) as bigint) AS code_sum, min(code) AS code_min,
+           max(code) AS code_max, cast(count(*) as bigint) AS n_dims
+         FROM (SELECT d.vec_id,
+                 cast(least(floor((d.v - s.lo) * 255 / (s.hi - s.lo)), 255) as bigint) AS code
+               FROM d JOIN s USING (dim)) q
+         GROUP BY 1""",
+    // q143: top-200 vocab tie-broken (n DESC, token ASC) = q90's determinism
+    "q143_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+           FROM documents),
+         vocab AS (SELECT token FROM (
+           SELECT token, count(*) AS n FROM tok GROUP BY 1
+           ORDER BY n DESC, token ASC LIMIT 200))
+         SELECT t.doc_id, cast(count(*) as bigint) AS n_tok,
+           cast(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_in,
+           cast((count(*) - sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)) * 1000 // count(*) as bigint) AS oov_permille
+         FROM tok t LEFT JOIN vocab v ON t.token = v.token
+         GROUP BY 1""",
+    // q144: the stateful stream's converged answer IS the batch aggregate;
+    // money summed in exact integer cents on both sides
+    "q144_stateful_stream" ->
+      """SELECT user_id, cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(cast(value as DECIMAL(18,4)) * 10000 as bigint)) as bigint) AS cents
+         FROM events GROUP BY user_id""",
+    // q145: DuckDB list slice is 1-based inclusive — toks[i*10+1 : i*10+10]
+    // is exactly Spark's slice(toks, i*10+1, 10); range() is end-exclusive
+    "q145_chunk_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, unnest(list_transform(range(0, len(toks) // 10),
+             i -> array_to_string(toks[i*10+1:i*10+10], ' '))) AS chunk
+           FROM t WHERE len(toks) >= 10),
+         h AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1)
+         SELECT c.doc_id, cast(count(*) as bigint) AS n_chunks,
+           cast(sum(CASE WHEN h.nd >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup,
+           cast(sum(CASE WHEN h.nd >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) as bigint) AS dup_permille
+         FROM c JOIN h USING (chunk) GROUP BY 1""",
+    // q146: two unrolled integer-arithmetic iterations; coalesce(insum,0)
+    // covers nodes with no in-edges (customers) on both sides
+    "q146_pagerank" ->
+      """WITH edges AS (
+           SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         deg AS (SELECT src, cast(count(*) as bigint) AS deg FROM edges GROUP BY 1),
+         r0 AS (SELECT node, cast(1000000 as bigint) AS r FROM nodes),
+         i1 AS (SELECT e.dst, sum(r0.r // d.deg) AS insum
+                FROM edges e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+                GROUP BY 1),
+         r1 AS (SELECT n.node, cast(150000 + 85 * coalesce(i1.insum, 0) // 100 as bigint) AS r
+                FROM nodes n LEFT JOIN i1 ON n.node = i1.dst),
+         i2 AS (SELECT e.dst, sum(r1.r // d.deg) AS insum
+                FROM edges e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+                GROUP BY 1)
+         SELECT n.node, cast(150000 + 85 * coalesce(i2.insum, 0) // 100 as bigint) AS rank_ppm
+         FROM nodes n LEFT JOIN i2 ON n.node = i2.dst""",
   )
 }

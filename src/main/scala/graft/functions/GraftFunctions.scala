@@ -63,6 +63,10 @@ object GraftFunctions {
       case Seq(vec, tables, nbits) =>
         LshExprs.HyperplaneBuckets(vec, intArg(tables, "tables"), intArg(nbits, "nbits"))
       case args => throw new IllegalArgumentException(s"hyperplane_buckets(vec, tables, nbits): got ${args.length} args")
+    }),
+    ("bounded_levenshtein", "bounded_levenshtein(a, b, k) - edit distance if <= k else -1", {
+      case Seq(a, b, k) => StringExprs.BoundedLevenshtein(a, b, intArg(k, "k"))
+      case args => throw new IllegalArgumentException(s"bounded_levenshtein(a, b, k): got ${args.length} args")
     }))
 
   /** Imperative per-session registration. */

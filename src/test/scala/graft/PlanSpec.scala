@@ -111,4 +111,18 @@ class PlanSpec extends SparkSpec {
       .replace("ReusedExchange", "")).size <= 2, // logical+executed dump each show the plan once
       "scaling should shuffle once:\n" + p)
   }
+
+  test("q138: bloom pre-filter runs codegen'd on the probe scan side, below the join") {
+    val p = planOf("q138_bloom_semi")
+    assert(p.contains("might_contain"), p)
+    // the might_contain filter must sit under the join, next to the lineitem
+    // scan — i.e. appear in a Filter node, not only in the join condition
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("might_contain")),
+      "bloom filter should be a probe-side Filter:\n" + p)
+  }
+
+  test("q139: the df side joins back as a broadcast (token aggregate never reshuffles tf)") {
+    val p = planOf("q139_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
