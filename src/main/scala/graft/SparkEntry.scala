@@ -2115,6 +2115,82 @@ object SparkEntry {
     step(step(r0)).withColumnRenamed("r", "rank_ppm")
   }
 
+  /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate a warehouse load runs
+    * before publishing: every FK edge is one broadcast-anti-join count (the
+    * dimension key set broadcasts; facts never shuffle), unioned into a
+    * one-row-per-check report. Zero violations is the expected steady state —
+    * the query exists to prove it cheaply every load.
+    */
+  private def q147_referential_audit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+    def check(name: String, fact: DataFrame, factKey: String,
+              dim: DataFrame, dimKey: String): DataFrame = {
+      val total = fact.agg(count(lit(1)).as("n_rows"))
+      val orphans = fact.join(broadcast(dim.select(col(dimKey))),
+          fact(factKey) === col(dimKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      total.crossJoin(orphans).select(lit(name).as("check"),
+        col("n_rows"), col("n_violations"))
+    }
+    check("lineitem_orphan_order", li, "l_orderkey", o, "o_orderkey")
+      .unionAll(check("lineitem_orphan_supplier", li, "l_suppkey", su, "s_suppkey"))
+      .unionAll(check("order_orphan_customer", o, "o_custkey", c, "c_custkey"))
+      .unionAll(check("customer_without_order", c, "c_custkey", o, "o_custkey"))
+  }
+
+  /** KEY-CARDINALITY AUDIT — is a candidate key actually unique? For each
+    * proposed key the rows-per-key distribution comes back as a histogram
+    * (rows_per_key → n_keys): a unique key shows one row (1, n); any other
+    * row is a duplication diagnosis with its multiplicity. Two aggregations
+    * deep but each output is O(distinct multiplicities) — tiny at any scale.
+    */
+  private def q148_key_cardinality(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def audit(name: String, keys: Seq[String]): DataFrame =
+      li.groupBy(keys.map(col): _*).agg(count(lit(1)).as("rows_per_key"))
+        .groupBy("rows_per_key").agg(count(lit(1)).as("n_keys"))
+        .select(lit(name).as("candidate_key"), col("rows_per_key"), col("n_keys"))
+    audit("l_orderkey", Seq("l_orderkey"))
+      .unionAll(audit("l_orderkey+l_linenumber", Seq("l_orderkey", "l_linenumber")))
+  }
+
+  /** EVENT TRANSITION MATRIX — first-order Markov structure of user
+    * behavior: per user, each event's successor type via lead() inside the
+    * user partition (one shuffle, the window's own), then global
+    * (from → to) counts with an integer per-mille share within each
+    * from-type. End-of-sequence transitions are kept as to='(end)' so rows
+    * per from-type sum to that type's event count.
+    */
+  private def q149_transition_matrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .withColumn("to_type", coalesce(lead(col("event_type"), 1).over(w), lit("(end)")))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans.withColumn("permille", expr("n * 1000 div sum(n) over (partition by from_type)"))
+  }
+
+  /** PERIOD-OVER-PERIOD — monthly revenue per market segment with the
+    * previous month's value and an integer per-mille delta. Money stays
+    * exact DECIMAL cents through the aggregation; the window is over the
+    * (tiny) aggregated (segment × month) grid, so the lag costs nothing.
+    */
+  private def q150_period_change(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
+    val monthly = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("segment").orderBy("ym")
+    monthly.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("delta_permille",
+        expr("case when prev_cents is not null and prev_cents != 0 " +
+          "then (cents - prev_cents) * 1000 div prev_cents end"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2264,6 +2340,10 @@ object SparkEntry {
     "q144_stateful_stream" -> (q144_stateful_stream _),
     "q145_chunk_dedup" -> (q145_chunk_dedup _),
     "q146_pagerank" -> (q146_pagerank _),
+    "q147_referential_audit" -> (q147_referential_audit _),
+    "q148_key_cardinality" -> (q148_key_cardinality _),
+    "q149_transition_matrix" -> (q149_transition_matrix _),
+    "q150_period_change" -> (q150_period_change _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -3472,5 +3552,57 @@ object SparkEntry {
                 GROUP BY 1)
          SELECT n.node, cast(150000 + 85 * coalesce(i2.insum, 0) // 100 as bigint) AS rank_ppm
          FROM nodes n LEFT JOIN i2 ON n.node = i2.dst""",
+    "q147_referential_audit" ->
+      """SELECT 'lineitem_orphan_order' AS check, cast(count(*) as bigint) AS n_rows,
+           cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_violations
+         FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+         UNION ALL
+         SELECT 'lineitem_orphan_supplier', cast(count(*) as bigint),
+           cast(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) as bigint)
+         FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+         UNION ALL
+         SELECT 'order_orphan_customer', cast(count(*) as bigint),
+           cast(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) as bigint)
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         UNION ALL
+         SELECT 'customer_without_order', cast(count(*) as bigint),
+           cast(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) as bigint)
+         FROM customer LEFT JOIN (SELECT DISTINCT o_custkey AS nk FROM orders) o2
+           ON c_custkey = nk""",
+    "q148_key_cardinality" ->
+      """WITH a AS (SELECT l_orderkey, cast(count(*) as bigint) AS rows_per_key
+                    FROM lineitem GROUP BY 1),
+         b AS (SELECT l_orderkey, l_linenumber, cast(count(*) as bigint) AS rows_per_key
+               FROM lineitem GROUP BY 1, 2)
+         SELECT 'l_orderkey' AS candidate_key, rows_per_key, cast(count(*) as bigint) AS n_keys
+         FROM a GROUP BY 2
+         UNION ALL
+         SELECT 'l_orderkey+l_linenumber', rows_per_key, cast(count(*) as bigint)
+         FROM b GROUP BY 2""",
+    "q149_transition_matrix" ->
+      """WITH t AS (
+           SELECT event_type AS from_type,
+             coalesce(lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+               '(end)') AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, cast(count(*) as bigint) AS n FROM t GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           cast(n * 1000 // sum(n) OVER (PARTITION BY from_type) as bigint) AS permille
+         FROM c""",
+    "q150_period_change" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS segment,
+             cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint) AS ym,
+             cast(sum(cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint)) as bigint) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2)
+         SELECT segment, ym, cents,
+           lag(cents, 1) OVER (PARTITION BY segment ORDER BY ym) AS prev_cents,
+           cast(CASE WHEN lag(cents, 1) OVER (PARTITION BY segment ORDER BY ym) IS NOT NULL
+                      AND lag(cents, 1) OVER (PARTITION BY segment ORDER BY ym) != 0
+                     THEN (cents - lag(cents, 1) OVER (PARTITION BY segment ORDER BY ym)) * 1000
+                          // lag(cents, 1) OVER (PARTITION BY segment ORDER BY ym)
+                END as bigint) AS delta_permille
+         FROM m""",
   )
 }

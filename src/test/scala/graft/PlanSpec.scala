@@ -125,4 +125,10 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q139_tfidf")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q147: every FK audit is a broadcast anti join — facts never shuffle") {
+    val p = planOf("q147_referential_audit")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), "audit should broadcast dim key sets:\n" + p)
+  }
 }
