@@ -2191,6 +2191,54 @@ object SparkEntry {
           "then (cents - prev_cents) * 1000 div prev_cents end"))
   }
 
+  /** MIXTURE APPORTIONMENT — turn data-driven source weights into exact
+    * integer sampling quotas that sum to the target (largest-remainder
+    * method): base_i = ⌊N·w_i⌋, then the N−Σbase leftover seats go to the
+    * largest scaled remainders (deterministic tie-break on source). This is
+    * the step between "mixture weights" in a training config and "how many
+    * documents to actually draw per source"; all integer arithmetic, and the
+    * whole computation runs on the O(sources) aggregate — the corpus is
+    * touched once for the counts.
+    */
+  private def q151_mixture_quota(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = lit(10000L)
+    val counts = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("total"))
+    val based = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("10000 * n_docs div total").as("base"),
+        (n * col("n_docs") - expr("10000 * n_docs div total") * col("total")).as("rem"))
+    val w = Window.orderBy(col("rem").desc, col("source").asc)
+    val deficit = n - sum(col("base")).over(Window.partitionBy())
+    based
+      .withColumn("seat_rank", row_number().over(w).cast("long"))
+      .withColumn("extra", when(col("seat_rank") <= deficit, 1L).otherwise(0L))
+      .withColumn("quota", col("base") + col("extra"))
+      .select("source", "n_docs", "base", "extra", "quota")
+  }
+
+  /** BPE MERGE INDUCTION (one round): the 20 most frequent adjacent
+    * character pairs across the corpus — the statistic a byte-pair-encoding
+    * trainer computes every merge round. Pairs come from substr(word, i, 2)
+    * over exploded words (weighted by occurrence), so the whole round is
+    * explode → substr → count → top-k, all codegen'd; the top-k is
+    * TakeOrderedAndProject, never a global sort. Iterating rounds = re-run
+    * with the previous merges applied to the token stream.
+    */
+  private def q152_bpe_merge(s: SparkSession, dir: String): DataFrame = {
+    val words = par(s, Tables.documents(s, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(expr(
+        "transform(sequence(1, int(length(w)) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2344,6 +2392,8 @@ object SparkEntry {
     "q148_key_cardinality" -> (q148_key_cardinality _),
     "q149_transition_matrix" -> (q149_transition_matrix _),
     "q150_period_change" -> (q150_period_change _),
+    "q151_mixture_quota" -> (q151_mixture_quota _),
+    "q152_bpe_merge" -> (q152_bpe_merge _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -3604,5 +3654,27 @@ object SparkEntry {
                           // lag(cents, 1) OVER (PARTITION BY segment ORDER BY ym)
                 END as bigint) AS delta_permille
          FROM m""",
+    "q151_mixture_quota" ->
+      """WITH c AS (SELECT source, cast(count(*) as bigint) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_docs) AS total FROM c),
+         b AS (SELECT source, n_docs,
+                 cast(10000 * n_docs // total as bigint) AS base,
+                 cast(10000 * n_docs - (10000 * n_docs // total) * total as bigint) AS rem
+               FROM c, t),
+         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS seat_rank,
+                 sum(base) OVER () AS sum_base FROM b)
+         SELECT source, n_docs, base,
+           cast(CASE WHEN seat_rank <= 10000 - sum_base THEN 1 ELSE 0 END as bigint) AS extra,
+           cast(base + CASE WHEN seat_rank <= 10000 - sum_base THEN 1 ELSE 0 END as bigint) AS quota
+         FROM r""",
+    // q152: DuckDB slice w[i:i+1] (1-based, inclusive) == Spark substring(w, i, 2)
+    "q152_bpe_merge" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair
+               FROM w WHERE len(w) >= 2)
+         SELECT pair, cast(count(*) as bigint) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""",
   )
 }

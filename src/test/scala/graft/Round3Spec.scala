@@ -103,4 +103,21 @@ class Round3Spec extends SparkSpec {
     wh.merge("snap", o.filter(col("o_orderdate") >= split), Seq("o_orderkey"))
     assert(wh.read("snap").exceptAll(o).isEmpty && o.exceptAll(wh.read("snap")).isEmpty)
   }
+
+  test("q151: largest-remainder quotas sum EXACTLY to the target, every source gets ≥ base") {
+    val rows = SparkEntry.queries("q151_mixture_quota")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("quota")).sum === 10000L)
+    assert(rows.forall(r => r.getAs[Long]("extra") == 0L || r.getAs[Long]("extra") == 1L))
+    assert(rows.forall(r => r.getAs[Long]("quota") >= r.getAs[Long]("base")))
+  }
+
+  test("q138/q147: bloom semi join and FK audit agree on the same membership question") {
+    // lineitems whose order is URGENT (q138) + lineitems with NO order at all
+    // (q147's first check) partition differently, but the audit's total row
+    // count must equal lineitem's cardinality — cross-query consistency
+    val audit = SparkEntry.queries("q147_referential_audit")(spark, sfDir)
+      .filter(col("check") === "lineitem_orphan_order").head()
+    assert(audit.getAs[Long]("n_rows") === Tables.lineitem(spark, sfDir).count())
+    assert(audit.getAs[Long]("n_violations") === 0L)
+  }
 }
