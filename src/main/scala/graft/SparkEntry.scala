@@ -2239,6 +2239,65 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** LABEL-NOISE SCREENING — kNN label agreement: for every vector, do its 5
+    * nearest neighbors (exact cosine) share its label? Per-label output:
+    * cohort size, mean agreement (integer per-mille), and the count of
+    * suspect rows (≤1 agreeing neighbor) — the shortlist a data-cleaning
+    * pass re-annotates. Reuses the q38 brute-force kernel (codegen'd cosine,
+    * per-query window top-k); the label lookup is a broadcast of the
+    * O(corpus) id→label pairs.
+    */
+  private def q153_label_agreement(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"), col("label").cast("long").as("qlab"))
+    val nn = Similarity.bruteForceTopK(
+        queries.select("query_id", "query_vec"), emb.select("vec_id", "embedding"), k = 5)
+      .join(broadcast(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("nlab"))), "neighbor_id")
+      .join(broadcast(queries.select("query_id", "qlab")), "query_id")
+    val per = nn.groupBy("query_id", "qlab")
+      .agg(sum(when(col("nlab") === col("qlab"), 1L).otherwise(0L)).as("n_agree"))
+    per.groupBy(col("qlab").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(n_agree) * 1000 div (count(*) * 5)").as("agree_permille"),
+        sum(when(col("n_agree") <= 1, 1L).otherwise(0L)).as("n_suspect"))
+  }
+
+  /** SCD TYPE-2 HISTORY BUILD — turn two snapshots of a dimension into
+    * versioned validity intervals: unchanged keys keep one open row, changed
+    * keys get their old version closed at the change date and a new open
+    * version, keys new to today's snapshot open at the change date. One
+    * full-outer join on the key (money compared as exact DECIMAL cents),
+    * then each interval row is a projection — no window, no second shuffle.
+    * Snapshots are derived deterministically the same way q103's CDC diff
+    * does it.
+    */
+  private def q154_scd2(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+    val today = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k_new"), cents.as("c_new"))
+    val yesterday = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey").as("k_old"),
+        when(col("o_orderkey") % 97 === 0, cents + 100L).otherwise(cents).as("c_old"))
+    val j = today.join(yesterday, col("k_new") === col("k_old"), "full_outer")
+    val d0 = lit("2024-06-01").cast("date"); val d1 = lit("2024-06-02").cast("date")
+    // open rows carry the SCD2 high-date sentinel, not NULL — interval
+    // predicates (`BETWEEN valid_from AND valid_to`) then need no null arm
+    val dInf = lit("9999-12-31").cast("date")
+    val changed = j.filter(col("k_old").isNotNull && col("k_new").isNotNull &&
+      col("c_old") =!= col("c_new"))
+    changed.select(col("k_new").as("key"), lit(1L).as("version"),
+        col("c_old").as("cents"), d0.as("valid_from"), d1.as("valid_to"))
+      .unionAll(changed.select(col("k_new"), lit(2L), col("c_new"), d1, dInf))
+      .unionAll(j.filter(col("k_old").isNull).select(col("k_new"), lit(1L),
+        col("c_new"), d1, dInf))
+      .unionAll(j.filter(col("k_old").isNotNull && col("k_new").isNotNull &&
+          col("c_old") === col("c_new"))
+        .select(col("k_new"), lit(1L), col("c_new"), d0, dInf))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2394,6 +2453,8 @@ object SparkEntry {
     "q150_period_change" -> (q150_period_change _),
     "q151_mixture_quota" -> (q151_mixture_quota _),
     "q152_bpe_merge" -> (q152_bpe_merge _),
+    "q153_label_agreement" -> (q153_label_agreement _),
+    "q154_scd2" -> (q154_scd2 _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -3676,5 +3737,43 @@ object SparkEntry {
                FROM w WHERE len(w) >= 2)
          SELECT pair, cast(count(*) as bigint) AS n
          FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""",
+    // q153: same ranked-neighbor idiom as the q38 oracle (rank ties broken by
+    // id; list_cosine_similarity rank order matches the codegen'd kernel)
+    "q153_label_agreement" ->
+      """WITH nn AS (
+           SELECT q.vec_id AS qid, q.label AS qlab, c.label AS nlab,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id != c.vec_id
+           QUALIFY rank <= 5),
+         per AS (SELECT qid, qlab,
+                   sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS n_agree
+                 FROM nn GROUP BY 1, 2)
+         SELECT cast(qlab as bigint) AS label, cast(count(*) as bigint) AS n_vecs,
+           cast(sum(n_agree) * 1000 // (count(*) * 5) as bigint) AS agree_permille,
+           cast(sum(CASE WHEN n_agree <= 1 THEN 1 ELSE 0 END) as bigint) AS n_suspect
+         FROM per GROUP BY 1""",
+    "q154_scd2" ->
+      """WITH cents AS (
+           SELECT o_orderkey, cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS c
+           FROM orders),
+         today AS (SELECT o_orderkey AS k_new, c AS c_new FROM cents),
+         yesterday AS (
+           SELECT o_orderkey AS k_old,
+             CASE WHEN o_orderkey % 97 = 0 THEN c + 100 ELSE c END AS c_old
+           FROM cents WHERE o_orderkey % 101 != 0),
+         j AS (SELECT * FROM today FULL OUTER JOIN yesterday ON k_new = k_old)
+         SELECT k_new AS key, cast(1 as bigint) AS version, c_old AS cents,
+           DATE '2024-06-01' AS valid_from, DATE '2024-06-02' AS valid_to
+         FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old != c_new
+         UNION ALL
+         SELECT k_new, 2, c_new, DATE '2024-06-02', DATE '9999-12-31'
+         FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old != c_new
+         UNION ALL
+         SELECT k_new, 1, c_new, DATE '2024-06-02', DATE '9999-12-31' FROM j WHERE k_old IS NULL
+         UNION ALL
+         SELECT k_new, 1, c_new, DATE '2024-06-01', DATE '9999-12-31'
+         FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old = c_new""",
   )
 }
