@@ -2298,6 +2298,42 @@ object SparkEntry {
         .select(col("k_new"), lit(1L), col("c_new"), d0, dInf))
   }
 
+  /** JOIN-STRATEGY HINTS — the explicit override lane for when the planner's
+    * estimate is wrong at 100 TB (stale stats, exploding UDF selectivity):
+    * the same logical join as q08 but pinned to a SHUFFLE_HASH build on the
+    * dimension side (no sort, unlike merge join; no driver collect, unlike
+    * broadcast — the right call when the "small" side fits an executor but
+    * not the driver). Results are identical to the unhinted plan by
+    * construction; PlanSpec asserts the physical operator actually obeyed.
+    */
+  private def q155_join_hints(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).hint("shuffle_hash")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_totalprice").as("total_price"),
+        col("c_name").as("cust_name"), col("c_mktsegment").as("segment"))
+  }
+
+  /** TIMER-DRIVEN STREAMING SESSIONIZATION — the full arbitrary-state
+    * surface (ValueState + event-time timers): sessions closed by a
+    * follow-on event emit in-batch; the per-user open tail closes when the
+    * watermark passes last-event + gap (30 min gap, 1 h watermark delay).
+    * For a bounded drain the emitted set is exactly computable: every
+    * non-final session, plus final sessions whose timer deadline (integer ms)
+    * the final watermark passed. See [[graft.streaming.Stateful.SessionizeTimers]].
+    */
+  private def q156_timer_sessions(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    graft.streaming.Stateful.timerSessionsOverParquet(
+      s, s"$dir/events.parq*", raw,
+      tsUsExpr = "ts div 1000", gapUs = 1800L * 1000000L, delay = "1 hour",
+      name = s"q156_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2455,6 +2491,8 @@ object SparkEntry {
     "q152_bpe_merge" -> (q152_bpe_merge _),
     "q153_label_agreement" -> (q153_label_agreement _),
     "q154_scd2" -> (q154_scd2 _),
+    "q155_join_hints" -> (q155_join_hints _),
+    "q156_timer_sessions" -> (q156_timer_sessions _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -3775,5 +3813,31 @@ object SparkEntry {
          UNION ALL
          SELECT k_new, 1, c_new, DATE '2024-06-01', DATE '9999-12-31'
          FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old = c_new""",
+    // q155: hints change the physical strategy, never the result — same
+    // oracle as the unhinted q08
+    "q155_join_hints" ->
+      """SELECT o_orderkey, o_totalprice AS total_price, c_name AS cust_name, c_mktsegment AS segment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    // q156: gap-sessionize per user; non-final sessions always emitted
+    // (closed in-batch by the next event); the final session emits iff its
+    // timer deadline in integer ms cleared the final watermark
+    // (max_ts_ms − 1h). Timer/watermark math is exact integer on both sides.
+    "q156_timer_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT max(ts_us) // 1000 - 3600000 AS wm_ms FROM e),
+         s1 AS (SELECT user_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         s2 AS (SELECT user_id, ts_us,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid
+                FROM s1),
+         sess AS (SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us,
+                    cast(count(*) as bigint) AS n_events
+                  FROM s2 GROUP BY 1, 2),
+         mx AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+         SELECT s.user_id, s.start_us, s.end_us, s.n_events
+         FROM sess s JOIN mx USING (user_id), g
+         WHERE s.sid < mx.last_sid OR (s.end_us + 1800000000) // 1000 <= g.wm_ms""",
   )
 }

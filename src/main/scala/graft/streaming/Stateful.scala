@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Arbitrary stateful streaming via Spark 4's `transformWithState` — the
@@ -42,6 +42,110 @@ object Stateful {
       state.update(next)
       Iterator.single(next)
     }
+  }
+
+  /** Open per-user session carried across micro-batches. */
+  case class OpenSession(start_us: Long, last_us: Long, n_events: Long)
+
+  /** Closed session emitted downstream. */
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Timer-driven sessionization — the full arbitrary-state surface:
+    * ValueState for the open session, event-time TIMERS to close it when the
+    * watermark passes last-event + gap. Within a batch, a key's rows arrive
+    * unordered: they are sorted and gap-split locally (sessions closed by a
+    * later event emit immediately); the still-open tail goes to state with a
+    * timer at `last + gap`. A newer batch re-registers the timer and deletes
+    * the stale one; a stale expiry that races anyway is ignored by checking
+    * it against the state's own deadline. Sessions open when the input ends
+    * stay in state — exactly a real stream's semantics (they would close on
+    * the next event or watermark advance).
+    */
+  class SessionizeTimers(gapUs: Long) extends StatefulProcessor[Long, TsEv, SessionOut] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def timerMsOf(sess: OpenSession): Long = (sess.last_us + gapUs) / 1000L
+
+    override def handleInputRows(key: Long, rows: Iterator[TsEv],
+                                 timers: TimerValues): Iterator[SessionOut] = {
+      val ts = rows.map(_.ts_us).toArray
+      java.util.Arrays.sort(ts)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = if (open.exists()) {
+        getHandle.deleteTimer(timerMsOf(open.get()))
+        open.get()
+      } else OpenSession(ts(0), ts(0) - 1, 0L) // sentinel; first event absorbs it
+      for (t <- ts) {
+        if (cur.n_events > 0L && t - cur.last_us > gapUs) {
+          out += SessionOut(key, cur.start_us, cur.last_us, cur.n_events)
+          cur = OpenSession(t, t, 1L)
+        } else {
+          val start = if (cur.n_events == 0L) t else cur.start_us
+          cur = OpenSession(start, math.max(cur.last_us, t), cur.n_events + 1L)
+        }
+      }
+      open.update(cur)
+      getHandle.registerTimer(timerMsOf(cur))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!open.exists()) return Iterator.empty
+      val cur = open.get()
+      if (expired.getExpiryTimeInMs != timerMsOf(cur)) return Iterator.empty // stale
+      open.clear()
+      Iterator.single(SessionOut(key, cur.start_us, cur.last_us, cur.n_events))
+    }
+  }
+
+  /** Per-key event timestamp (µs since epoch, exact integer). */
+  case class TsEv(user_id: Long, ts_us: Long)
+
+  /** Drain the parquet event stream through [[SessionizeTimers]] with an
+    * event-time watermark; returns every session the stream CLOSED — by a
+    * follow-on event in-batch, or by a timer once the final watermark passed
+    * its deadline. Deterministic for a bounded drain: the final watermark is
+    * max(ts) − delay, so the emitted set is exactly computable by the batch
+    * oracle.
+    */
+  def timerSessionsOverParquet(spark: SparkSession, parquetGlob: String,
+                               schema: StructType, tsUsExpr: String,
+                               gapUs: Long, delay: String, name: String,
+                               statePartitions: Int = 8): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = spark.readStream.schema(schema).parquet(parquetGlob)
+        .select(col("user_id"), expr(tsUsExpr).cast("long").as("ts_us"))
+        .withColumn("__ts", timestamp_micros(col("ts_us")))
+        .withWatermark("__ts", delay)
+        .select(col("user_id"), col("ts_us"))
+        .as[TsEv](Encoders.product[TsEv])
+      val q = evs.groupByKey(_.user_id)(Encoders.scalaLong)
+        .transformWithState(new SessionizeTimers(gapUs), TimeMode.EventTime(),
+          OutputMode.Append())(Encoders.product[SessionOut])
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (prevProvider.nonEmpty)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    spark.table(name)
   }
 
   /** Drain a parquet-backed event stream through the stateful processor with

@@ -126,6 +126,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q155: the SHUFFLE_HASH hint is obeyed (hash join, no sort, no broadcast)") {
+    val p = planOf("q155_join_hints")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q147: every FK audit is a broadcast anti join — facts never shuffle") {
     val p = planOf("q147_referential_audit")
     assert(p.contains("LeftAnti"), p)

@@ -26,6 +26,32 @@ class StatefulSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("timer sessionization: exact ms boundary — timer fires when deadline == watermark") {
+    // user 7's open session deadline lands EXACTLY on the final watermark
+    // (all values ms-aligned by construction): deadline = 85s + 5s gap = 90s;
+    // watermark = 100s − 10s delay = 90s. This pins Spark's non-strict
+    // (deadline <= watermark) expiry, which the q156 oracle mirrors with `<=`.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("timer_edge").toString
+    Seq(
+      (1L, 100_000_000L), // user 1: defines max event time = 100s
+      (7L, 80_000_000L), (7L, 85_000_000L) // user 7: one session, ends 85s
+    ).toDF("user_id", "ts_us")
+      .select(col("user_id"), col("ts_us"), timestamp_micros(col("ts_us")).as("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("ts", TimestampType)))
+    val out = Stateful.timerSessionsOverParquet(
+      spark, s"$dir/*.parquet", schema, tsUsExpr = "ts_us",
+      gapUs = 5_000_000L, delay = "10 seconds", name = "timer_edge_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out.contains((7L, 80_000_000L, 85_000_000L, 2L)),
+      s"boundary timer (deadline == watermark) must fire; got $out")
+    // user 1's own session (deadline 105s > wm 90s) must stay open
+    assert(!out.exists(_._1 == 1L), s"user 1 session must stay open: $out")
+  }
+
   test("state is cumulative across batches: a second drain of the same files is a no-op") {
     // AvailableNow + checkpoint-free memory sink: the helper builds a fresh
     // query each call, so this just re-derives the same converged answer —
