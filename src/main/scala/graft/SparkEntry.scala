@@ -2334,6 +2334,60 @@ object SparkEntry {
       name = s"q156_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
 
+  /** CORRUPT-RECORD QUARANTINE — PERMISSIVE ingestion of a feed with
+    * deterministic breakage (every o_orderkey ≡ 0 mod 13 ships malformed
+    * JSON): bad lines land whole in `_corrupt_record` instead of failing the
+    * job or silently vanishing; the report splits good/quarantined counts
+    * and aggregates only the good rows. The oracle re-derives the same
+    * numbers relationally from `orders` — the ingestion path must agree with
+    * ground truth exactly. At 100 TB this is the difference between one bad
+    * producer poisoning a load and a quarantine table you re-process later.
+    */
+  private def q157_corrupt_quarantine(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_quarantine").toString
+    Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .select(when(col("k") % 13 === 0,
+          concat(lit("{\"k\":"), col("k"), lit(",INVALID")))  // truncated JSON
+        .otherwise(concat(lit("{\"k\":"), col("k"), lit(",\"cents\":"), col("cents"), lit("}")))
+        .as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("cents", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("_corrupt_record").isNull, col("cents")).otherwise(0L)).as("good_cents"))
+  }
+
+  /** HIGHER-ORDER FUNCTION battery over per-order quantity sequences —
+    * `transform`, `filter`, `exists`, `forall`, and a fold (`aggregate`),
+    * all on integer data so every engine agrees bit-for-bit. HOF lambdas are
+    * interpreted, not codegen'd (HashAlgs doc): fine here because they run
+    * over O(orders) short arrays, NOT the raw scan — the collect_list shrank
+    * the data first. The 100 TB rule of thumb: HOFs after aggregation, hot
+    * kernels as custom expressions.
+    */
+  private def q158_hof_battery(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).cast("long").as("n"),
+        expr("aggregate(qtys, 0L, (acc, x) -> acc + x)").as("fold_sum"),
+        expr("size(filter(qtys, x -> x >= 25))").cast("long").as("n_ge25"),
+        expr("exists(qtys, x -> x = 50)").as("has_50"),
+        expr("forall(qtys, x -> x > 0)").as("all_positive"),
+        expr("aggregate(transform(qtys, x -> x * x), 0L, (acc, x) -> acc + x)").as("sum_sq"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2493,6 +2547,8 @@ object SparkEntry {
     "q154_scd2" -> (q154_scd2 _),
     "q155_join_hints" -> (q155_join_hints _),
     "q156_timer_sessions" -> (q156_timer_sessions _),
+    "q157_corrupt_quarantine" -> (q157_corrupt_quarantine _),
+    "q158_hof_battery" -> (q158_hof_battery _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -3839,5 +3895,32 @@ object SparkEntry {
          SELECT s.user_id, s.start_us, s.end_us, s.n_events
          FROM sess s JOIN mx USING (user_id), g
          WHERE s.sid < mx.last_sid OR (s.end_us + 1800000000) // 1000 <= g.wm_ms""",
+    // q157: ground truth derived relationally — the PERMISSIVE reader must
+    // quarantine exactly the keys the generator corrupted
+    "q157_corrupt_quarantine" ->
+      """SELECT
+           cast(sum(CASE WHEN o_orderkey % 13 != 0 THEN 1 ELSE 0 END) as bigint) AS n_good,
+           cast(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) as bigint) AS n_quarantined,
+           cast(sum(CASE WHEN o_orderkey % 13 != 0
+                         THEN cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint)
+                         ELSE 0 END) as bigint) AS good_cents
+         FROM orders""",
+    // q158: DuckDB list lambdas mirror Spark HOFs 1:1 (list_sort is ASC
+    // NULLS-less here; fold via list_reduce needs a seed-less form, so the
+    // fold seeds with 0 prepended)
+    "q158_hof_battery" ->
+      """WITH q AS (
+           SELECT l_orderkey,
+             list_sort(list(cast(l_quantity as bigint))) AS qtys
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey,
+           cast(len(qtys) as bigint) AS n,
+           cast(list_reduce(list_prepend(0, qtys), (acc, x) -> acc + x) as bigint) AS fold_sum,
+           cast(len(list_filter(qtys, x -> x >= 25)) as bigint) AS n_ge25,
+           len(list_filter(qtys, x -> x = 50)) > 0 AS has_50,
+           len(list_filter(qtys, x -> x <= 0)) = 0 AS all_positive,
+           cast(list_reduce(list_prepend(cast(0 as bigint), list_transform(qtys, x -> x * x)),
+             (acc, x) -> acc + x) as bigint) AS sum_sq
+         FROM q""",
   )
 }
