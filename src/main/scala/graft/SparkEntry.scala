@@ -2388,6 +2388,22 @@ object SparkEntry {
         expr("aggregate(transform(qtys, x -> x * x), 0L, (acc, x) -> acc + x)").as("sum_sq"))
   }
 
+  /** MAPSTATE CATEGORICAL COUNTERS — per-user event-type counts kept as one
+    * RocksDB map entry per type (the third arbitrary-state primitive next to
+    * q144's ValueState and q156's timers); converges to the batch
+    * groupBy(user, type) count = the oracle.
+    */
+  private def q159_mapstate_counts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    graft.streaming.Stateful.typeCountsOverParquet(
+      s, s"$dir/events.parq*", raw,
+      name = s"q159_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2549,6 +2565,7 @@ object SparkEntry {
     "q156_timer_sessions" -> (q156_timer_sessions _),
     "q157_corrupt_quarantine" -> (q157_corrupt_quarantine _),
     "q158_hof_battery" -> (q158_hof_battery _),
+    "q159_mapstate_counts" -> (q159_mapstate_counts _),
   )
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
@@ -3922,5 +3939,8 @@ object SparkEntry {
            cast(list_reduce(list_prepend(cast(0 as bigint), list_transform(qtys, x -> x * x)),
              (acc, x) -> acc + x) as bigint) AS sum_sq
          FROM q""",
+    "q159_mapstate_counts" ->
+      """SELECT user_id, event_type, cast(count(*) as bigint) AS n
+         FROM events GROUP BY 1, 2""",
   )
 }

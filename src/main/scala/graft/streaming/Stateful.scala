@@ -106,6 +106,72 @@ object Stateful {
   /** Per-key event timestamp (µs since epoch, exact integer). */
   case class TsEv(user_id: Long, ts_us: Long)
 
+  /** Typed event for the MapState counter. */
+  case class TypedEv(user_id: Long, event_type: String)
+
+  /** Per-(user, event_type) cumulative count emitted after each batch. */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user categorical counters in MapState — the third state primitive
+    * (ValueState: q144, timers: q156, MapState: here). Each event type is one
+    * RocksDB map entry under the user's grouping key: updating one type never
+    * rewrites the others (a ValueState[Map] would), which is the difference
+    * between O(types-in-batch) and O(all-types) state I/O per user per batch.
+    */
+  class TypeCounters extends StatefulProcessor[Long, TypedEv, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+                                 timers: TimerValues): Iterator[TypeCount] = {
+      val delta = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach(e => delta(e.event_type) = delta.getOrElse(e.event_type, 0L) + 1L)
+      delta.toSeq.sortBy(_._1).map { case (t, d) =>
+        val n = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + d
+        counts.updateValue(t, n)
+        TypeCount(key, t, n)
+      }.iterator
+    }
+  }
+
+  /** Drain the event stream through [[TypeCounters]]; the converged answer is
+    * the batch groupBy(user, type) count — the oracle. */
+  def typeCountsOverParquet(spark: SparkSession, parquetGlob: String,
+                            schema: StructType, name: String,
+                            statePartitions: Int = 8): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = spark.readStream.schema(schema).parquet(parquetGlob)
+        .select(col("user_id"), col("event_type"))
+        .as[TypedEv](Encoders.product[TypedEv])
+      val q = evs.groupByKey(_.user_id)(Encoders.scalaLong)
+        .transformWithState(new TypeCounters, TimeMode.None(),
+          OutputMode.Update())(Encoders.product[TypeCount])
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (prevProvider.nonEmpty)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    spark.table(name)
+      .groupBy("user_id", "event_type")
+      .agg(max(col("n")).as("n")) // cumulative ⇒ the final value is the max
+  }
+
   /** Drain the parquet event stream through [[SessionizeTimers]] with an
     * event-time watermark; returns every session the stream CLOSED — by a
     * follow-on event in-batch, or by a timer once the final watermark passed
