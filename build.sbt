@@ -15,6 +15,10 @@ run / fork := true
 // sbt's logger: the logger prefixes every line with "[info] ", which breaks
 // any consumer that parses Bench's single JSON output line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's own "[success] Total time" epilogue so the JSON line is
+// the LAST thing on stdout — a consumer that parses only the final line
+// (instead of scanning for one that starts with '{') still succeeds.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
