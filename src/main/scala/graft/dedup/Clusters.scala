@@ -55,14 +55,19 @@ object Clusters {
     while (iter < maxIters && !converged) {
       val viaNeighbors = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("cluster_id"))
+      // The changed flag rides along INSIDE the checkpointed round — the
+      // convergence probe is then a shuffle-free filter over materialized
+      // rows instead of a second join job per round. (groupBy(id) and the
+      // prior round's checkpoint share the id hash-partitioning, so the
+      // old-label join below adds no exchange either.)
       val next = labels.union(viaNeighbors)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .groupBy("id").agg(min("cluster_id").as("new_cid"))
+        .join(labels.select(col("id"), col("cluster_id").as("old_cid")), "id")
+        .select(col("id"), col("new_cid").as("cluster_id"),
+          (col("new_cid") =!= col("old_cid")).as("__changed"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("__changed")).limit(1).count()
+      labels = next.select("id", "cluster_id")
       converged = changed == 0L
       iter += 1
     }
