@@ -2404,6 +2404,26 @@ object SparkEntry {
       name = s"q159_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
 
+  /** POINT-IN-TIME (temporal) LOOKUP — enrich facts against the SCD2
+    * dimension version that was valid on the fact's own date: equi-join on
+    * the key plus `valid_from <= d < valid_to` — exactly one version matches
+    * per fact because q154's intervals partition time (the open row's
+    * 9999-12-31 sentinel means no null arm in the predicate). The join
+    * shuffles on the key alone; the interval test rides along as the join
+    * residual. Probe dates straddle the change date so both versions of
+    * changed keys are exercised.
+    */
+  private def q160_scd2_lookup(s: SparkSession, dir: String): DataFrame = {
+    val dim = q154_scd2(s, dir) // key, version, cents, valid_from, valid_to
+    val facts = Tables.orders(s, dir).select(
+      col("o_orderkey").as("key"),
+      when(col("o_orderkey") % 2 === 0, lit("2024-06-01"))
+        .otherwise(lit("2024-06-03")).cast("date").as("as_of"))
+    facts.join(dim, Seq("key"))
+      .filter(col("valid_from") <= col("as_of") && col("as_of") < col("valid_to"))
+      .select(col("key"), col("as_of"), col("version"), col("cents"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2566,7 +2586,31 @@ object SparkEntry {
     "q157_corrupt_quarantine" -> (q157_corrupt_quarantine _),
     "q158_hof_battery" -> (q158_hof_battery _),
     "q159_mapstate_counts" -> (q159_mapstate_counts _),
+    "q160_scd2_lookup" -> (q160_scd2_lookup _),
   )
+
+  /** q154's oracle, shared with q160's temporal lookup. */
+  private val scd2OracleSql: String =
+    """WITH cents AS (
+           SELECT o_orderkey, cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS c
+           FROM orders),
+         today AS (SELECT o_orderkey AS k_new, c AS c_new FROM cents),
+         yesterday AS (
+           SELECT o_orderkey AS k_old,
+             CASE WHEN o_orderkey % 97 = 0 THEN c + 100 ELSE c END AS c_old
+           FROM cents WHERE o_orderkey % 101 != 0),
+         j AS (SELECT * FROM today FULL OUTER JOIN yesterday ON k_new = k_old)
+         SELECT k_new AS key, cast(1 as bigint) AS version, c_old AS cents,
+           DATE '2024-06-01' AS valid_from, DATE '2024-06-02' AS valid_to
+         FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old != c_new
+         UNION ALL
+         SELECT k_new, 2, c_new, DATE '2024-06-02', DATE '9999-12-31'
+         FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old != c_new
+         UNION ALL
+         SELECT k_new, 1, c_new, DATE '2024-06-02', DATE '9999-12-31' FROM j WHERE k_old IS NULL
+         UNION ALL
+         SELECT k_new, 1, c_new, DATE '2024-06-01', DATE '9999-12-31'
+         FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old = c_new"""
 
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
     * order; strftime for FORMAT_DATETIME; sum(BIGINT) returns HUGEINT in
@@ -3865,27 +3909,19 @@ object SparkEntry {
            cast(sum(n_agree) * 1000 // (count(*) * 5) as bigint) AS agree_permille,
            cast(sum(CASE WHEN n_agree <= 1 THEN 1 ELSE 0 END) as bigint) AS n_suspect
          FROM per GROUP BY 1""",
-    "q154_scd2" ->
-      """WITH cents AS (
-           SELECT o_orderkey, cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS c
-           FROM orders),
-         today AS (SELECT o_orderkey AS k_new, c AS c_new FROM cents),
-         yesterday AS (
-           SELECT o_orderkey AS k_old,
-             CASE WHEN o_orderkey % 97 = 0 THEN c + 100 ELSE c END AS c_old
-           FROM cents WHERE o_orderkey % 101 != 0),
-         j AS (SELECT * FROM today FULL OUTER JOIN yesterday ON k_new = k_old)
-         SELECT k_new AS key, cast(1 as bigint) AS version, c_old AS cents,
-           DATE '2024-06-01' AS valid_from, DATE '2024-06-02' AS valid_to
-         FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old != c_new
-         UNION ALL
-         SELECT k_new, 2, c_new, DATE '2024-06-02', DATE '9999-12-31'
-         FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old != c_new
-         UNION ALL
-         SELECT k_new, 1, c_new, DATE '2024-06-02', DATE '9999-12-31' FROM j WHERE k_old IS NULL
-         UNION ALL
-         SELECT k_new, 1, c_new, DATE '2024-06-01', DATE '9999-12-31'
-         FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old = c_new""",
+    "q154_scd2" -> scd2OracleSql,
+    // q160: the SCD2 oracle becomes a CTE; each fact matches exactly one
+    // version because the intervals partition time (sentinel, no null arm)
+    "q160_scd2_lookup" ->
+      s"""WITH dim AS ($scd2OracleSql),
+         facts AS (
+           SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 2 = 0 THEN DATE '2024-06-01'
+                  ELSE DATE '2024-06-03' END AS as_of
+           FROM orders)
+         SELECT f.key, f.as_of, d.version, d.cents
+         FROM facts f JOIN dim d ON f.key = d.key
+         WHERE d.valid_from <= f.as_of AND f.as_of < d.valid_to""",
     // q155: hints change the physical strategy, never the result — same
     // oracle as the unhinted q08
     "q155_join_hints" ->
