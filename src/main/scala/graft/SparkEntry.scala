@@ -386,6 +386,18 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(par(s, Tables.embeddings(s, dir)), "vec_id", "embedding", thresh = 0.45)
       .select(col("id_a"), col("id_b"))
 
+  /** q41's WIRED SCALE FORM — hyperplane-LSH banded candidate generation →
+    * exact cosine verify (Similarity.cosineNearDupPairsBanded): the candidate
+    * join is an equi-join on (table, bucket) carrying ids only, never a theta
+    * join over vector pairs (PlanSpec pins this). Same oracle as q41: the
+    * (64, 4) banding has measured recall 1.0 on this corpus at every sf
+    * (differential-tested), and verification is exact, so the answers are
+    * identical — the brute q41 is retired to oracle-duty (not benched). */
+  private def q161_embed_neardup_banded(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsBanded(par(s, Tables.embeddings(s, dir)), "vec_id", "embedding",
+        thresh = 0.45)
+      .select(col("id_a"), col("id_b"))
+
   /** EXACT shingle-set Jaccard pairs via prefix filtering — scalable exact
     * set-similarity join (no cross join); the oracle brute-forces the same
     * answer, proving the prefix filter loses nothing. */
@@ -1899,6 +1911,21 @@ object SparkEntry {
         when(col("vec_id") === col("cluster_id"), lit("keep")).otherwise(lit("drop")).as("verdict"))
   }
 
+  /** q137's WIRED SCALE FORM — the composed semantic-dedup pipeline with the
+    * banded (LSH-bucketed) pair generator instead of the O(n²) theta join:
+    * banded candidates → exact cosine verify → connected components → keep
+    * min-id per cluster. Same oracle as q137 (recall-1 banding + exact
+    * verify ⇒ identical edge set ⇒ identical components); the brute q137 is
+    * retired to oracle-duty. */
+  private def q162_semantic_dedup_banded(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Clusters
+    val vecs = par(s, Tables.embeddings(s, dir))
+    val pairs = Similarity.cosineNearDupPairsBanded(vecs, "vec_id", "embedding", thresh = 0.45)
+    Clusters.connectedComponents(vecs, "vec_id", pairs, "id_a", "id_b")
+      .select(col("vec_id"), col("cluster_id"),
+        when(col("vec_id") === col("cluster_id"), lit("keep")).otherwise(lit("drop")).as("verdict"))
+  }
+
   /** BLOOM-PREFILTERED SEMI JOIN — large probe ⋉ filtered build. One pass
     * over the build side folds its keys into a broadcast bloom; the probe is
     * thinned *before* its shuffle by the codegen'd `might_contain`, and the
@@ -2093,27 +2120,63 @@ object SparkEntry {
     * Spark shape is the scale shape: edges partition by src for the
     * contribution join, by dst for the sum; ranks are the only small side.
     */
-  private def q146_pagerank(s: SparkSession, dir: String): DataFrame = {
+  private def q146_pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankCore(s, dir, dangling = false)
+
+  /** Shared PageRank core on TAGGED-LONG vertex ids: customer c → 2c,
+    * supplier s → 2s+1. Every per-iteration shuffle (contribution join,
+    * in-sum aggregate) keys on a fixed 8-byte long instead of a
+    * variable-width concat string — half the shuffle width and a radix-
+    * sortable key (r3 nit); the display string is reconstituted only in the
+    * final projection, once per node. `dangling=true` adds the textbook
+    * dangling-mass redistribution: sink nodes (suppliers — no out-edges)
+    * leak their rank in the simplified form; the textbook form re-injects
+    * each iteration's sink mass as an equal integer share `dm div N`, so
+    * total mass is conserved up to integer-division remainders. dm and N
+    * are 1-row aggregates broadcast back onto the rank update — O(1) extra
+    * data moved, two extra tiny jobs per iteration, still float-free and
+    * bit-identical in any engine.
+    */
+  private def pagerankCore(s: SparkSession, dir: String, dangling: Boolean): DataFrame = {
     val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
     val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       .distinct()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
     def step(rank: DataFrame): DataFrame = {
       val contrib = edges.join(rank, edges("src") === rank("node"))
         .join(deg, "src")
         .select(col("dst"), expr("r div deg").as("c"))
       val insum = contrib.groupBy("dst").agg(sum("c").as("insum"))
-      nodes.join(insum, nodes("node") === insum("dst"), "left")
-        .select(col("node"),
+      val base = nodes.join(insum, nodes("node") === insum("dst"), "left")
+      if (!dangling)
+        base.select(col("node"),
           (lit(150000L) + expr("85 * coalesce(insum, 0L) div 100")).as("r"))
+      else {
+        val dm = rank.join(deg, rank("node") === deg("src"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+        base.crossJoin(broadcast(dm)).crossJoin(broadcast(nNodes))
+          .select(col("node"),
+            (lit(150000L) + expr("85 * (coalesce(insum, 0L) + dm div n_nodes) div 100")).as("r"))
+      }
     }
     val r0 = nodes.select(col("node"), lit(1000000L).as("r"))
-    step(step(r0)).withColumnRenamed("r", "rank_ppm")
+    step(step(r0)).select(
+      when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+        .otherwise(concat(lit("s"), expr("(node - 1) div 2"))).as("node"),
+      col("r").as("rank_ppm"))
   }
+
+  /** Textbook-PageRank variant of q146: same tagged-long core with
+    * dangling-mass redistribution enabled (q146 deliberately drops sink
+    * mass as a documented simplification; this is the standard-formulation
+    * twin, oracle-checked). */
+  private def q164_pagerank_dangling(s: SparkSession, dir: String): DataFrame =
+    pagerankCore(s, dir, dangling = true)
 
   /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate a warehouse load runs
     * before publishing: every FK edge is one broadcast-anti-join count (the
@@ -2256,6 +2319,33 @@ object SparkEntry {
       .join(broadcast(emb.select(col("vec_id").as("neighbor_id"),
         col("label").cast("long").as("nlab"))), "neighbor_id")
       .join(broadcast(queries.select("query_id", "qlab")), "query_id")
+    val per = nn.groupBy("query_id", "qlab")
+      .agg(sum(when(col("nlab") === col("qlab"), 1L).otherwise(0L)).as("n_agree"))
+    per.groupBy(col("qlab").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(n_agree) * 1000 div (count(*) * 5)").as("agree_permille"),
+        sum(when(col("n_agree") <= 1, 1L).otherwise(0L)).as("n_suspect"))
+  }
+
+  /** q153's WIRED SCALE FORM — all-corpus kNN via the LSH bucket join
+    * (Similarity.lshBucketTopK with broadcastQueries=false): candidates come
+    * from the (table, bucket) equi-join, query vectors rejoin by id-keyed
+    * shuffle (NOT broadcast — the query side here IS the corpus, and
+    * broadcasting the corpus was exactly the r3 scale flaw), and the label
+    * lookups are plain id joins for the same reason. The (64, 4) banding
+    * reproduces every exact 5-NN set on this corpus at every sf
+    * (differential-tested), so the per-label aggregate is identical to
+    * brute q153 and shares its oracle; brute q153 retires to oracle-duty. */
+  private def q163_label_agreement_banded(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"), col("label").cast("long").as("qlab"))
+    val nn = Similarity.lshBucketTopK(
+        queries.select("query_id", "query_vec"), emb.select("vec_id", "embedding"), k = 5,
+        tables = 64, nbits = 4, broadcastQueries = false)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("nlab")), "neighbor_id")
+      .join(queries.select("query_id", "qlab"), "query_id")
     val per = nn.groupBy("query_id", "qlab")
       .agg(sum(when(col("nlab") === col("qlab"), 1L).otherwise(0L)).as("n_agree"))
     per.groupBy(col("qlab").as("label"))
@@ -2587,6 +2677,10 @@ object SparkEntry {
     "q158_hof_battery" -> (q158_hof_battery _),
     "q159_mapstate_counts" -> (q159_mapstate_counts _),
     "q160_scd2_lookup" -> (q160_scd2_lookup _),
+    "q161_embed_neardup_banded" -> (q161_embed_neardup_banded _),
+    "q162_semantic_dedup_banded" -> (q162_semantic_dedup_banded _),
+    "q163_label_agreement_banded" -> (q163_label_agreement_banded _),
+    "q164_pagerank_dangling" -> (q164_pagerank_dangling _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -2612,6 +2706,44 @@ object SparkEntry {
          SELECT k_new, 1, c_new, DATE '2024-06-01', DATE '9999-12-31'
          FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL AND c_old = c_new"""
 
+  /** Shared by the brute-force baseline and its banded scale form — the
+    * whole point: one oracle proving both compute the same answer. */
+  private val embedNearDupOracleSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"""
+
+  private val semanticDedupOracleSql: String =
+    """WITH RECURSIVE pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       walk(id, lab) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
+       SELECT id AS vec_id, min(lab) AS cluster_id,
+         CASE WHEN id = min(lab) THEN 'keep' ELSE 'drop' END AS verdict
+       FROM walk GROUP BY id"""
+
+  private val labelAgreementOracleSql: String =
+    """WITH nn AS (
+         SELECT q.vec_id AS qid, q.label AS qlab, c.label AS nlab,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
+         FROM embeddings q, embeddings c
+         WHERE q.vec_id != c.vec_id
+         QUALIFY rank <= 5),
+       per AS (SELECT qid, qlab,
+                 sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS n_agree
+               FROM nn GROUP BY 1, 2)
+       SELECT cast(qlab as bigint) AS label, cast(count(*) as bigint) AS n_vecs,
+         cast(sum(n_agree) * 1000 // (count(*) * 5) as bigint) AS agree_permille,
+         cast(sum(CASE WHEN n_agree <= 1 THEN 1 ELSE 0 END) as bigint) AS n_suspect
+       FROM per GROUP BY 1"""
+
   /** DuckDB oracles. Dialect notes: date_diff('part', start, end) argument
     * order; strftime for FORMAT_DATETIME; sum(BIGINT) returns HUGEINT in
     * DuckDB → cast back to BIGINT; integer-arithmetic thresholds instead of
@@ -2619,14 +2751,17 @@ object SparkEntry {
     * families) get the driver's rows-only check — their exact-result twins
     * (q35, q38's brute-force, q33/q34 md5) ARE oracle-checked.
     */
-  /** Bench set: every query except q35_jaccard_pairs, the deliberately
-    * brute-force O(n²) exact-Jaccard *correctness baseline* whose sole job is
-    * to oracle-check the scalable MinHash path (q36). At bench scale the
-    * near-dup operator a real deployment runs IS q36; timing the N² twin
-    * would benchmark an algorithm the library exists to avoid.
+  /** Bench set: every query except the deliberately brute-force O(n²)
+    * *correctness baselines*, each retired to oracle/differential duty once
+    * its bucketed scale form is wired: q35 (exact-Jaccard twin of the
+    * MinHash path q36), and the r4 retirements q41/q137/q153 (theta-join
+    * twins of the banded q161/q162/q163). At bench scale the operator a
+    * real deployment runs IS the bucketed form; timing the N² twins would
+    * benchmark algorithms the library exists to avoid.
     */
   def headlineQueries: Seq[String] =
-    (queries.keySet - "q35_jaccard_pairs").toSeq.sorted
+    (queries.keySet -- Set("q35_jaccard_pairs", "q41_embed_neardup",
+      "q137_semantic_dedup", "q153_label_agreement")).toSeq.sorted
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -2796,10 +2931,10 @@ object SparkEntry {
          FROM embeddings q, embeddings c
          WHERE q.label = 0 AND q.vec_id != c.vec_id
          QUALIFY rank <= 5""",
-    "q41_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+    "q41_embed_neardup" -> embedNearDupOracleSql,
+    // q161: the banded scale form computes the IDENTICAL pair set (recall-1
+    // banding + exact verification) — same oracle proves it end-to-end
+    "q161_embed_neardup_banded" -> embedNearDupOracleSql,
     "q51_stream_counts" ->
       "SELECT event_type, cast(count(*) as bigint) AS cnt FROM events GROUP BY 1",
     "q42_ngram_jaccard" ->
@@ -3684,20 +3819,9 @@ object SparkEntry {
          SELECT cast((cents - lo) * 20 // (hi - lo + 1) as bigint) AS bin,
            cast(count(*) as bigint) AS n
          FROM c, mm GROUP BY 1""",
-    "q137_semantic_dedup" ->
-      """WITH RECURSIVE pairs AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                   UNION SELECT id_b, id_a FROM pairs),
-         walk(id, lab) AS (
-           SELECT vec_id, vec_id FROM embeddings
-           UNION
-           SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
-         SELECT id AS vec_id, min(lab) AS cluster_id,
-           CASE WHEN id = min(lab) THEN 'keep' ELSE 'drop' END AS verdict
-         FROM walk GROUP BY id""",
+    "q137_semantic_dedup" -> semanticDedupOracleSql,
+    // q162: banded pair generation feeds the same CC — identical components
+    "q162_semantic_dedup_banded" -> semanticDedupOracleSql,
     // q138: the bloom is a shuffle-volume optimization only — exact result is
     // the plain IN-subquery semi join
     "q138_bloom_semi" ->
@@ -3894,21 +4018,38 @@ object SparkEntry {
          FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""",
     // q153: same ranked-neighbor idiom as the q38 oracle (rank ties broken by
     // id; list_cosine_similarity rank order matches the codegen'd kernel)
-    "q153_label_agreement" ->
-      """WITH nn AS (
-           SELECT q.vec_id AS qid, q.label AS qlab, c.label AS nlab,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
-           FROM embeddings q, embeddings c
-           WHERE q.vec_id != c.vec_id
-           QUALIFY rank <= 5),
-         per AS (SELECT qid, qlab,
-                   sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS n_agree
-                 FROM nn GROUP BY 1, 2)
-         SELECT cast(qlab as bigint) AS label, cast(count(*) as bigint) AS n_vecs,
-           cast(sum(n_agree) * 1000 // (count(*) * 5) as bigint) AS agree_permille,
-           cast(sum(CASE WHEN n_agree <= 1 THEN 1 ELSE 0 END) as bigint) AS n_suspect
-         FROM per GROUP BY 1""",
+    "q153_label_agreement" -> labelAgreementOracleSql,
+    // q163: the banded kNN reproduces every exact 5-NN set (measured, pinned
+    // by differential test) — same aggregate, same oracle
+    "q163_label_agreement_banded" -> labelAgreementOracleSql,
+    // q164: textbook dangling-mass form — each iteration re-injects the
+    // sink (supplier) mass as an equal integer share dm // n_nodes
+    "q164_pagerank_dangling" ->
+      """WITH edges AS (
+           SELECT DISTINCT cast(o_custkey as bigint) * 2 AS src,
+             cast(l_suppkey as bigint) * 2 + 1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         deg AS (SELECT src, cast(count(*) as bigint) AS deg FROM edges GROUP BY 1),
+         nn AS (SELECT cast(count(*) as bigint) AS n_nodes FROM nodes),
+         r0 AS (SELECT node, cast(1000000 as bigint) AS r FROM nodes),
+         dm0 AS (SELECT cast(coalesce(sum(r), 0) as bigint) AS dm FROM r0
+                 WHERE node NOT IN (SELECT src FROM deg)),
+         i1 AS (SELECT e.dst, sum(r0.r // d.deg) AS insum
+                FROM edges e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+                GROUP BY 1),
+         r1 AS (SELECT n.node,
+                  cast(150000 + 85 * (coalesce(i1.insum, 0) + dm0.dm // nn.n_nodes) // 100 as bigint) AS r
+                FROM nodes n LEFT JOIN i1 ON n.node = i1.dst, dm0, nn),
+         dm1 AS (SELECT cast(coalesce(sum(r), 0) as bigint) AS dm FROM r1
+                 WHERE node NOT IN (SELECT src FROM deg)),
+         i2 AS (SELECT e.dst, sum(r1.r // d.deg) AS insum
+                FROM edges e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+                GROUP BY 1)
+         SELECT CASE WHEN n.node % 2 = 0 THEN 'c' || cast(n.node // 2 as varchar)
+                     ELSE 's' || cast((n.node - 1) // 2 as varchar) END AS node,
+           cast(150000 + 85 * (coalesce(i2.insum, 0) + dm1.dm // nn.n_nodes) // 100 as bigint) AS rank_ppm
+         FROM nodes n LEFT JOIN i2 ON n.node = i2.dst, dm1, nn""",
     "q154_scd2" -> scd2OracleSql,
     // q160: the SCD2 oracle becomes a CTE; each fact matches exactly one
     // version because the intervals partition time (sentinel, no null arm)

@@ -31,20 +31,37 @@ object Clusters {
     * Scale notes for the 100 TB regime:
     *  - the per-round shuffle is keyed on vertex id both in the neighbor
     *    join and the min-aggregation, so AQE reuses one exchange layout;
-    *  - `localCheckpoint` after each round truncates the lineage — without
-    *    it round k replays rounds 1..k-1 and the job goes quadratic;
+    *  - checkpointing after each round truncates the lineage — without it
+    *    round k replays rounds 1..k-1 and the job goes quadratic;
+    *  - DURABILITY: with `checkpointDir` set, rounds checkpoint to RELIABLE
+    *    storage (`Dataset.checkpoint`) — an executor lost mid-iteration
+    *    recomputes its partitions from the checkpoint files, so the job
+    *    survives node loss, which a 1000-executor×hours run must assume.
+    *    Unset (local mode / tests), it falls back to `localCheckpoint`:
+    *    faster (no DFS write), but executor-local blocks die with the
+    *    executor — never run a production CC without a checkpoint dir;
     *  - the edge set is symmetrized once and cached: it is reused every
     *    round and never grows;
     *  - convergence is detected with a `limit(1)` existence probe on changed
     *    labels, not a full count — the probe short-circuits.
     *
-    * @param vertices one row per vertex (extra columns ignored)
-    * @param edges    undirected pair list (extra columns ignored)
+    * @param vertices      one row per vertex (extra columns ignored)
+    * @param edges         undirected pair list (extra columns ignored)
+    * @param checkpointDir reliable checkpoint location (HDFS/object store);
+    *                      None = executor-local lineage truncation only
     * @return (`idCol`, cluster_id) — cluster_id = min vertex id reachable
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sc = vertices.sparkSession.sparkContext
+    checkpointDir.foreach { dir =>
+      if (sc.getCheckpointDir.isEmpty || !sc.getCheckpointDir.contains(dir))
+        sc.setCheckpointDir(dir)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
@@ -60,12 +77,11 @@ object Clusters {
       // rows instead of a second join job per round. (groupBy(id) and the
       // prior round's checkpoint share the id hash-partitioning, so the
       // old-label join below adds no exchange either.)
-      val next = labels.union(viaNeighbors)
+      val next = truncate(labels.union(viaNeighbors)
         .groupBy("id").agg(min("cluster_id").as("new_cid"))
         .join(labels.select(col("id"), col("cluster_id").as("old_cid")), "id")
         .select(col("id"), col("new_cid").as("cluster_id"),
-          (col("new_cid") =!= col("old_cid")).as("__changed"))
-        .localCheckpoint(true)
+          (col("new_cid") =!= col("old_cid")).as("__changed")))
       val changed = next.filter(col("__changed")).limit(1).count()
       labels = next.select("id", "cluster_id")
       converged = changed == 0L

