@@ -1,18 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
+import graft.dedup.Dedup
 import graft.io.Warehouse
 import graft.text.TextOps
 
 /** The composed training-data ingestion pipeline — the library's operators
   * chained into one checkpointed stream: every drained batch of raw documents
   * is normalized, quality-gated, exact-deduped (within the batch AND against
-  * everything already ingested), then accepted rows land in the corpus table
-  * and rejects in a quarantine table with their reason.
+  * everything already ingested), optionally NEAR-dup-gated against the
+  * ingested corpus, then accepted rows land in the corpus table and rejects
+  * in a quarantine table with their reason.
   *
   * Idempotence is layered: the checkpoint stops re-reading absorbed files
   * across drains; the fingerprint anti-join stops re-appending rows even if a
@@ -20,6 +22,22 @@ import graft.text.TextOps
   * exactly-once per fingerprint). At 100 TB the anti-join's right side is a
   * fingerprint-only column scan of the corpus — pruned parquet, not the
   * texts.
+  *
+  * The near-dup gate (`nearDupThresh10` > 0) is the streaming form of the
+  * batch MinHash pipeline (Dedup.minhashNearDupPairs): accepted documents
+  * leave their LSH band keys in a compact side table (`<corpus>_bands`:
+  * (band, bucket, fp) — O(corpus × bands) rows, ~1/1000 of the corpus bytes,
+  * fp-joinable back to the text); an arriving document is a CANDIDATE iff it
+  * shares ≥1 band bucket with an ingested doc (equi-join, never a cross
+  * join), and candidates are verified with EXACT token-set Jaccard against
+  * only the matched corpus rows (fp-keyed join prunes the text read to the
+  * candidate set). Paraphrased re-deliveries quarantine as 'near_dup';
+  * documents too short to shingle bypass the gate (no signature — the exact
+  * fp gate still covers verbatim copies). Within one batch the gate screens
+  * against the CORPUS only; in-batch near-dup pairs (both arriving in the
+  * same micro-batch, neither ingested yet) are the batch dedup pipeline's
+  * job downstream — bounding the gate to one equi-join per batch is what
+  * keeps its state and latency O(batch × bands).
   */
 object CorpusIngest {
 
@@ -32,13 +50,27 @@ object CorpusIngest {
       .withColumn("quality", TextOps.qualityBucket(col("norm_text")))
   }
 
+  /** (band, bucket, fp) keys for the near-dup side table. Rows too short to
+    * shingle produce no keys (withMinhashSignature drops null signatures). */
+  private def bandKeys(df: DataFrame, shingleN: Int, bands: Int, rows: Int): DataFrame =
+    Dedup.withMinhashSignature(df.select(col("fp"), col("norm_text")),
+        "norm_text", "__sig", shingleN, bands * rows)
+      .select(col("fp"),
+        posexplode(Dedup.lshBands(col("__sig"), bands, rows)).as(Seq("band", "bucket")))
+
   /** Drain `sourceGlob` into `corpusTable` (accepted) + `rejectTable`
     * (quarantined, with reason). Returns (accepted, rejected) row counts for
     * this drain.
+    *
+    * @param nearDupThresh10 Jaccard near-dup threshold ×10 (e.g. 8 = 0.8);
+    *                        0 disables the near-dup gate (exact-fp gate only)
     */
   def run(spark: SparkSession, sourceGlob: String, schema: StructType,
           wh: Warehouse, corpusTable: String, rejectTable: String,
-          checkpoint: String): (Long, Long) = {
+          checkpoint: String,
+          nearDupThresh10: Int = 0,
+          shingleN: Int = 3, bands: Int = 16, rows: Int = 4): (Long, Long) = {
+    val bandsTable = s"${corpusTable}_bands"
     val accepted = spark.sparkContext.longAccumulator("corpus_accepted")
     val rejected = spark.sparkContext.longAccumulator("corpus_rejected")
     val fn: (Dataset[Row], Long) => Unit = (batch, _) => {
@@ -52,11 +84,33 @@ object CorpusIngest {
         if (wh.exists(corpusTable))
           ok.join(wh.read(corpusTable).select("fp"), Seq("fp"), "left_anti")
         else ok
-      val freshMat = fresh.localCheckpoint(true)
-      wh.append(corpusTable, freshMat)
-      wh.append(rejectTable, bad)
-      accepted.add(freshMat.count())
-      rejected.add(bad.count())
+      val (kept, nearDups) =
+        if (nearDupThresh10 > 0 && wh.exists(bandsTable)) {
+          val cands = bandKeys(fresh, shingleN, bands, rows)
+            .join(wh.read(bandsTable).withColumnRenamed("fp", "corpus_fp"),
+              Seq("band", "bucket"))
+            .select(col("fp"), col("corpus_fp")).distinct()
+          val newSets = fresh.select(col("fp"), Dedup.tokenSet(col("norm_text")).as("ws_new"))
+          val oldSets = wh.read(corpusTable)
+            .select(col("fp").as("corpus_fp"), Dedup.tokenSet(col("norm_text")).as("ws_old"))
+          val dupFps = cands.join(newSets, "fp").join(oldSets, "corpus_fp")
+            .filter(Dedup.setIntersectionSize(col("ws_new"), col("ws_old")) * 10 >=
+              Dedup.setUnionSize(col("ws_new"), col("ws_old")) * nearDupThresh10)
+            .select("fp").distinct()
+          (fresh.join(dupFps, Seq("fp"), "left_anti"),
+            fresh.join(dupFps, Seq("fp"), "left_semi")
+              .select(col("doc_id"), col("fp"), lit("near_dup").as("reject_reason")))
+        } else (fresh, null)
+      val keptMat = kept.localCheckpoint(true)
+      wh.append(corpusTable, keptMat)
+      if (nearDupThresh10 > 0)
+        wh.append(bandsTable, bandKeys(keptMat, shingleN, bands, rows)
+          .select("band", "bucket", "fp"))
+      val rejects = if (nearDups != null) bad.unionByName(nearDups) else bad
+      val rejectsMat = rejects.localCheckpoint(true)
+      wh.append(rejectTable, rejectsMat)
+      accepted.add(keptMat.count())
+      rejected.add(rejectsMat.count())
     }
     val q = spark.readStream.schema(schema).parquet(sourceGlob)
       .writeStream

@@ -50,4 +50,42 @@ class CorpusIngestSpec extends SparkSpec {
     assert(acc3 === 0L)
     assert(wh.read("corpus").count() === acc1)
   }
+
+  test("near-dup gate: a paraphrased re-delivery is quarantined, a fresh doc passes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("corpus_neardup").toString
+    val wh = new Warehouse(spark, s"$root/wh")
+    def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(dir)
+
+    val original =
+      "the quick brown fox jumps over the lazy dog while the rain falls softly on the quiet village roofs tonight"
+    // one word changed out of 20 — token-set Jaccard well above 0.8, fp differs
+    val paraphrase =
+      "the quick brown fox jumps over the lazy cat while the rain falls softly on the quiet village roofs tonight"
+    val unrelated =
+      "entirely different subject matter describing galaxies planets comets meteors asteroids orbits telescopes and astronomers mapping them"
+
+    writeDocs(s"$root/in/batch1", Seq((1L, original)))
+    val (a1, r1) = CorpusIngest.run(spark, s"$root/in/batch1", docSchema,
+      wh, "corpus2", "rejects2", s"$root/ck1", nearDupThresh10 = 8)
+    assert(a1 === 1L && r1 === 0L)
+    assert(wh.exists("corpus2_bands") && wh.read("corpus2_bands").count() > 0,
+      "accepted doc must leave band keys behind")
+
+    writeDocs(s"$root/in/batch2", Seq((2L, paraphrase), (3L, unrelated)))
+    val (a2, r2) = CorpusIngest.run(spark, s"$root/in/batch2", docSchema,
+      wh, "corpus2", "rejects2", s"$root/ck2", nearDupThresh10 = 8)
+    assert(a2 === 1L, "the unrelated doc must pass")
+    assert(r2 === 1L, "the paraphrase must be quarantined")
+    val rejects = wh.read("rejects2").collect()
+    assert(rejects.length === 1 && rejects.head.getAs[String]("reject_reason") === "near_dup")
+    assert(rejects.head.getAs[Long]("doc_id") === 2L)
+    val corpusIds = wh.read("corpus2").select("doc_id").as[Long].collect().toSet
+    assert(corpusIds === Set(1L, 3L))
+    // the fresh accept extended the band table too (gate stays armed)
+    assert(wh.read("corpus2_bands").select("fp").distinct().count() === 2L)
+  }
 }
