@@ -19,18 +19,57 @@ import graft.schema.Schemas
   * messages on crash; republish duplicates — its own staging `.distinct()`
   * absorbs that, and ours does too).
   *
-  * At scale this is the same code: swap the file source for a Kafka/PubSub
-  * connector source; the transforms and sinks are unchanged.
+  * At scale this is the same code: the `sourceFormat`/`sourceOptions` seam
+  * swaps the file source for a message-bus connector with NO code change at
+  * the call site — the transforms and sinks are unchanged. Mapping for the
+  * Kafka connector (shipped with Spark as spark-sql-kafka; any DataSource-V2
+  * streaming source with the same row contract drops in identically):
+  *
+  *   sourceFormat  = "kafka"
+  *   sourceOptions = Map("kafka.bootstrap.servers" -> "…",
+  *                       "subscribe" -> topic,
+  *                       "startingOffsets" -> "earliest")
+  *
+  * Bus sources emit a binary `value` envelope rather than typed columns, so
+  * the seam parses it with `from_json(value, schema)` — the exact analog of
+  * the reference's Pub/Sub payload decode (receiver.py:23-30
+  * `json.loads(message.data)`). File formats keep the schema-on-read path.
+  * The drain/republish/trigger semantics (AvailableNow, at-least-once,
+  * checkpointed offsets) are source-agnostic Structured Streaming contracts.
   */
 object EventIngest {
 
-  /** ST1+ST3 — drain queued event JSON, append rows to the metadata table
+  /** Formats whose rows arrive as a (key, value, topic, …) bus envelope and
+    * need the payload parsed out of `value`, vs file formats that apply the
+    * schema at read time. */
+  private val busFormats = Set("kafka")
+
+  /** The connector seam: a streaming DataFrame of TYPED event rows from
+    * either a file directory (local stand-in, SURVEY §2.10) or a message-bus
+    * connector — callers downstream never see the difference.
+    */
+  def eventSource(spark: SparkSession, pathOrTopic: String,
+                  schema: StructType = Schemas.eventMetadata,
+                  sourceFormat: String = "json",
+                  sourceOptions: Map[String, String] = Map.empty): DataFrame =
+    if (busFormats(sourceFormat)) {
+      spark.readStream.format(sourceFormat).options(sourceOptions).load()
+        .select(from_json(col("value").cast("string"), schema).as("__e"))
+        .select(col("__e.*"))
+    } else {
+      spark.readStream.schema(schema).options(sourceOptions)
+        .format(sourceFormat).load(pathOrTopic)
+    }
+
+  /** ST1+ST3 — drain queued events, append rows to the metadata table
     * (cloud_function/main.py:34-47 `insert_rows` analog). Blocks until the
     * drain completes.
     */
   def ingestAvailable(spark: SparkSession, eventsDir: String, metaPath: String,
-                      schema: StructType = Schemas.eventMetadata): Unit = {
-    val q = spark.readStream.schema(schema).json(eventsDir)
+                      schema: StructType = Schemas.eventMetadata,
+                      sourceFormat: String = "json",
+                      sourceOptions: Map[String, String] = Map.empty): Unit = {
+    val q = eventSource(spark, eventsDir, schema, sourceFormat, sourceOptions)
       .withColumn("ingested_at", current_timestamp())
       .writeStream
       .outputMode("append")
@@ -43,15 +82,28 @@ object EventIngest {
   }
 
   /** ST2 — republish: forward drained messages to a downstream "topic"
-    * directory (publisher.py:14-21). At-least-once, no dedup — faithful.
+    * (publisher.py:14-21). At-least-once, no dedup — faithful. The sink seam
+    * mirrors the source seam: "json" to a directory locally; "kafka" +
+    * options(kafka.bootstrap.servers, topic) publishes to a real bus (the
+    * payload must then be packed into a `value` column — to_json(struct(*))
+    * — which is exactly the inverse of [[eventSource]]'s decode).
     */
   def republishAvailable(spark: SparkSession, eventsDir: String, topicDir: String,
-                         schema: StructType = Schemas.eventMetadata): Unit = {
-    val q = spark.readStream.schema(schema).json(eventsDir)
+                         schema: StructType = Schemas.eventMetadata,
+                         sourceFormat: String = "json",
+                         sourceOptions: Map[String, String] = Map.empty,
+                         sinkFormat: String = "json",
+                         sinkOptions: Map[String, String] = Map.empty): Unit = {
+    val src = eventSource(spark, eventsDir, schema, sourceFormat, sourceOptions)
+    val packed = if (busFormats(sinkFormat))
+      src.select(to_json(struct(col("*"))).cast("binary").as("value"))
+    else src
+    val q = packed
       .writeStream
       .outputMode("append")
-      .format("json")
+      .format(sinkFormat)
       .option("path", topicDir)
+      .options(sinkOptions)
       .option("checkpointLocation", s"${topicDir}__chk")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -63,9 +115,11 @@ object EventIngest {
     * pipeline Runner when an extract-arrival event lands).
     */
   def onEvents(spark: SparkSession, eventsDir: String, checkpoint: String,
-               schema: StructType = Schemas.eventMetadata)
+               schema: StructType = Schemas.eventMetadata,
+               sourceFormat: String = "json",
+               sourceOptions: Map[String, String] = Map.empty)
               (callback: (DataFrame, Long) => Unit): Unit = {
-    val q = spark.readStream.schema(schema).json(eventsDir)
+    val q = eventSource(spark, eventsDir, schema, sourceFormat, sourceOptions)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

@@ -38,6 +38,22 @@ class EventIngestSpec extends SparkSpec {
     assert(spark.read.json(topic).count() === 2)
   }
 
+  test("connector seam: the bus envelope pack/decode round-trips typed event rows") {
+    // A real Kafka source can't run in this sandbox; the seam's own logic —
+    // to_json(struct(*)) → binary value → from_json(value, schema) — is
+    // engine code, not connector code, so pin it batch-side with the exact
+    // expressions eventSource/republishAvailable apply.
+    val schema = graft.schema.Schemas.eventMetadata
+    val in = tmp("events_seam_")
+    writeEvents(in, events)
+    val typed = spark.read.schema(schema).json(in)
+    val packed = typed.select(to_json(struct(col("*"))).cast("binary").as("value"))
+    val decoded = packed
+      .select(from_json(col("value").cast("string"), schema).as("__e"))
+      .select(col("__e.*"))
+    assert(decoded.exceptAll(typed).isEmpty && typed.exceptAll(decoded).isEmpty)
+  }
+
   test("streaming upsert: drains merge by key, idempotent across re-runs") {
     import org.apache.spark.sql.types._
     val in = tmp("merge_in_"); val cp = tmp("merge_cp_")
