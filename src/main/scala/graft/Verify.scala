@@ -53,5 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the un-oracled queries are rows-only BY DESIGN — publish the rationale
+    // (and the exact twin that IS oracle-checked) next to the dumps, so the
+    // correctness artifact distinguishes "unverifiable by nature, pinned
+    // elsewhere" from "missing oracle"
+    val rowsOnly = SparkEntry.rowsOnlyByDesign.filter(kv => wanted(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), rowsOnly)
   }
 }

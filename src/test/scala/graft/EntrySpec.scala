@@ -25,11 +25,9 @@ class EntrySpec extends SparkSpec {
   }
 
   // approximate/sketch/stub operators whose values are engine-specific by
-  // nature; each has an oracle-checked exact twin (README coverage map)
-  private val rowsOnlyByDesign = Set(
-    "q26_sketch_distinct", "q36_minhash_lsh", "q37_simhash_neardup",
-    "q39_ann_lsh", "q40_fingerprint_rolling", "q43_ann_ivf",
-    "q50_media_features", "q69_approx_quantiles", "q70_hll_union")
+  // nature; each maps to the oracle-checked exact twin / spec pinning it
+  // (single source of truth in SparkEntry, published by Verify)
+  private val rowsOnlyByDesign = SparkEntry.rowsOnlyByDesign.keySet
 
   test("every query has an oracle unless it is rows-only by design") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
