@@ -2178,6 +2178,26 @@ object SparkEntry {
   private def q164_pagerank_dangling(s: SparkSession, dir: String): DataFrame =
     pagerankCore(s, dir, dangling = true)
 
+  /** VERSIONED-TABLE TIME TRAVEL end-to-end (io.Versioned): commit the even
+    * orders as v1, append the odd orders as v2, then read BOTH snapshots —
+    * v1 via time travel after v2 landed, latest via the pinned manifest.
+    * The oracle recomputes each snapshot's aggregate straight from `orders`,
+    * so a manifest bug (dropped file, leaked file, torn append) breaks the
+    * hash. Money stays exact DECIMAL cents. */
+  private def q165_versioned_timetravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val vt = new Versioned(s, java.nio.file.Files.createTempDirectory("graft_vt").toString)
+    val o = Tables.orders(s, dir)
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+    vt.commit("orders_v", o.filter(col("o_orderkey") % 2 === 0))
+    vt.commitAppend("orders_v", o.filter(col("o_orderkey") % 2 =!= 0))
+    def snap(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(cents).as("sum_cents"))
+        .select(lit(name).as("snapshot"), col("n_rows"), col("sum_cents"))
+    snap(vt.readVersion("orders_v", 1L), "v1")
+      .unionAll(snap(vt.read("orders_v"), "latest"))
+  }
+
   /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate a warehouse load runs
     * before publishing: every FK edge is one broadcast-anti-join count (the
     * dimension key set broadcasts; facts never shuffle), unioned into a
@@ -2681,6 +2701,7 @@ object SparkEntry {
     "q162_semantic_dedup_banded" -> (q162_semantic_dedup_banded _),
     "q163_label_agreement_banded" -> (q163_label_agreement_banded _),
     "q164_pagerank_dangling" -> (q164_pagerank_dangling _),
+    "q165_versioned_timetravel" -> (q165_versioned_timetravel _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4068,6 +4089,17 @@ object SparkEntry {
                      ELSE 's' || cast((n.node - 1) // 2 as varchar) END AS node,
            cast(150000 + 85 * (coalesce(i2.insum, 0) + dm1.dm // nn.n_nodes) // 100 as bigint) AS rank_ppm
          FROM nodes n LEFT JOIN i2 ON n.node = i2.dst, dm1, nn""",
+    // q165: the versioned table's two snapshots must equal the plain
+    // relational definition of what was committed — manifest bugs (dropped,
+    // leaked, or torn files) break the hash
+    "q165_versioned_timetravel" ->
+      """SELECT 'v1' AS snapshot, cast(count(*) as bigint) AS n_rows,
+           cast(sum(cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint)) as bigint) AS sum_cents
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT 'latest', cast(count(*) as bigint),
+           cast(sum(cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint)) as bigint)
+         FROM orders""",
     "q154_scd2" -> scd2OracleSql,
     // q160: the SCD2 oracle becomes a CTE; each fact matches exactly one
     // version because the intervals partition time (sentinel, no null arm)
