@@ -2198,6 +2198,30 @@ object SparkEntry {
       .unionAll(snap(vt.read("orders_v"), "latest"))
   }
 
+  /** REAL IMAGE DECODE, oracle-proven: genuine binary-PPM payloads whose
+    * pixels are a closed-form function of doc_id; the engine DECODES the
+    * bytes (header grammar, raster stride) and emits exact per-channel
+    * sums, while DuckDB recomputes the same sums from the closed form
+    * without ever seeing a byte — only a correct decoder can match. */
+  private def q166_image_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticPpmFromIds(par(s, Tables.documents(s, dir)), "doc_id")
+    Multimodal.imageChannelStats(media)
+      .select(col("media_id").as("doc_id"), col("n_pixels"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
+  /** REAL AUDIO DECODE, oracle-proven: genuine RIFF/WAV PCM16 payloads
+    * (chunked header, little-endian samples); engine decodes and emits
+    * exact (n, Σs², zero crossings); same closed-form oracle idea as q166. */
+  private def q167_audio_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticWavFromIds(par(s, Tables.documents(s, dir)), "doc_id")
+    Multimodal.audioStats(media)
+      .select(col("media_id").as("doc_id"), col("n_samples"),
+        col("sum_sq"), col("zero_crossings"))
+  }
+
   /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate a warehouse load runs
     * before publishing: every FK edge is one broadcast-anti-join count (the
     * dimension key set broadcasts; facts never shuffle), unioned into a
@@ -2702,6 +2726,8 @@ object SparkEntry {
     "q163_label_agreement_banded" -> (q163_label_agreement_banded _),
     "q164_pagerank_dangling" -> (q164_pagerank_dangling _),
     "q165_versioned_timetravel" -> (q165_versioned_timetravel _),
+    "q166_image_decode" -> (q166_image_decode _),
+    "q167_audio_decode" -> (q167_audio_decode _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4100,6 +4126,29 @@ object SparkEntry {
          SELECT 'latest', cast(count(*) as bigint),
            cast(sum(cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint)) as bigint)
          FROM orders""",
+    // q166/q167: the oracle recomputes the decode statistics from the
+    // closed-form pixel/sample generators WITHOUT seeing any bytes — only a
+    // correct PPM/WAV decoder on the engine side can match the hash
+    "q166_image_decode" ->
+      """SELECT doc_id, cast(64 as bigint) AS n_pixels,
+           cast(sum((doc_id*31 + (3*i)*7) % 256) as bigint) AS sum_r,
+           cast(sum((doc_id*31 + (3*i+1)*7) % 256) as bigint) AS sum_g,
+           cast(sum((doc_id*31 + (3*i+2)*7) % 256) as bigint) AS sum_b
+         FROM documents, (SELECT unnest(range(64)) AS i)
+         GROUP BY 1""",
+    "q167_audio_decode" ->
+      """WITH s AS (
+           SELECT doc_id, i, (doc_id*13 + i*11) % 2001 - 1000 AS v
+           FROM documents, (SELECT unnest(range(256)) AS i)),
+         l AS (SELECT doc_id, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+               FROM s)
+         SELECT doc_id, cast(256 as bigint) AS n_samples,
+           cast(sum(v * v) as bigint) AS sum_sq,
+           cast(sum(CASE WHEN pv IS NOT NULL AND
+                              ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
+                         THEN 1 ELSE 0 END) as bigint) AS zero_crossings
+         FROM l GROUP BY 1""",
     "q154_scd2" -> scd2OracleSql,
     // q160: the SCD2 oracle becomes a CTE; each fact matches exactly one
     // version because the intervals partition time (sentinel, no null arm)

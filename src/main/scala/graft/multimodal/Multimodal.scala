@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * frame-sample operators.
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch shape,
-  * operator signatures — is real and tested. The codec step itself is a
-  * clearly-marked DETERMINISTIC STUB (this environment ships no image/audio
-  * libraries): `stubDecode` derives pseudo-features from the bytes' hash, so
-  * outputs are reproducible and the pipeline is swappable to a real codec by
-  * replacing one function.
+  * operator signatures — is real and tested. The codec boundary is split
+  * honestly (r4): formats whose byte layout needs no external library are
+  * REALLY decoded in pure JVM code ([[Codecs]] — binary PPM images, RIFF/WAV
+  * PCM16 audio; dispatched by magic bytes, oracle-checked end-to-end by
+  * q166/q167); formats that require native decoders this environment doesn't
+  * ship (JPEG, H.264) fall through to the clearly-marked DETERMINISTIC STUB,
+  * swappable for a real codec by replacing one function.
   *
   * Scale notes: media rows are large (MBs); operators repartition by media_id
   * so one task never holds more than `spark.sql.files.maxPartitionBytes` of
@@ -53,9 +55,37 @@ object Multimodal {
     }
   }
 
+  /** True iff `bytes` is a format [[Codecs]] really decodes. */
+  def isRealFormat(bytes: Array[Byte]): Boolean =
+    (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') ||
+      (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+
+  /** Real features for really-decodable payloads: PPM → [w, h, n_pixels,
+    * meanR, meanG, meanB, 0…]; WAV → [sampleRate, n, rms, zcRate, 0…] —
+    * deterministic arithmetic on exact integer decode statistics. */
+  private def realDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    if (bytes(0) == 'P') {
+      val (w, h, rgb) = Codecs.decodePpm(bytes)
+      val (n, r, g, b) = Codecs.ppmChannelSums(bytes)
+      out(0) = w.toFloat; out(1) = h.toFloat; out(2) = n.toFloat
+      out(3) = r.toFloat / n; out(4) = g.toFloat / n; out(5) = b.toFloat / n
+      out(6) = rgb.length.toFloat
+    } else {
+      val (rate, samples) = Codecs.decodeWavPcm16(bytes)
+      val (n, sumSq, zc) = Codecs.wavStats(bytes)
+      out(0) = rate.toFloat; out(1) = n.toFloat
+      out(2) = math.sqrt(sumSq.toDouble / math.max(n, 1)).toFloat
+      out(3) = zc.toFloat / math.max(n, 1)
+      out(6) = samples.length.toFloat
+    }
+    out
+  }
+
   /** Feature extraction over the media table: per-partition batching via
     * mapPartitions (one decoder init per task, not per row — the pattern a
-    * real codec needs).
+    * real codec needs). Payloads in really-decodable formats (PPM, WAV) get
+    * REAL decode features; others the deterministic stub.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -66,26 +96,77 @@ object Multimodal {
     val rdd = media.select("media_id", "kind", "bytes").rdd.mapPartitions { rows =>
       // real codec: initialize decoder context once per partition here
       rows.map { r =>
-        val feats = stubDecodeFeatures(r.getAs[Array[Byte]]("bytes"))
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val feats = if (isRealFormat(bytes)) realDecodeFeatures(bytes)
+                    else stubDecodeFeatures(bytes)
         Row(r.getLong(0), r.getString(1), feats.toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Resize: metadata transform + stub payload rewrite (deterministic bytes
-    * derived from (payload, w, h)); keeps schema/partitioning identical so a
-    * real resampler drops in.
+  /** REAL image channel statistics (decode proof): one row per PPM payload
+    * with exact integer pixel sums — the q166 operator. Non-PPM rows are
+    * filtered engine-side by magic so a mixed media table is fine. */
+  def imageChannelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+          val (n, sr, sg, sb) = Codecs.ppmChannelSums(bytes)
+          Some(Row(r.getLong(0), n.toLong, sr, sg, sb))
+        } else None
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL audio statistics (decode proof): exact (n, Σs², zero crossings)
+    * per WAV payload — the q167 operator. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+          val (n, sumSq, zc) = Codecs.wavStats(bytes)
+          Some(Row(r.getLong(0), n.toLong, sumSq, zc))
+        } else None
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize: PPM payloads get a REAL nearest-neighbor decode→resample→
+    * re-encode ([[Codecs.resizePpm]]); formats needing native decoders keep
+    * the deterministic stub rewrite. Schema/partitioning identical either
+    * way, so a native resampler drops into the same seam.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val resizeBytes = udf { (bytes: Array[Byte]) =>
-      // ==== STUB ==== real: decode -> scale -> re-encode
-      val seed = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, (w.toLong << 32) | h.toLong)
-      val out = new Array[Byte](64)
-      var i = 0
-      while (i < out.length) { out(i) = ((seed >>> (i % 8 * 8)) & 0xff).toByte; i += 1 }
-      out
+      if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+        Codecs.resizePpm(bytes, w, h) // REAL nearest-neighbor resample
+      else {
+        // ==== STUB ==== (non-decodable formats) real: decode -> scale -> re-encode
+        val seed = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, (w.toLong << 32) | h.toLong)
+        val out = new Array[Byte](64)
+        var i = 0
+        while (i < out.length) { out(i) = ((seed >>> (i % 8 * 8)) & 0xff).toByte; i += 1 }
+        out
+      }
     }
     media
       .withColumn("bytes", resizeBytes(col("bytes")))
@@ -103,6 +184,40 @@ object Multimodal {
       .select(col("media_id"),
         posexplode(sequence(lit(0L), coalesce(col("meta.duration_ms"), lit(0L)), lit(everyMs)))
           .as(Seq("frame_idx", "frame_ts_ms")))
+
+  /** Deterministic REAL-format media tables from any keyed corpus: payloads
+    * are genuine 8×8 binary PPMs / 256-sample PCM16 WAVs whose pixel/sample
+    * values are a closed-form function of the id — which is exactly what
+    * makes the decoders ORACLE-CHECKABLE: DuckDB recomputes the same
+    * statistics from the same closed form without ever seeing the bytes,
+    * so the only way the engine matches is by decoding the format
+    * correctly (q166/q167). Generation is a synthesis harness (UDF is
+    * fine); DECODE is the operator under test.
+    */
+  def syntheticPpmFromIds(df: DataFrame, idCol: String, w: Int = 8, h: Int = 8): DataFrame = {
+    val gen = udf { (id: Long) =>
+      Codecs.encodePpm(w, h, Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte))
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("image").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("ppm").as("format"), lit(w).as("width"), lit(h).as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+
+  def syntheticWavFromIds(df: DataFrame, idCol: String, n: Int = 256,
+                          sampleRate: Int = 16000): DataFrame = {
+    val gen = udf { (id: Long) =>
+      Codecs.encodeWavPcm16(sampleRate,
+        Array.tabulate(n)(i => ((id * 13 + i * 11) % 2001 - 1000).toShort))
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("audio").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("wav").as("format"), lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(n.toLong * 1000 / sampleRate).as("duration_ms"),
+        lit(sampleRate).as("sample_rate")).as("meta"))
+  }
 
   /** Build a deterministic synthetic media table from any text corpus (test
     * harness for the plumbing; payload = UTF-8 bytes of the text).

@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class CodecsSpec extends SparkSpec {
+
+  test("PPM: encode/decode round-trip, comments and whitespace in header") {
+    val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 17 % 256).toByte)
+    val enc = Codecs.encodePpm(2, 3, rgb)
+    val (w, h, out) = Codecs.decodePpm(enc)
+    assert(w === 2 && h === 3 && out.toSeq === rgb.toSeq)
+    // header with comments + CRLF-ish whitespace is legal PPM
+    val commented = ("P6\n# a comment\n2 # trailing\n\t3\r\n255\n").getBytes("US-ASCII") ++ rgb
+    val (w2, h2, out2) = Codecs.decodePpm(commented)
+    assert(w2 === 2 && h2 === 3 && out2.toSeq === rgb.toSeq)
+  }
+
+  test("PPM: truncated raster and bad magic are rejected loudly") {
+    val rgb = Array.fill(12)(1.toByte)
+    val enc = Codecs.encodePpm(2, 2, rgb)
+    intercept[IllegalArgumentException] { Codecs.decodePpm(enc.dropRight(1)) }
+    intercept[IllegalArgumentException] { Codecs.decodePpm("P5\n1 1\n255\nx".getBytes) }
+  }
+
+  test("PPM: nearest-neighbor resize doubles a 2x2 checkerboard exactly") {
+    // 2x2: R G / B W
+    val px = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val out = Codecs.resizePpm(Codecs.encodePpm(2, 2, px), 4, 4)
+    val (w, h, rgb) = Codecs.decodePpm(out)
+    assert(w === 4 && h === 4)
+    def pix(x: Int, y: Int) = (rgb((y * 4 + x) * 3) & 0xff, rgb((y * 4 + x) * 3 + 1) & 0xff, rgb((y * 4 + x) * 3 + 2) & 0xff)
+    // each source pixel becomes a 2x2 block
+    assert(pix(0, 0) === ((255, 0, 0)) && pix(1, 1) === ((255, 0, 0)))
+    assert(pix(2, 0) === ((0, 255, 0)) && pix(3, 1) === ((0, 255, 0)))
+    assert(pix(0, 2) === ((0, 0, 255)) && pix(1, 3) === ((0, 0, 255)))
+    assert(pix(2, 2) === ((255, 255, 255)) && pix(3, 3) === ((255, 255, 255)))
+  }
+
+  test("WAV: encode/decode round-trip and chunk walking past foreign chunks") {
+    val samples = Array.tabulate(100)(i => ((i * 997) % 2001 - 1000).toShort)
+    val enc = Codecs.encodeWavPcm16(16000, samples)
+    val (rate, out) = Codecs.decodeWavPcm16(enc)
+    assert(rate === 16000 && out.toSeq === samples.toSeq)
+    // splice a LIST chunk between fmt and data — decoder must skip it
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = enc.take(36) ++ listChunk ++ enc.drop(36)
+    // fix RIFF size field (bytes 4-7, little endian)
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val (rate2, out2) = Codecs.decodeWavPcm16(spliced)
+    assert(rate2 === 16000 && out2.toSeq === samples.toSeq)
+  }
+
+  test("wavStats: sumSq and zero crossings match a direct computation") {
+    val samples = Array[Short](5, -3, -1, 0, 2, -2)
+    val (n, sumSq, zc) = Codecs.wavStats(Codecs.encodeWavPcm16(8000, samples))
+    assert(n === 6)
+    assert(sumSq === (25 + 9 + 1 + 0 + 4 + 4).toLong)
+    assert(zc === 3L) // 5->-3, -1->0, 2->-2
+  }
+
+  test("extractFeatures dispatches real formats to the real decoder") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documentsLimit(spark, sfDir, 10)
+    val ppm = Multimodal.syntheticPpmFromIds(docs, "doc_id")
+    val feats = Multimodal.extractFeatures(ppm)
+      .select(col("media_id"), element_at(col("features"), 1).as("w"),
+        element_at(col("features"), 3).as("n_px"))
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      assert(r.getFloat(1) === 8.0f, "feature[0] must be the REAL decoded width")
+      assert(r.getFloat(2) === 64.0f, "feature[2] must be the REAL pixel count")
+    }
+  }
+
+  private object Tables {
+    def documentsLimit(s: org.apache.spark.sql.SparkSession, dir: String, n: Int) =
+      graft.Tables.documents(s, dir).limit(n)
+  }
+}
