@@ -2222,6 +2222,30 @@ object SparkEntry {
         col("sum_sq"), col("zero_crossings"))
   }
 
+  /** OVERLAPPING-WINDOW SUBSTRING DEDUP — the unaligned complement of q145:
+    * a 10-token window at EVERY position (not every 10th), so boilerplate
+    * shared at arbitrary offsets is caught (the exact-substring-dedup idea
+    * from the public training-data-dedup literature, expressed relationally).
+    * Output per doc: window count, windows shared with ≥1 other doc,
+    * per-mille. Like q145, the join key at scale would be the window's
+    * 128-bit hash; the text key keeps the oracle portable and the counts
+    * identical. ~10× q145's row volume by construction (windows ≈ tokens),
+    * still one groupBy + one join, both partial-agg friendly. */
+  private def q168_window_dedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val wins = par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 10), i -> array_join(slice(toks, i+1, 10), ' '))")).as("win"))
+    val shared = wins.groupBy("win").agg(countDistinct(col("doc_id")).as("nd"))
+    wins.join(shared, "win")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_permille", expr("n_shared * 1000 div n_windows"))
+  }
+
   /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate a warehouse load runs
     * before publishing: every FK edge is one broadcast-anti-join count (the
     * dimension key set broadcasts; facts never shuffle), unioned into a
@@ -2728,6 +2752,7 @@ object SparkEntry {
     "q165_versioned_timetravel" -> (q165_versioned_timetravel _),
     "q166_image_decode" -> (q166_image_decode _),
     "q167_audio_decode" -> (q167_audio_decode _),
+    "q168_window_dedup" -> (q168_window_dedup _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4149,6 +4174,21 @@ object SparkEntry {
                               ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
                          THEN 1 ELSE 0 END) as bigint) AS zero_crossings
          FROM l GROUP BY 1""",
+    // q168: DuckDB slice toks[i+1:i+10] (1-based inclusive) == Spark
+    // slice(toks, i+1, 10); range(0, len-9) == sequence(0, size-10)
+    "q168_window_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, unnest(list_transform(range(0, len(toks) - 9),
+             i -> array_to_string(toks[i+1:i+10], ' '))) AS win
+           FROM t WHERE len(toks) >= 10),
+         h AS (SELECT win, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1)
+         SELECT c.doc_id, cast(count(*) as bigint) AS n_windows,
+           cast(sum(CASE WHEN h.nd >= 2 THEN 1 ELSE 0 END) as bigint) AS n_shared,
+           cast(sum(CASE WHEN h.nd >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) as bigint) AS shared_permille
+         FROM c JOIN h USING (win) GROUP BY 1""",
     "q154_scd2" -> scd2OracleSql,
     // q160: the SCD2 oracle becomes a CTE; each fact matches exactly one
     // version because the intervals partition time (sentinel, no null arm)
