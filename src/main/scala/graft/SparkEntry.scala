@@ -2246,6 +2246,128 @@ object SparkEntry {
       .withColumn("shared_permille", expr("n_shared * 1000 div n_windows"))
   }
 
+  /** EXACTLY-ONCE STREAMING APPEND into a versioned table (VersionedSink):
+    * drain the event stream via foreachBatch → Versioned.commitAppendTxn,
+    * then REPLAY an already-committed batchId with the full dataset — the
+    * manifest's per-appId txn watermark must reject it as a no-op. The
+    * oracle is the plain batch aggregate over `events`; if the replay had
+    * landed (the at-least-once hole foreachBatch leaves open), every count
+    * would double and the hash would break. */
+  private def q169_stream_versioned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val vt = new graft.io.Versioned(
+      s, java.nio.file.Files.createTempDirectory("graft_vsink").toString)
+    val chk = java.nio.file.Files.createTempDirectory("graft_vsink_chk").toString
+    val glob = s"$dir/events.parq*"
+    graft.streaming.VersionedSink.appendStream(
+      s, glob, raw, vt, "events_v", chk, appId = "q169_ingest")
+    // replay batch 0 with the WHOLE dataset — watermark must absorb it
+    vt.commitAppendTxn("events_v",
+      s.read.schema(raw).parquet(s"$dir/events.parquet"), "q169_ingest", 0L)
+    vt.read("events_v")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** CDC CHANGELOG APPLY (ops.Cdc): base snapshot = even order keys; the
+    * changelog inserts the odd keys (seq 1), re-prices every %3 key (seq 2),
+    * re-prices %9 keys again (seq 3 — proving LAST-writer-wins, not
+    * first), and deletes every %5 key (seq 4). One max_by hash aggregation,
+    * no window/sort — the oracle recomputes the surviving row set
+    * relationally. */
+  private def q170_cdc_apply(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("key"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    def entries(pred: Column, seq: Long, op: String, c: Column): DataFrame =
+      o.filter(pred).select(col("key"), lit(seq).as("seq"), lit(op).as("op"), c.as("cents"))
+    val log = entries(col("key") % 2 =!= 0, 1L, "I", col("cents"))
+      .unionByName(entries(col("key") % 3 === 0, 2L, "U", col("cents") + 7L))
+      .unionByName(entries(col("key") % 9 === 0, 3L, "U", col("cents") + 20L))
+      .unionByName(entries(col("key") % 5 === 0, 4L, "D", lit(0L)))
+    graft.ops.Cdc.applyChangelog(
+      o.filter(col("key") % 2 === 0), log, "key", "seq", "op", Seq("cents"))
+  }
+
+  /** EXACT TRIANGLE COUNT (graph.Graphs) over the co-purchase graph: parts
+    * are vertices, an edge joins two parts appearing in the same order. The
+    * degree-ordered orientation keeps wedge volume O(m^1.5) with every step
+    * an equi-join (no theta join, nothing O(V) broadcast); the oracle is the
+    * canonical a<b<c three-way self-join. */
+  private def q171_triangle_count(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    graft.graph.Graphs.triangleCount(e)
+  }
+
+  /** EXACT HEAVY HITTERS — suppliers carrying > 1/110 of all lineitems:
+    * one hash aggregation plus a one-row total cross-joined in as the
+    * threshold (integer-arithmetic compare, no float). The relational twin
+    * of the q173 sketch. */
+  private def q172_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val tot = li.agg(count(lit(1)).as("n_total"))
+    li.groupBy(col("l_suppkey").cast("long").as("suppkey"))
+      .agg(count(lit(1)).as("n_li"))
+      .crossJoin(tot)
+      .filter(col("n_li") * 110 > col("n_total"))
+      .select(col("suppkey"), col("n_li"))
+  }
+
+  /** SPACE-SAVING HEAVY HITTERS (sketch.SpaceSaving) — the single-pass
+    * bounded-memory form: per-partition summaries merged on one row per
+    * partition, O(partitions × capacity) shuffle independent of row count.
+    * Emits only keys whose GUARANTEED lower bound clears the threshold; at
+    * sf0.01 the supplier cardinality (100) is under the capacity (256), so
+    * the sketch never evicts, bounds collapse to exact counts, and the
+    * query hash-matches the SAME oracle as the exact q172 — the no-eviction
+    * regime is oracle-proven, the eviction regime is bound-tested in
+    * SketchSpec. */
+  private def q173_spacesaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val tot = li.agg(count(lit(1)).as("n_total"))
+    val summary = graft.sketch.SpaceSaving.sketch(
+      li.select(col("l_suppkey").cast("long")).as[Long], 256)
+    summary.toDF("hh").select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("suppkey"), col("e._2").as("n_li"), col("e._3").as("lo"))
+      .crossJoin(tot)
+      .filter(col("lo") * 110 > col("n_total"))
+      .select(col("suppkey"), col("n_li"))
+  }
+
+  /** SORTED-NEIGHBORHOOD LINKAGE — the other classic blocking strategy
+    * (complement of q140's equality blocking): sort each nation block by
+    * name, compare each record to its next `w`=3 neighbors only, keep pairs
+    * within edit distance 1. lead() inside the block window generates the
+    * candidate band — one shuffle (the window's own); candidates are
+    * O(n·w), never O(n²); the codegen'd bounded_levenshtein verifies.
+    * At scale the block key is the knob (finer blocks, same plan). */
+  private def q174_sorted_neighborhood(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("nation")).orderBy(col("name"), col("id"))
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("id"), col("c_nationkey").cast("long").as("nation"),
+      col("c_name").as("name"))
+    val withNb = c.withColumn("nbs", array(
+      (1 to 3).map(i => lead(struct(col("id"), col("name")), i).over(w)): _*))
+    val lev = graft.functions.StringExprs.bounded_levenshtein(
+      col("name"), col("nb.name"), 1)
+    withNb.select(col("nation"), col("id").as("id_a"), col("name"),
+        explode(col("nbs")).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(col("nation"), col("id_a"), col("nb.id").as("id_b"),
+        lev.cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate a warehouse load runs
     * before publishing: every FK edge is one broadcast-anti-join count (the
     * dimension key set broadcasts; facts never shuffle), unioned into a
@@ -2753,6 +2875,12 @@ object SparkEntry {
     "q166_image_decode" -> (q166_image_decode _),
     "q167_audio_decode" -> (q167_audio_decode _),
     "q168_window_dedup" -> (q168_window_dedup _),
+    "q169_stream_versioned" -> (q169_stream_versioned _),
+    "q170_cdc_apply" -> (q170_cdc_apply _),
+    "q171_triangle_count" -> (q171_triangle_count _),
+    "q172_heavy_hitters" -> (q172_heavy_hitters _),
+    "q173_spacesaving" -> (q173_spacesaving _),
+    "q174_sorted_neighborhood" -> (q174_sorted_neighborhood _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4258,5 +4386,61 @@ object SparkEntry {
     "q159_mapstate_counts" ->
       """SELECT user_id, event_type, cast(count(*) as bigint) AS n
          FROM events GROUP BY 1, 2""",
+    // q169: if the replayed batch had landed a second time, every count
+    // below would double — the oracle is the exactly-once proof
+    "q169_stream_versioned" ->
+      """SELECT event_type, cast(count(*) as bigint) AS n_events,
+           cast(count(DISTINCT user_id) as bigint) AS n_users
+         FROM events GROUP BY 1""",
+    // q170: survivors are keys not deleted (%5); cents carry the LAST
+    // update in seq order (%9 beats %3 beats the insert/base image)
+    "q170_cdc_apply" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS c
+           FROM orders)
+         SELECT k AS key,
+           CASE WHEN k % 9 = 0 THEN c + 20
+                WHEN k % 3 = 0 THEN c + 7
+                ELSE c END AS cents
+         FROM c WHERE k % 5 != 0""",
+    // q171: canonical a<b<c three-way self-join — the O(n^3)-looking but
+    // tiny-at-oracle-scale ground truth for the degree-ordered count
+    "q171_triangle_count" ->
+      """WITH e AS (
+           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         v AS (SELECT count(DISTINCT p) AS n FROM
+                 (SELECT a AS p FROM e UNION ALL SELECT b FROM e)),
+         t AS (SELECT count(*) AS nt
+               FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+         SELECT cast(v.n as bigint) AS n_vertices,
+           cast((SELECT count(*) FROM e) as bigint) AS n_edges,
+           cast(t.nt as bigint) AS n_triangles
+         FROM v, t""",
+    // q172/q173 share one oracle — the sketch runs in its no-eviction
+    // regime at oracle scale, so exact and sketch must agree to the hash
+    "q172_heavy_hitters" ->
+      """SELECT cast(l_suppkey as bigint) AS suppkey, cast(count(*) as bigint) AS n_li
+         FROM lineitem GROUP BY 1
+         HAVING count(*) * 110 > (SELECT count(*) FROM lineitem)""",
+    "q173_spacesaving" ->
+      """SELECT cast(l_suppkey as bigint) AS suppkey, cast(count(*) as bigint) AS n_li
+         FROM lineitem GROUP BY 1
+         HAVING count(*) * 110 > (SELECT count(*) FROM lineitem)""",
+    // q174: rank-distance ≤ 3 inside the nation block, verified at edit
+    // distance ≤ 1 — DuckDB's levenshtein is the reference for the
+    // codegen'd bounded form
+    "q174_sorted_neighborhood" ->
+      """WITH r AS (
+           SELECT c_custkey AS id, cast(c_nationkey as bigint) AS nation, c_name AS name,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name, c_custkey) AS rn
+           FROM customer)
+         SELECT a.nation, a.id AS id_a, b.id AS id_b,
+           cast(levenshtein(a.name, b.name) as bigint) AS dist
+         FROM r a JOIN r b
+           ON a.nation = b.nation AND b.rn > a.rn AND b.rn <= a.rn + 3
+         WHERE levenshtein(a.name, b.name) <= 1""",
   )
 }

@@ -62,9 +62,30 @@ class Versioned(val spark: SparkSession, val root: String) {
     finally in.close()
   }
 
+  /** Manifest lines are data-file paths relative to data/, except
+    * `#txn <appId> <batchId>` marker lines — the public Delta-style `txn`
+    * action that makes streaming appends idempotent (one watermark per
+    * writer appId, carried forward by every append so the latest manifest
+    * always holds the full map). */
+  private val TxnPrefix = "#txn "
+
+  private def dataLines(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
+
+  private def txnLines(lines: Seq[String]): Map[String, Long] =
+    lines.collect { case l if l.startsWith(TxnPrefix) =>
+      val Array(app, b) = l.stripPrefix(TxnPrefix).split(' ')
+      app -> b.toLong
+    }.toMap
+
   /** The files of one immutable snapshot (absolute paths). */
   def snapshotFiles(table: String, v: Long): Seq[String] =
-    readManifest(table, v).map(rel => new Path(dataDir(table), rel).toString)
+    dataLines(readManifest(table, v)).map(rel => new Path(dataDir(table), rel).toString)
+
+  /** Highest batchId this writer appId has committed, per the latest
+    * manifest (None: never committed, or history was overwrite-reset). */
+  def lastTxn(table: String, appId: String): Option[Long] =
+    latestVersion(table).flatMap(v => txnLines(readManifest(table, v)).get(appId))
 
   /** Read a pinned version (time travel). */
   def readVersion(table: String, v: Long): DataFrame =
@@ -139,6 +160,41 @@ class Versioned(val spark: SparkSession, val root: String) {
     }
     throw new java.io.IOException(
       s"versioned append to $table lost $maxAttempts races — aborting")
+  }
+
+  /** IDEMPOTENT append — the exactly-once streaming-sink primitive (the
+    * public Delta `txn`-action idea): the manifest carries a per-writer
+    * (appId → highest batchId) watermark, and an append whose `batchId` is
+    * ≤ the watermark is a NO-OP returning None. This is precisely the replay
+    * hole `foreachBatch` leaves open: a batch can land in the sink and crash
+    * before the checkpoint advances, so the restarted stream re-delivers it
+    * with the SAME batchId — the watermark absorbs the replay, turning
+    * at-least-once delivery into exactly-once table contents.
+    *
+    * The watermark check re-runs against the CURRENT latest manifest inside
+    * the optimistic-retry loop, so even two racing replays of one batch
+    * cannot both land (the loser's rebuild sees the winner's marker).
+    * Batches must arrive in nondecreasing batchId order per appId (the
+    * Structured Streaming contract). Overwrite [[commit]] resets markers —
+    * a truncate-rebuild is a new table generation, document accordingly.
+    */
+  def commitAppendTxn(table: String, df: DataFrame, appId: String, batchId: Long,
+                      maxAttempts: Int = 10): Option[Long] = {
+    if (lastTxn(table, appId).exists(_ >= batchId)) return None
+    val fresh = stage(table, df)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(table)
+      val baseLines = base.map(readManifest(table, _)).getOrElse(Seq.empty)
+      if (txnLines(baseLines).get(appId).exists(_ >= batchId)) return None // raced replay
+      val markers = (txnLines(baseLines) + (appId -> batchId))
+        .toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
+      val next = base.getOrElse(0L) + 1L
+      if (publish(table, next, dataLines(baseLines) ++ fresh ++ markers)) return Some(next)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned txn-append to $table lost $maxAttempts races — aborting")
   }
 
   /** Drop history: delete manifests older than the last `keepLast` versions
