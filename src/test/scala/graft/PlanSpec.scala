@@ -169,4 +169,25 @@ class PlanSpec extends SparkSpec {
         s"$q: string-concat keys must not reach an exchange:\n$p")
     }
   }
+
+  test("q171: triangle count is equi-joins only — no cartesian, no theta join") {
+    val p = planOf("q171_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only BNLJs allowed are the two 1-row stats crossJoins (planOf
+    // concatenates two plan dumps, so each appears twice)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("q170: CDC apply is ONE aggregation with map-side partial max_by, no window sort") {
+    val p = planOf("q170_cdc_apply")
+    assert(p.contains("partial_max_by") || (p.contains("max_by") && p.contains("Partial")), p)
+    assert(!p.contains("Window"), "changelog apply must not plan a window sort:\n" + p)
+  }
+
+  test("q174: sorted-neighborhood generates candidates inside the block window (no self-join)") {
+    val p = planOf("q174_sorted_neighborhood")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "candidate band must come from lead(), not a join:\n" + p)
+  }
 }
