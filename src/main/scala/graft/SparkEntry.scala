@@ -2368,6 +2368,30 @@ object SparkEntry {
       .filter(col("dist") >= 0)
   }
 
+  /** VERSIONED MERGE + DATA-SKIPPING READS end-to-end: commit orders
+    * range-partitioned with footer min/max stats in the manifest, MERGE a
+    * re-pricing confined to keys ≤ 3000 (only the files overlapping that
+    * range are rewritten — VersionedSpec pins the file accounting), then
+    * answer three slices: the whole table, the merged region via
+    * readPruned, and an untouched region via readPruned. The oracle
+    * recomputes all three relationally — a pruning bug that skips a live
+    * file or a merge bug that drops/duplicates a row breaks the hash. */
+  private def q175_versioned_merge(s: SparkSession, dir: String): DataFrame = {
+    val vt = new graft.io.Versioned(
+      s, java.nio.file.Files.createTempDirectory("graft_vm").toString)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("key"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    vt.commit("orders_m", o.repartitionByRange(8, col("key")), statsCol = Some("key"))
+    vt.mergeByKey("orders_m",
+      o.filter(col("key") <= 3000).withColumn("cents", col("cents") + 55L), "key")
+    def slice(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(name).as("slice"), col("n_rows"), col("sum_cents"))
+    slice("all", vt.read("orders_m"))
+      .unionAll(slice("hot", vt.readPruned("orders_m", "key", 0L, 3000L)))
+      .unionAll(slice("cold", vt.readPruned("orders_m", "key", 30000L, 40000L)))
+  }
+
   /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate a warehouse load runs
     * before publishing: every FK edge is one broadcast-anti-join count (the
     * dimension key set broadcasts; facts never shuffle), unioned into a
@@ -2881,6 +2905,7 @@ object SparkEntry {
     "q172_heavy_hitters" -> (q172_heavy_hitters _),
     "q173_spacesaving" -> (q173_spacesaving _),
     "q174_sorted_neighborhood" -> (q174_sorted_neighborhood _),
+    "q175_versioned_merge" -> (q175_versioned_merge _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4442,5 +4467,21 @@ object SparkEntry {
          FROM r a JOIN r b
            ON a.nation = b.nation AND b.rn > a.rn AND b.rn <= a.rn + 3
          WHERE levenshtein(a.name, b.name) <= 1""",
+    // q175: the three slices recomputed relationally — merge correctness
+    // (no lost/duplicated row) and pruning correctness (no skipped live
+    // file) both feed the same hash
+    "q175_versioned_merge" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS c
+           FROM orders),
+         m AS (SELECT k, CASE WHEN k <= 3000 THEN c + 55 ELSE c END AS c FROM c)
+         SELECT 'all' AS slice, cast(count(*) as bigint) AS n_rows,
+           cast(sum(c) as bigint) AS sum_cents FROM m
+         UNION ALL
+         SELECT 'hot', cast(count(*) as bigint), cast(sum(c) as bigint)
+         FROM m WHERE k BETWEEN 0 AND 3000
+         UNION ALL
+         SELECT 'cold', cast(count(*) as bigint), cast(sum(c) as bigint)
+         FROM m WHERE k BETWEEN 30000 AND 40000""",
   )
 }

@@ -62,15 +62,32 @@ class Versioned(val spark: SparkSession, val root: String) {
     finally in.close()
   }
 
-  /** Manifest lines are data-file paths relative to data/, except
-    * `#txn <appId> <batchId>` marker lines — the public Delta-style `txn`
-    * action that makes streaming appends idempotent (one watermark per
-    * writer appId, carried forward by every append so the latest manifest
-    * always holds the full map). */
+  /** Manifest lines:
+    *   - data files: `rel/path.parquet` or, with skipping stats,
+    *     `rel/path.parquet|statsCol|min|max` (min/max over `statsCol` from
+    *     the parquet FOOTER — the manifest doubles as a file-level
+    *     data-skipping index, the public Delta/Iceberg min-max stats idea);
+    *   - `#txn <appId> <batchId>` markers — the Delta-style `txn` action
+    *     that makes streaming appends idempotent (one watermark per writer
+    *     appId, carried forward by every append).
+    */
   private val TxnPrefix = "#txn "
 
-  private def dataLines(lines: Seq[String]): Seq[String] =
-    lines.filterNot(_.startsWith("#"))
+  /** One manifest data entry: a file plus its optional skipping stats. */
+  case class FileEntry(rel: String, stats: Option[(String, Long, Long)]) {
+    def line: String = stats match {
+      case Some((c, lo, hi)) => s"$rel|$c|$lo|$hi"
+      case None => rel
+    }
+  }
+
+  private def parseEntry(line: String): FileEntry = line.split('|') match {
+    case Array(rel, c, lo, hi) => FileEntry(rel, Some((c, lo.toLong, hi.toLong)))
+    case _ => FileEntry(line, None)
+  }
+
+  private def dataEntries(lines: Seq[String]): Seq[FileEntry] =
+    lines.filterNot(_.startsWith("#")).map(parseEntry)
 
   private def txnLines(lines: Seq[String]): Map[String, Long] =
     lines.collect { case l if l.startsWith(TxnPrefix) =>
@@ -78,9 +95,12 @@ class Versioned(val spark: SparkSession, val root: String) {
       app -> b.toLong
     }.toMap
 
+  private def abs(table: String, rel: String): String =
+    new Path(dataDir(table), rel).toString
+
   /** The files of one immutable snapshot (absolute paths). */
   def snapshotFiles(table: String, v: Long): Seq[String] =
-    dataLines(readManifest(table, v)).map(rel => new Path(dataDir(table), rel).toString)
+    dataEntries(readManifest(table, v)).map(e => abs(table, e.rel))
 
   /** Highest batchId this writer appId has committed, per the latest
     * manifest (None: never committed, or history was overwrite-reset). */
@@ -91,6 +111,31 @@ class Versioned(val spark: SparkSession, val root: String) {
   def readVersion(table: String, v: Long): DataFrame =
     spark.read.parquet(snapshotFiles(table, v): _*)
 
+  /** DATA-SKIPPING READ: only the files whose manifest [min, max] on
+    * `statsCol` overlaps [lo, hi] (files without stats are always read —
+    * skipping is an optimization, never a filter). The row-level predicate
+    * is re-applied, so the result equals `read(table).filter(...)` exactly;
+    * what changes is the number of files opened — the manifest IS the
+    * file-level index, no footer ever touched for a skipped file. */
+  def readPruned(table: String, statsCol: String, lo: Long, hi: Long): DataFrame = {
+    val v = latestVersion(table).getOrElse(
+      throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+    val files = prunedFiles(table, v, statsCol, lo, hi)
+    val df =
+      if (files.isEmpty) readVersion(table, v).limit(0) // schema-only, no rows
+      else spark.read.parquet(files: _*)
+    df.filter(org.apache.spark.sql.functions.col(statsCol).between(lo, hi))
+  }
+
+  /** The files [[readPruned]] would open (package-visible so the spec can
+    * assert skipping actually skips). */
+  private[io] def prunedFiles(table: String, v: Long, statsCol: String,
+                              lo: Long, hi: Long): Seq[String] =
+    dataEntries(readManifest(table, v)).filter {
+      case FileEntry(_, Some((c, fLo, fHi))) if c == statsCol => fLo <= hi && fHi >= lo
+      case _ => true // foreign/absent stats: cannot skip safely
+    }.map(e => abs(table, e.rel))
+
   /** Read the latest snapshot — pinned at call time: commits that land after
     * the manifest is chosen do not affect this DataFrame's files. */
   def read(table: String): DataFrame = {
@@ -99,16 +144,51 @@ class Versioned(val spark: SparkSession, val root: String) {
     readVersion(table, v)
   }
 
-  /** Stage `df` under a fresh immutable commit dir; returns the file names
-    * RELATIVE to data/ for the manifest. */
-  private def stage(table: String, df: DataFrame): Seq[String] = {
+  /** Stage `df` under a fresh immutable commit dir; returns the MANIFEST
+    * LINES (relative paths, plus min/max skipping stats on `statsCol` when
+    * set). Stats come from the parquet FOOTERS the writer already produced —
+    * a metadata-only read per staged file, no data scanned; a file whose
+    * footer yields no usable stats (missing column, non-integer type, empty)
+    * simply gets no stats line and is never skipped. */
+  private def stage(table: String, df: DataFrame,
+                    statsCol: Option[String] = None): Seq[String] = {
     val commitId = f"c${System.nanoTime()}%x-${(math.abs(scala.util.Random.nextLong()) % 0xffffff)}%06x"
     val dir = new Path(dataDir(table), commitId)
     df.write.parquet(dir.toString)
     val f = fs(dir)
     f.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") || n.startsWith("part-"))
-      .map(n => s"$commitId/$n")
+      .map { n =>
+        val stats = statsCol.flatMap(c => footerMinMax(new Path(dir, n), c).map(mm => (c, mm._1, mm._2)))
+        FileEntry(s"$commitId/$n", stats).line
+      }
+  }
+
+  /** Min/max of an integer-typed column from a parquet file's footer
+    * (public parquet-mr API; row-group statistics, no data pages read). */
+  private def footerMinMax(p: Path, column: String): Option[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(p, spark.sessionState.newHadoopConf()))
+    try {
+      val ranges = for {
+        block <- reader.getFooter.getBlocks.asScala.toSeq
+        col <- block.getColumns.asScala
+        if col.getPath.toDotString == column
+        st = col.getStatistics
+        if st != null && !st.isEmpty && st.hasNonNullValue
+        lo <- st.genericGetMin match {
+          case n: java.lang.Number => Some(n.longValue); case _ => None
+        }
+        hi <- st.genericGetMax match {
+          case n: java.lang.Number => Some(n.longValue); case _ => None
+        }
+      } yield (lo, hi)
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally reader.close()
   }
 
   /** Publish `lines` as version `v` — atomic, exclusive. True iff WE won.
@@ -131,8 +211,9 @@ class Versioned(val spark: SparkSession, val root: String) {
     * committed version. Optimistic concurrency: on a lost race the commit
     * retries at the next version — an overwrite does not depend on the
     * losing snapshot, so retrying is always semantically safe. */
-  def commit(table: String, df: DataFrame, maxAttempts: Int = 10): Long = {
-    val files = stage(table, df)
+  def commit(table: String, df: DataFrame, maxAttempts: Int = 10,
+             statsCol: Option[String] = None): Long = {
+    val files = stage(table, df, statsCol)
     var attempt = 0
     while (attempt < maxAttempts) {
       val next = latestVersion(table).getOrElse(0L) + 1L
@@ -148,8 +229,9 @@ class Versioned(val spark: SparkSession, val root: String) {
     * manifest is REBUILT against the winner's file list, so no concurrent
     * append is dropped (the failure mode a directory-swap append cannot
     * exclude). */
-  def commitAppend(table: String, df: DataFrame, maxAttempts: Int = 10): Long = {
-    val fresh = stage(table, df)
+  def commitAppend(table: String, df: DataFrame, maxAttempts: Int = 10,
+                   statsCol: Option[String] = None): Long = {
+    val fresh = stage(table, df, statsCol)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(table)
@@ -179,9 +261,9 @@ class Versioned(val spark: SparkSession, val root: String) {
     * a truncate-rebuild is a new table generation, document accordingly.
     */
   def commitAppendTxn(table: String, df: DataFrame, appId: String, batchId: Long,
-                      maxAttempts: Int = 10): Option[Long] = {
+                      maxAttempts: Int = 10, statsCol: Option[String] = None): Option[Long] = {
     if (lastTxn(table, appId).exists(_ >= batchId)) return None
-    val fresh = stage(table, df)
+    val fresh = stage(table, df, statsCol)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(table)
@@ -190,11 +272,62 @@ class Versioned(val spark: SparkSession, val root: String) {
       val markers = (txnLines(baseLines) + (appId -> batchId))
         .toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
       val next = base.getOrElse(0L) + 1L
-      if (publish(table, next, dataLines(baseLines) ++ fresh ++ markers)) return Some(next)
+      if (publish(table, next, dataEntries(baseLines).map(_.line) ++ fresh ++ markers))
+        return Some(next)
       attempt += 1
     }
     throw new java.io.IOException(
       s"versioned txn-append to $table lost $maxAttempts races — aborting")
+  }
+
+  /** MERGE (upsert-by-key) with FILE-LEVEL PRUNING: the new snapshot is
+    * (old rows whose key is NOT in `updates`) ∪ `updates` — but only the
+    * files whose manifest [min, max] on `keyCol` OVERLAPS the updates' key
+    * range are read and rewritten; every other file's manifest line carries
+    * over UNTOUCHED (the Delta/Iceberg copy-on-write merge with min-max
+    * skipping). A merge touching 0.1% of the key space rewrites ~0.1% of
+    * the files instead of the whole table — at 100 TB that is the
+    * difference between a merge and a rebuild. Files without stats are
+    * conservatively treated as affected.
+    *
+    * `updates` must carry one row per key (the CDC row-image convention —
+    * collapse upstream with [[graft.ops.Cdc.applyChangelog]] if needed).
+    * OCC: the merge is computed against a pinned base version; losing the
+    * publish race RE-RUNS the whole merge against the winner's snapshot
+    * (a write-write conflict must re-read, not blind-retry). Txn watermarks
+    * carry forward. Returns the committed version.
+    */
+  def mergeByKey(table: String, updates: DataFrame, keyCol: String,
+                 maxAttempts: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    val bounds = updates.agg(fmin(col(keyCol)).cast("long"), fmax(col(keyCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) // empty updates: nothing to do, current version stands
+      return latestVersion(table).getOrElse(
+        throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+    val (uLo, uHi) = (bounds.getLong(0), bounds.getLong(1))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(table).getOrElse(
+        throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+      val baseLines = readManifest(table, base)
+      val (affected, untouched) = dataEntries(baseLines).partition {
+        case FileEntry(_, Some((c, fLo, fHi))) if c == keyCol => fLo <= uHi && fHi >= uLo
+        case _ => true
+      }
+      val survivors =
+        if (affected.isEmpty) updates
+        else spark.read.parquet(affected.map(e => abs(table, e.rel)): _*)
+          .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      val fresh = stage(table, survivors, Some(keyCol))
+      val markers = txnLines(baseLines)
+        .toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
+      if (publish(table, base + 1L, untouched.map(_.line) ++ fresh ++ markers))
+        return base + 1L
+      attempt += 1 // lost a race: recompute against the winner's snapshot
+    }
+    throw new java.io.IOException(
+      s"versioned merge into $table lost $maxAttempts races — aborting")
   }
 
   /** Drop history: delete manifests older than the last `keepLast` versions
@@ -205,7 +338,7 @@ class Versioned(val spark: SparkSession, val root: String) {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
     val vs = versions(table)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
-    val keptFiles = keep.flatMap(readManifest(table, _)).toSet
+    val keptFiles = keep.flatMap(v => dataEntries(readManifest(table, v)).map(_.rel)).toSet
     val f = fs(dataDir(table))
     var removedData = 0
     if (f.exists(dataDir(table)))

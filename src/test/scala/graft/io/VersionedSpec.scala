@@ -75,4 +75,61 @@ class VersionedSpec extends SparkSpec {
     assert(vt.versions("t") === Seq(2L, 3L))
     intercept[Exception] { vt.readVersion("t", 1L).count() }
   }
+
+  test("footer stats land in the manifest; readPruned opens only overlapping files") {
+    val vt = new Versioned(spark, tmpRoot())
+    // 4 range-disjoint files over k in [0, 400)
+    val df = (0L until 400L).toDF("k").withColumn("p", col("k") * 10)
+      .repartitionByRange(4, col("k"))
+    vt.commit("t", df, statsCol = Some("k"))
+    // every staged file carries k-stats covering a disjoint quarter
+    val all = vt.prunedFiles("t", 1L, "k", Long.MinValue, Long.MaxValue)
+    assert(all.size === 4)
+    val narrow = vt.prunedFiles("t", 1L, "k", 120L, 130L)
+    assert(narrow.size === 1, s"expected 1 overlapping file, got ${narrow.size}")
+    // pruned read == full-scan filter, exactly
+    val pruned = vt.readPruned("t", "k", 120L, 130L)
+    val full = vt.read("t").filter(col("k").between(120L, 130L))
+    assert(pruned.count() === 11 && full.count() === 11)
+    assert(pruned.exceptAll(full).count() === 0 && full.exceptAll(pruned).count() === 0)
+    // a stats-less table never prunes (conservative)
+    vt.commit("u", df)
+    assert(vt.prunedFiles("u", 1L, "k", 0L, 0L).size === vt.snapshotFiles("u", 1L).size)
+    // empty overlap: zero files, schema preserved, zero rows
+    assert(vt.readPruned("t", "k", 5000L, 6000L).count() === 0)
+  }
+
+  test("mergeByKey rewrites ONLY the files overlapping the updates' key range") {
+    val vt = new Versioned(spark, tmpRoot())
+    val base = (0L until 400L).toDF("k").withColumn("p", col("k") * 10)
+      .repartitionByRange(4, col("k"))
+    vt.commit("t", base, statsCol = Some("k"))
+    val before = vt.snapshotFiles("t", 1L).toSet
+    // updates confined to one quarter: re-price 3 keys (the min-max
+    // envelope is the pruning unit — updates spanning the key space would
+    // rightly touch every overlapping file)
+    val updates = Seq((110L, -1L), (115L, -2L), (119L, -3L)).toDF("k", "p")
+    val v2 = vt.mergeByKey("t", updates, "k")
+    assert(v2 === 2L)
+    val after = vt.snapshotFiles("t", v2).toSet
+    // the three non-overlapping quarters carry over byte-identical
+    assert((before intersect after).size === 3,
+      s"expected 3 untouched files, got ${(before intersect after).size}")
+    // inserts beyond every file's range: NO file rewritten, pure append
+    val v3 = vt.mergeByKey("t", Seq((1000L, -4L), (1001L, -5L)).toDF("k", "p"), "k")
+    assert((after -- vt.snapshotFiles("t", v3).toSet).isEmpty,
+      "out-of-range insert merge must not rewrite any existing file")
+    // content equals the relational merge
+    val got = vt.read("t").as[(Long, Long)].collect().toMap
+    assert(got.size === 402)
+    assert(got(110L) === -1L && got(115L) === -2L && got(119L) === -3L)
+    assert(got(1000L) === -4L && got(1001L) === -5L)
+    assert(got(109L) === 1090L && got(120L) === 1200L, "non-updated keys keep old payloads")
+    // merged files got fresh stats: a later pruned read still skips
+    assert(vt.prunedFiles("t", v2, "k", 300L, 310L).size === 1)
+    // txn watermarks survive a merge
+    vt.commitAppendTxn("t", Seq((5000L, 1L)).toDF("k", "p"), "app", 7L)
+    vt.mergeByKey("t", Seq((5000L, 2L)).toDF("k", "p"), "k")
+    assert(vt.lastTxn("t", "app").contains(7L))
+  }
 }
