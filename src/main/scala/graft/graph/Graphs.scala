@@ -40,7 +40,8 @@ object Graphs {
     // cluster scale replicated persist or a reliable checkpoint is the same
     // one-line seam.
     val canon = edges
-      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .select(least(col(src), col(dst)).cast("long").as("a"),
+        greatest(col(src), col(dst)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -69,12 +70,16 @@ object Graphs {
     // instead of O(m^1.5) wedge rows (measured 2× on the bench); per-row
     // intersect cost is O(outdeg), and degree-ordering caps outdeg at
     // O(√m), so no row is pathological.
-    // inner joins: an edge whose endpoint has no out-neighbors closes nothing
+    // inner joins: an edge whose endpoint has no out-neighbors closes
+    // nothing. Adjacency lists are sorted+distinct by construction, so the
+    // codegen'd merge-scan counter replaces size(array_intersect(...))'s
+    // per-row hash set + result-array allocation.
     val adj = oriented.groupBy(col("u")).agg(sort_array(collect_list(col("w"))).as("nbrs"))
     val tri = oriented.select(col("u"), col("w"))
       .join(adj, Seq("u"))
       .join(adj.select(col("u").as("w"), col("nbrs").as("w_nbrs")), Seq("w"))
-      .agg(sum(size(array_intersect(col("nbrs"), col("w_nbrs")))).cast("long").as("n_triangles"))
+      .agg(sum(graft.functions.ArrayExprs.sorted_intersect_count(
+        col("nbrs"), col("w_nbrs"))).as("n_triangles"))
     // sum(...) is null on an edgeless graph — normalize to 0
     val triN = tri.select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
 

@@ -330,6 +330,51 @@ class Versioned(val spark: SparkSession, val root: String) {
       s"versioned merge into $table lost $maxAttempts races — aborting")
   }
 
+  /** COMPACTION (the OPTIMIZE operation): bin-pack every data file smaller
+    * than `smallBytes` into rewritten files of ~`targetBytes`, leaving
+    * large files untouched — the answer to the small-file problem a
+    * streaming `commitAppendTxn` sink accumulates (each micro-batch lands
+    * O(partitions) files; a day of 1-minute batches is 10⁴–10⁵ files whose
+    * per-file open/footer cost comes to dominate reads long before data
+    * volume does). Content is IDENTICAL by construction (small files are
+    * read and rewritten, nothing else changes), so readers see the same
+    * rows; pinned readers of older versions are untouched (their files
+    * remain until [[vacuum]]); txn watermarks and untouched files' stats
+    * carry forward; rewritten files get fresh footer stats when `statsCol`
+    * is set. OCC like append: a lost race rebuilds against the winner
+    * (compaction commutes with appends — the re-run simply re-partitions
+    * the small-file set that now exists). Returns (version, filesBefore,
+    * filesAfter), or None when fewer than 2 small files exist.
+    */
+  def compact(table: String, smallBytes: Long = 32L << 20,
+              targetBytes: Long = 128L << 20,
+              statsCol: Option[String] = None,
+              maxAttempts: Int = 10): Option[(Long, Int, Int)] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(table).getOrElse(
+        throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+      val baseLines = readManifest(table, base)
+      val entries = dataEntries(baseLines)
+      val f = fs(dataDir(table))
+      val sized = entries.map(e => e -> f.getFileStatus(new Path(abs(table, e.rel))).getLen)
+      val (small, big) = sized.partition(_._2 < smallBytes)
+      if (small.size < 2) return None // nothing worth packing
+      val totalSmall = small.map(_._2).sum
+      val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
+      val packed = spark.read.parquet(small.map(e => abs(table, e._1.rel)): _*)
+        .repartition(nOut)
+      val fresh = stage(table, packed, statsCol)
+      val markers = txnLines(baseLines)
+        .toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
+      if (publish(table, base + 1L, big.map(_._1.line) ++ fresh ++ markers))
+        return Some((base + 1L, entries.size, big.size + fresh.size))
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned compaction of $table lost $maxAttempts races — aborting")
+  }
+
   /** Drop history: delete manifests older than the last `keepLast` versions
     * and every data file no kept manifest references. Pinned readers of
     * vacuumed versions break (the Delta tradeoff); kept versions are

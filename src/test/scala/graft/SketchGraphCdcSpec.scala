@@ -115,6 +115,25 @@ class SketchGraphCdcSpec extends SparkSpec {
     assert(tri(star) == ((21L, 20L, 0L)))
   }
 
+  test("sorted_intersect_count: differential vs size(array_intersect) on random sorted arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (i, arr(), arr())
+    }
+    val df = rows.toDF("i", "a", "b")
+    val diff = df.select(
+        graft.functions.ArrayExprs.sorted_intersect_count(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0)
+    // empty sides
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+    assert(e.select(graft.functions.ArrayExprs.sorted_intersect_count(col("a"), col("b")))
+      .head().getLong(0) === 0L)
+  }
+
   // ---- Versioned txn append ---------------------------------------------
 
   test("commitAppendTxn: replays are no-ops, watermark survives later appends") {

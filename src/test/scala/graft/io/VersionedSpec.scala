@@ -132,4 +132,30 @@ class VersionedSpec extends SparkSpec {
     vt.mergeByKey("t", Seq((5000L, 2L)).toDF("k", "p"), "k")
     assert(vt.lastTxn("t", "app").contains(7L))
   }
+
+  test("compact bin-packs streaming small files; content, pins, txn, stats all survive") {
+    val vt = new Versioned(spark, tmpRoot())
+    // a streaming sink's aftermath: 6 tiny txn appends = many small files
+    for (b <- 0L until 6L)
+      vt.commitAppendTxn("t", Seq((b * 10, b), (b * 10 + 1, b)).toDF("k", "p"),
+        "stream", b, statsCol = Some("k"))
+    val vPre = vt.latestVersion("t").get
+    val filesPre = vt.snapshotFiles("t", vPre).size
+    val contentPre = vt.read("t").as[(Long, Long)].collect().toSet
+    val pinned = vt.read("t") // pinned BEFORE compaction
+
+    val Some((vPost, before, after)) = vt.compact("t", statsCol = Some("k"))
+    assert(before === filesPre && after < before, s"($before -> $after)")
+    assert(vt.read("t").as[(Long, Long)].collect().toSet === contentPre,
+      "compaction must not change contents")
+    // compaction is maintenance, not data: replay watermark intact
+    assert(vt.lastTxn("t", "stream").contains(5L))
+    assert(vt.commitAppendTxn("t", Seq((999L, 9L)).toDF("k", "p"), "stream", 5L).isEmpty)
+    // the pinned pre-compaction reader still reads its own files
+    assert(pinned.as[(Long, Long)].collect().toSet === contentPre)
+    // rewritten files carry fresh stats: pruning still works post-compaction
+    assert(vt.prunedFiles("t", vPost, "k", Long.MinValue, Long.MaxValue).nonEmpty)
+    // nothing left to pack -> no-op
+    assert(vt.compact("t").isEmpty || vt.snapshotFiles("t", vt.latestVersion("t").get).size <= after)
+  }
 }
