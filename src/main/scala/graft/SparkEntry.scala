@@ -2392,6 +2392,29 @@ object SparkEntry {
       .unionAll(slice("cold", vt.readPruned("orders_m", "key", 30000L, 40000L)))
   }
 
+  /** INCREMENTAL CONSUMPTION from a versioned table (readDelta): three
+    * commits partition `orders` by key mod 3; a downstream consumer drains
+    * each version increment separately. The oracle recomputes every
+    * increment relationally — a manifest diff that leaks a carried-over
+    * file (duplicated rows) or drops an appended one breaks the hash. This
+    * is the no-message-bus incremental-ELT path: poll latestVersion, drain
+    * the delta, never re-read history. */
+  private def q176_versioned_delta(s: SparkSession, dir: String): DataFrame = {
+    val vt = new graft.io.Versioned(
+      s, java.nio.file.Files.createTempDirectory("graft_vd").toString)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("key"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    vt.commit("orders_d", o.filter(col("key") % 3 === 0))
+    vt.commitAppend("orders_d", o.filter(col("key") % 3 === 1))
+    vt.commitAppend("orders_d", o.filter(col("key") % 3 === 2))
+    def drained(fromV: Long, toV: Long): DataFrame =
+      vt.readDelta("orders_d", fromV, toV)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(s"v$fromV..v$toV").as("increment"), col("n_rows"), col("sum_cents"))
+    drained(0L, 1L).unionAll(drained(1L, 2L)).unionAll(drained(2L, 3L))
+      .unionAll(drained(1L, 3L))
+  }
+
   /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate a warehouse load runs
     * before publishing: every FK edge is one broadcast-anti-join count (the
     * dimension key set broadcasts; facts never shuffle), unioned into a
@@ -2906,6 +2929,7 @@ object SparkEntry {
     "q173_spacesaving" -> (q173_spacesaving _),
     "q174_sorted_neighborhood" -> (q174_sorted_neighborhood _),
     "q175_versioned_merge" -> (q175_versioned_merge _),
+    "q176_versioned_delta" -> (q176_versioned_delta _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4483,5 +4507,22 @@ object SparkEntry {
          UNION ALL
          SELECT 'cold', cast(count(*) as bigint), cast(sum(c) as bigint)
          FROM m WHERE k BETWEEN 30000 AND 40000""",
+    // q176: each manifest-diff increment must equal its relational slice —
+    // a leaked carried-over file (dup rows) or dropped append breaks it
+    "q176_versioned_delta" ->
+      """WITH c AS (SELECT o_orderkey AS k,
+             cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS c
+           FROM orders)
+         SELECT 'v0..v1' AS increment, cast(count(*) as bigint) AS n_rows,
+           cast(sum(c) as bigint) AS sum_cents FROM c WHERE k % 3 = 0
+         UNION ALL
+         SELECT 'v1..v2', cast(count(*) as bigint), cast(sum(c) as bigint)
+         FROM c WHERE k % 3 = 1
+         UNION ALL
+         SELECT 'v2..v3', cast(count(*) as bigint), cast(sum(c) as bigint)
+         FROM c WHERE k % 3 = 2
+         UNION ALL
+         SELECT 'v1..v3', cast(count(*) as bigint), cast(sum(c) as bigint)
+         FROM c WHERE k % 3 IN (1, 2)""",
   )
 }

@@ -107,9 +107,38 @@ class Versioned(val spark: SparkSession, val root: String) {
   def lastTxn(table: String, appId: String): Option[Long] =
     latestVersion(table).flatMap(v => txnLines(readManifest(table, v)).get(appId))
 
-  /** Read a pinned version (time travel). */
-  def readVersion(table: String, v: Long): DataFrame =
-    spark.read.parquet(snapshotFiles(table, v): _*)
+  /** Read a pinned version (time travel). `mergeSchema=true` unions the
+    * schemas of all snapshot files — the schema-EVOLUTION read: an append
+    * that added columns surfaces them (older files yield nulls), exactly
+    * Spark's parquet mergeSchema semantics applied to the manifest's file
+    * set. Default stays cheap (first-file schema). */
+  def readVersion(table: String, v: Long, mergeSchema: Boolean = false): DataFrame =
+    spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(snapshotFiles(table, v): _*)
+
+  /** INCREMENTAL CONSUMPTION (the CDC-read / Delta `startingVersion` idea):
+    * the rows ADDED between two versions, computed as a manifest file-set
+    * DIFF — O(manifest) metadata work, zero data re-read for the unchanged
+    * files. Exact for append-only history (streaming sinks, commitAppend);
+    * on an overwrite/merge/compaction boundary rewritten files reappear as
+    * "new", so a consumer that must survive those reads the txn/version
+    * metadata and re-syncs — same contract as Delta's change feed without
+    * per-row change tracking. A downstream pipeline polls
+    * `latestVersion` and drains `readDelta(lastSeen, now)` — incremental
+    * ELT without a message bus. */
+  def readDelta(table: String, fromVersionExclusive: Long, toVersion: Long,
+                mergeSchema: Boolean = false): DataFrame = {
+    require(fromVersionExclusive <= toVersion,
+      s"readDelta: from=$fromVersionExclusive > to=$toVersion")
+    val fromFiles =
+      if (fromVersionExclusive <= 0L) Set.empty[String]
+      else dataEntries(readManifest(table, fromVersionExclusive)).map(_.rel).toSet
+    val added = dataEntries(readManifest(table, toVersion))
+      .map(_.rel).filterNot(fromFiles).map(abs(table, _))
+    if (added.isEmpty) readVersion(table, toVersion).limit(0) // schema, no rows
+    else spark.read.option("mergeSchema", mergeSchema.toString).parquet(added: _*)
+  }
 
   /** DATA-SKIPPING READ: only the files whose manifest [min, max] on
     * `statsCol` overlaps [lo, hi] (files without stats are always read —
@@ -138,10 +167,10 @@ class Versioned(val spark: SparkSession, val root: String) {
 
   /** Read the latest snapshot — pinned at call time: commits that land after
     * the manifest is chosen do not affect this DataFrame's files. */
-  def read(table: String): DataFrame = {
+  def read(table: String, mergeSchema: Boolean = false): DataFrame = {
     val v = latestVersion(table).getOrElse(
       throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
-    readVersion(table, v)
+    readVersion(table, v, mergeSchema)
   }
 
   /** Stage `df` under a fresh immutable commit dir; returns the MANIFEST

@@ -158,4 +158,32 @@ class VersionedSpec extends SparkSpec {
     // nothing left to pack -> no-op
     assert(vt.compact("t").isEmpty || vt.snapshotFiles("t", vt.latestVersion("t").get).size <= after)
   }
+
+  test("readDelta drains exactly the appended rows; schema evolution surfaces via mergeSchema") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))          // v1
+    vt.commitAppend("t", Seq((3L, "c")).toDF("k", "v"))               // v2
+    vt.commitAppend("t", Seq((4L, "d"), (5L, "e")).toDF("k", "v"))    // v3
+    // each increment is exactly the appended rows
+    assert(vt.readDelta("t", 1L, 2L).select("k").as[Long].collect().toSet === Set(3L))
+    assert(vt.readDelta("t", 2L, 3L).select("k").as[Long].collect().toSet === Set(4L, 5L))
+    assert(vt.readDelta("t", 1L, 3L).select("k").as[Long].collect().toSet === Set(3L, 4L, 5L))
+    // from version 0 = everything; same-version delta = empty with schema
+    assert(vt.readDelta("t", 0L, 3L).count() === 5)
+    val empty = vt.readDelta("t", 3L, 3L)
+    assert(empty.count() === 0 && empty.columns.toSeq === Seq("k", "v"))
+    // an incremental consumer polling per version sums to the full table
+    val drained = (1L to 3L).map(v => vt.readDelta("t", v - 1, v).count()).sum
+    assert(drained === vt.read("t").count())
+
+    // schema evolution: a later append adds a column
+    vt.commitAppend("t", Seq((6L, "f", 60L)).toDF("k", "v", "extra")) // v4
+    val evolved = vt.read("t", mergeSchema = true)
+    assert(evolved.columns.toSet === Set("k", "v", "extra"))
+    assert(evolved.filter(col("k") === 6L).select("extra").as[Long].head() === 60L)
+    assert(evolved.filter(col("k") === 1L).select("extra").isEmpty === false)
+    assert(evolved.filter(col("extra").isNull).count() === 5, "pre-evolution rows read as null")
+    // the delta read of the evolving append carries the new column
+    assert(vt.readDelta("t", 3L, 4L).columns.contains("extra"))
+  }
 }
