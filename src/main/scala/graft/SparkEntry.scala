@@ -2350,7 +2350,7 @@ object SparkEntry {
     * candidate band — one shuffle (the window's own); candidates are
     * O(n·w), never O(n²); the codegen'd bounded_levenshtein verifies.
     * At scale the block key is the knob (finer blocks, same plan). */
-  private def q174_sorted_neighborhood(s: SparkSession, dir: String): DataFrame = {
+  private def sortedNeighborhoodPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("nation")).orderBy(col("name"), col("id"))
     val c = Tables.customer(s, dir).select(
@@ -2366,6 +2366,57 @@ object SparkEntry {
       .select(col("nation"), col("id_a"), col("nb.id").as("id_b"),
         lev.cast("long").as("dist"))
       .filter(col("dist") >= 0)
+  }
+
+  private def q174_sorted_neighborhood(s: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairs(s, dir)
+
+  /** END-TO-END ENTITY RESOLUTION to GOLDEN RECORDS — the full composed
+    * pipeline every master-data system runs: candidate pairs (q174's
+    * sorted-neighborhood band), transitive closure over matches
+    * (Clusters.connectedComponents — A~B, B~C ⇒ one entity even when A,C
+    * never compared), then ONE golden row per entity: min id as the
+    * surviving key, highest-balance member as the attribute donor
+    * (max_by struct argmax, one aggregation). Every stage is the scale
+    * shape it composes from: banded candidates O(n·w), min-label CC, one
+    * hash agg. Oracle: the same closure via a recursive CTE in DuckDB. */
+  private def q177_golden_record(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Clusters
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("id"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+      col("c_mktsegment").as("segment"))
+    val pairs = sortedNeighborhoodPairs(s, dir)
+    val cc = Clusters.connectedComponents(
+      c.select(col("id")), "id", pairs, "id_a", "id_b")
+    c.join(cc, "id")
+      .groupBy(col("cluster_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("cents"), col("segment"), col("id")),
+          struct(col("cents"), col("id"))).as("donor"))
+      .select(col("entity_id"), col("n_members"),
+        col("donor.cents").as("golden_cents"), col("donor.segment").as("golden_segment"))
+  }
+
+  /** INTERVAL-CONCURRENCY SWEEP LINE — peak simultaneously-open orders per
+    * month (each order open [o_orderdate, +30d)). The scale move: ±1 events
+    * are AGGREGATED PER DATE FIRST, shrinking the stream from O(orders) to
+    * O(distinct dates) — a domain-bounded ~2.5k rows at ANY scale factor —
+    * so the subsequent global-order running sum is a legitimate
+    * single-partition window over a provably tiny set (the "aggregate to
+    * the domain, then window" pattern; a raw global window over orders
+    * would be the classic single-task bottleneck). */
+  private def q178_concurrency_sweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val deltas = o.select(col("o_orderdate").as("d"), lit(1L).as("delta"))
+      .unionAll(o.select(date_add(col("o_orderdate"), 30).as("d"), lit(-1L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("net"))
+    val running = deltas.withColumn("open",
+      sum(col("net")).over(Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    running.groupBy(date_format(col("d"), "yyyy-MM").as("month"))
+      .agg(max(col("open")).as("peak_open"))
   }
 
   /** VERSIONED MERGE + DATA-SKIPPING READS end-to-end: commit orders
@@ -2930,6 +2981,8 @@ object SparkEntry {
     "q174_sorted_neighborhood" -> (q174_sorted_neighborhood _),
     "q175_versioned_merge" -> (q175_versioned_merge _),
     "q176_versioned_delta" -> (q176_versioned_delta _),
+    "q177_golden_record" -> (q177_golden_record _),
+    "q178_concurrency_sweep" -> (q178_concurrency_sweep _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4524,5 +4577,45 @@ object SparkEntry {
          UNION ALL
          SELECT 'v1..v3', cast(count(*) as bigint), cast(sum(c) as bigint)
          FROM c WHERE k % 3 IN (1, 2)""",
+    // q177: the same closure as a recursive CTE; golden row picked by the
+    // same (cents, id) argmax tie-break
+    "q177_golden_record" ->
+      """WITH RECURSIVE r AS (
+           SELECT c_custkey AS id, cast(c_nationkey as bigint) AS nation, c_name AS name,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name, c_custkey) AS rn
+           FROM customer),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM r a JOIN r b ON a.nation = b.nation AND b.rn > a.rn AND b.rn <= a.rn + 3
+           WHERE levenshtein(a.name, b.name) <= 1),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         walk(id, lab) AS (
+           SELECT c_custkey, c_custkey FROM customer
+           UNION
+           SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+         cc AS (SELECT id, min(lab) AS entity_id FROM walk GROUP BY 1),
+         m AS (SELECT cc.entity_id, c.c_custkey AS id,
+                 cast(cast(c_acctbal as DECIMAL(18,2)) * 100 as bigint) AS cents,
+                 c_mktsegment AS segment
+               FROM customer c JOIN cc ON cc.id = c.c_custkey),
+         sel AS (SELECT entity_id, cents, segment,
+                   row_number() OVER (PARTITION BY entity_id ORDER BY cents DESC, id DESC) AS rk,
+                   count(*) OVER (PARTITION BY entity_id) AS nm
+                 FROM m)
+         SELECT entity_id, cast(nm as bigint) AS n_members,
+           cents AS golden_cents, segment AS golden_segment
+         FROM sel WHERE rk = 1""",
+    // q178: identical sweep — ±1 per date aggregated first, then the
+    // running sum; peak of end-of-day open counts per month
+    "q178_concurrency_sweep" ->
+      """WITH dl AS (
+           SELECT o_orderdate AS d, 1 AS delta FROM orders
+           UNION ALL
+           SELECT o_orderdate + INTERVAL 30 DAY, -1 FROM orders),
+         net AS (SELECT d, sum(delta) AS net FROM dl GROUP BY 1),
+         run AS (SELECT d, sum(net) OVER (ORDER BY d) AS open FROM net)
+         SELECT strftime(d, '%Y-%m') AS month, cast(max(open) as bigint) AS peak_open
+         FROM run GROUP BY 1""",
   )
 }
