@@ -2419,6 +2419,59 @@ object SparkEntry {
       .agg(max(col("open")).as("peak_open"))
   }
 
+  /** STREAM–STATIC BROADCAST JOIN — the stateless streaming enrichment
+    * shape (every event joined to a static dimension, re-broadcast per
+    * micro-batch, nothing buffered): drained events keyed `user_id % 25`
+    * against the `nation` dim, then batch-aggregated per dim row. The
+    * oracle is the identical batch join — streaming enrichment must not
+    * drop, duplicate, or mis-key a single row. */
+  private def q179_stream_static(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dim = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"))
+    val enriched = graft.streaming.EventIngest.streamStaticEnrichOverParquet(
+      s, s"$dir/events.parq*", raw, dim, "user_id % 25", "nkey",
+      Seq("n_name", "event_type"),
+      s"q179_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    enriched.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+  }
+
+  /** WINSORIZED ROBUST STATISTICS — clamp each group's money values to its
+    * own [p05, p95] (rank-based DISCRETE percentiles, q119's exact integer
+    * trick) and report the robust mean plus the clamp count. The outlier
+    * treatment every metrics pipeline applies before averaging; all math is
+    * exact integer (cents, rank arithmetic, integer-div mean) so the oracle
+    * hash-matches. Two window passes over the group partition + one join
+    * of the O(groups) percentile table back (broadcast). */
+  private def q180_winsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col("returnflag")).orderBy(col("cents").asc)
+    val grp = Window.partitionBy(col("returnflag"))
+    val ranked = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(grp))
+    val pct = ranked.groupBy(col("returnflag"))
+      .agg(max(when(col("rn") === expr("(n + 19) div 20"), col("cents"))).as("p05"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("cents"))).as("p95"))
+    ranked.join(broadcast(pct), "returnflag")
+      .withColumn("w", least(greatest(col("cents"), col("p05")), col("p95")))
+      .groupBy(col("returnflag"))
+      .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        expr("sum(w) div count(1)").as("robust_mean_cents"),
+        sum(when(col("cents") < col("p05") || col("cents") > col("p95"), 1L)
+          .otherwise(0L)).as("n_clamped"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** VERSIONED MERGE + DATA-SKIPPING READS end-to-end: commit orders
     * range-partitioned with footer min/max stats in the manifest, MERGE a
     * re-pricing confined to keys ≤ 3000 (only the files overlapping that
@@ -2983,6 +3036,8 @@ object SparkEntry {
     "q176_versioned_delta" -> (q176_versioned_delta _),
     "q177_golden_record" -> (q177_golden_record _),
     "q178_concurrency_sweep" -> (q178_concurrency_sweep _),
+    "q179_stream_static" -> (q179_stream_static _),
+    "q180_winsorize" -> (q180_winsorize _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4617,5 +4672,33 @@ object SparkEntry {
          run AS (SELECT d, sum(net) OVER (ORDER BY d) AS open FROM net)
          SELECT strftime(d, '%Y-%m') AS month, cast(max(open) as bigint) AS peak_open
          FROM run GROUP BY 1""",
+    // q179: the batch twin of the stream-static enrichment — identical rows
+    // or the hash breaks
+    "q179_stream_static" ->
+      """SELECT n_name, cast(count(*) as bigint) AS n_events,
+           cast(count(DISTINCT event_type) as bigint) AS n_types
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         GROUP BY 1""",
+    // q180: identical rank-based discrete percentiles + integer clamp math
+    "q180_winsorize" ->
+      """WITH r AS (
+           SELECT l_returnflag AS returnflag,
+             cast(cast(l_extendedprice as DECIMAL(18,2)) * 100 as bigint) AS cents,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY
+               cast(cast(l_extendedprice as DECIMAL(18,2)) * 100 as bigint)) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+         p AS (SELECT returnflag,
+                 max(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS p05,
+                 max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS p95
+               FROM r GROUP BY 1)
+         SELECT r.returnflag, p.p05, p.p95,
+           cast(sum(least(greatest(r.cents, p.p05), p.p95)) // count(*) as bigint)
+             AS robust_mean_cents,
+           cast(sum(CASE WHEN r.cents < p.p05 OR r.cents > p.p95 THEN 1 ELSE 0 END)
+             as bigint) AS n_clamped,
+           cast(count(*) as bigint) AS n_rows
+         FROM r JOIN p USING (returnflag)
+         GROUP BY 1, 2, 3""",
   )
 }

@@ -326,6 +326,32 @@ object EventIngest {
         countDistinct(col("r_id")).as("n_rights"))
   }
 
+  /** STREAM–STATIC JOIN — enrich a stream with a batch dimension table, the
+    * most common production streaming join and the one that needs NO state
+    * at all: the static side is (re)broadcast per micro-batch, stream rows
+    * flow through pipelined (contrast q91's stream–stream join, which must
+    * buffer both sides to a watermark horizon). At scale the dim refresh
+    * cadence is the broadcast cadence; the stream side never shuffles.
+    * Enriched rows land append-mode; the caller aggregates the sink table.
+    */
+  def streamStaticEnrichOverParquet(spark: SparkSession, parquetGlob: String,
+                                    schema: StructType, dim: DataFrame,
+                                    joinKeyExpr: String, dimKeyCol: String,
+                                    keep: Seq[String], name: String): DataFrame = {
+    val q = spark.readStream.schema(schema).parquet(parquetGlob)
+      .withColumn("__jk", expr(joinKeyExpr))
+      .join(broadcast(dim), col("__jk") === col(dimKeyCol))
+      .select(keep.map(col): _*)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   def streamCountsOverParquet(spark: SparkSession, parquetGlob: String,
                               schema: StructType, name: String,
                               statePartitions: Int = 8): DataFrame = {
