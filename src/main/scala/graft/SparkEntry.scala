@@ -2472,6 +2472,61 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
   }
 
+  /** DETERMINISTIC CORPUS SHUFFLE + SHARDING — the data-loader contract for
+    * training: every doc gets a seeded pseudo-random position
+    * (md5(doc_id:seed)) and a shard (first hex nibble → 16 shards); the
+    * permutation is a pure function of (key, seed), so it is identical
+    * across re-runs, partitionings, and engines — which is what makes a
+    * training run reproducible. Per shard: size, token mass, and the first
+    * three docs in shuffle order (rank-pivoted to columns — deterministic
+    * where collect_list is not). */
+  private def q181_corpus_shuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col("doc_id").cast("string"), lit(":42")))
+    val docs = par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+        key.as("k"))
+      .withColumn("shard", substring(col("k"), 1, 1))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"),
+        max(when(col("rn") === 1, col("doc_id"))).as("head1"),
+        max(when(col("rn") === 2, col("doc_id"))).as("head2"),
+        max(when(col("rn") === 3, col("doc_id"))).as("head3"))
+  }
+
+  /** GLOBAL TOKEN-BUDGET TRIM WITHOUT A GLOBAL SORT — "take the best docs
+    * until half the corpus' tokens": docs are bucketed by their integer
+    * quality score (token density, per-mille), bucket token masses roll up
+    * into an O(score-domain) running total (a provably tiny window), and
+    * each doc's keep/drop is decided by carried-in bucket mass + a window
+    * cumsum PARTITIONED BY BUCKET — every window here is either
+    * domain-bounded or partition-parallel; the naive form (one cumsum over
+    * the whole corpus ordered by score) is a single-task global sort. Keep
+    * rule: cumulative tokens in (score desc, doc_id) order ≤ budget. */
+  private def q182_token_budget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .withColumn("score", expr("toks * 1000 div greatest(chars, 1)"))
+    val budget = docs.agg((sum(col("toks")) / 2).cast("long").as("budget"))
+    // O(score-domain) rollup: tokens carried in from strictly-better buckets
+    val buckets = docs.groupBy(col("score")).agg(sum(col("toks")).as("btoks"))
+      .withColumn("carried", coalesce(sum(col("btoks")).over(
+        Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("score"), col("carried"))
+    val within = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(buckets), "score")
+      .withColumn("cum", col("carried") + sum(col("toks")).over(within))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("score"), col("toks"))
+  }
+
   /** VERSIONED MERGE + DATA-SKIPPING READS end-to-end: commit orders
     * range-partitioned with footer min/max stats in the manifest, MERGE a
     * re-pricing confined to keys ≤ 3000 (only the files overlapping that
@@ -3038,6 +3093,8 @@ object SparkEntry {
     "q178_concurrency_sweep" -> (q178_concurrency_sweep _),
     "q179_stream_static" -> (q179_stream_static _),
     "q180_winsorize" -> (q180_winsorize _),
+    "q181_corpus_shuffle" -> (q181_corpus_shuffle _),
+    "q182_token_budget" -> (q182_token_budget _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4700,5 +4757,35 @@ object SparkEntry {
            cast(count(*) as bigint) AS n_rows
          FROM r JOIN p USING (returnflag)
          GROUP BY 1, 2, 3""",
+    // q181: same md5 permutation, same nibble sharding, same rank pivots
+    "q181_corpus_shuffle" ->
+      """WITH d AS (
+           SELECT doc_id,
+             cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) as bigint) AS toks,
+             md5(cast(doc_id as varchar) || ':42') AS k
+           FROM documents),
+         s AS (SELECT doc_id, toks, k, substring(k, 1, 1) AS shard,
+                 row_number() OVER (PARTITION BY substring(k, 1, 1) ORDER BY k, doc_id) AS rn
+               FROM d)
+         SELECT shard, cast(count(*) as bigint) AS n_docs,
+           cast(sum(toks) as bigint) AS total_tokens,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS head1,
+           max(CASE WHEN rn = 2 THEN doc_id END) AS head2,
+           max(CASE WHEN rn = 3 THEN doc_id END) AS head3
+         FROM s GROUP BY 1""",
+    // q182: ONE global cumsum in the oracle (fine at oracle scale) vs the
+    // engine's bucket-carried parallel form — same keep set or the hash breaks
+    "q182_token_budget" ->
+      """WITH d AS (
+           SELECT doc_id,
+             cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) as bigint) AS toks,
+             cast(len(text) as bigint) AS chars
+           FROM documents),
+         sc AS (SELECT doc_id, toks,
+                  cast(toks * 1000 // greatest(chars, 1) as bigint) AS score FROM d),
+         b AS (SELECT cast(sum(toks) // 2 as bigint) AS budget FROM sc),
+         r AS (SELECT doc_id, score, toks,
+                 sum(toks) OVER (ORDER BY score DESC, doc_id) AS cum FROM sc)
+         SELECT doc_id, score, toks FROM r, b WHERE cum <= budget""",
   )
 }
