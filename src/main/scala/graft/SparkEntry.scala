@@ -1727,14 +1727,15 @@ object SparkEntry {
     * ALL integer arithmetic with h16 a Knuth multiplicative hash — md5 hex
     * has no portable hex→int across engines, whereas exact BIGINT
     * multiply/mod is identical everywhere. Same reproducibility contract
-    * as q83; the global max is one window scalar over the O(groups)=1
-    * aggregate, so the filter still pipelines in the scan stage.
+    * as q83; the global max is a 1-row aggregate broadcast back onto the
+    * scan (an empty-partition global window would shuffle EVERY row to one
+    * task just to compute a scalar — the PlanAudit anti-pattern), so the
+    * filter still pipelines in the scan stage.
     */
   private def q127_weighted_sample(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h16 = (col("doc_id") * 2654435761L) % 65536L
-    par(s, Tables.documents(s, dir))
-      .withColumn("max_chars", max(col("n_chars")).over(Window.partitionBy()))
+    val docs = par(s, Tables.documents(s, dir))
+    docs.crossJoin(broadcast(docs.agg(max(col("n_chars")).as("max_chars"))))
       .filter(h16 * col("max_chars") < lit(65536L) * col("n_chars"))
       .select(col("doc_id"), col("n_chars"))
   }
