@@ -391,7 +391,11 @@ class Versioned(val spark: SparkSession, val root: String) {
       if (small.size < 2) return None // nothing worth packing
       val totalSmall = small.map(_._2).sum
       val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
-      val packed = spark.read.parquet(small.map(e => abs(table, e._1.rel)): _*)
+      // mergeSchema: a schema-evolved table's small files may carry columns
+      // the oldest one lacks — a first-file-schema read would silently DROP
+      // them from the rewrite (data loss); the union schema never can
+      val packed = spark.read.option("mergeSchema", "true")
+        .parquet(small.map(e => abs(table, e._1.rel)): _*)
         .repartition(nOut)
       val fresh = stage(table, packed, statsCol)
       val markers = txnLines(baseLines)

@@ -185,5 +185,12 @@ class VersionedSpec extends SparkSpec {
     assert(evolved.filter(col("extra").isNull).count() === 5, "pre-evolution rows read as null")
     // the delta read of the evolving append carries the new column
     assert(vt.readDelta("t", 3L, 4L).columns.contains("extra"))
+
+    // compaction of a schema-evolved table must not drop the late column
+    val Some(_) = vt.compact("t")
+    val post = vt.read("t", mergeSchema = true)
+    assert(post.columns.toSet === Set("k", "v", "extra"))
+    assert(post.filter(col("k") === 6L).select("extra").as[Long].head() === 60L)
+    assert(post.count() === 6)
   }
 }
