@@ -408,6 +408,26 @@ class Versioned(val spark: SparkSession, val root: String) {
       s"versioned compaction of $table lost $maxAttempts races — aborting")
   }
 
+  /** DESCRIBE HISTORY: one row per retained version — file/byte growth and
+    * txn watermarks straight from the manifests (O(versions) metadata reads,
+    * no data touched). The operational view for debugging ingest: a version
+    * whose file count jumps without byte growth is small-file accretion
+    * (run [[compact]]); a stalled txn watermark is a stuck stream. */
+  def history(table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(dataDir(table))
+    versions(table).map { v =>
+      val lines = readManifest(table, v)
+      val entries = dataEntries(lines)
+      val bytes = entries.map(e =>
+        try f.getFileStatus(new Path(abs(table, e.rel))).getLen
+        catch { case _: java.io.FileNotFoundException => 0L } // vacuumed file of an old version
+      ).sum
+      val txns = txnLines(lines).toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(",")
+      (v, entries.size.toLong, bytes, entries.count(_.stats.isDefined).toLong, txns)
+    }.toDF("version", "n_files", "n_bytes", "n_files_with_stats", "txns")
+  }
+
   /** Drop history: delete manifests older than the last `keepLast` versions
     * and every data file no kept manifest references. Pinned readers of
     * vacuumed versions break (the Delta tradeoff); kept versions are

@@ -193,4 +193,18 @@ class VersionedSpec extends SparkSpec {
     assert(post.filter(col("k") === 6L).select("extra").as[Long].head() === 60L)
     assert(post.count() === 6)
   }
+
+  test("history reports per-version file growth, stats coverage, and txn watermarks") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", Seq((1L, 10L)).toDF("k", "p"), statsCol = Some("k"))
+    vt.commitAppend("t", Seq((2L, 20L)).toDF("k", "p"))
+    vt.commitAppendTxn("t", Seq((3L, 30L)).toDF("k", "p"), "stream", 0L)
+    val h = vt.history("t").orderBy("version")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(h.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(h.map(_._2).toSeq === h.map(_._2).toSeq.sorted, "file count grows monotonically here")
+    assert(h(0)._4 === h(0)._2, "v1 staged with stats on every file")
+    assert(h.forall(_._3 > 0L), "byte totals populated")
+    assert(h(2)._5 === "stream=0" && h(0)._5.isEmpty)
+  }
 }
