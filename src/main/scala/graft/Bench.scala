@@ -54,36 +54,49 @@ object Bench {
     val rounds = sys.env.get("SPARK_GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(3)
     val selected = SparkEntry.headlineQueries.filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failCounts = scala.collection.mutable.Map.empty[String, Int]
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     for (r <- 1 to rounds; name <- selected) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        -1L
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      samples(name) = sec :: samples.getOrElse(name, Nil)
-      if (n >= 0) rowCounts(name) = n
+      // a crashed round must NOT enter the sample list — its fast failure
+      // would shrink the median and silently IMPROVE the total (r4 advisor);
+      // failures are counted and surfaced in both artifacts instead
+      if (n >= 0) {
+        samples(name) = sec :: samples.getOrElse(name, Nil)
+        rowCounts(name) = n
+      } else failCounts(name) = failCounts.getOrElse(name, 0) + 1
       System.err.println(f"[bench] round $r $name%-28s $sec%8.2fs  rows=$n")
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
     }
-    val results = selected.map(n => n -> median(samples(n)))
-    val total = results.map(_._2).sum
+    // a query with zero successful rounds has no honest time: sec=null
+    val results = selected.map(n => n -> samples.get(n).map(median))
+    val total = results.flatMap(_._2).sum
+    val nFailed = failCounts.values.sum
     def fmt(d: Double): String = f"$d%.3f"
+    def fmtOpt(v: Option[Double]): String = v.map(fmt).getOrElse("null")
     // full artifact: per-query median plus the raw samples for transparency
     val detail = results.map { case (k, v) =>
-      val raw = samples(k).reverse.map(fmt).mkString("[", ",", "]")
-      s""""$k":{"sec":${fmt(v)},"samples":$raw,"rows":${rowCounts.getOrElse(k, -1L)}}"""
+      val raw = samples.getOrElse(k, Nil).reverse.map(fmt).mkString("[", ",", "]")
+      s""""$k":{"sec":${fmtOpt(v)},"samples":$raw,"rows":${rowCounts.getOrElse(k, -1L)},""" +
+        s""""failed_rounds":${failCounts.getOrElse(k, 0)}}"""
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtOpt(v) }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-      s""""rounds":$rounds,"queries":$qs,"detail":$detail}"""
+      s""""rounds":$rounds,"failed_rounds":$nFailed,"queries":$qs,"detail":$detail}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
-    val slowest = results.sortBy(-_._2).take(5)
+    val slowest = results.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.size},"rounds":$rounds,"slowest":$slowest,""" +
-      s""""queries_file":"$outPath"}""")
+      s""""n_queries":${results.size},"rounds":$rounds,"failed_rounds":$nFailed,""" +
+      s""""slowest":$slowest,"queries_file":"$outPath"}""")
     spark.stop()
   }
 }

@@ -56,9 +56,11 @@ object Clusters {
                           maxIters: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
     val sc = vertices.sparkSession.sparkContext
+    // setCheckpointDir stores dir/<random-UUID>, so equality against the
+    // requested root can never hold — compare by prefix or every call would
+    // mint (and abandon) a fresh checkpoint subdirectory (r4 advisor).
     checkpointDir.foreach { dir =>
-      if (sc.getCheckpointDir.isEmpty || !sc.getCheckpointDir.contains(dir))
-        sc.setCheckpointDir(dir)
+      if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
     }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
