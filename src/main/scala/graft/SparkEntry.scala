@@ -1968,14 +1968,20 @@ object SparkEntry {
         col("score"), col("rank").cast("long").as("rank"))
   }
 
-  /** RECORD LINKAGE — blocked fuzzy entity matching. Candidate pairs are
-    * generated only inside a blocking key (nation) — the standard trick that
-    * turns an O(N²) all-pairs compare into Σ per-block quadratics — then each
-    * pair gets an additive match score from cheap exact predicates plus an
-    * edit-distance test. All components are integers (money compared in exact
-    * DECIMAL cents), so the score is engine-portable. The self-join shuffles
-    * each block to one partition: at 100 TB you'd salt oversized blocks the
-    * same way q46 salts its skewed join key.
+  /** RECORD LINKAGE — blocked fuzzy entity matching, the EXHAUSTIVE
+    * correctness baseline of the linkage family (dedup.Linkage doc): exact
+    * all-pairs inside each nation block, additive match score from cheap
+    * exact predicates plus an edit-distance test. All components are
+    * integers (money compared in exact DECIMAL cents), so the score is
+    * engine-portable. The self-join is SALTED through Linkage.blockedPairs
+    * (the q46 skew pattern — task size bounded by block²/fanout, no
+    * single-partition hot block), but pair VOLUME is Σ block² by
+    * definition: score ≥ 4 requires name_pts = 3, i.e. edit distance ≤ 3,
+    * and with this corpus's 9-char shared name prefix no signature scheme
+    * (PassJoin-style segment filters) can thin candidates — so the
+    * operator is retired from the headline bench to oracle/differential
+    * duty, exactly like the N² similarity twins; the DEFAULT linkage shape
+    * a deployment runs is the sorted-neighborhood q174/q177 (O(n·w)).
     */
   private def q140_record_linkage(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(
@@ -1983,16 +1989,15 @@ object SparkEntry {
       col("c_nationkey").cast("long").as("nation"),
       (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
       col("c_mktsegment").as("segment"))
-    val a = c.as("a"); val b = c.as("b")
-    // The edit-distance test runs 4.5M times per 15k-row block structure at
-    // sf0.1 — graft's codegen'd bounded_levenshtein (prefix/suffix trim +
-    // banded DP, StringExprs) keeps it off the flame graph; Spark's builtin
-    // 3-arg levenshtein measured ~1.4µs/call here (~6s of the query).
+    // The edit-distance test runs once per candidate pair — graft's
+    // codegen'd bounded_levenshtein (prefix/suffix trim + banded DP,
+    // StringExprs) keeps it off the flame graph; Spark's builtin 3-arg
+    // levenshtein measured ~1.4µs/call here (~6s of the query at sf0.1).
     val trimmedLev = graft.functions.StringExprs.bounded_levenshtein(
       col("a.name"), col("b.name"), 3)
-    a.join(b, col("a.nation") === col("b.nation") && col("a.id") < col("b.id"))
+    graft.dedup.Linkage.blockedPairs(c, "nation", "id", saltFanout = 8)
       .select(
-        col("a.nation").as("nation"),
+        col("block").as("nation"),
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         when(trimmedLev >= 0, lit(3L)).otherwise(lit(0L)).as("name_pts"),
         when(col("a.segment") === col("b.segment"), lit(2L)).otherwise(lit(0L)).as("seg_pts"),
@@ -2223,6 +2228,22 @@ object SparkEntry {
         col("sum_sq"), col("zero_crossings"))
   }
 
+  /** REAL PNG DECODE, oracle-proven (r4 "Next round" #6): genuine PNG
+    * payloads — zlib-compressed scanlines (JDK Inflater, no native lib),
+    * a DIFFERENT filter type on every row (None/Sub/Up/Average/Paeth
+    * cycling), CRC-verified chunks — holding the SAME closed-form pixel
+    * oracle as q166: DuckDB recomputes the channel sums from the closed
+    * form without ever seeing a byte, so only a correct inflate + filter
+    * inversion matches. Shrinks the multimodal stub surface to the
+    * genuinely-native formats (JPEG/H.264). */
+  private def q183_png_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticPngFromIds(par(s, Tables.documents(s, dir)), "doc_id")
+    Multimodal.imageChannelStats(media)
+      .select(col("media_id").as("doc_id"), col("n_pixels"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
   /** OVERLAPPING-WINDOW SUBSTRING DEDUP — the unaligned complement of q145:
     * a 10-token window at EVERY position (not every 10th), so boilerplate
     * shared at arbitrary offsets is caught (the exact-substring-dedup idea
@@ -2344,28 +2365,23 @@ object SparkEntry {
       .select(col("suppkey"), col("n_li"))
   }
 
-  /** SORTED-NEIGHBORHOOD LINKAGE — the other classic blocking strategy
-    * (complement of q140's equality blocking): sort each nation block by
-    * name, compare each record to its next `w`=3 neighbors only, keep pairs
-    * within edit distance 1. lead() inside the block window generates the
-    * candidate band — one shuffle (the window's own); candidates are
-    * O(n·w), never O(n²); the codegen'd bounded_levenshtein verifies.
+  /** SORTED-NEIGHBORHOOD LINKAGE — the DEFAULT linkage shape
+    * (dedup.Linkage.neighborhoodPairs; q140's exhaustive blocking is its
+    * differential twin): sort each nation block by name, compare each
+    * record to its next `w`=3 neighbors only, keep pairs within edit
+    * distance 1. lead() inside the block window generates the candidate
+    * band — one shuffle (the window's own); candidates are O(n·w), never
+    * O(n²); the codegen'd bounded_levenshtein verifies.
     * At scale the block key is the knob (finer blocks, same plan). */
   private def sortedNeighborhoodPairs(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("nation")).orderBy(col("name"), col("id"))
     val c = Tables.customer(s, dir).select(
       col("c_custkey").as("id"), col("c_nationkey").cast("long").as("nation"),
       col("c_name").as("name"))
-    val withNb = c.withColumn("nbs", array(
-      (1 to 3).map(i => lead(struct(col("id"), col("name")), i).over(w)): _*))
     val lev = graft.functions.StringExprs.bounded_levenshtein(
-      col("name"), col("nb.name"), 1)
-    withNb.select(col("nation"), col("id").as("id_a"), col("name"),
-        explode(col("nbs")).as("nb"))
-      .filter(col("nb").isNotNull)
-      .select(col("nation"), col("id_a"), col("nb.id").as("id_b"),
-        lev.cast("long").as("dist"))
+      col("a.name"), col("b.name"), 1)
+    graft.dedup.Linkage.neighborhoodPairs(c, "nation", Seq("name", "id"), window = 3)
+      .select(col("block").as("nation"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"), lev.cast("long").as("dist"))
       .filter(col("dist") >= 0)
   }
 
@@ -3096,6 +3112,7 @@ object SparkEntry {
     "q180_winsorize" -> (q180_winsorize _),
     "q181_corpus_shuffle" -> (q181_corpus_shuffle _),
     "q182_token_budget" -> (q182_token_budget _),
+    "q183_png_decode" -> (q183_png_decode _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -3168,15 +3185,19 @@ object SparkEntry {
     */
   /** Bench set: every query except the deliberately brute-force O(n²)
     * *correctness baselines*, each retired to oracle/differential duty once
-    * its bucketed scale form is wired: q35 (exact-Jaccard twin of the
-    * MinHash path q36), and the r4 retirements q41/q137/q153 (theta-join
-    * twins of the banded q161/q162/q163). At bench scale the operator a
-    * real deployment runs IS the bucketed form; timing the N² twins would
-    * benchmark algorithms the library exists to avoid.
+    * its scale-safe form is wired: q35 (exact-Jaccard twin of the MinHash
+    * path q36), the r4 retirements q41/q137/q153 (theta-join twins of the
+    * banded q161/q162/q163), and the r5 retirement q140 (exhaustive
+    * blocked linkage — Σ block² pairs by definition; its scale-safe
+    * default is the sorted-neighborhood q174/q177, and LinkageSpec holds
+    * the two forms against each other differentially). At bench scale the
+    * operator a real deployment runs IS the bucketed/banded form; timing
+    * the N² twins would benchmark algorithms the library exists to avoid.
     */
   def headlineQueries: Seq[String] =
     (queries.keySet -- Set("q35_jaccard_pairs", "q41_embed_neardup",
-      "q137_semantic_dedup", "q153_label_agreement")).toSeq.sorted
+      "q137_semantic_dedup", "q153_label_agreement",
+      "q140_record_linkage")).toSeq.sorted
 
   /** Queries that are DELIBERATELY un-oracled (approximate / hash-family /
     * stub semantics no ANSI engine reproduces), each mapped to the
@@ -4788,5 +4809,15 @@ object SparkEntry {
          r AS (SELECT doc_id, score, toks,
                  sum(toks) OVER (ORDER BY score DESC, doc_id) AS cum FROM sc)
          SELECT doc_id, score, toks FROM r, b WHERE cum <= budget""",
+    // q183: same closed-form pixel oracle as q166 — the payload is REAL PNG
+    // (zlib + per-row cycling filters + CRCs), so only a correct inflate and
+    // filter inversion reproduce the sums DuckDB computes without the bytes
+    "q183_png_decode" ->
+      """SELECT doc_id, cast(64 as bigint) AS n_pixels,
+           cast(sum((doc_id*31 + (3*i)*7) % 256) as bigint) AS sum_r,
+           cast(sum((doc_id*31 + (3*i+1)*7) % 256) as bigint) AS sum_g,
+           cast(sum((doc_id*31 + (3*i+2)*7) % 256) as bigint) AS sum_b
+         FROM documents, (SELECT unnest(range(64)) AS i)
+         GROUP BY 1""",
   )
 }
