@@ -91,6 +91,213 @@ object Codecs {
     encodePpm(wOut, hOut, out)
   }
 
+  // --------------------------------------------------------------- PNG
+  // Pure-JVM PNG (r4 "Next round" #6): the container is chunks with CRC32s,
+  // the pixel data is zlib (JDK Inflater/Deflater — no native lib), and the
+  // only real algorithmic content is the five scanline filters (None/Sub/
+  // Up/Average/Paeth). Scope: 8-bit depth, grayscale (0) / truecolor (2) /
+  // truecolor+alpha (6), non-interlaced — the dominant PNG shapes. JPEG and
+  // H.264 remain the genuinely-native stub boundary.
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian default
+    bb.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Encode w×h RGB as PNG (color type 2, depth 8). The filter type CYCLES
+    * per row (y % 5) — deliberately: every encoded image exercises all five
+    * filters, so a decoder bug in ANY filter breaks the round-trip (and the
+    * q183 oracle hash). */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != $w*$h*3")
+    val bpp = 3; val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val prev = new Array[Byte](stride) // the spec's zero row above row 0
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val v = rgb(y * stride + x) & 0xff
+        val a = if (x >= bpp) rgb(y * stride + x - bpp) & 0xff else 0
+        val b = prev(x) & 0xff
+        val c = if (x >= bpp) prev(x - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - (a + b) / 2
+          case 4 => v - paeth(a, b, c)
+        }
+        raw(y * (1 + stride) + 1 + x) = f.toByte
+        x += 1
+      }
+      System.arraycopy(rgb, y * stride, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte)       // deflate, adaptive, no interlace
+      .array()
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode PNG → (w, h, RGB 3 bytes/pixel). Honest decode: chunk CRCs are
+    * VERIFIED, IDAT fragments are concatenated before inflating (the spec
+    * allows any split), all five filters inverted, grayscale expanded to
+    * RGB and alpha dropped so the output raster is uniform. */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"PNG: $msg")
+    if (bytes.length < 8 || !java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, 0, 8), PngSig)) fail("bad signature")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+    var w = -1; var h = -1; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && bb.remaining() >= 12) {
+      val len = bb.getInt()
+      if (len < 0 || len > bb.remaining() - 8) fail(s"bad chunk length $len")
+      val t = new Array[Byte](4); bb.get(t)
+      val typ = new String(t, "US-ASCII")
+      val data = new Array[Byte](len); bb.get(data)
+      val crcStored = bb.getInt()
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      if (crc.getValue.toInt != crcStored) fail(s"CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          val ib = java.nio.ByteBuffer.wrap(data)
+          w = ib.getInt(); h = ib.getInt()
+          val depth = ib.get() & 0xff; colorType = ib.get() & 0xff
+          val (compression, filterMethod, interlace) =
+            (ib.get() & 0xff, ib.get() & 0xff, ib.get() & 0xff)
+          if (depth != 8) fail(s"unsupported bit depth $depth")
+          if (colorType != 0 && colorType != 2 && colorType != 6)
+            fail(s"unsupported color type $colorType")
+          if (compression != 0 || filterMethod != 0) fail("nonstandard compression/filter")
+          if (interlace != 0) fail("interlaced PNG unsupported")
+        case "IDAT" => idat.write(data)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk: skip
+      }
+    }
+    if (w < 0) fail("missing IHDR")
+    if (idat.size() == 0) fail("missing IDAT")
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      if (n == 0 && inflater.needsInput()) fail("zlib stream truncated")
+      off += n
+    }
+    inflater.end()
+    if (off != raw.length) fail(s"inflated $off bytes, expected ${raw.length}")
+    // invert the per-row filter in place (prev = reconstructed row above)
+    val img = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      if (ft > 4) fail(s"bad filter type $ft on row $y")
+      var x = 0
+      while (x < stride) {
+        val f = raw(y * (1 + stride) + 1 + x) & 0xff
+        val a = if (x >= bpp) img(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) img((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) img((y - 1) * stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+        }
+        img(y * stride + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // normalize raster to RGB
+    val rgb = colorType match {
+      case 2 => img
+      case 0 =>
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) { out(3*i) = img(i); out(3*i+1) = img(i); out(3*i+2) = img(i); i += 1 }
+        out
+      case 6 =>
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          out(3*i) = img(4*i); out(3*i+1) = img(4*i+1); out(3*i+2) = img(4*i+2); i += 1
+        }
+        out
+    }
+    (w, h, rgb)
+  }
+
+  /** Exact per-channel pixel sums for a PNG payload (q183's statistic). */
+  def pngChannelSums(bytes: Array[Byte]): (Int, Long, Long, Long) = {
+    val (w, h, rgb) = decodePng(bytes)
+    var (r, g, b) = (0L, 0L, 0L)
+    var i = 0
+    while (i < rgb.length) {
+      r += rgb(i) & 0xff; g += rgb(i + 1) & 0xff; b += rgb(i + 2) & 0xff
+      i += 3
+    }
+    (w * h, r, g, b)
+  }
+
+  /** True iff the payload is a PNG (signature check). */
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, 0, 8), PngSig)
+
+  /** REAL nearest-neighbor resize for PNG: decode → resample → re-encode
+    * (same integer-floor mapping as [[resizePpm]]). */
+  def resizePng(bytes: Array[Byte], wOut: Int, hOut: Int): Array[Byte] = {
+    val (wIn, hIn, rgb) = decodePng(bytes)
+    val out = new Array[Byte](wOut * hOut * 3)
+    var y = 0
+    while (y < hOut) {
+      val sy = y * hIn / hOut
+      var x = 0
+      while (x < wOut) {
+        val sx = x * wIn / wOut
+        val si = (sy * wIn + sx) * 3
+        val di = (y * wOut + x) * 3
+        out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(wOut, hOut, out)
+  }
+
   // ------------------------------------------------------------- WAV PCM16
 
   /** Encode mono 16-bit little-endian PCM as a minimal RIFF/WAVE file. */

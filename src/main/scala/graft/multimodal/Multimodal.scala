@@ -58,16 +58,19 @@ object Multimodal {
   /** True iff `bytes` is a format [[Codecs]] really decodes. */
   def isRealFormat(bytes: Array[Byte]): Boolean =
     (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') ||
+      Codecs.isPng(bytes) ||
       (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
 
-  /** Real features for really-decodable payloads: PPM → [w, h, n_pixels,
-    * meanR, meanG, meanB, 0…]; WAV → [sampleRate, n, rms, zcRate, 0…] —
-    * deterministic arithmetic on exact integer decode statistics. */
+  /** Real features for really-decodable payloads: PPM/PNG → [w, h,
+    * n_pixels, meanR, meanG, meanB, 0…]; WAV → [sampleRate, n, rms,
+    * zcRate, 0…] — deterministic arithmetic on exact integer decode
+    * statistics. */
   private def realDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
-    if (bytes(0) == 'P') {
-      val (w, h, rgb) = Codecs.decodePpm(bytes)
-      val (n, r, g, b) = Codecs.ppmChannelSums(bytes)
+    if (bytes(0) == 'P' || Codecs.isPng(bytes)) {
+      val isPng = Codecs.isPng(bytes)
+      val (w, h, rgb) = if (isPng) Codecs.decodePng(bytes) else Codecs.decodePpm(bytes)
+      val (n, r, g, b) = if (isPng) Codecs.pngChannelSums(bytes) else Codecs.ppmChannelSums(bytes)
       out(0) = w.toFloat; out(1) = h.toFloat; out(2) = n.toFloat
       out(3) = r.toFloat / n; out(4) = g.toFloat / n; out(5) = b.toFloat / n
       out(6) = rgb.length.toFloat
@@ -105,9 +108,10 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** REAL image channel statistics (decode proof): one row per PPM payload
-    * with exact integer pixel sums — the q166 operator. Non-PPM rows are
-    * filtered engine-side by magic so a mixed media table is fine. */
+  /** REAL image channel statistics (decode proof): one row per PPM or PNG
+    * payload with exact integer pixel sums — the q166/q183 operator.
+    * Dispatched by magic bytes; other formats are filtered engine-side so a
+    * mixed media table is fine. */
   def imageChannelStats(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
@@ -121,6 +125,9 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]]("bytes")
         if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
           val (n, sr, sg, sb) = Codecs.ppmChannelSums(bytes)
+          Some(Row(r.getLong(0), n.toLong, sr, sg, sb))
+        } else if (Codecs.isPng(bytes)) {
+          val (n, sr, sg, sb) = Codecs.pngChannelSums(bytes)
           Some(Row(r.getLong(0), n.toLong, sr, sg, sb))
         } else None
       }
@@ -158,6 +165,8 @@ object Multimodal {
     val resizeBytes = udf { (bytes: Array[Byte]) =>
       if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
         Codecs.resizePpm(bytes, w, h) // REAL nearest-neighbor resample
+      else if (Codecs.isPng(bytes))
+        Codecs.resizePng(bytes, w, h) // REAL: inflate, unfilter, resample, re-encode
       else {
         // ==== STUB ==== (non-decodable formats) real: decode -> scale -> re-encode
         val seed = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
@@ -201,6 +210,20 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"), lit("image").as("kind"),
       gen(col(idCol).cast("long")).as("bytes"),
       struct(lit("ppm").as("format"), lit(w).as("width"), lit(h).as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+
+  /** Same closed form as [[syntheticPpmFromIds]] but packaged as REAL PNG
+    * (zlib scanlines, cycling filters, CRC'd chunks) — so q183 shares
+    * q166's oracle: only a correct inflate + unfilter matches it. */
+  def syntheticPngFromIds(df: DataFrame, idCol: String, w: Int = 8, h: Int = 8): DataFrame = {
+    val gen = udf { (id: Long) =>
+      Codecs.encodePng(w, h, Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte))
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("image").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("png").as("format"), lit(w).as("width"), lit(h).as("height"),
         lit(null).cast("long").as("duration_ms"),
         lit(null).cast("int").as("sample_rate")).as("meta"))
   }

@@ -38,6 +38,46 @@ class CodecsSpec extends SparkSpec {
     assert(pix(2, 2) === ((255, 255, 255)) && pix(3, 3) === ((255, 255, 255)))
   }
 
+  test("PNG: encode/decode round-trip exercises all five filters") {
+    // 7 rows: the encoder cycles filters y % 5, so rows 0-4 cover
+    // None/Sub/Up/Average/Paeth and rows 5-6 re-enter the cycle
+    val w = 5; val h = 7
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 31 + 7) % 256).toByte)
+    val enc = Codecs.encodePng(w, h, rgb)
+    assert(Codecs.isPng(enc))
+    val (w2, h2, out) = Codecs.decodePng(enc)
+    assert(w2 === w && h2 === h && out.toSeq === rgb.toSeq)
+    val (n, r, g, b) = Codecs.pngChannelSums(enc)
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (i <- 0 until w * h) {
+      er += rgb(3 * i) & 0xff; eg += rgb(3 * i + 1) & 0xff; eb += rgb(3 * i + 2) & 0xff
+    }
+    assert(n === w * h && r === er && g === eg && b === eb)
+  }
+
+  test("PNG: corrupt CRC, bad signature, truncated stream are rejected loudly") {
+    val enc = Codecs.encodePng(4, 4, Array.fill(48)(9.toByte))
+    // flip a byte inside IDAT data: chunk CRC must catch it
+    val tampered = enc.clone()
+    tampered(8 + 12 + 13 + 8 + 2) = (tampered(8 + 12 + 13 + 8 + 2) ^ 0x5a).toByte
+    val e1 = intercept[IllegalArgumentException] { Codecs.decodePng(tampered) }
+    assert(e1.getMessage.contains("CRC"))
+    intercept[IllegalArgumentException] { Codecs.decodePng("nope".getBytes) }
+    intercept[IllegalArgumentException] { Codecs.decodePng(enc.dropRight(20)) }
+  }
+
+  test("PNG: resize decode→resample→re-encode doubles a 2x2 checkerboard") {
+    val px = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val out = Codecs.resizePng(Codecs.encodePng(2, 2, px), 4, 4)
+    val (w, h, rgb) = Codecs.decodePng(out)
+    assert(w === 4 && h === 4)
+    def pix(x: Int, y: Int) = (rgb((y * 4 + x) * 3) & 0xff, rgb((y * 4 + x) * 3 + 1) & 0xff, rgb((y * 4 + x) * 3 + 2) & 0xff)
+    assert(pix(0, 0) === ((255, 0, 0)) && pix(3, 3) === ((255, 255, 255)))
+    assert(pix(2, 0) === ((0, 255, 0)) && pix(0, 2) === ((0, 0, 255)))
+  }
+
   test("WAV: encode/decode round-trip and chunk walking past foreign chunks") {
     val samples = Array.tabulate(100)(i => ((i * 997) % 2001 - 1000).toShort)
     val enc = Codecs.encodeWavPcm16(16000, samples)
