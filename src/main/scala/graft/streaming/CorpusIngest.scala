@@ -33,11 +33,16 @@ import graft.text.TextOps
   * only the matched corpus rows (fp-keyed join prunes the text read to the
   * candidate set). Paraphrased re-deliveries quarantine as 'near_dup';
   * documents too short to shingle bypass the gate (no signature — the exact
-  * fp gate still covers verbatim copies). Within one batch the gate screens
-  * against the CORPUS only; in-batch near-dup pairs (both arriving in the
-  * same micro-batch, neither ingested yet) are the batch dedup pipeline's
-  * job downstream — bounding the gate to one equi-join per batch is what
-  * keeps its state and latency O(batch × bands).
+  * fp gate still covers verbatim copies).
+  *
+  * IN-BATCH near-dups (both paraphrases arriving in ONE micro-batch,
+  * neither ingested yet — the r4 gap) are screened too: the batch MinHash
+  * pair generator (Dedup.minhashNearDupPairs) runs WITHIN the
+  * corpus-screened survivors, verified pairs get a transitive closure
+  * (batch-bounded — only pair-involved docs enter the CC), and each
+  * component keeps its min-fp member; the rest quarantine as
+  * 'near_dup_in_batch'. Cost stays O(batch): the pair join is LSH-banded
+  * and the closure's vertex set is the candidates, not the batch.
   */
 object CorpusIngest {
 
@@ -101,12 +106,31 @@ object CorpusIngest {
             fresh.join(dupFps, Seq("fp"), "left_semi")
               .select(col("doc_id"), col("fp"), lit("near_dup").as("reject_reason")))
         } else (fresh, null)
-      val keptMat = kept.localCheckpoint(true)
+      // in-batch near-dup screen: paraphrase pairs that arrived TOGETHER
+      // (neither in the corpus yet) — banded pairs within the survivors,
+      // transitive closure over verified matches, min-fp member survives
+      val (finalKept, batchDups) =
+        if (nearDupThresh10 > 0) {
+          val pairs = Dedup.minhashNearDupPairs(
+              kept.select(col("fp"), col("norm_text")), "fp", "norm_text",
+              nearDupThresh10, shingleN, bands, rows)
+            .select(col("id_a"), col("id_b")).localCheckpoint(true)
+          val inPairs = pairs.select(col("id_a").as("fp"))
+            .union(pairs.select(col("id_b").as("fp"))).distinct()
+          val losers = graft.dedup.Clusters
+            .connectedComponents(inPairs, "fp", pairs, "id_a", "id_b")
+            .filter(col("fp") =!= col("cluster_id")).select("fp")
+          (kept.join(losers, Seq("fp"), "left_anti"),
+            kept.join(losers, Seq("fp"), "left_semi")
+              .select(col("doc_id"), col("fp"), lit("near_dup_in_batch").as("reject_reason")))
+        } else (kept, null)
+      val keptMat = finalKept.localCheckpoint(true)
       wh.append(corpusTable, keptMat)
       if (nearDupThresh10 > 0)
         wh.append(bandsTable, bandKeys(keptMat, shingleN, bands, rows)
           .select("band", "bucket", "fp"))
-      val rejects = if (nearDups != null) bad.unionByName(nearDups) else bad
+      val rejects = (Seq(bad) ++ Option(nearDups) ++ Option(batchDups))
+        .reduce(_ unionByName _)
       val rejectsMat = rejects.localCheckpoint(true)
       wh.append(rejectTable, rejectsMat)
       accepted.add(keptMat.count())

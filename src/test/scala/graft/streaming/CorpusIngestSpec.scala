@@ -88,4 +88,42 @@ class CorpusIngestSpec extends SparkSpec {
     // the fresh accept extended the band table too (gate stays armed)
     assert(wh.read("corpus2_bands").select("fp").distinct().count() === 2L)
   }
+
+  test("in-batch near-dups: two paraphrases arriving TOGETHER — one accepted, one quarantined") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("corpus_inbatch").toString
+    val wh = new Warehouse(spark, s"$root/wh")
+    def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(dir)
+
+    val original =
+      "the quick brown fox jumps over the lazy dog while the rain falls softly on the quiet village roofs tonight"
+    val paraphrase =
+      "the quick brown fox jumps over the lazy cat while the rain falls softly on the quiet village roofs tonight"
+    val unrelated =
+      "entirely different subject matter describing galaxies planets comets meteors asteroids orbits telescopes and astronomers mapping them"
+
+    // ALL THREE in one micro-batch: the corpus is empty, so only the
+    // in-batch screen can catch the paraphrase pair (the r4 gap)
+    writeDocs(s"$root/in/batch1", Seq((1L, original), (2L, paraphrase), (3L, unrelated)))
+    val (a1, r1) = CorpusIngest.run(spark, s"$root/in/batch1", docSchema,
+      wh, "corpus3", "rejects3", s"$root/ck1", nearDupThresh10 = 8)
+    assert(a1 === 2L, "one of the paraphrase pair + the unrelated doc must land")
+    assert(r1 === 1L, "the other paraphrase must be quarantined")
+    val rejects = wh.read("rejects3").collect()
+    assert(rejects.length === 1 &&
+      rejects.head.getAs[String]("reject_reason") === "near_dup_in_batch")
+    val corpusIds = wh.read("corpus3").select("doc_id").as[Long].collect().toSet
+    assert(corpusIds.contains(3L) && corpusIds.size === 2,
+      s"exactly one paraphrase survives alongside the unrelated doc, got $corpusIds")
+    // the survivor's bands are armed: a LATER re-delivery of the quarantined
+    // text still gates as a corpus near-dup
+    val quarantinedText = if (corpusIds.contains(1L)) paraphrase else original
+    writeDocs(s"$root/in/batch2", Seq((9L, quarantinedText + " extra")))
+    val (_, r2) = CorpusIngest.run(spark, s"$root/in/batch2", docSchema,
+      wh, "corpus3", "rejects3", s"$root/ck2", nearDupThresh10 = 8)
+    assert(r2 === 1L, "paraphrase of the surviving twin must quarantine against the corpus")
+  }
 }
