@@ -225,10 +225,19 @@ object Similarity {
     * 1 − (1 − p^nbits)^tables where p = 1 − acos(c)/π, so parameters trade
     * work for recall *as a function of the threshold*:
     *
-    *  - production near-dup thresholds (τ ≥ 0.85 ⇒ p ≥ 0.82): nbits=8,
-    *    tables=16 gives per-pair recall ≥ 0.96 with 256-way bucket fan-out
-    *    per table — candidate volume is Σ bucket² , vanishingly sub-quadratic
-    *    on real corpora where near-dups are concentrated;
+    *  - production near-dup thresholds (τ ≥ 0.85), MEASURED on a planted
+    *    near-dup corpus (tools.NearDupScale — 10% of rows in cosine≈0.92
+    *    clusters, the realistic shape; SimilaritySpec pins the regime):
+    *    with the standard log-scaled sizing nbits = ⌈log₂ n⌉+1 (bucket
+    *    count must GROW with the corpus — fixed nbits leaves random
+    *    collisions a constant fraction of n², i.e. still quadratic) and
+    *    tables = 48, 10× data (20k → 200k, d=64) cost 3.6× wall
+    *    (2.6 s → 9.2 s, local 16-core) at recall 0.99/0.96, candidates
+    *    0.15%/0.05% of all pairs. The next decade (2M, nbits 23,
+    *    tables 64) measured 162 s at recall 0.91 — candidate volume grows
+    *    ~n^1.3, not n² (63M = 0.003% of pairs), because moderate-angle
+    *    pairs dominate collisions at high nbits (Jensen tail); the knobs
+    *    are (tables, nbits), bought with recall per the formula above.
     *  - the synthetic bench corpus has *weak* affinities (all pair cosines
     *    < 0.61, threshold 0.45 ⇒ p ≈ 0.65): the defaults (64, 4) are tuned
     *    so measured recall is exactly 1.0 at sf0.001/0.01/0.1 (differential
@@ -237,7 +246,7 @@ object Similarity {
     *    separate what geometry doesn't) but the PLAN is unchanged: no theta
     *    join, documents/vectors never cross the wire during generation, and
     *    the same wiring goes sub-quadratic the moment the corpus has real
-    *    near-dup structure.
+    *    near-dup structure (the planted measurement above).
     */
   def cosineNearDupPairsBanded(vecs: DataFrame, idCol: String, vecCol: String, thresh: Double,
                                tables: Int = 64, nbits: Int = 4): DataFrame = {

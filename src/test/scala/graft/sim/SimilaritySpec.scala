@@ -147,4 +147,36 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("production regime (τ=0.85): banded near-dup on a PLANTED corpus — high recall, sparse candidates") {
+    import graft.tools.NearDupScale
+    val n = 6000L
+    val vecs = NearDupScale.planted(spark, n).cache()
+    val truth = NearDupScale.plantedPairs(vecs)
+      .filter(col("cos_sim") >= 0.85).select("id_a", "id_b").cache()
+    val truthCount = truth.count()
+    assert(truthCount > 300, s"planted structure must exist, got $truthCount pairs")
+    val nbits = NearDupScale.nbitsFor(n) // log2-scaled: buckets grow with the corpus
+    val banded = Similarity.cosineNearDupPairsBanded(
+      vecs, "vec_id", "embedding", 0.85, tables = 48, nbits = nbits).cache()
+    // recall vs the known planted truth (no O(n^2) pass needed)
+    val hit = banded.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+    assert(hit.toDouble / truthCount >= 0.95,
+      s"recall ${hit.toDouble / truthCount} below the production-regime bar")
+    // precision is 1 by construction (exact verify) — every pair is real
+    assert(banded.filter(col("cos_sim") < 0.85).count() === 0)
+    // and the candidate volume is SPARSE, the sub-quadratic datum: the
+    // isotropic corpus at τ=0.45 sits at ~90% density; planted structure
+    // at τ=0.85 must stay under 2% of all pairs
+    val b = vecs.select(col("vec_id").as("id"),
+      posexplode(Similarity.lshBuckets(col("embedding"), 48, nbits)).as(Seq("t", "bkt")))
+    val cands = b.as("l").join(b.as("r"),
+        col("l.t") === col("r.t") && col("l.bkt") === col("r.bkt") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id"), col("r.id")).distinct().count()
+    val allPairs = n * (n - 1) / 2
+    assert(cands.toDouble / allPairs < 0.02,
+      s"candidate density ${cands.toDouble / allPairs} not sub-quadratic-sparse")
+    vecs.unpersist(); truth.unpersist(); banded.unpersist()
+  }
 }
