@@ -2244,6 +2244,24 @@ object SparkEntry {
         col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
+  /** REAL BASELINE-JPEG DECODE, oracle-proven: genuine sequential-DCT JPEG
+    * payloads (marker segments, canonical Huffman entropy coding with byte
+    * stuffing, zigzag, dequant, IDCT — multimodal.Jpeg, pure JVM, no
+    * javax.imageio). JPEG is lossy, but each synthetic image is four
+    * UNIFORM 8×8 blocks, and a uniform block survives the pipeline
+    * bit-exactly (DC-only spectrum; DC = 8·(v−128) integer; IDCT divides
+    * by 8 — exact in binary floating point), so DuckDB recomputes the
+    * channel sums from the closed form without seeing a byte. The AC /
+    * full-DCT path is bounded by JpegSpec round-trips. With q166 (PPM),
+    * q183 (PNG) and q167 (WAV), the multimodal stub now covers video only. */
+  private def q184_jpeg_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticJpegFromIds(par(s, Tables.documents(s, dir)), "doc_id")
+    Multimodal.imageChannelStats(media)
+      .select(col("media_id").as("doc_id"), col("n_pixels"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
   /** OVERLAPPING-WINDOW SUBSTRING DEDUP — the unaligned complement of q145:
     * a 10-token window at EVERY position (not every 10th), so boilerplate
     * shared at arbitrary offsets is caught (the exact-substring-dedup idea
@@ -3113,6 +3131,7 @@ object SparkEntry {
     "q181_corpus_shuffle" -> (q181_corpus_shuffle _),
     "q182_token_budget" -> (q182_token_budget _),
     "q183_png_decode" -> (q183_png_decode _),
+    "q184_jpeg_decode" -> (q184_jpeg_decode _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4818,6 +4837,16 @@ object SparkEntry {
            cast(sum((doc_id*31 + (3*i+1)*7) % 256) as bigint) AS sum_g,
            cast(sum((doc_id*31 + (3*i+2)*7) % 256) as bigint) AS sum_b
          FROM documents, (SELECT unnest(range(64)) AS i)
+         GROUP BY 1""",
+    // q184: the lossy format's EXACT oracle — four uniform 8x8 blocks per
+    // image survive DCT+quant+Huffman+IDCT bit-exactly (DC-only spectrum),
+    // so the decode statistic has a closed form; gray => r=g=b
+    "q184_jpeg_decode" ->
+      """SELECT doc_id, cast(256 as bigint) AS n_pixels,
+           cast(64 * sum((doc_id*31 + b*7) % 256) as bigint) AS sum_r,
+           cast(64 * sum((doc_id*31 + b*7) % 256) as bigint) AS sum_g,
+           cast(64 * sum((doc_id*31 + b*7) % 256) as bigint) AS sum_b
+         FROM documents, (SELECT unnest(range(4)) AS b)
          GROUP BY 1""",
   )
 }

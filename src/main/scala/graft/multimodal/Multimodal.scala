@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch shape,
   * operator signatures — is real and tested. The codec boundary is split
-  * honestly (r4): formats whose byte layout needs no external library are
-  * REALLY decoded in pure JVM code ([[Codecs]] — binary PPM images, RIFF/WAV
-  * PCM16 audio; dispatched by magic bytes, oracle-checked end-to-end by
-  * q166/q167); formats that require native decoders this environment doesn't
-  * ship (JPEG, H.264) fall through to the clearly-marked DETERMINISTIC STUB,
-  * swappable for a real codec by replacing one function.
+  * honestly: formats decodable in pure JVM code are REALLY decoded —
+  * binary PPM ([[Codecs]], q166), PNG ([[Codecs]], zlib + filters, q183),
+  * baseline JPEG ([[Jpeg]], Huffman + IDCT, q184), RIFF/WAV PCM16
+  * ([[Codecs]], q167) — dispatched by magic bytes and oracle-checked
+  * end-to-end; only VIDEO codecs (H.264) still fall through to the
+  * clearly-marked DETERMINISTIC STUB, swappable for a real codec by
+  * replacing one function.
   *
   * Scale notes: media rows are large (MBs); operators repartition by media_id
   * so one task never holds more than `spark.sql.files.maxPartitionBytes` of
@@ -58,7 +59,7 @@ object Multimodal {
   /** True iff `bytes` is a format [[Codecs]] really decodes. */
   def isRealFormat(bytes: Array[Byte]): Boolean =
     (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') ||
-      Codecs.isPng(bytes) ||
+      Codecs.isPng(bytes) || Jpeg.isJpeg(bytes) ||
       (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
 
   /** Real features for really-decodable payloads: PPM/PNG → [w, h,
@@ -67,10 +68,15 @@ object Multimodal {
     * statistics. */
   private def realDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
-    if (bytes(0) == 'P' || Codecs.isPng(bytes)) {
-      val isPng = Codecs.isPng(bytes)
-      val (w, h, rgb) = if (isPng) Codecs.decodePng(bytes) else Codecs.decodePpm(bytes)
-      val (n, r, g, b) = if (isPng) Codecs.pngChannelSums(bytes) else Codecs.ppmChannelSums(bytes)
+    if (bytes(0) == 'P' || Codecs.isPng(bytes) || Jpeg.isJpeg(bytes)) {
+      val (w, h, rgb) =
+        if (Codecs.isPng(bytes)) Codecs.decodePng(bytes)
+        else if (Jpeg.isJpeg(bytes)) Jpeg.decode(bytes)
+        else Codecs.decodePpm(bytes)
+      val (n, r, g, b) =
+        if (Codecs.isPng(bytes)) Codecs.pngChannelSums(bytes)
+        else if (Jpeg.isJpeg(bytes)) Jpeg.channelSums(bytes)
+        else Codecs.ppmChannelSums(bytes)
       out(0) = w.toFloat; out(1) = h.toFloat; out(2) = n.toFloat
       out(3) = r.toFloat / n; out(4) = g.toFloat / n; out(5) = b.toFloat / n
       out(6) = rgb.length.toFloat
@@ -129,6 +135,9 @@ object Multimodal {
         } else if (Codecs.isPng(bytes)) {
           val (n, sr, sg, sb) = Codecs.pngChannelSums(bytes)
           Some(Row(r.getLong(0), n.toLong, sr, sg, sb))
+        } else if (Jpeg.isJpeg(bytes)) {
+          val (n, sr, sg, sb) = Jpeg.channelSums(bytes)
+          Some(Row(r.getLong(0), n.toLong, sr, sg, sb))
         } else None
       }
     }
@@ -167,7 +176,25 @@ object Multimodal {
         Codecs.resizePpm(bytes, w, h) // REAL nearest-neighbor resample
       else if (Codecs.isPng(bytes))
         Codecs.resizePng(bytes, w, h) // REAL: inflate, unfilter, resample, re-encode
-      else {
+      else if (Jpeg.isJpeg(bytes)) {
+        // REAL: full baseline decode -> NN resample -> re-encode (lossy, as
+        // any JPEG resize pipeline is)
+        val (wIn, hIn, rgb) = Jpeg.decode(bytes)
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val sy = y * hIn / h
+          var x = 0
+          while (x < w) {
+            val sx = x * wIn / w
+            val si = (sy * wIn + sx) * 3; val di = (y * w + x) * 3
+            out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+            x += 1
+          }
+          y += 1
+        }
+        Jpeg.encodeRgb444(w, h, out)
+      } else {
         // ==== STUB ==== (non-decodable formats) real: decode -> scale -> re-encode
         val seed = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
           bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, (w.toLong << 32) | h.toLong)
@@ -224,6 +251,29 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"), lit("image").as("kind"),
       gen(col(idCol).cast("long")).as("bytes"),
       struct(lit("png").as("format"), lit(w).as("width"), lit(h).as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+
+  /** REAL baseline-JPEG media table (q184): 16x16 grayscale, four 8x8
+    * blocks each UNIFORM at ((id*31 + b*7) % 256) — the uniform-block
+    * exactness contract ([[Jpeg]] doc) makes the lossy format's decode
+    * closed-form: DC-only blocks survive Huffman+quant+IDCT bit-exactly,
+    * so DuckDB recomputes the channel sums without seeing a byte. */
+  def syntheticJpegFromIds(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val gray = new Array[Byte](256)
+      var i = 0
+      while (i < 256) {
+        val b = (i / 16 / 8) * 2 + (i % 16 / 8)
+        gray(i) = ((id * 31 + b * 7) % 256).toByte
+        i += 1
+      }
+      Jpeg.encodeGray(16, 16, gray)
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("image").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("jpeg").as("format"), lit(16).as("width"), lit(16).as("height"),
         lit(null).cast("long").as("duration_ms"),
         lit(null).cast("int").as("sample_rate")).as("meta"))
   }
