@@ -1590,23 +1590,37 @@ object SparkEntry {
         max(when(col("rn") === expr("(9 * n + 9) div 10"), col("qty"))).as("p90_disc"))
   }
 
-  /** INTERVAL-OVERLAP join: per-user-per-day activity intervals
-    * [first_ts, last_ts], then cross-user pairs that overlapped on each day
-    * — the concurrency-analysis join. The day key IS the bin (the
-    * rangeJoinBinned strategy with natural calendar bins): the join is a
-    * plain hash join on day and each interval meets only same-day
-    * intervals, never a nested-loop over the corpus.
+  /** INTERVAL-OVERLAP pair COUNTS per day — by SWEEP LINE, not by pair
+    * enumeration (the r4 super-linear fix): the requested statistic is a
+    * count, and counting overlaps never requires materializing them. Each
+    * unordered overlapping pair is counted exactly once, at the interval
+    * that starts LATER in (lo, user) order: pairs(i) = (# starts ≤ mine) −
+    * 1 − (# ends strictly before my start) — two running sums over one
+    * day-partitioned event stream (2 rows per interval). hi == lo_i ties
+    * count as overlap, so end events sort AFTER start events at equal
+    * timestamps. Work per day is O(n log n) sort instead of the former
+    * same-day self-join's O(n²) pairs — the former plan measured 27× for
+    * 10× data; this one is the aggregate-to-domain shape. The oracle still
+    * enumerates pairs in DuckDB (fine at oracle scale), so the hash pins
+    * the sweep-line algebra exactly.
     */
   private def q120_interval_overlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val iv = Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-    val a = iv.select(col("day"), col("user_id").as("u_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
-    val b = iv.select(col("day"), col("user_id").as("u_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
-    a.join(b, Seq("day"))
-      .filter(col("u_a") < col("u_b") && col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+    val events = iv.select(col("day"), col("lo").as("t"), lit(0).as("kind"), col("user_id"))
+      .unionAll(iv.select(col("day"), col("hi").as("t"), lit(1).as("kind"), col("user_id")))
+    // (t, kind, user) is unique per day: the running sums' peer groups are
+    // single rows, so the default RANGE frame is exact
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("kind"), col("user_id"))
+    events
+      .withColumn("starts_so_far", sum(when(col("kind") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("ends_before", sum(when(col("kind") === 1, 1L).otherwise(0L)).over(w))
+      .filter(col("kind") === 0)
+      .select(col("day"), (col("starts_so_far") - 1L - col("ends_before")).as("p"))
       .groupBy(col("day"))
-      .agg(count(lit(1)).as("n_overlapping_pairs"))
+      .agg(sum(col("p")).as("n_overlapping_pairs"))
   }
 
   /** explode_outer — generator with LEFT-JOIN semantics: documents too short

@@ -20,7 +20,6 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed: Map[String, String] = Map(
     "q94_cross_join" -> "IS the cross-join operator (date-spine x priority grid, both sides tiny dims)",
     "q29_range_join" -> "band predicate over binned keys; NLJ only inside a bin pair",
-    "q120_interval_overlap" -> "same-day bin pairs; theta predicate applies within the calendar bin",
     "q174_sorted_neighborhood" -> "lead() band generates candidates; no join at all - flagged for the 1-row guard only",
     "q35_jaccard_pairs" -> "RETIRED brute-force oracle twin (not benched); exact all-pairs is its definition",
     "q41_embed_neardup" -> "RETIRED brute-force oracle twin of q161",
