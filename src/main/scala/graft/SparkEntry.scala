@@ -2276,6 +2276,47 @@ object SparkEntry {
         col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
+  /** REAL ANIMATED-GIF FRAME SAMPLING, oracle-proven: genuine GIF89a
+    * payloads — variable-width LZW, all frames INTERLACED, graphic-control
+    * delays, looping application extension (multimodal.Gif, pure JVM) —
+    * decoded into per-frame statistics: presentation timestamp accumulated
+    * from GCE delays plus channel sums and a POSITION-WEIGHTED red sum.
+    * Plain sums are row-permutation-invariant, so the weighted sum is what
+    * makes the four-pass deinterlace oracle-visible; the timestamps make
+    * the frame-timing decode (the video frame-sample semantics) checkable
+    * too. DuckDB recomputes everything from the closed forms without
+    * seeing a byte. With q166/q183/q184/q167, the codec stub now covers
+    * only native-library video (H.264). */
+  private def q185_gif_frames(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticGifFromIds(par(s, Tables.documents(s, dir)), "doc_id")
+    Multimodal.gifFrameStats(media)
+      .select(col("media_id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_ts_ms"), col("n_pixels"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("wsum_r"))
+  }
+
+  /** CROSS-FORMAT EXACT IMAGE DEDUP, oracle-proven: the same 8×8 picture
+    * (pixels a closed form of doc_id mod 41) arrives as binary PPM, PNG, or
+    * single-frame GIF depending on doc_id mod 3. The operator digests the
+    * DECODED raster (Multimodal.decodedPixelDigest) and clusters on the
+    * digest — a byte-level digest would split every pixel cluster three
+    * ways and break the oracle's cluster sizes, so the query proves
+    * decode-NORMALIZATION across three real containers, the "same image,
+    * different encoding" dedup a multimodal training pipeline needs. Only
+    * (id, digest) shuffles; the window partitions by digest (≈41 groups ×
+    * many rows — no single-partition window). */
+  private def q186_image_dedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.syntheticMixedFormatImages(par(s, Tables.documents(s, dir)), "doc_id")
+    val w = Window.partitionBy("pixel_digest")
+    Multimodal.decodedPixelDigest(media)
+      .select(col("media_id").as("doc_id"),
+        min("media_id").over(w).as("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size"))
+  }
+
   /** OVERLAPPING-WINDOW SUBSTRING DEDUP — the unaligned complement of q145:
     * a 10-token window at EVERY position (not every 10th), so boilerplate
     * shared at arbitrary offsets is caught (the exact-substring-dedup idea
@@ -3146,6 +3187,8 @@ object SparkEntry {
     "q182_token_budget" -> (q182_token_budget _),
     "q183_png_decode" -> (q183_png_decode _),
     "q184_jpeg_decode" -> (q184_jpeg_decode _),
+    "q185_gif_frames" -> (q185_gif_frames _),
+    "q186_image_dedup" -> (q186_image_dedup _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4862,5 +4905,30 @@ object SparkEntry {
            cast(64 * sum((doc_id*31 + b*7) % 256) as bigint) AS sum_b
          FROM documents, (SELECT unnest(range(4)) AS b)
          GROUP BY 1""",
+    // q185: per-frame closed forms — palette j -> (j, 2j%256, 3j%256), frame
+    // f pixel i index (id*31+f*13+i*5)%256, GCE delay (id%100+7f+1) cs. The
+    // position-weighted wsum_r is the deinterlace proof; frame_ts_ms is the
+    // delay-accumulation proof. Engine decodes real interlaced GIF89a bytes.
+    "q185_gif_frames" ->
+      """SELECT doc_id, f AS frame_idx,
+           cast(10 * (f * ((doc_id % 100) + 1) + 7 * f * (f - 1) // 2) as bigint)
+             AS frame_ts_ms,
+           cast(64 as bigint) AS n_pixels,
+           cast(sum(v) as bigint) AS sum_r,
+           cast(sum((2 * v) % 256) as bigint) AS sum_g,
+           cast(sum((3 * v) % 256) as bigint) AS sum_b,
+           cast(sum((i + 1) * v) as bigint) AS wsum_r
+         FROM (SELECT doc_id, f, i, (doc_id*31 + f*13 + i*5) % 256 AS v
+               FROM documents, (SELECT unnest(range(4)) AS f),
+                 (SELECT unnest(range(64)) AS i))
+         GROUP BY 1, 2, 3, 4""",
+    // q186: cluster identity is doc_id mod 41 REGARDLESS of container
+    // (doc_id mod 3 picks PPM/PNG/GIF) — matches only if the engine hashes
+    // decoded pixels, not payload bytes
+    "q186_image_dedup" ->
+      """SELECT doc_id,
+           cast(min(doc_id) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_id,
+           cast(count(*) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_size
+         FROM documents""",
   )
 }

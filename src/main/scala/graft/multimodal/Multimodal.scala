@@ -56,10 +56,10 @@ object Multimodal {
     }
   }
 
-  /** True iff `bytes` is a format [[Codecs]] really decodes. */
+  /** True iff `bytes` is a format [[Codecs]]/[[Jpeg]]/[[Gif]] really decodes. */
   def isRealFormat(bytes: Array[Byte]): Boolean =
     (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') ||
-      Codecs.isPng(bytes) || Jpeg.isJpeg(bytes) ||
+      Codecs.isPng(bytes) || Jpeg.isJpeg(bytes) || Gif.isGif(bytes) ||
       (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
 
   /** Real features for really-decodable payloads: PPM/PNG → [w, h,
@@ -68,7 +68,19 @@ object Multimodal {
     * statistics. */
   private def realDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
-    if (bytes(0) == 'P' || Codecs.isPng(bytes) || Jpeg.isJpeg(bytes)) {
+    if (Gif.isGif(bytes)) {
+      // animated: first-frame composite stats + frame count + total duration
+      val (w, h, frames) = Gif.decodeRgbFrames(bytes)
+      val rgb = frames.head._2
+      var (r, g, b) = (0L, 0L, 0L)
+      var i = 0
+      while (i < rgb.length) { r += rgb(i) & 0xff; g += rgb(i + 1) & 0xff; b += rgb(i + 2) & 0xff; i += 3 }
+      val n = w * h
+      out(0) = w.toFloat; out(1) = h.toFloat; out(2) = n.toFloat
+      out(3) = r.toFloat / n; out(4) = g.toFloat / n; out(5) = b.toFloat / n
+      out(6) = frames.size.toFloat
+      out(7) = frames.map(_._1).sum.toFloat * 10 // total duration ms
+    } else if (bytes(0) == 'P' || Codecs.isPng(bytes) || Jpeg.isJpeg(bytes)) {
       val (w, h, rgb) =
         if (Codecs.isPng(bytes)) Codecs.decodePng(bytes)
         else if (Jpeg.isJpeg(bytes)) Jpeg.decode(bytes)
@@ -138,6 +150,10 @@ object Multimodal {
         } else if (Jpeg.isJpeg(bytes)) {
           val (n, sr, sg, sb) = Jpeg.channelSums(bytes)
           Some(Row(r.getLong(0), n.toLong, sr, sg, sb))
+        } else if (Gif.isGif(bytes)) {
+          // animated: the image statistic is the FIRST frame's composite
+          val s0 = Gif.frameStats(bytes).head
+          Some(Row(r.getLong(0), s0._3, s0._4, s0._5, s0._6))
         } else None
       }
     }
@@ -176,6 +192,8 @@ object Multimodal {
         Codecs.resizePpm(bytes, w, h) // REAL nearest-neighbor resample
       else if (Codecs.isPng(bytes))
         Codecs.resizePng(bytes, w, h) // REAL: inflate, unfilter, resample, re-encode
+      else if (Gif.isGif(bytes))
+        Gif.resize(bytes, w, h) // REAL: per-frame index-raster NN resample
       else if (Jpeg.isJpeg(bytes)) {
         // REAL: full baseline decode -> NN resample -> re-encode (lossy, as
         // any JPEG resize pipeline is)
@@ -209,6 +227,109 @@ object Multimodal {
       .withColumn("meta", col("meta")
         .withField("width", lit(w))
         .withField("height", lit(h)))
+  }
+
+  /** REAL frame sampling + per-frame decode statistics for animated GIF
+    * payloads (q185): every `sampleEvery`-th DECODED frame becomes a row —
+    * (frame_idx, presentation timestamp from accumulated GCE delays,
+    * composited-canvas pixel count, channel sums, position-weighted red sum).
+    * The weighted sum is the interlace/row-order proof: plain channel sums
+    * are permutation-invariant, so a wrong deinterlace pass or stride would
+    * still match them — `wsum_r` breaks instead. This is the video
+    * frame-sample semantics running against genuinely decoded frames; only
+    * native-codec video (H.264) remains behind [[sampleFrames]]'s
+    * metadata-grid stub path. */
+  def gifFrameStats(media: DataFrame, sampleEvery: Int = 1): DataFrame = {
+    require(sampleEvery >= 1, s"sampleEvery $sampleEvery")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_ts_ms", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("wsum_r", LongType, nullable = false)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        if (Gif.isGif(bytes)) {
+          Gif.frameStats(bytes).collect {
+            case (fi, ts, n, sr, sg, sb, wr) if fi % sampleEvery == 0 =>
+              Row(r.getLong(0), fi, ts, n, sr, sg, sb, wr)
+          }
+        } else Nil
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode-normalized pixel digest for image payloads — the key for
+    * CROSS-FORMAT exact image dedup (q186): the same picture stored as PPM,
+    * PNG, or GIF hashes identically because the digest is computed over the
+    * DECODED w×h×RGB raster (dimension-prefixed), never over container
+    * bytes. Lossless formats only — a lossy JPEG of "the same" image is a
+    * different raster by definition and is deliberately left out. At scale
+    * only (media_id, 16-byte digest) ever shuffles; pixels stay in the
+    * scan-side task. */
+  def decodedPixelDigest(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("pixel_digest", StringType, nullable = false)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-task init
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val decoded: Option[(Int, Int, Array[Byte])] =
+          if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+            Some(Codecs.decodePpm(bytes))
+          else if (Codecs.isPng(bytes)) Some(Codecs.decodePng(bytes))
+          else if (Gif.isGif(bytes)) {
+            val (w, h, frames) = Gif.decodeRgbFrames(bytes)
+            Some((w, h, frames.head._2))
+          } else None
+        decoded.map { case (w, h, rgb) =>
+          md.reset()
+          md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+          md.update(rgb)
+          Row(r.getLong(0), md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Mixed-format image table (q186's input): pixel content is a closed form
+    * of `id mod classes`, but the CONTAINER cycles PPM/PNG/GIF by `id mod 3`
+    * — so byte-level hashing splits every pixel-identical cluster three ways
+    * and only decode-normalized hashing reproduces the oracle clusters. */
+  def syntheticMixedFormatImages(df: DataFrame, idCol: String, classes: Int = 41,
+                                 w: Int = 8, h: Int = 8): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val d = id % classes
+      val idx = Array.tabulate(w * h)(i => ((d * 31 + i * 5) % 256).toByte)
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val j = idx(i) & 0xff
+        rgb(3 * i) = j.toByte; rgb(3 * i + 1) = (2 * j % 256).toByte; rgb(3 * i + 2) = (3 * j % 256).toByte
+        i += 1
+      }
+      (id % 3) match {
+        case 0 => Codecs.encodePpm(w, h, rgb)
+        case 1 => Codecs.encodePng(w, h, rgb)
+        case _ =>
+          val pal = Array.tabulate(256)(j => (j << 16) | ((2 * j % 256) << 8) | (3 * j % 256))
+          Gif.encode(w, h, pal, Seq(Gif.EncFrame(0, 0, w, h, 0, indices = idx)))
+      }
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("image").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("mixed").as("format"), lit(w).as("width"), lit(h).as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
   }
 
   /** Frame sampling for video rows: emit one descriptor row per sampled
@@ -274,6 +395,32 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"), lit("image").as("kind"),
       gen(col(idCol).cast("long")).as("bytes"),
       struct(lit("jpeg").as("format"), lit(16).as("width"), lit(16).as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+
+  /** REAL animated-GIF media table (q185): 4 interlaced full-canvas 8×8
+    * frames per id. Palette j → (j, 2j mod 256, 3j mod 256); frame f's
+    * pixel i gets index (id·31 + f·13 + i·5) mod 256; GCE delay
+    * (id mod 100 + 7f + 1) cs — all closed forms, so DuckDB recomputes the
+    * per-frame position-weighted channel statistics and presentation
+    * timestamps without seeing a byte. Every frame is INTERLACED: the
+    * weighted red sum only matches if all four deinterlace passes land rows
+    * exactly where the encoder took them from. */
+  def syntheticGifFromIds(df: DataFrame, idCol: String, nFrames: Int = 4,
+                          w: Int = 8, h: Int = 8): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val palette = Array.tabulate(256)(j => (j << 16) | ((2 * j % 256) << 8) | (3 * j % 256))
+      val frames = (0 until nFrames).map { f =>
+        Gif.EncFrame(0, 0, w, h, delayCs = (id % 100 + 7L * f + 1L).toInt,
+          interlaced = true,
+          indices = Array.tabulate(w * h)(i => ((id * 31 + f * 13 + i * 5) % 256).toByte))
+      }
+      Gif.encode(w, h, palette, frames, loop = true)
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("video").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("gif").as("format"), lit(w).as("width"), lit(h).as("height"),
         lit(null).cast("long").as("duration_ms"),
         lit(null).cast("int").as("sample_rate")).as("meta"))
   }

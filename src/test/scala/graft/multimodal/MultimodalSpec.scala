@@ -37,6 +37,28 @@ class MultimodalSpec extends SparkSpec {
     assert(b1.length === 64)
   }
 
+  test("GIF dispatch: features, frame stats sampling, and real resize") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(6)
+    val media = Multimodal.syntheticGifFromIds(docs, "doc_id")
+    // every payload is a real GIF and the feature path reports 4 frames
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f(0) === 8.0f && f(1) === 8.0f && f(6) === 4.0f, "w/h/frames")
+    }
+    // sampleEvery=2 keeps exactly frames 0 and 2
+    val sampled = Multimodal.gifFrameStats(media, sampleEvery = 2)
+    val perDoc = sampled.groupBy("media_id").count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) === 2L))
+    assert(sampled.select("frame_idx").distinct().collect().map(_.getInt(0)).sorted.toSeq === Seq(0, 2))
+    // real resize: downscale to 4x4, still a decodable 4-frame GIF
+    val rz = Multimodal.resize(media, 4, 4)
+    val stats = Multimodal.gifFrameStats(rz).groupBy("media_id").count().collect()
+    assert(stats.forall(_.getLong(1) === 4L))
+    assert(rz.select("meta.width").head().getInt(0) === 4)
+  }
+
   test("frame sampling explodes only video rows on the duration grid") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
     val kinds = media.filter($"kind" === "video").count()
