@@ -2296,6 +2296,25 @@ object SparkEntry {
         col("sum_r"), col("sum_g"), col("sum_b"), col("wsum_r"))
   }
 
+  /** REAL VIDEO DECODE, oracle-proven: genuine MJPEG AVI payloads — RIFF
+    * chunk tree, `hdrl`/`strl` headers, `movi` frame chunks, `idx1` index
+    * (multimodal.Avi) — where every frame is a baseline JPEG decoded by
+    * multimodal.Jpeg. Frame pixels use q184's uniform-8×8-block exactness
+    * contract so the lossy per-frame codec still has a closed form, and
+    * frame TIMESTAMPS come from the stream header's scale/rate rational
+    * (rates divide 1000 ⇒ exact integer ms), so DuckDB recomputes
+    * per-frame position-weighted channel sums AND presentation times
+    * without seeing a byte. The multimodal stub is now only
+    * inter-frame-compressed video (H.264). */
+  private def q187_video_frames(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticAviFromIds(par(s, Tables.documents(s, dir)), "doc_id")
+    Multimodal.videoFrameStats(media)
+      .select(col("media_id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_ts_ms"), col("n_pixels"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("wsum_r"))
+  }
+
   /** CROSS-FORMAT EXACT IMAGE DEDUP, oracle-proven: the same 8×8 picture
     * (pixels a closed form of doc_id mod 41) arrives as binary PPM, PNG, or
     * single-frame GIF depending on doc_id mod 3. The operator digests the
@@ -3189,6 +3208,7 @@ object SparkEntry {
     "q184_jpeg_decode" -> (q184_jpeg_decode _),
     "q185_gif_frames" -> (q185_gif_frames _),
     "q186_image_dedup" -> (q186_image_dedup _),
+    "q187_video_frames" -> (q187_video_frames _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4930,5 +4950,23 @@ object SparkEntry {
            cast(min(doc_id) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_id,
            cast(count(*) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_size
          FROM documents""",
+    // q187: per-frame uniform-block closed forms (q184's exactness contract)
+    // plus the scale/rate timing rational; the block position weights
+    // 3872/4384/12064/12576 are sum(i+1) over each 8x8 quadrant of the
+    // 16x16 raster — wrong block placement or a wrong RIFF walk breaks them
+    "q187_video_frames" ->
+      """SELECT doc_id, f AS frame_idx,
+           cast(f * 1000 // (CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 10
+             WHEN 2 THEN 20 ELSE 25 END) as bigint) AS frame_ts_ms,
+           cast(256 as bigint) AS n_pixels,
+           cast(64 * sum(v) as bigint) AS sum_r,
+           cast(64 * sum(v) as bigint) AS sum_g,
+           cast(64 * sum(v) as bigint) AS sum_b,
+           cast(sum(v * CASE b WHEN 0 THEN 3872 WHEN 1 THEN 4384
+             WHEN 2 THEN 12064 ELSE 12576 END) as bigint) AS wsum_r
+         FROM (SELECT doc_id, f, b, (doc_id*31 + f*13 + b*7) % 256 AS v
+               FROM documents, (SELECT unnest(range(3)) AS f),
+                 (SELECT unnest(range(4)) AS b))
+         GROUP BY 1, 2, 3, 4""",
   )
 }

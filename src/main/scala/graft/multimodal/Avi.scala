@@ -1,0 +1,207 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** REAL pure-JVM AVI (RIFF) container codec for MJPEG video — every frame
+  * is an independent baseline JPEG decoded by [[Jpeg]], so this is genuine
+  * VIDEO decode end-to-end: container grammar (RIFF chunk tree, `hdrl` main
+  * and stream headers, `movi` frame chunks, `idx1` index), frame timing
+  * from the stream header's scale/rate rational, and per-frame pixel
+  * decode. With GIF animation (q185) and this (q187), the multimodal stub
+  * finally covers only INTER-frame-compressed codecs (H.264/H.265), which
+  * genuinely need a native library — the documented seam.
+  *
+  * Everything is deterministic integer byte-math; q187 uses the same
+  * uniform-8×8-block exactness contract as q184 ([[Jpeg]] doc) so the lossy
+  * per-frame codec still has a closed-form oracle: DuckDB recomputes frame
+  * timestamps (f·1000·scale ÷ rate) and position-weighted channel sums
+  * without seeing a byte. A chunk-walk bug, a header-offset bug, or a
+  * wrong timing rational breaks the hash.
+  *
+  * Layout written by [[encodeMjpeg]] (and accepted, with JUNK/unknown-chunk
+  * skipping, by [[decodeMjpeg]]):
+  * {{{
+  * RIFF('AVI ', LIST('hdrl', avih, LIST('strl', strh('vids','MJPG'), strf)),
+  *              LIST('movi', '00dc' jpeg..., ...), idx1)
+  * }}}
+  */
+object Avi {
+
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"AVI: $msg")
+
+  // ------------------------------------------------------------------ write
+
+  private final class W {
+    val buf = new ArrayBuffer[Byte](1 << 16)
+    def u8(v: Int): Unit = buf += (v & 0xff).toByte
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
+    def fourcc(s: String): Unit = { require(s.length == 4); s.foreach(c => buf += c.toByte) }
+    def bytes(b: Array[Byte]): Unit = buf ++= b
+  }
+
+  /** A chunk is fourcc + u32 size + payload (+ 1 pad byte if size is odd). */
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val w = new W
+    w.fourcc(id); w.u32(payload.length.toLong); w.bytes(payload)
+    if (payload.length % 2 == 1) w.u8(0)
+    w.buf.toArray
+  }
+
+  private def list(kind: String, children: Array[Byte]): Array[Byte] = {
+    val w = new W
+    w.fourcc("LIST"); w.u32(children.length + 4L); w.fourcc(kind); w.bytes(children)
+    w.buf.toArray
+  }
+
+  /** Encode an MJPEG AVI: `frames` are complete baseline-JPEG streams, all
+    * w×h; frame duration is the rational scale/rate seconds (rate fps when
+    * scale = 1). Writes a spec-shaped header tree and a keyframe idx1 (every
+    * MJPEG frame is a keyframe). */
+  def encodeMjpeg(w: Int, h: Int, scale: Int, rate: Int,
+                  frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(scale >= 1 && rate >= 1, s"bad timing $scale/$rate")
+    require(frames.nonEmpty, "no frames")
+    val maxFrame = frames.map(_.length).max
+    val avih = { // 56-byte main header
+      val x = new W
+      x.u32(1000000L * scale / rate) // dwMicroSecPerFrame (informational)
+      x.u32(maxFrame.toLong * rate / math.max(scale, 1)) // dwMaxBytesPerSec (approx)
+      x.u32(0) // padding granularity
+      x.u32(0x10) // AVIF_HASINDEX
+      x.u32(frames.size.toLong)
+      x.u32(0) // initial frames
+      x.u32(1) // streams
+      x.u32(maxFrame.toLong) // suggested buffer
+      x.u32(w.toLong); x.u32(h.toLong)
+      (0 until 4).foreach(_ => x.u32(0)) // reserved
+      x.buf.toArray
+    }
+    val strh = { // 56-byte stream header: the TIMING authority (scale/rate)
+      val x = new W
+      x.fourcc("vids"); x.fourcc("MJPG")
+      x.u32(0); x.u16(0); x.u16(0) // flags, priority, language
+      x.u32(0) // initial frames
+      x.u32(scale.toLong); x.u32(rate.toLong)
+      x.u32(0) // start
+      x.u32(frames.size.toLong) // length in frames
+      x.u32(maxFrame.toLong) // suggested buffer
+      x.u32(0xffffffffL) // quality: default
+      x.u32(0) // sample size (0 = varying)
+      x.u16(0); x.u16(0); x.u16(w); x.u16(h) // rcFrame
+      x.buf.toArray
+    }
+    val strf = { // BITMAPINFOHEADER
+      val x = new W
+      x.u32(40); x.u32(w.toLong); x.u32(h.toLong)
+      x.u16(1); x.u16(24)
+      x.fourcc("MJPG")
+      x.u32(w.toLong * h * 3)
+      x.u32(0); x.u32(0); x.u32(0); x.u32(0)
+      x.buf.toArray
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameChunks = frames.map(f => chunk("00dc", f))
+    val movi = list("movi", frameChunks.reduce(_ ++ _))
+    val idx1 = { // offsets are from the start of the 'movi' list's kind field
+      val x = new W
+      var off = 4L
+      frames.zip(frameChunks).foreach { case (f, fc) =>
+        x.fourcc("00dc"); x.u32(0x10) // AVIIF_KEYFRAME
+        x.u32(off); x.u32(f.length.toLong)
+        off += fc.length
+      }
+      x.buf.toArray
+    }
+    val body = hdrl ++ movi ++ chunk("idx1", idx1)
+    val out = new W
+    out.fourcc("RIFF"); out.u32(body.length + 4L); out.fourcc("AVI ")
+    out.bytes(body)
+    out.buf.toArray
+  }
+
+  // ------------------------------------------------------------------- read
+
+  /** Decode an MJPEG AVI → (w, h, scale, rate, jpeg frame streams). Walks
+    * the RIFF tree, takes timing from `strh` (the authority; `avih`'s
+    * µs/frame is informational), collects `00dc`/`00db` chunks in stream
+    * order, skips JUNK/idx1/unknown chunks, and validates the MJPG
+    * handler so a genuinely-native codec fails loudly instead of
+    * mis-decoding. */
+  def decodeMjpeg(bytes: Array[Byte]): (Int, Int, Int, Int, Seq[Array[Byte]]) = {
+    if (!isAvi(bytes)) fail("bad magic")
+    var w = -1; var h = -1; var scale = -1; var rate = -1
+    val frames = ArrayBuffer.empty[Array[Byte]]
+    def u32(at: Int): Long = {
+      if (at + 4 > bytes.length) fail(s"truncated at $at")
+      (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+        ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+    }
+    def fourcc(at: Int): String = {
+      if (at + 4 > bytes.length) fail(s"truncated at $at")
+      new String(bytes, at, 4, "US-ASCII")
+    }
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = fourcc(i)
+        val sz = u32(i + 4)
+        val dataStart = i + 8
+        val dataEnd = dataStart + sz.toInt
+        if (dataEnd > to) fail(s"chunk $id overruns enclosing list")
+        id match {
+          case "LIST" => walk(dataStart + 4, dataEnd) // skip the kind fourcc
+          case "strh" =>
+            if (sz < 56) fail(s"strh size $sz")
+            val fccType = fourcc(dataStart)
+            if (fccType == "vids") {
+              val handler = fourcc(dataStart + 4)
+              if (handler != "MJPG") fail(s"unsupported video handler $handler")
+              scale = u32(dataStart + 20).toInt
+              rate = u32(dataStart + 24).toInt
+              if (scale < 1 || rate < 1) fail(s"bad timing $scale/$rate")
+            }
+          case "strf" =>
+            if (sz >= 12 && w < 0) { w = u32(dataStart + 4).toInt; h = u32(dataStart + 8).toInt }
+          case "00dc" | "00db" =>
+            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          case _ => () // avih (informational), idx1, JUNK, other streams
+        }
+        i = dataEnd + (sz.toInt & 1) // chunks are word-aligned
+      }
+    }
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32(4)).toInt
+    walk(12, riffEnd)
+    if (scale < 0) fail("no vids stream header")
+    if (frames.isEmpty) fail("no frame chunks")
+    (w, h, scale, rate, frames.toSeq)
+  }
+
+  /** Oracle-checkable per-frame decode statistic, same tuple shape as
+    * [[Gif.frameStats]]: (frameIdx, presentationStartMs = f·1000·scale÷rate,
+    * nPixels, Σr, Σg, Σb, position-weighted Σ(i+1)·r_i) — each frame run
+    * through the full baseline-JPEG decode. */
+  def frameStats(bytes: Array[Byte]): Seq[(Int, Long, Long, Long, Long, Long, Long)] = {
+    val (_, _, scale, rate, frames) = decodeMjpeg(bytes)
+    frames.zipWithIndex.map { case (jpeg, fi) =>
+      val (w, h, rgb) = Jpeg.decode(jpeg)
+      var (r, g, b, wr) = (0L, 0L, 0L, 0L)
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        val rv = rgb(i * 3) & 0xff
+        r += rv; g += rgb(i * 3 + 1) & 0xff; b += rgb(i * 3 + 2) & 0xff
+        wr += (i + 1).toLong * rv
+        i += 1
+      }
+      (fi, fi.toLong * 1000L * scale / rate, n.toLong, r, g, b, wr)
+    }
+  }
+}

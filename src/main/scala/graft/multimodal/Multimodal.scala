@@ -56,11 +56,17 @@ object Multimodal {
     }
   }
 
-  /** True iff `bytes` is a format [[Codecs]]/[[Jpeg]]/[[Gif]] really decodes. */
+  /** RIFF with the WAVE form type (AVI is RIFF too — form type disambiguates). */
+  private def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** True iff `bytes` is a format [[Codecs]]/[[Jpeg]]/[[Gif]]/[[Avi]] really decodes. */
   def isRealFormat(bytes: Array[Byte]): Boolean =
     (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') ||
       Codecs.isPng(bytes) || Jpeg.isJpeg(bytes) || Gif.isGif(bytes) ||
-      (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      Avi.isAvi(bytes) || isWav(bytes)
 
   /** Real features for really-decodable payloads: PPM/PNG → [w, h,
     * n_pixels, meanR, meanG, meanB, 0…]; WAV → [sampleRate, n, rms,
@@ -80,6 +86,15 @@ object Multimodal {
       out(3) = r.toFloat / n; out(4) = g.toFloat / n; out(5) = b.toFloat / n
       out(6) = frames.size.toFloat
       out(7) = frames.map(_._1).sum.toFloat * 10 // total duration ms
+    } else if (Avi.isAvi(bytes)) {
+      // video: frame count, dims, fps, first-frame mean luminance
+      val stats = Avi.frameStats(bytes)
+      val (w, h, scale, rate, _) = Avi.decodeMjpeg(bytes)
+      val s0 = stats.head
+      out(0) = w.toFloat; out(1) = h.toFloat; out(2) = s0._3.toFloat
+      out(3) = s0._4.toFloat / s0._3; out(4) = s0._5.toFloat / s0._3; out(5) = s0._6.toFloat / s0._3
+      out(6) = stats.size.toFloat
+      out(7) = stats.size.toFloat * 1000f * scale / rate // total duration ms
     } else if (bytes(0) == 'P' || Codecs.isPng(bytes) || Jpeg.isJpeg(bytes)) {
       val (w, h, rgb) =
         if (Codecs.isPng(bytes)) Codecs.decodePng(bytes)
@@ -172,7 +187,7 @@ object Multimodal {
     val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]]("bytes")
-        if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+        if (isWav(bytes)) { // WAVE form type only: AVI is RIFF too
           val (n, sumSq, zc) = Codecs.wavStats(bytes)
           Some(Row(r.getLong(0), n.toLong, sumSq, zc))
         } else None
@@ -239,7 +254,15 @@ object Multimodal {
     * frame-sample semantics running against genuinely decoded frames; only
     * native-codec video (H.264) remains behind [[sampleFrames]]'s
     * metadata-grid stub path. */
-  def gifFrameStats(media: DataFrame, sampleEvery: Int = 1): DataFrame = {
+  def gifFrameStats(media: DataFrame, sampleEvery: Int = 1): DataFrame =
+    videoFrameStats(media, sampleEvery)
+
+  /** Same operator, dispatched by magic bytes across BOTH really-decoded
+    * moving-picture formats: animated GIF ([[Gif.frameStats]]) and MJPEG
+    * AVI ([[Avi.frameStats]] — RIFF walk + per-frame baseline-JPEG decode,
+    * q187). One row per sampled frame; rows in other formats are filtered
+    * engine-side so a mixed media table is fine. */
+  def videoFrameStats(media: DataFrame, sampleEvery: Int = 1): DataFrame = {
     require(sampleEvery >= 1, s"sampleEvery $sampleEvery")
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
@@ -254,12 +277,14 @@ object Multimodal {
     val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]]("bytes")
-        if (Gif.isGif(bytes)) {
-          Gif.frameStats(bytes).collect {
-            case (fi, ts, n, sr, sg, sb, wr) if fi % sampleEvery == 0 =>
-              Row(r.getLong(0), fi, ts, n, sr, sg, sb, wr)
-          }
-        } else Nil
+        val stats =
+          if (Gif.isGif(bytes)) Gif.frameStats(bytes)
+          else if (Avi.isAvi(bytes)) Avi.frameStats(bytes)
+          else Nil
+        stats.collect {
+          case (fi, ts, n, sr, sg, sb, wr) if fi % sampleEvery == 0 =>
+            Row(r.getLong(0), fi, ts, n, sr, sg, sb, wr)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -422,6 +447,35 @@ object Multimodal {
       gen(col(idCol).cast("long")).as("bytes"),
       struct(lit("gif").as("format"), lit(w).as("width"), lit(h).as("height"),
         lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+
+  /** REAL MJPEG-AVI media table (q187): 3 frames of 16×16 grayscale
+    * baseline JPEG per id, each frame four UNIFORM 8×8 blocks at
+    * ((id·31 + f·13 + b·7) mod 256) — the q184 exactness contract per
+    * frame — in a spec-shaped RIFF/AVI container with stream timing
+    * scale=1, rate ∈ {5,10,20,25} by id mod 4 (rates divide 1000, so
+    * presentation timestamps are exact integer ms). */
+  def syntheticAviFromIds(df: DataFrame, idCol: String, nFrames: Int = 3): DataFrame = {
+    val rates = Array(5, 10, 20, 25)
+    val gen = udf { (id: Long) =>
+      val frames = (0 until nFrames).map { f =>
+        val gray = new Array[Byte](256)
+        var i = 0
+        while (i < 256) {
+          val b = (i / 16 / 8) * 2 + (i % 16 / 8)
+          gray(i) = ((id * 31 + f * 13 + b * 7) % 256).toByte
+          i += 1
+        }
+        Jpeg.encodeGray(16, 16, gray)
+      }
+      Avi.encodeMjpeg(16, 16, 1, rates((id % 4).toInt), frames)
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("video").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("avi").as("format"), lit(16).as("width"), lit(16).as("height"),
+        (lit(nFrames * 1000L) / element_at(lit(rates), (pmod(col(idCol), lit(4)) + 1).cast("int")))
+          .cast("long").as("duration_ms"),
         lit(null).cast("int").as("sample_rate")).as("meta"))
   }
 
