@@ -2315,6 +2315,23 @@ object SparkEntry {
         col("sum_r"), col("sum_g"), col("sum_b"), col("wsum_r"))
   }
 
+  /** REAL G.711 COMPANDED-AUDIO DECODE, oracle-proven: genuine RIFF/WAVE
+    * payloads with format code 7 (μ-law, even ids) or 6 (A-law, odd ids),
+    * one code byte per sample, expanded to linear 16-bit by the public
+    * ITU-T G.711 math (multimodal.Codecs). DuckDB recomputes the expansion
+    * arithmetically from the closed-form code bytes — complement vs XOR
+    * 0x55, segment shifts, the 0x84 μ-law bias, and the two formats'
+    * OPPOSITE sign conventions all have to be right for Σ linear and
+    * Σ linear² to match. The reported `fmt` name comes from the decoded
+    * header, not the generator. */
+  private def q188_audio_g711(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticG711FromIds(par(s, Tables.documents(s, dir)), "doc_id")
+    Multimodal.audioLinearStats(media)
+      .select(col("media_id").as("doc_id"), col("fmt"),
+        col("n_samples"), col("sum_lin"), col("sum_sq"))
+  }
+
   /** CROSS-FORMAT EXACT IMAGE DEDUP, oracle-proven: the same 8×8 picture
     * (pixels a closed form of doc_id mod 41) arrives as binary PPM, PNG, or
     * single-frame GIF depending on doc_id mod 3. The operator digests the
@@ -3209,6 +3226,7 @@ object SparkEntry {
     "q185_gif_frames" -> (q185_gif_frames _),
     "q186_image_dedup" -> (q186_image_dedup _),
     "q187_video_frames" -> (q187_video_frames _),
+    "q188_audio_g711" -> (q188_audio_g711 _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4968,5 +4986,31 @@ object SparkEntry {
                FROM documents, (SELECT unnest(range(3)) AS f),
                  (SELECT unnest(range(4)) AS b))
          GROUP BY 1, 2, 3, 4""",
+    // q188: the G.711 expansion recomputed arithmetically — μ-law is
+    // complement + ((mantissa*8+132) << exponent) - 132 with bit-7 NEGATIVE,
+    // A-law is XOR 0x55 with segment 0/1 special cases and bit-7 POSITIVE
+    "q188_audio_g711" ->
+      """WITH s AS (
+           SELECT doc_id, (doc_id*7 + i*13) % 256 AS c
+           FROM documents, (SELECT unnest(range(240)) AS i)),
+         ud AS (
+           SELECT doc_id, CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS v
+           FROM (SELECT doc_id, u, ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t
+                 FROM (SELECT doc_id, 255 - c AS u FROM s WHERE doc_id % 2 = 0))),
+         ad AS (
+           SELECT doc_id, CASE WHEN a >= 128 THEN m ELSE -m END AS v
+           FROM (SELECT doc_id, a,
+                   CASE (a // 16) % 8
+                     WHEN 0 THEN (a % 16) * 16 + 8
+                     WHEN 1 THEN (a % 16) * 16 + 264
+                     ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END AS m
+                 FROM (SELECT doc_id, xor(c, 85) AS a FROM s WHERE doc_id % 2 = 1))),
+         v AS (SELECT * FROM ud UNION ALL SELECT * FROM ad)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS fmt,
+           cast(240 as bigint) AS n_samples,
+           cast(sum(v) as bigint) AS sum_lin,
+           cast(sum(v * v) as bigint) AS sum_sq
+         FROM v GROUP BY 1, 2""",
   )
 }

@@ -354,7 +354,7 @@ object Codecs {
 
   /** Exact audio statistics: (n, Σ s², zero crossings) — all integer. */
   def wavStats(bytes: Array[Byte]): (Int, Long, Long) = {
-    val (_, s) = decodeWavPcm16(bytes)
+    val (_, _, s) = decodeWavAny(bytes)
     var sumSq = 0L; var zc = 0L
     var i = 0
     while (i < s.length) {
@@ -363,5 +363,98 @@ object Codecs {
       i += 1
     }
     (s.length, sumSq, zc)
+  }
+
+  // ---------------------------------------------------- WAV G.711 μ-law/A-law
+
+  /** ITU-T G.711 expansion, the public-domain CCITT reference math. Each is
+    * a pure function code→linear, precomputed as the standard 256-entry
+    * table. μ-law: complement, then ((mantissa·8 + 0x84) << exponent) with
+    * the 0x84 bias removed, sign from bit 7. A-law: XOR 0x55, segment 0
+    * special-cased, sign semantics INVERTED relative to μ-law (bit 7 set =
+    * positive) — exactly the detail an oracle catches. */
+  private val ulawExpand: Array[Short] = Array.tabulate(256) { code =>
+    val u = (~code) & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u >> 4) & 0x07
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+  private val alawExpand: Array[Short] = Array.tabulate(256) { code =>
+    val a = code ^ 0x55
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  /** Encode G.711 companded mono audio as RIFF/WAVE: format code 7 (μ-law)
+    * or 6 (A-law), 8 bits/sample, one code byte per sample. */
+  def encodeWavG711(sampleRate: Int, codes: Array[Byte], mulaw: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + codes.length + (codes.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + codes.length + (codes.length & 1))
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(if (mulaw) 7.toShort else 6.toShort)
+      .putShort(1.toShort)              // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate)               // byte rate: 1 byte/sample
+      .putShort(1.toShort)              // block align
+      .putShort(8.toShort)              // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(codes.length)
+      .put(codes)
+    if ((codes.length & 1) == 1) bb.put(0.toByte) // chunk word alignment
+    bb.array()
+  }
+
+  /** Decode RIFF/WAVE in any supported encoding → (formatCode, sampleRate,
+    * LINEAR 16-bit samples): 1 = PCM16 passthrough, 7 = μ-law expand,
+    * 6 = A-law expand. The format code comes from the decoded `fmt ` chunk
+    * — reporting it is part of the decode proof. */
+  def decodeWavAny(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"WAV: $msg")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
+    if (tag() != "RIFF") fail("bad magic")
+    bb.getInt()
+    if (tag() != "WAVE") fail("not WAVE")
+    var fmtCode = -1
+    var sampleRate = -1
+    var data: Array[Byte] = null
+    while (bb.remaining() >= 8 && (fmtCode < 0 || data == null)) {
+      val id = tag(); val len = bb.getInt()
+      id match {
+        case "fmt " =>
+          fmtCode = bb.getShort(); val ch = bb.getShort()
+          sampleRate = bb.getInt(); bb.getInt(); bb.getShort()
+          val bits = bb.getShort()
+          fmtCode match {
+            case 1 => if (ch != 1 || bits != 16) fail(s"unsupported PCM ch=$ch bits=$bits")
+            case 6 | 7 => if (ch != 1 || bits != 8) fail(s"unsupported G.711 ch=$ch bits=$bits")
+            case f => fail(s"unsupported fmt=$f")
+          }
+          bb.position(bb.position() + (len - 16 + (len & 1)))
+        case "data" =>
+          data = new Array[Byte](len)
+          bb.get(data)
+          if ((len & 1) == 1 && bb.remaining() > 0) bb.get()
+        case _ => bb.position(bb.position() + len + (len & 1))
+      }
+    }
+    if (fmtCode < 0 || data == null) fail("missing fmt /data chunk")
+    val samples = fmtCode match {
+      case 1 =>
+        val s = Array.ofDim[Short](data.length / 2)
+        var i = 0
+        while (i < s.length) {
+          s(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        s
+      case 7 => data.map(b => ulawExpand(b & 0xff))
+      case 6 => data.map(b => alawExpand(b & 0xff))
+    }
+    (fmtCode, sampleRate, samples)
   }
 }

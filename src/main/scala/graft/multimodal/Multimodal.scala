@@ -108,7 +108,7 @@ object Multimodal {
       out(3) = r.toFloat / n; out(4) = g.toFloat / n; out(5) = b.toFloat / n
       out(6) = rgb.length.toFloat
     } else {
-      val (rate, samples) = Codecs.decodeWavPcm16(bytes)
+      val (_, rate, samples) = Codecs.decodeWavAny(bytes)
       val (n, sumSq, zc) = Codecs.wavStats(bytes)
       out(0) = rate.toFloat; out(1) = n.toFloat
       out(2) = math.sqrt(sumSq.toDouble / math.max(n, 1)).toFloat
@@ -194,6 +194,58 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL companded-audio decode statistics (q188): one row per WAV payload
+    * in ANY supported encoding — PCM16 passthrough, G.711 μ-law, G.711
+    * A-law — with the format NAME read from the decoded `fmt ` chunk and
+    * exact (n, Σ linear, Σ linear²) over the EXPANDED 16-bit samples. The
+    * A-law/μ-law sign conventions differ (A-law bit 7 set = positive,
+    * μ-law = negative), so sum_lin is sign-convention-proof, not just
+    * table-proof. */
+  def audioLinearStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_lin", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        if (isWav(bytes)) {
+          val (fmtCode, _, s) = Codecs.decodeWavAny(bytes)
+          val name = fmtCode match {
+            case 1 => "pcm16"
+            case 6 => "alaw"
+            case 7 => "ulaw"
+          }
+          var lin = 0L; var sq = 0L
+          var i = 0
+          while (i < s.length) { lin += s(i); sq += s(i).toLong * s(i).toLong; i += 1 }
+          Some(Row(r.getLong(0), name, s.length.toLong, lin, sq))
+        } else None
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** G.711 WAV media table (q188): 240 code bytes per id, closed form
+    * (id·7 + i·13) mod 256, companded as μ-law for even ids and A-law for
+    * odd ids — both real RIFF/WAVE files with format codes 7/6. */
+  def syntheticG711FromIds(df: DataFrame, idCol: String, n: Int = 240,
+                           sampleRate: Int = 8000): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val codes = Array.tabulate(n)(i => ((id * 7 + i * 13) % 256).toByte)
+      Codecs.encodeWavG711(sampleRate, codes, mulaw = id % 2 == 0)
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("audio").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("g711").as("format"), lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(n.toLong * 1000 / sampleRate).as("duration_ms"),
+        lit(sampleRate).as("sample_rate")).as("meta"))
   }
 
   /** Resize: PPM payloads get a REAL nearest-neighbor decode→resample→

@@ -117,6 +117,40 @@ class CodecsSpec extends SparkSpec {
     }
   }
 
+  test("G.711: expansion matches the public reference values") {
+    def ulaw(code: Int): Int = {
+      val (_, _, s) = Codecs.decodeWavAny(Codecs.encodeWavG711(8000, Array(code.toByte), mulaw = true))
+      s.head.toInt
+    }
+    def alaw(code: Int): Int = {
+      val (_, _, s) = Codecs.decodeWavAny(Codecs.encodeWavG711(8000, Array(code.toByte), mulaw = false))
+      s.head.toInt
+    }
+    // μ-law: 0xFF/0x7F are ±0; 0x00 is the negative extreme -32124
+    assert(ulaw(0xff) === 0 && ulaw(0x7f) === 0)
+    assert(ulaw(0x00) === -32124 && ulaw(0x80) === 32124)
+    // A-law: 0x55 -> -8 (segment 0), 0xD5 -> +8; 0x2A -> -32256 extreme
+    assert(alaw(0x55) === -8 && alaw(0xd5) === 8)
+    assert(alaw(0x2a) === -32256 && alaw(0xaa) === 32256)
+    // both decoders are odd-symmetric in the sign bit (up to μ-law's ±0)
+    for (c <- 0 until 128) {
+      assert(ulaw(c) === -ulaw(c | 0x80))
+      assert(alaw(c ^ 0x80) === -alaw(c))
+    }
+  }
+
+  test("G.711: decodeWavAny reports format codes; PCM16 passthrough unchanged") {
+    val pcm = Codecs.encodeWavPcm16(16000, Array[Short](5, -5, 100))
+    val (f1, r1, s1) = Codecs.decodeWavAny(pcm)
+    assert(f1 === 1 && r1 === 16000 && s1.toSeq === Seq[Short](5, -5, 100))
+    val (f7, _, _) = Codecs.decodeWavAny(Codecs.encodeWavG711(8000, Array[Byte](1, 2, 3), mulaw = true))
+    val (f6, _, _) = Codecs.decodeWavAny(Codecs.encodeWavG711(8000, Array[Byte](1, 2, 3), mulaw = false))
+    assert(f7 === 7 && f6 === 6)
+    // odd-length data chunk stays word-aligned and exact
+    val (_, _, s) = Codecs.decodeWavAny(Codecs.encodeWavG711(8000, Array[Byte](0x55), mulaw = false))
+    assert(s.toSeq === Seq[Short](-8))
+  }
+
   private object Tables {
     def documentsLimit(s: org.apache.spark.sql.SparkSession, dir: String, n: Int) =
       graft.Tables.documents(s, dir).limit(n)
