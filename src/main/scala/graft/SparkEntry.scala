@@ -2315,6 +2315,31 @@ object SparkEntry {
         col("sum_r"), col("sum_g"), col("sum_b"), col("wsum_r"))
   }
 
+  /** VERSIONED ROW-LEVEL CHANGE FEED end-to-end (io.Versioned
+    * .changesBetween): commit a snapshot, upsert through mergeByKey
+    * (updates bump every ≡0 mod 3 key's cents by 7; inserts add a negative
+    * twin for every ≡0 mod 5 key), then diff v1→v2 by KEY. The snapshot
+    * diff classifies insert/update and — crucially — does NOT deliver the
+    * rows mergeByKey rewrote into new files unchanged (the over-delivery
+    * readDelta must refuse across a merge boundary; q176's strict check is
+    * the refusal, this is the fix). The oracle recomputes the exact change
+    * set from the key arithmetic; a spurious row from any rewritten file
+    * breaks the hash. */
+  private def q189_versioned_changes(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val vt = new Versioned(s, java.nio.file.Files.createTempDirectory("graft_cdc").toString)
+    val base = Tables.orders(s, dir).select(col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    vt.commit("orders_cdc", base) // v1
+    val updates = base.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("cents", col("cents") + 7)
+    val inserts = base.filter(col("o_orderkey") % 5 === 0)
+      .select((-col("o_orderkey") - 1).as("o_orderkey"), col("cents"))
+    vt.mergeByKey("orders_cdc", updates.unionByName(inserts), "o_orderkey") // v2
+    vt.changesBetween("orders_cdc", 1L, 2L, "o_orderkey")
+      .select(col("o_orderkey"), col("change_type"), col("cents"))
+  }
+
   /** REAL G.711 COMPANDED-AUDIO DECODE, oracle-proven: genuine RIFF/WAVE
     * payloads with format code 7 (μ-law, even ids) or 6 (A-law, odd ids),
     * one code byte per sample, expanded to linear 16-bit by the public
@@ -3227,6 +3252,7 @@ object SparkEntry {
     "q186_image_dedup" -> (q186_image_dedup _),
     "q187_video_frames" -> (q187_video_frames _),
     "q188_audio_g711" -> (q188_audio_g711 _),
+    "q189_versioned_changes" -> (q189_versioned_changes _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5012,5 +5038,19 @@ object SparkEntry {
            cast(sum(v) as bigint) AS sum_lin,
            cast(sum(v * v) as bigint) AS sum_sq
          FROM v GROUP BY 1, 2""",
+    // q189: the exact change set from key arithmetic — updates are the
+    // mod-3 keys with +7 cents, inserts the negated mod-5 twins; any
+    // unchanged-but-rewritten row the snapshot diff failed to drop would
+    // add rows and break the hash
+    "q189_versioned_changes" ->
+      """WITH c AS (
+           SELECT o_orderkey AS k,
+             cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS cents
+           FROM orders)
+         SELECT k AS o_orderkey, 'update' AS change_type,
+           cast(cents + 7 as bigint) AS cents
+         FROM c WHERE k % 3 = 0
+         UNION ALL
+         SELECT -k - 1, 'insert', cents FROM c WHERE k % 5 = 0""",
   )
 }

@@ -337,4 +337,34 @@ class VersionedSpec extends SparkSpec {
     // opt-in over-delivery is available and documented
     assert(vt.readDelta("t", vPre - 1, vPost, strict = false).count() >= 1)
   }
+
+  test("changesBetween classifies insert/update/delete across an overwrite; drops unchanged") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"))
+    // overwrite: 1 unchanged, 2 updated, 3 deleted, 9 inserted
+    vt.commit("t", Seq((1L, "a"), (2L, "B"), (4L, "d"), (9L, "z")).toDF("k", "v"))
+    val ch = vt.changesBetween("t", 1L, 2L, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch === Set((2L, "update", "B"), (3L, "delete", "c"), (9L, "insert", "z")))
+    // across a MERGE boundary (where readDelta refuses): rewritten-but-
+    // unchanged rows must NOT surface
+    val vt2 = new Versioned(spark, tmpRoot())
+    vt2.commit("m", Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "p"))
+    vt2.mergeByKey("m", Seq((2L, 99L), (7L, 70L)).toDF("k", "p"), "k")
+    intercept[IllegalStateException] { vt2.readDelta("m", 1L, 2L) }
+    val ch2 = vt2.changesBetween("m", 1L, 2L, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ch2 === Set((2L, "update", 99L), (7L, "insert", 70L)))
+  }
+
+  test("changesBetween aligns evolved schemas: absent columns read null, not error") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    vt.mergeByKey("t", Seq((2L, "b", "x"), (3L, "c", "y")).toDF("k", "v", "extra"), "k")
+    val ch = vt.changesBetween("t", 1L, 2L, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    // key 1 untouched and schema-aligned (old extra = null = new extra for
+    // absent rows is not generated); key 2 gains extra=x; key 3 inserts
+    assert(ch === Set((2L, "update", "b", "x"), (3L, "insert", "c", "y")))
+  }
 }
