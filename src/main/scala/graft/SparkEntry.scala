@@ -2340,6 +2340,57 @@ object SparkEntry {
       .select(col("o_orderkey"), col("change_type"), col("cents"))
   }
 
+  /** VERSIONED POINT LOOKUP with parquet-BLOOM file skipping end-to-end:
+    * commit orders hash-distributed over 8 files (every file spans the full
+    * key range, so the manifest min/max prune keeps all 8 — the regime
+    * where range stats are useless), then readPoint the min and max keys.
+    * Stage wrote parquet bloom pages for the key column; readPoint consults
+    * them footer-only and opens ~1 file per probe instead of 8 (no false
+    * negatives, so results stay exact — VersionedSpec pins the actual file
+    * counts; this query pins the end-to-end result). */
+  private def q191_versioned_point(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val vt = new Versioned(s, java.nio.file.Files.createTempDirectory("graft_pt").toString)
+    val base = Tables.orders(s, dir).select(col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .repartition(8)
+    vt.commit("orders_pt", base, statsCol = Some("o_orderkey"))
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    vt.readPoint("orders_pt", "o_orderkey", lo).select(lit("lo").as("probe"), col("o_orderkey"), col("cents"))
+      .unionAll(vt.readPoint("orders_pt", "o_orderkey", hi)
+        .select(lit("hi").as("probe"), col("o_orderkey"), col("cents")))
+  }
+
+  /** UNICODE TEXT CLEANING, oracle-proven cross-engine: synthesize dirty
+    * strings with closed-form zero-width pollution (ZWSP × id mod 4, BOM on
+    * id mod 5 = 0) and decomposed combining sequences (acute × id mod 3
+    * after an 'e'), then clean with TextOps.cleanText — zero-width strip +
+    * codegen'd NFC canonical composition (custom Expression; Spark has no
+    * normalization builtin and a UDF would break whole-stage codegen).
+    * DuckDB recomputes with its own independent UAX #15 implementation
+    * (`nfc_normalize`), so the cleaned STRING itself is hash-compared —
+    * composition, strip order (a zero-width between base and mark blocks
+    * composition), and codepoint counts must all agree exactly. The ingest
+    * normalization every dedup pipeline needs: visually identical text
+    * becomes byte-identical BEFORE hashing. */
+  private def q190_unicode_clean(s: SparkSession, dir: String): DataFrame = {
+    val zwsp = "\u200B"; val acute = "\u0301"; val bom = "\uFEFF"
+    val dirty = concat(lit("ab"),
+      expr(s"repeat('$zwsp', cast(doc_id % 4 as int))"),
+      lit("e"),
+      expr(s"repeat('$acute', cast(doc_id % 3 as int))"),
+      lit("c"),
+      when(col("doc_id") % 5 === 0, lit(bom)).otherwise(lit("")))
+    par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        length(col("dirty")).cast("long").as("chars_before"),
+        TextOps.cleanText(col("dirty")).as("clean"))
+      .select(col("doc_id"), col("chars_before"),
+        length(col("clean")).cast("long").as("chars_after"), col("clean"))
+  }
+
   /** REAL G.711 COMPANDED-AUDIO DECODE, oracle-proven: genuine RIFF/WAVE
     * payloads with format code 7 (μ-law, even ids) or 6 (A-law, odd ids),
     * one code byte per sample, expanded to linear 16-bit by the public
@@ -3253,6 +3304,8 @@ object SparkEntry {
     "q187_video_frames" -> (q187_video_frames _),
     "q188_audio_g711" -> (q188_audio_g711 _),
     "q189_versioned_changes" -> (q189_versioned_changes _),
+    "q190_unicode_clean" -> (q190_unicode_clean _),
+    "q191_versioned_point" -> (q191_versioned_point _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5052,5 +5105,34 @@ object SparkEntry {
          FROM c WHERE k % 3 = 0
          UNION ALL
          SELECT -k - 1, 'insert', cents FROM c WHERE k % 5 = 0""",
+    // q190: DuckDB's own UAX #15 nfc_normalize recomputes the cleaning —
+    // the cleaned string itself is hash-compared, so composition and the
+    // zero-width strip must agree codepoint-for-codepoint across engines
+    "q190_unicode_clean" ->
+      """WITH d AS (
+           SELECT doc_id,
+             'ab' || repeat(chr(8203), cast(doc_id % 4 as int)) || 'e' ||
+             repeat(chr(769), cast(doc_id % 3 as int)) || 'c' ||
+             (CASE WHEN doc_id % 5 = 0 THEN chr(65279) ELSE '' END) AS dirty
+           FROM documents),
+         c AS (
+           SELECT doc_id, dirty,
+             nfc_normalize(regexp_replace(dirty,
+               '[' || chr(8203) || chr(65279) || ']', '', 'g')) AS clean
+           FROM d)
+         SELECT doc_id, cast(length(dirty) as bigint) AS chars_before,
+           cast(length(clean) as bigint) AS chars_after, clean
+         FROM c""",
+    // q191: the two point rows by key arithmetic; a bloom false NEGATIVE
+    // (impossible by construction) would drop a row and break the hash
+    "q191_versioned_point" ->
+      """WITH c AS (
+           SELECT o_orderkey,
+             cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS cents
+           FROM orders),
+         b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM c)
+         SELECT 'lo' AS probe, o_orderkey, cents FROM c, b WHERE o_orderkey = lo
+         UNION ALL
+         SELECT 'hi', o_orderkey, cents FROM c, b WHERE o_orderkey = hi""",
   )
 }

@@ -84,4 +84,27 @@ object StringAlgs {
     val d = prev(n)
     if (d <= k) d else -1
   }
+
+  /** Unicode NFC canonical composition (java.text.Normalizer — the same
+    * UAX #15 algorithm DuckDB's `nfc_normalize` implements, which is what
+    * makes the q190 oracle cross-engine exact). ASCII fast path: NFC is
+    * the identity on pure-ASCII bytes, so the common case never converts
+    * to java.lang.String at all. */
+  def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0L
+    var ascii = true
+    while (ascii && i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else {
+      val j = s.toString
+      val out = java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC)
+      if (out.equals(j)) s else UTF8String.fromString(out)
+    }
+  }
 }

@@ -41,4 +41,30 @@ object StringExprs {
   def bounded_levenshtein(a: Column, b: Column, k: Int): Column =
     ColumnBridge.column(BoundedLevenshtein(
       ColumnBridge.expression(a), ColumnBridge.expression(b), k))
+
+  /** `nfc_normalize(s)`: Unicode canonical composition (UAX #15 NFC) as a
+    * codegen'd expression — Spark has no normalization builtin, and a Scala
+    * UDF would break whole-stage codegen in the text-cleaning hot path.
+    * Kernel in [[StringAlgs.nfc]] (ASCII fast path: identity, no
+    * conversion). */
+  case class NfcNormalize(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got $t")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override protected def nullSafeEval(s: Any): Any =
+      StringAlgs.nfc(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.StringAlgs.nfc($c)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def nfc_normalize(s: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
 }

@@ -326,6 +326,56 @@ class Versioned(val spark: SparkSession, val root: String,
       case _ => true // foreign/absent stats: cannot skip safely
     }.map(e => abs(table, e.rel))
 
+  /** POINT-LOOKUP READ with parquet-bloom file skipping: first the manifest
+    * min/max prune, then each surviving file's footer BLOOM pages (written
+    * at stage time for the stats column) are consulted and files whose
+    * blooms say definitely-absent are skipped without reading a data page.
+    * This is the skip min/max can't provide: hash-distributed keys make
+    * every file span the whole key range, yet a point key lives in ~one
+    * file — bloom skipping turns the 1-of-N lookup from N file scans into
+    * ~1 (fpp per file, default 1%). Blooms have no false negatives and
+    * files without bloom pages always pass, so the result equals
+    * `read(table).filter(col === value)` exactly; the row predicate is
+    * re-applied regardless. */
+  def readPoint(table: String, statsCol: String, value: Long): DataFrame = {
+    val v = latestVersion(table).getOrElse(
+      throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+    val files = pointFiles(table, v, statsCol, value)
+    val df =
+      if (files.isEmpty) readVersion(table, v).limit(0) // schema-only
+      else spark.read.parquet(files: _*)
+    df.filter(org.apache.spark.sql.functions.col(statsCol) === value)
+  }
+
+  /** The files [[readPoint]] would open (spec hook): min/max candidates
+    * minus bloom-rejected files. Footer-only IO per candidate. */
+  private[io] def pointFiles(table: String, v: Long, statsCol: String,
+                             value: Long): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    prunedFiles(table, v, statsCol, value, value).filter { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        reader.getFooter.getBlocks.asScala.exists { block =>
+          block.getColumns.asScala.find(_.getPath.toDotString == statsCol) match {
+            case Some(cc) =>
+              val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+              if (bf == null) true // no bloom pages: cannot skip safely
+              else cc.getPrimitiveType.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT64 => bf.findHash(bf.hash(value))
+                case PrimitiveTypeName.INT32 =>
+                  value == value.toInt.toLong && bf.findHash(bf.hash(value.toInt))
+                case _ => true // non-integer physical type: pass through
+              }
+            case None => true
+          }
+        }
+      } finally reader.close()
+    }
+  }
+
   /** Read the latest snapshot — pinned at call time: commits that land after
     * the manifest is chosen do not affect this DataFrame's files. */
   def read(table: String, mergeSchema: Boolean = false): DataFrame = {
@@ -345,7 +395,13 @@ class Versioned(val spark: SparkSession, val root: String,
                         statsCol: Option[String] = None): Seq[String] = {
     val commitId = f"c${System.nanoTime()}%x-${(math.abs(scala.util.Random.nextLong()) % 0xffffff)}%06x"
     val dir = new Path(dataDir(table), commitId)
-    df.write.parquet(dir.toString)
+    // when a stats column is declared, also write parquet BLOOM pages for it
+    // (native parquet-mr feature) — [[readPoint]] consults them for
+    // file-level skipping that min/max ranges can't give (hash-distributed
+    // keys span every file's range)
+    statsCol.fold(df.write)(c =>
+        df.write.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(dir.toString)
     val f = fs(dir)
     f.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") || n.startsWith("part-"))

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Unicode text cleaning for ingest normalization (q190): strip the
+    * zero-width characters that survive scraping (ZWSP U+200B, ZWNJ U+200C,
+    * ZWJ U+200D, BOM/ZWNBSP U+FEFF) and canonically compose combining
+    * sequences (NFC via the codegen'd [[graft.functions.StringExprs
+    * .nfc_normalize]]) — so visually identical strings become byte-identical
+    * BEFORE exact/near dedup hashes them apart. Strip-then-normalize order
+    * matters: a zero-width char between a base and its combining mark blocks
+    * composition. Pure column expressions, no shuffle. */
+  def cleanText(text: Column): Column =
+    graft.functions.StringExprs.nfc_normalize(
+      regexp_replace(text, "[\u200B\u200C\u200D\uFEFF]", ""))
+
   /** Whitespace tokenization. `split` on \s+ yields a leading "" for texts
     * with leading whitespace; `filter` drops empties so the count is stable.
     */

@@ -338,6 +338,27 @@ class VersionedSpec extends SparkSpec {
     assert(vt.readDelta("t", vPre - 1, vPost, strict = false).count() >= 1)
   }
 
+  test("readPoint: parquet-bloom file skipping where min/max cannot prune") {
+    val vt = new Versioned(spark, tmpRoot())
+    // hash-distributed EVEN keys across 6 files: every file spans the whole
+    // range, so min/max pruning keeps all 6 for any in-range point
+    val df = spark.range(0, 5000).select(
+      (col("id") * 2).as("k"), (col("id") % 97).as("p")).repartition(6)
+    vt.commit("t", df, statsCol = Some("k"))
+    val all = vt.prunedFiles("t", 1L, "k", 4000L, 4000L)
+    assert(all.size === 6, "min/max keeps every file for an in-range point")
+    // present key: no false negatives — exact result, file containing it kept
+    val hit = vt.readPoint("t", "k", 4000L).collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((4000L, (2000L % 97))))
+    // absent keys (odd, in-range): blooms reject; statistically ≥ half of
+    // the 20×6 candidate files must be skipped (fpp 1% ⇒ expected ~119/120
+    // skipped; P[fail] astronomically small), and results stay exact (empty)
+    val probes = (1 to 20).map(i => 4000L + 2 * i - 1)
+    val kept = probes.map(p => vt.pointFiles("t", 1L, "k", p).size).sum
+    assert(kept <= 60, s"bloom skipping ineffective: kept $kept of 120 candidate files")
+    probes.foreach(p => assert(vt.readPoint("t", "k", p).count() === 0L))
+  }
+
   test("changesBetween classifies insert/update/delete across an overwrite; drops unchanged") {
     val vt = new Versioned(spark, tmpRoot())
     vt.commit("t", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"))

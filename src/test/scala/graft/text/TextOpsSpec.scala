@@ -55,4 +55,19 @@ class TextOpsSpec extends SparkSpec {
     val h = Seq("abc").toDF("t").select(TextOps.fingerprintMd5($"t")).head().getString(0)
     assert(h === "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("cleanText: zero-width strip + NFC composition; strip order unblocks composition") {
+    def clean(s: String): String =
+      Seq(s).toDF("t").select(TextOps.cleanText($"t")).head().getString(0)
+    assert(clean("abc") === "abc") // ASCII identity (fast path)
+    assert(clean("e\u0301") === "\u00e9") // decomposed -> composed e-acute
+    // a zero-width char BETWEEN base and mark: strip must run first, or
+    // NFC cannot compose across it
+    assert(clean("e\u200b\u0301") === "\u00e9")
+    assert(clean("A\u200b\u200c\u200d\ufeffB") === "AB")
+    // double accent: only the first composes (e-acute + combining acute remains)
+    assert(clean("\u00e9\u0301") === "\u00e9\u0301")
+    // already-NFC text with real non-ASCII passes through unchanged
+    assert(clean("caf\u00e9 na\u00efve") === "caf\u00e9 na\u00efve")
+  }
 }
