@@ -301,6 +301,53 @@ class Versioned(val spark: SparkSession, val root: String,
       .select(col(keyCol) +: col("change_type") +: valueCols.map(c => col(s"__vals.$c").as(c)): _*)
   }
 
+  /** CHECKPOINTED INCREMENTAL DRAIN — the read-side half of the no-bus
+    * streaming story (the write side is [[commitAppendTxn]]): process every
+    * append delta landed since the last drain, one version per `process`
+    * call, advancing a durable progress marker only AFTER the call returns.
+    * Semantics: at-least-once on its own (a crash between `process` and the
+    * marker write replays that one version); exactly-once END TO END when
+    * `process` writes through an idempotent sink keyed by the version —
+    * e.g. `commitAppendTxn(out, df, appId, version)`, whose txn watermark
+    * absorbs the replay. Strict append-only: a compaction/overwrite/merge
+    * boundary raises (via [[readDelta]] strict) instead of re-delivering
+    * rewritten rows — re-sync from a snapshot and a fresh checkpoint, the
+    * same contract as any changelog consumer. Single consumer per
+    * checkpoint dir (the marker is last-writer-wins by design).
+    * Returns the number of versions processed. */
+  def drainDeltas(table: String, checkpointDir: String)
+                 (process: (DataFrame, Long) => Unit): Int = {
+    val dir = new Path(checkpointDir)
+    val marker = new Path(dir, "progress")
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val from: Long =
+      if (f.exists(marker)) {
+        val in = f.open(marker)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } else 0L
+    val latest = latestVersion(table).getOrElse(return 0)
+    var processed = 0
+    var v = from + 1
+    while (v <= latest) {
+      process(readDelta(table, v - 1, v), v)
+      // tmp + overwrite-rename: the marker is a single tiny file; a torn
+      // write is impossible to observe (rename is atomic per file)
+      val tmp = new Path(dir, s".progress.tmp")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      f.delete(marker, false)
+      if (!f.rename(tmp, marker))
+        throw new java.io.IOException(s"drainDeltas: checkpoint rename failed at v$v")
+      processed += 1
+      v += 1
+    }
+    processed
+  }
+
   /** DATA-SKIPPING READ: only the files whose manifest [min, max] on
     * `statsCol` overlaps [lo, hi] (files without stats are always read —
     * skipping is an optimization, never a filter). The row-level predicate

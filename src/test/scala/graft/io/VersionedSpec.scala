@@ -338,6 +338,51 @@ class VersionedSpec extends SparkSpec {
     assert(vt.readDelta("t", vPre - 1, vPost, strict = false).count() >= 1)
   }
 
+  test("drainDeltas: checkpointed resume, crash replay, exactly-once composition") {
+    val vt = new Versioned(spark, tmpRoot())
+    val cp = tmpRoot()
+    vt.commit("src", Seq((1L, "a")).toDF("k", "v"))
+    vt.commitAppend("src", Seq((2L, "b")).toDF("k", "v"))
+    vt.commitAppend("src", Seq((3L, "c")).toDF("k", "v"))
+    // first drain: the initial snapshot (v1) and both deltas, in order
+    var seen = Vector.empty[(Long, Set[Long])]
+    assert(vt.drainDeltas("src", cp) { (df, v) =>
+      seen :+= (v, df.select("k").as[Long].collect().toSet)
+    } === 3)
+    assert(seen === Vector((1L, Set(1L)), (2L, Set(2L)), (3L, Set(3L))))
+    // idle drain: nothing new, nothing processed
+    assert(vt.drainDeltas("src", cp)((_, _) => fail("must not process")) === 0)
+    // new append: exactly that one version drains
+    vt.commitAppend("src", Seq((4L, "d")).toDF("k", "v"))
+    assert(vt.drainDeltas("src", cp) { (df, v) =>
+      assert(v === 4L && df.count() === 1)
+    } === 1)
+    // crash mid-drain: marker not advanced for the failed version → replayed
+    vt.commitAppend("src", Seq((5L, "e")).toDF("k", "v"))
+    vt.commitAppend("src", Seq((6L, "f")).toDF("k", "v"))
+    intercept[RuntimeException] {
+      vt.drainDeltas("src", cp)((_, v) => if (v == 6L) sys.error("crash") )
+    }
+    var replayed = Vector.empty[Long]
+    assert(vt.drainDeltas("src", cp)((_, v) => replayed :+= v) === 1)
+    assert(replayed === Vector(6L), "only the un-acked version replays")
+    // exactly-once end-to-end: process writes through commitAppendTxn keyed
+    // by the drained version; a LOST CHECKPOINT replays deltas but the txn
+    // watermark absorbs them — no duplicate rows in the sink
+    val out = new Versioned(spark, tmpRoot())
+    val cp2 = tmpRoot()
+    def pump(): Unit = vt.drainDeltas("src", cp2) { (df, v) =>
+      out.commitAppendTxn("sink", df, "drain", v)
+    }
+    pump()
+    assert(out.read("sink").count() === 6)
+    // simulate a torn consumer: wipe the checkpoint, re-drain EVERYTHING
+    val f = new java.io.File(cp2, "progress")
+    assert(f.delete())
+    pump()
+    assert(out.read("sink").count() === 6, "txn watermark must absorb the full replay")
+  }
+
   test("readPoint: parquet-bloom file skipping where min/max cannot prune") {
     val vt = new Versioned(spark, tmpRoot())
     // hash-distributed EVEN keys across 6 files: every file spans the whole
