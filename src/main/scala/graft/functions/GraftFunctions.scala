@@ -64,6 +64,10 @@ object GraftFunctions {
         LshExprs.HyperplaneBuckets(vec, intArg(tables, "tables"), intArg(nbits, "nbits"))
       case args => throw new IllegalArgumentException(s"hyperplane_buckets(vec, tables, nbits): got ${args.length} args")
     }),
+    ("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition (UAX #15)", {
+      case Seq(s) => StringExprs.NfcNormalize(s)
+      case args => throw new IllegalArgumentException(s"nfc_normalize(s): got ${args.length} args")
+    }),
     ("bounded_levenshtein", "bounded_levenshtein(a, b, k) - edit distance if <= k else -1", {
       case Seq(a, b, k) => StringExprs.BoundedLevenshtein(a, b, intArg(k, "k"))
       case args => throw new IllegalArgumentException(s"bounded_levenshtein(a, b, k): got ${args.length} args")

@@ -106,6 +106,8 @@ class SimilaritySpec extends SparkSpec {
       .createOrReplaceTempView("emb_sql")
     assert(math.abs(spark.sql("SELECT cosine_sim(embedding, embedding) AS c FROM emb_sql")
       .head().getDouble(0) - 1.0) < 1e-12)
+    // nfc_normalize from SQL: decomposed e + combining acute composes
+    assert(spark.sql("SELECT nfc_normalize('e\u0301') AS s").head().getString(0) === "\u00e9")
   }
 
   test("spark.sql.extensions entry point injects the custom functions into a fresh session") {
