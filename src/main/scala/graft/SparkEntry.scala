@@ -3112,6 +3112,58 @@ object SparkEntry {
       .select(col("key"), col("as_of"), col("version"), col("cents"))
   }
 
+  /** BACKWARD AS-OF JOIN ([[graft.ops.Temporal.asofJoinBackward]]) — each
+    * purchase is enriched with the latest prior-or-simultaneous view/click
+    * signal of the same user (quotes pre-deduped to one row per (user, ts)
+    * by max(value), the as-of well-definedness contract). The operator is a
+    * single union + per-user window — ONE shuffle on user_id, no range
+    * theta-join — while the oracle recomputes it with DuckDB's native ASOF
+    * LEFT JOIN: two entirely independent formulations of the inclusive
+    * backward-match semantics, hash-compared row-for-row including the
+    * matched row's own timestamp and the no-prior-quote null arm.
+    */
+  private def q192_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("trade_id"), col("user_id"),
+        col("ts"), col("value").as("trade_val"))
+    val quotes = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"), col("ts").as("quote_ts"))
+      .agg(max(col("value")).as("last_quote"))
+    graft.ops.Temporal.asofJoinBackward(
+      trades, quotes, keys = Seq("user_id"),
+      leftTime = "ts", rightTime = "quote_ts",
+      payloadCols = Seq("quote_ts", "last_quote"))
+  }
+
+  /** BINNED INTERVAL JOIN ([[graft.ops.Temporal.binnedIntervalJoin]]) —
+    * promotion windows derived from a 1-in-97 sample of orders (length =
+    * key mod 30 days) collect the lineitem shipments that fall inside them,
+    * then aggregate per window. The join is an EQUI-join on 30-day calendar
+    * bins with the exact BETWEEN as residual (expansion ≤ 2 rows per
+    * interval); the oracle IS the theta-join (`d BETWEEN s AND e`) that
+    * this plan refuses to execute as a nested loop. Dates travel as epoch
+    * days (exact long arithmetic) and return as dates at the end.
+    */
+  private def q193_interval_join(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val iv = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("ik"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("sd"))
+      .withColumn("ed", col("sd") + pmod(col("ik"), lit(30L)))
+    val pts = Tables.lineitem(s, dir)
+      .select(datediff(col("l_shipdate"), epoch).cast("long").as("pd"),
+        col("l_quantity").cast("long").as("qty"))
+    graft.ops.Temporal.binnedIntervalJoin(pts, "pd", iv, "sd", "ed", binWidth = 30L)
+      .groupBy(col("ik"), col("sd"), col("ed"))
+      .agg(count(lit(1)).as("n_ship"), sum(col("qty")).as("sum_qty"))
+      .select(col("ik"),
+        date_add(epoch, col("sd").cast("int")).as("win_start"),
+        date_add(epoch, col("ed").cast("int")).as("win_end"),
+        col("n_ship"), col("sum_qty"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3306,6 +3358,8 @@ object SparkEntry {
     "q189_versioned_changes" -> (q189_versioned_changes _),
     "q190_unicode_clean" -> (q190_unicode_clean _),
     "q191_versioned_point" -> (q191_versioned_point _),
+    "q192_asof_join" -> (q192_asof_join _),
+    "q193_interval_join" -> (q193_interval_join _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5134,5 +5188,32 @@ object SparkEntry {
          SELECT 'lo' AS probe, o_orderkey, cents FROM c, b WHERE o_orderkey = lo
          UNION ALL
          SELECT 'hi', o_orderkey, cents FROM c, b WHERE o_orderkey = hi""",
+    // q192: DuckDB's NATIVE ASOF LEFT JOIN recomputes the backward match —
+    // an independent implementation of the same inclusive <= semantics the
+    // union+window plan produces; the matched quote_ts rides in the hash
+    "q192_asof_join" ->
+      """WITH quotes AS (
+           SELECT user_id, ts AS quote_ts, max(value) AS last_quote
+           FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+         trades AS (
+           SELECT event_id AS trade_id, user_id, ts, value AS trade_val
+           FROM events WHERE event_type = 'purchase')
+         SELECT t.trade_id, t.user_id, t.ts, t.trade_val,
+           q.quote_ts, q.last_quote
+         FROM trades t ASOF LEFT JOIN quotes q
+           ON t.user_id = q.user_id AND t.ts >= q.quote_ts""",
+    // q193: the oracle IS the range theta-join the binned plan avoids
+    "q193_interval_join" ->
+      """WITH iv AS (
+           SELECT o_orderkey AS ik, cast(o_orderdate as date) AS win_start,
+             cast(o_orderdate as date) + cast(o_orderkey % 30 as int) AS win_end
+           FROM orders WHERE o_orderkey % 97 = 0),
+         pt AS (
+           SELECT cast(l_shipdate as date) AS d, cast(l_quantity as bigint) AS qty
+           FROM lineitem)
+         SELECT ik, win_start, win_end,
+           cast(count(*) as bigint) AS n_ship, cast(sum(qty) as bigint) AS sum_qty
+         FROM iv JOIN pt ON d BETWEEN win_start AND win_end
+         GROUP BY 1, 2, 3""",
   )
 }
