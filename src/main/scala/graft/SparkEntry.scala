@@ -3164,6 +3164,48 @@ object SparkEntry {
         col("n_ship"), col("sum_qty"))
   }
 
+  /** SEQUENCE PACKING (concat-and-chunk, the GPT-style training-data
+    * loader): documents concatenate in doc_id order into one token stream
+    * cut every L=512 tokens; each doc reports the packs it lands in
+    * (first/last/count) and its offset inside its first pack. All of it is
+    * pure arithmetic on the EXCLUSIVE PREFIX SUM of token counts — and the
+    * prefix sum is computed hierarchically, never as one global-order
+    * window: docs bucket into ≤1025 id-range chunks (width from max id, a
+    * 1-row scalar), per-chunk sums roll up in an O(chunks) window, and each
+    * doc adds a chunk-partitioned within-window — the same
+    * domain-bounded-or-partition-parallel window discipline as q182. At
+    * 100 TB the chunk width grows with the corpus, so the rollup stays
+    * ~1k rows no matter how many documents exist. Zero-token docs are
+    * excluded (they occupy no stream position — both engines agree by
+    * construction). The oracle recomputes with DuckDB's global-order
+    * window, which is exactly the single-task plan this implementation
+    * refuses to run.
+    */
+  private def q195_seq_pack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 512L
+    val docs = par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val chunkW = math.max(maxId / 1024L, 1L)
+    val chunked = docs.withColumn("chunk", expr(s"doc_id div $chunkW"))
+    val carried = chunked.groupBy(col("chunk")).agg(sum(col("nt")).as("ctoks"))
+      .withColumn("carried", coalesce(sum(col("ctoks")).over(
+        Window.orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("carried"))
+    val within = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunked.join(broadcast(carried), "chunk")
+      .withColumn("cb", col("carried") + coalesce(sum(col("nt")).over(within), lit(0L)))
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        expr(s"cb div $L").as("pack_first"),
+        expr(s"(cb + nt - 1) div $L").as("pack_last"),
+        expr(s"(cb + nt - 1) div $L - cb div $L + 1").as("n_packs"),
+        expr(s"cb % $L").as("pack_off"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3360,6 +3402,7 @@ object SparkEntry {
     "q191_versioned_point" -> (q191_versioned_point _),
     "q192_asof_join" -> (q192_asof_join _),
     "q193_interval_join" -> (q193_interval_join _),
+    "q195_seq_pack" -> (q195_seq_pack _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5215,5 +5258,26 @@ object SparkEntry {
            cast(count(*) as bigint) AS n_ship, cast(sum(qty) as bigint) AS sum_qty
          FROM iv JOIN pt ON d BETWEEN win_start AND win_end
          GROUP BY 1, 2, 3""",
+    // q195: DuckDB recomputes the packing with the GLOBAL-order window the
+    // Spark plan deliberately avoids — same exclusive prefix sum, same
+    // integer pack arithmetic
+    "q195_seq_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+             cast(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) as bigint) AS nt
+           FROM documents),
+         f AS (SELECT doc_id, nt FROM d WHERE nt > 0),
+         c AS (
+           SELECT doc_id, nt,
+             cast(coalesce(sum(nt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS cb
+           FROM f)
+         SELECT doc_id, nt AS n_tokens,
+           cb // 512 AS pack_first,
+           (cb + nt - 1) // 512 AS pack_last,
+           (cb + nt - 1) // 512 - cb // 512 + 1 AS n_packs,
+           cb % 512 AS pack_off
+         FROM c""",
   )
 }
