@@ -3206,6 +3206,41 @@ object SparkEntry {
         expr(s"cb % $L").as("pack_off"))
   }
 
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
+    * ([[graft.io.Versioned.changesWithImages]] →
+    * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
+    * materialize the per-group COUNT/SUM view from v1, then commit a v2
+    * that DELETES every ≡0 mod 11 key, UPDATES every surviving ≡0 mod 3
+    * key (+7 cents — and every ≡0 mod 21 key also MIGRATES to the next
+    * group, the case that breaks after-image-only feeds), and INSERTS a
+    * negated twin for every ≡0 mod 5 key. The query refreshes the view
+    * purely from the before/after change feed — O(changes)+O(groups), the
+    * base table is never rescanned — while the oracle recomputes the v2
+    * aggregate from scratch: any sign error, missed migration arm, or
+    * dropped zero-count group breaks the hash.
+    */
+  private def q194_incremental_view(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val vt = new Versioned(s, java.nio.file.Files.createTempDirectory("graft_ivm").toString)
+    val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      pmod(col("o_orderkey"), lit(7L)).as("grp"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    vt.commit("orders_ivm", base) // v1
+    val survivors = base.filter(col("k") % 11 =!= 0)
+      .withColumn("cents", when(col("k") % 3 === 0, col("cents") + 7).otherwise(col("cents")))
+      .withColumn("grp", when(col("k") % 21 === 0, pmod(col("grp") + 1, lit(7L)))
+        .otherwise(col("grp")))
+    val inserts = base.filter(col("k") % 5 === 0)
+      .select((-col("k") - 1).as("k"), pmod(-col("k") - 1, lit(7L)).as("grp"), col("cents"))
+    vt.commit("orders_ivm", survivors.unionByName(inserts)) // v2 (overwrite)
+    val view1 = vt.readVersion("orders_ivm", 1L)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_val"))
+    graft.ops.Incremental.applyCountSumDeltas(
+        view1, vt.changesWithImages("orders_ivm", 1L, 2L, "k"), "grp", "cents")
+      .select(col("grp"), col("n_rows"), col("sum_val").as("sum_cents"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3402,6 +3437,7 @@ object SparkEntry {
     "q191_versioned_point" -> (q191_versioned_point _),
     "q192_asof_join" -> (q192_asof_join _),
     "q193_interval_join" -> (q193_interval_join _),
+    "q194_incremental_view" -> (q194_incremental_view _),
     "q195_seq_pack" -> (q195_seq_pack _),
   )
 
@@ -5258,6 +5294,24 @@ object SparkEntry {
            cast(count(*) as bigint) AS n_ship, cast(sum(qty) as bigint) AS sum_qty
          FROM iv JOIN pt ON d BETWEEN win_start AND win_end
          GROUP BY 1, 2, 3""",
+    // q194: the oracle recomputes the v2 state from the key arithmetic and
+    // aggregates it FROM SCRATCH — the incremental path must land exactly
+    // there. Negative-key inserts exercise pmod vs remainder semantics.
+    "q194_incremental_view" ->
+      """WITH c AS (
+           SELECT o_orderkey AS k,
+             cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS cents
+           FROM orders),
+         fin AS (
+           SELECT k,
+             CASE WHEN k % 21 = 0 THEN (k % 7 + 1) % 7 ELSE k % 7 END AS grp,
+             CASE WHEN k % 3 = 0 THEN cents + 7 ELSE cents END AS cents
+           FROM c WHERE k % 11 <> 0
+           UNION ALL
+           SELECT -k - 1, ((-k - 1) % 7 + 7) % 7, cents FROM c WHERE k % 5 = 0)
+         SELECT grp, cast(count(*) as bigint) AS n_rows,
+           cast(sum(cents) as bigint) AS sum_cents
+         FROM fin GROUP BY 1""",
     // q195: DuckDB recomputes the packing with the GLOBAL-order window the
     // Spark plan deliberately avoids — same exclusive prefix sum, same
     // integer pack arithmetic

@@ -273,6 +273,36 @@ class Versioned(val spark: SparkSession, val root: String,
     * the struct comparison happens post-join with no extra shuffle. */
   def changesBetween(table: String, fromV: Long, toV: Long, keyCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    val (diff, valueCols) = snapshotDiff(table, fromV, toV, keyCol)
+    diff
+      .withColumn("__vals",
+        when(col("__k_new").isNotNull, col("__v_new")).otherwise(col("__v_old")))
+      .select(col(keyCol) +: col("change_type") +:
+        valueCols.map(c => col(s"__vals.$c").as(c)): _*)
+  }
+
+  /** [[changesBetween]] with BOTH row images: every value column `c` comes
+    * back twice, `c_before` (null for inserts) and `c_after` (null for
+    * deletes) — the shape downstream INCREMENTAL VIEW MAINTENANCE needs,
+    * because maintaining an aggregate under updates requires subtracting
+    * the old contribution and adding the new one (see
+    * [[graft.ops.Incremental]]). Same single full-outer sort-merge join as
+    * [[changesBetween]]; the two images ride as two structs, no extra
+    * shuffle. */
+  def changesWithImages(table: String, fromV: Long, toV: Long, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (diff, valueCols) = snapshotDiff(table, fromV, toV, keyCol)
+    diff.select(col(keyCol) +: col("change_type") +:
+      (valueCols.map(c => col(s"__v_old.$c").as(s"${c}_before")) ++
+       valueCols.map(c => col(s"__v_new.$c").as(s"${c}_after"))): _*)
+  }
+
+  /** Shared core of the two change feeds: the classified full-outer
+    * snapshot diff, with `__v_old`/`__v_new` structs still attached.
+    * Returns the diff and the value-column names. */
+  private def snapshotDiff(table: String, fromV: Long, toV: Long,
+      keyCol: String): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions._
     val o0 = readVersion(table, fromV, mergeSchema = true)
     val n0 = readVersion(table, toV, mergeSchema = true)
     val allCols = {
@@ -289,16 +319,14 @@ class Versioned(val spark: SparkSession, val root: String,
       struct(valueCols.map(col): _*).as("__v_old"))
     val n = aligned(n0).select(col(keyCol).as("__k_new"),
       struct(valueCols.map(col): _*).as("__v_new"))
-    o.join(n, col("__k_old") === col("__k_new"), "full_outer")
+    val diff = o.join(n, col("__k_old") === col("__k_new"), "full_outer")
       .withColumn("change_type",
         when(col("__k_old").isNull, lit("insert"))
           .when(col("__k_new").isNull, lit("delete"))
           .when(!(col("__v_old") <=> col("__v_new")), lit("update")))
       .filter(col("change_type").isNotNull) // unchanged rows drop out
       .withColumn(keyCol, coalesce(col("__k_new"), col("__k_old")))
-      .withColumn("__vals",
-        when(col("__k_new").isNotNull, col("__v_new")).otherwise(col("__v_old")))
-      .select(col(keyCol) +: col("change_type") +: valueCols.map(c => col(s"__vals.$c").as(c)): _*)
+    (diff, valueCols)
   }
 
   /** CHECKPOINTED INCREMENTAL DRAIN — the read-side half of the no-bus
