@@ -3206,6 +3206,41 @@ object SparkEntry {
         expr(s"cb % $L").as("pack_off"))
   }
 
+  /** RANGE-JOIN OPTIMIZER RULE end-to-end ([[graft.plans.RangeJoinRule]]):
+    * the SAME interval-join semantics as q193, but the plan is written the
+    * way a user naturally writes it — a plain theta-join
+    * `sd <= pd AND pd <= ed` — and the Catalyst rule (injected via
+    * `SparkSessionExtensions` / `extraOptimizations`, conf-gated bin width)
+    * rewrites it into the binned equi-join AUTOMATICALLY. Vanilla Spark
+    * plans this condition as a BroadcastNestedLoopJoin — O(|lineitem| ×
+    * |windows|) comparisons; the rewrite makes it a shuffle-on-bin
+    * equi-join with the band as residual (RangeJoinRuleSpec pins the plan
+    * shape and the guard set). Runs on an isolated `newSession()` so the
+    * conf gate never leaks into sibling queries' plans. The oracle is the
+    * theta-join itself in DuckDB. Different sample (1-in-89) and width
+    * (45 d) than q193, so the two queries cannot mask each other.
+    */
+  private def q196_range_join_rule(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    graft.plans.RangeJoinRule.install(s, binWidth = 45L)
+    val epoch = to_date(lit("1970-01-01"))
+    val iv = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey").as("ik"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("sd"))
+      .withColumn("ed", col("sd") + pmod(col("ik"), lit(45L)))
+    val pts = Tables.lineitem(s, dir)
+      .select(datediff(col("l_shipdate"), epoch).cast("long").as("pd"),
+        col("l_quantity").cast("long").as("qty"))
+    pts.join(iv, col("sd") <= col("pd") && col("pd") <= col("ed"))
+      .groupBy(col("ik"), col("sd"), col("ed"))
+      .agg(count(lit(1)).as("n_ship"), sum(col("qty")).as("sum_qty"))
+      .select(col("ik"),
+        date_add(epoch, col("sd").cast("int")).as("win_start"),
+        date_add(epoch, col("ed").cast("int")).as("win_end"),
+        col("n_ship"), col("sum_qty"))
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3439,6 +3474,7 @@ object SparkEntry {
     "q193_interval_join" -> (q193_interval_join _),
     "q194_incremental_view" -> (q194_incremental_view _),
     "q195_seq_pack" -> (q195_seq_pack _),
+    "q196_range_join_rule" -> (q196_range_join_rule _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5333,5 +5369,19 @@ object SparkEntry {
            (cb + nt - 1) // 512 - cb // 512 + 1 AS n_packs,
            cb % 512 AS pack_off
          FROM c""",
+    // q196: the oracle IS the theta-join the user wrote — the optimizer
+    // rule must preserve it exactly while deleting the nested loop
+    "q196_range_join_rule" ->
+      """WITH iv AS (
+           SELECT o_orderkey AS ik, cast(o_orderdate as date) AS win_start,
+             cast(o_orderdate as date) + cast(o_orderkey % 45 as int) AS win_end
+           FROM orders WHERE o_orderkey % 89 = 0),
+         pt AS (
+           SELECT cast(l_shipdate as date) AS d, cast(l_quantity as bigint) AS qty
+           FROM lineitem)
+         SELECT ik, win_start, win_end,
+           cast(count(*) as bigint) AS n_ship, cast(sum(qty) as bigint) AS sum_qty
+         FROM iv JOIN pt ON d BETWEEN win_start AND win_end
+         GROUP BY 1, 2, 3""",
   )
 }

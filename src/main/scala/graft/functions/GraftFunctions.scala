@@ -92,7 +92,13 @@ object GraftFunctions {
 
 /** `spark.sql.extensions=graft.functions.GraftSparkExtensions` — standard
   * extensions hook: every session built on the cluster gets the custom
-  * functions without calling [[GraftFunctions.registerAll]]. */
+  * functions AND the graft optimizer rules without calling
+  * [[GraftFunctions.registerAll]]. The range-join rule is conf-gated
+  * ([[graft.plans.RangeJoinRule.BinWidthConf]]), so injecting it is free
+  * until a session opts in with a bin width. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.injectAll(ext)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.injectAll(ext)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
