@@ -3241,6 +3241,30 @@ object SparkEntry {
         col("n_ship"), col("sum_qty"))
   }
 
+  /** BM25 RETRIEVAL ([[graft.text.Retrieval.bm25TopK]]) — the lexical
+    * ranking half of a hybrid-retrieval stack, run corpus-side: four query
+    * term-bags are derived from the corpus itself (top-32 df tokens via
+    * TakeOrderedAndProject — no global sort — grouped by token length mod
+    * 4), and every document is scored against each query with the
+    * engine-portable [[graft.text.Retrieval.RationalIdf]] mode, whose
+    * score is ALL long arithmetic — so DuckDB reproduces it bit-for-bit,
+    * ranks included. The posting fact is pruned to query terms by a
+    * broadcast join before anything wide happens; RetrievalSpec pins both
+    * idf modes against an independent scalar reference.
+    */
+  private def q197_bm25_topk(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    val qterms = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(32)
+      .select(pmod(length(col("token")), lit(4)).cast("long").as("query_id"),
+        col("token"))
+    graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+      qterms, "query_id", "token", k = 10, mode = graft.text.Retrieval.RationalIdf)
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3475,6 +3499,7 @@ object SparkEntry {
     "q194_incremental_view" -> (q194_incremental_view _),
     "q195_seq_pack" -> (q195_seq_pack _),
     "q196_range_join_rule" -> (q196_range_join_rule _),
+    "q197_bm25_topk" -> (q197_bm25_topk _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5383,5 +5408,37 @@ object SparkEntry {
            cast(count(*) as bigint) AS n_ship, cast(sum(qty) as bigint) AS sum_qty
          FROM iv JOIN pt ON d BETWEEN win_start AND win_end
          GROUP BY 1, 2, 3""",
+    // q197: RationalIdf BM25 is pure long arithmetic with floor division —
+    // the oracle recomputes scores AND ranks bit-identically (idf =
+    // (2N-2df+1)e6/(2df+1), tfpart = 22·tf·S·e6/(10·tf·S+3·S+9·dl·N))
+    "q197_bm25_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+             x -> len(x) > 0)) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, cast(count(*) as bigint) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, cast(count(*) as bigint) AS dl FROM tok GROUP BY 1),
+         df AS (SELECT t, cast(count(*) as bigint) AS df
+                FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY 1),
+         tot AS (SELECT cast(count(DISTINCT doc_id) as bigint) AS n,
+                   cast(count(*) as bigint) AS s FROM tok),
+         q AS (SELECT cast(len(t) % 4 as bigint) AS query_id, t
+               FROM (SELECT t FROM df ORDER BY df DESC, t ASC LIMIT 32)),
+         m AS (
+           SELECT q.query_id, tf.doc_id,
+             (((2*n - 2*df.df + 1) * 1000000 // (2*df.df + 1)) *
+              ((22*tf.tf*s) * 1000000 // (10*tf.tf*s + 3*s + 9*dl.dl*n)))
+               // 1000000 AS c
+           FROM tf JOIN q ON tf.t = q.t JOIN df ON tf.t = df.t
+             JOIN dl ON tf.doc_id = dl.doc_id, tot),
+         sc AS (SELECT query_id, doc_id, cast(sum(c) as bigint) AS score,
+                  cast(count(*) as bigint) AS n_terms
+                FROM m GROUP BY 1, 2)
+         SELECT query_id, doc_id, score, n_terms, rank FROM (
+           SELECT query_id, doc_id, score, n_terms,
+             cast(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) as bigint) AS rank
+           FROM sc) t
+         WHERE rank <= 10""",
   )
 }

@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "q175_versioned_merge" -> "three 1-row slice aggregates unioned",
     "q176_versioned_delta" -> "four 1-row increment aggregates unioned",
     "q181_corpus_shuffle" -> "rank pivot runs inside 16 shard partitions; flagged only when AQE coalesces the tiny test input to one partition",
-    "q195_seq_pack" -> "global window over the <=1025 chunk-sum rows only (chunk width scales with max id); doc cumsum is chunk-partitioned")
+    "q195_seq_pack" -> "global window over the <=1025 chunk-sum rows only (chunk width scales with max id); doc cumsum is chunk-partitioned",
+    "q197_bm25_topk" -> "the SinglePartition exchange is the 32-row query-term limit (per-task top-32 first); the ranking window itself hash-partitions by query_id")
 
   private def audit(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sfDir)
