@@ -3265,6 +3265,26 @@ object SparkEntry {
       qterms, "query_id", "token", k = 10, mode = graft.text.Retrieval.RationalIdf)
   }
 
+  /** N-GRAM LM PERPLEXITY GATE ([[graft.text.LangModel]]) — the
+    * CCNet-style corpus quality filter: a bigram LM with count-threshold
+    * vocabulary (minCount=100 ⇒ the model is heavy-hitter bounded at any
+    * corpus scale) and add-one smoothing is trained on the deterministic
+    * 80% hash-split of documents, then every held-out document is scored
+    * under it. Exact [[graft.text.LangModel.scorePpm]] mode: each bigram
+    * contributes floor(1e6·(c12+1)/(c1+V)) in long arithmetic, so DuckDB
+    * reproduces scores bit-for-bit; the true ln-perplexity mode is pinned
+    * by LangModelSpec's scalar differential. No positional window anywhere:
+    * bigrams come off the token array as a codegen'd transform, and OOV
+    * mapping happens per-pair-side (commutes with adjacency).
+    */
+  private def q198_lm_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    val isTrain = RelOps.hashSampleFilter(col("doc_id"), 0.8)
+    val lm = graft.text.LangModel.trainBigram(
+      docs.filter(isTrain), "doc_id", "text", minCount = 100L)
+    graft.text.LangModel.scorePpm(docs.filter(!isTrain), "doc_id", "text", lm)
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3500,6 +3520,7 @@ object SparkEntry {
     "q195_seq_pack" -> (q195_seq_pack _),
     "q196_range_join_rule" -> (q196_range_join_rule _),
     "q197_bm25_topk" -> (q197_bm25_topk _),
+    "q198_lm_perplexity" -> (q198_lm_perplexity _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5440,5 +5461,39 @@ object SparkEntry {
                ORDER BY score DESC, doc_id ASC) as bigint) AS rank
            FROM sc) t
          WHERE rank <= 10""",
+    // q198: the bigram-LM likelihood is pure long arithmetic (floor-scaled
+    // add-one probs), and the 80% train split is the q83 md5 convention
+    // (0.8·65536 = 52429 = 0xcccd) — fully engine-portable
+    "q198_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS l,
+             substring(md5(cast(doc_id as varchar)), 1, 4) < 'cccd' AS is_train
+           FROM documents),
+         tok AS (SELECT doc_id, is_train, unnest(l) AS tok FROM d),
+         vocab AS (SELECT tok FROM tok WHERE is_train
+           GROUP BY tok HAVING count(*) >= 100),
+         prr AS (SELECT u.doc_id, u.is_train, u.p.w1 AS w1r, u.p.w2 AS w2r
+           FROM (SELECT doc_id, is_train,
+               unnest(list_transform(range(1, len(l)),
+                 i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+             FROM d) u),
+         pr AS (SELECT doc_id, is_train,
+             coalesce(v1.tok, '<unk>') AS w1, coalesce(v2.tok, '<unk>') AS w2
+           FROM prr LEFT JOIN vocab v1 ON prr.w1r = v1.tok
+             LEFT JOIN vocab v2 ON prr.w2r = v2.tok),
+         c12 AS (SELECT w1, w2, cast(count(*) as bigint) AS c12
+           FROM pr WHERE is_train GROUP BY 1, 2),
+         c1 AS (SELECT w1, cast(count(*) as bigint) AS c1
+           FROM pr WHERE is_train GROUP BY 1),
+         vr AS (SELECT cast(count(*) + 1 as bigint) AS v FROM vocab),
+         terms AS (SELECT p.doc_id,
+             (coalesce(c12.c12, 0) + 1) * 1000000 // (coalesce(c1.c1, 0) + v) AS t
+           FROM pr p LEFT JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
+             LEFT JOIN c1 ON p.w1 = c1.w1, vr
+           WHERE NOT p.is_train)
+         SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           cast(sum(t) as bigint) AS score_ppm,
+           cast(sum(t) as bigint) // cast(count(*) as bigint) AS mean_ppm
+         FROM terms GROUP BY 1""",
   )
 }
