@@ -375,6 +375,21 @@ object SparkEntry {
     Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"), k = 5)
   }
 
+  /** IVF-PQ quantized ANN ([[graft.sim.Similarity.pqTopK]]) — the
+    * compressed-index scale path past q43's IVF: the corpus is stored as
+    * m=8 sub-codes + a norm (≈16 bytes/row vs 256 for raw float vectors),
+    * candidates are ranked by codegen'd ADC table lookups with only codes
+    * crossing the probe join, and the exact re-rank touches true vectors
+    * solely through a broadcast semi-join on the shortlist. Recall < 1 ⇒
+    * rows-only; exact twin q38_ann_brute, recall bound in PqSpec.
+    */
+  private def q199_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    val queries = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.pqTopK(queries, emb.select("vec_id", "embedding"), k = 5)
+  }
+
   /** Order-sensitive rolling fingerprint (xxhash64 fold; no SQL oracle). */
   private def q40_fingerprint_rolling(s: SparkSession, dir: String): DataFrame =
     par(s, Tables.documents(s, dir)).select(col("doc_id"), TextOps.fingerprintRolling(col("text")).as("fp"))
@@ -3521,6 +3536,7 @@ object SparkEntry {
     "q196_range_join_rule" -> (q196_range_join_rule _),
     "q197_bm25_topk" -> (q197_bm25_topk _),
     "q198_lm_perplexity" -> (q198_lm_perplexity _),
+    "q199_ann_ivfpq" -> (q199_ann_ivfpq _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -3623,7 +3639,8 @@ object SparkEntry {
     "q43_ann_ivf" -> "exact twin q38_ann_brute; SimilaritySpec recall bound",
     "q50_media_features" -> "declared codec stub (no media libs in sandbox); q59 oracle-checks the plumbing",
     "q69_approx_quantiles" -> "exact twin q58_quantiles; Round3Spec bounds sketch error",
-    "q70_hll_union" -> "exact twin q23_count_distinct; Round3Spec bounds union error")
+    "q70_hll_union" -> "exact twin q23_count_distinct; Round3Spec bounds union error",
+    "q199_ann_ivfpq" -> "exact twin q38_ann_brute; PqSpec exhaustive-regime identity + planted recall bound")
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->

@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "q153_label_agreement" -> "RETIRED brute-force oracle twin of q163",
     "q38_ann_brute" -> "designed brute baseline: |Q|-bounded query set broadcast against the corpus (DESIGN: the |Q|-small regime)",
     "q43_ann_ivf" -> "nprobe-cell candidate join against the nlist-bounded centroid dim",
+    "q199_ann_ivfpq" -> "probe pass crossJoins the nlist-bounded centroid dim (broadcast); codes-only cell join and broadcast re-rank are equi-joins",
     "q135_source_overlap" -> "O(sources^2) matrix over per-source 1-row-per-source aggregates")
 
   /** Queries allowed a single-partition (unpartitioned ORDER BY) window and
