@@ -3300,6 +3300,28 @@ object SparkEntry {
     graft.text.LangModel.scorePpm(docs.filter(!isTrain), "doc_id", "text", lm)
   }
 
+  /** Z-ORDER CLUSTERED LAYOUT + MULTI-COLUMN BOX SKIPPING
+    * ([[graft.io.Versioned.commitZOrdered]] → `readPrunedBox`): lineitem is
+    * committed range-partitioned on the Morton interleave of
+    * (l_partkey, l_suppkey) with per-file min/max for BOTH columns in the
+    * manifest, then a 2-D box is answered through the pruned reader —
+    * ZOrderSpec measures the datum (a 1/64-volume box opens 1 of 64 files
+    * vs 8 for either single-column sort); the oracle recomputes the box
+    * relationally, so a prune that drops a live file breaks the hash.
+    */
+  private def q200_zorder_box(s: SparkSession, dir: String): DataFrame = {
+    val vt = new graft.io.Versioned(
+      s, java.nio.file.Files.createTempDirectory("graft_zo").toString)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    vt.commitZOrdered("li_z", li, Seq("l_partkey", "l_suppkey"), numFiles = 16)
+    vt.readPrunedBox("li_z", Seq(("l_partkey", 20L, 149L), ("l_suppkey", 2L, 7L)))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3537,6 +3559,7 @@ object SparkEntry {
     "q197_bm25_topk" -> (q197_bm25_topk _),
     "q198_lm_perplexity" -> (q198_lm_perplexity _),
     "q199_ann_ivfpq" -> (q199_ann_ivfpq _),
+    "q200_zorder_box" -> (q200_zorder_box _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5512,5 +5535,14 @@ object SparkEntry {
            cast(sum(t) as bigint) AS score_ppm,
            cast(sum(t) as bigint) // cast(count(*) as bigint) AS mean_ppm
          FROM terms GROUP BY 1""",
+    // q200: the pruned box read must equal the plain relational box — file
+    // skipping is invisible to results by contract
+    "q200_zorder_box" ->
+      """SELECT l_suppkey, cast(count(*) as bigint) AS n_rows,
+           cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+           cast(count(DISTINCT l_orderkey) as bigint) AS n_orders
+         FROM lineitem
+         WHERE l_partkey BETWEEN 20 AND 149 AND l_suppkey BETWEEN 2 AND 7
+         GROUP BY 1""",
   )
 }

@@ -148,17 +148,23 @@ class Versioned(val spark: SparkSession, val root: String,
   private val BasePrefix = "#base "
   private val CommitPrefix = "#commit "
 
-  /** One manifest data entry: a file plus its optional skipping stats. */
-  case class FileEntry(rel: String, stats: Option[(String, Long, Long)]) {
-    def line: String = stats match {
-      case Some((c, lo, hi)) => s"$rel|$c|$lo|$hi"
-      case None => rel
-    }
+  /** One manifest data entry: a file plus its skipping stats — zero or
+    * more (column, min, max) triples (`rel|c1|lo1|hi1|c2|lo2|hi2|…`; the
+    * pre-multi-stats single-triple form parses unchanged). */
+  case class FileEntry(rel: String, stats: Seq[(String, Long, Long)]) {
+    def line: String =
+      (rel +: stats.flatMap { case (c, lo, hi) => Seq(c, lo.toString, hi.toString) })
+        .mkString("|")
+    def statsFor(c: String): Option[(Long, Long)] =
+      stats.collectFirst { case (`c`, lo, hi) => (lo, hi) }
   }
 
-  private def parseEntry(line: String): FileEntry = line.split('|') match {
-    case Array(rel, c, lo, hi) => FileEntry(rel, Some((c, lo.toLong, hi.toLong)))
-    case _ => FileEntry(line, None)
+  private def parseEntry(line: String): FileEntry = {
+    val parts = line.split('|')
+    if (parts.length < 4 || (parts.length - 1) % 3 != 0) FileEntry(line, Nil)
+    else FileEntry(parts.head, parts.tail.grouped(3).map {
+      case Array(c, lo, hi) => (c, lo.toLong, hi.toLong)
+    }.toSeq)
   }
 
   private def dataEntries(lines: Seq[String]): Seq[FileEntry] =
@@ -392,13 +398,40 @@ class Versioned(val spark: SparkSession, val root: String,
     df.filter(org.apache.spark.sql.functions.col(statsCol).between(lo, hi))
   }
 
+  /** MULTI-COLUMN box read: keep rows where every (col, lo, hi) predicate
+    * holds, skipping files whose manifest stats put ANY predicate column
+    * wholly outside its box. This is what a Z-order clustered layout
+    * ([[commitZOrdered]]) is FOR: range partitioning on the interleaved
+    * z-value keeps per-file ranges narrow on EVERY clustered dimension at
+    * once, so a k-dimensional box prunes multiplicatively — single-column
+    * range layouts only ever prune their one sort dimension. */
+  def readPrunedBox(table: String, preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "readPrunedBox: at least one predicate")
+    val v = latestVersion(table).getOrElse(
+      throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+    val files = prunedFilesBox(table, v, preds)
+    val df =
+      if (files.isEmpty) readVersion(table, v).limit(0) // schema-only, no rows
+      else spark.read.parquet(files: _*)
+    import org.apache.spark.sql.functions.col
+    df.filter(preds.map { case (c, lo, hi) => col(c).between(lo, hi) }.reduce(_ && _))
+  }
+
   /** The files [[readPruned]] would open (package-visible so the spec can
     * assert skipping actually skips). */
   private[io] def prunedFiles(table: String, v: Long, statsCol: String,
                               lo: Long, hi: Long): Seq[String] =
-    resolve(table, v)._1.filter {
-      case FileEntry(_, Some((c, fLo, fHi))) if c == statsCol => fLo <= hi && fHi >= lo
-      case _ => true // foreign/absent stats: cannot skip safely
+    prunedFilesBox(table, v, Seq((statsCol, lo, hi)))
+
+  private[io] def prunedFilesBox(table: String, v: Long,
+                                 preds: Seq[(String, Long, Long)]): Seq[String] =
+    resolve(table, v)._1.filter { e =>
+      preds.forall { case (c, lo, hi) =>
+        e.statsFor(c) match {
+          case Some((fLo, fHi)) => fLo <= hi && fHi >= lo
+          case None => true // foreign/absent stats: cannot skip safely
+        }
+      }
     }.map(e => abs(table, e.rel))
 
   /** POINT-LOOKUP READ with parquet-bloom file skipping: first the manifest
@@ -467,21 +500,21 @@ class Versioned(val spark: SparkSession, val root: String,
     * simply gets no stats line and is never skipped. Package-visible so the
     * spec can pin the stage→vacuum→publish interleaving. */
   private[io] def stage(table: String, df: DataFrame,
-                        statsCol: Option[String] = None): Seq[String] = {
+                        statsCols: Seq[String] = Nil): Seq[String] = {
     val commitId = f"c${System.nanoTime()}%x-${(math.abs(scala.util.Random.nextLong()) % 0xffffff)}%06x"
     val dir = new Path(dataDir(table), commitId)
     // when a stats column is declared, also write parquet BLOOM pages for it
     // (native parquet-mr feature) — [[readPoint]] consults them for
     // file-level skipping that min/max ranges can't give (hash-distributed
     // keys span every file's range)
-    statsCol.fold(df.write)(c =>
-        df.write.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    statsCols.foldLeft(df.write)((w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true"))
       .parquet(dir.toString)
     val f = fs(dir)
     f.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") || n.startsWith("part-"))
       .map { n =>
-        val stats = statsCol.flatMap(c => footerMinMax(new Path(dir, n), c).map(mm => (c, mm._1, mm._2)))
+        val stats = statsCols.flatMap(c => footerMinMax(new Path(dir, n), c).map(mm => (c, mm._1, mm._2)))
         FileEntry(s"$commitId/$n", stats).line
       }
   }
@@ -574,8 +607,8 @@ class Versioned(val spark: SparkSession, val root: String,
     * write a FULL manifest (a truncate-rebuild is a new table generation:
     * txn watermarks reset, delta chains restart). */
   def commit(table: String, df: DataFrame, maxAttempts: Int = 10,
-             statsCol: Option[String] = None): Long = {
-    val files = stage(table, df, statsCol)
+             statsCol: Option[String] = None, statsCols: Seq[String] = Nil): Long = {
+    val files = stage(table, df, statsCol.toSeq ++ statsCols)
     var attempt = 0
     while (attempt < maxAttempts) {
       val next = latestVersion(table).getOrElse(0L) + 1L
@@ -584,6 +617,38 @@ class Versioned(val spark: SparkSession, val root: String,
     }
     throw new java.io.IOException(
       s"versioned commit of $table lost $maxAttempts races — aborting")
+  }
+
+  /** Z-ORDER CLUSTERED overwrite commit (the Delta/Iceberg
+    * `OPTIMIZE ZORDER BY` layout, [[graft.functions.ZOrder]]): rows are
+    * range-partitioned and sorted by the Morton interleave of `zCols`, so
+    * every data file covers a narrow range of EVERY clustered column and
+    * the manifest records per-file min/max for each — [[readPrunedBox]]
+    * then prunes k-dimensional box predicates multiplicatively.
+    *
+    * Cost shape: one tiny min/max agg (the bin ranges), then ONE shuffle
+    * (the range partitioner; its sampling pass rides the same scan) and a
+    * partition-local sort — exactly what a plain sorted write costs; the
+    * z-value itself is codegen'd shift/mask arithmetic inside the scan.
+    * `numFiles` sizes the layout: at 100 TB pick data-size/128 MB.
+    */
+  def commitZOrdered(table: String, df: DataFrame, zCols: Seq[String],
+                     numFiles: Int, bits: Int = 8, maxAttempts: Int = 10): Long = {
+    require(zCols.nonEmpty, "commitZOrdered: at least one z-order column")
+    require(numFiles >= 1, s"commitZOrdered: numFiles=$numFiles")
+    import org.apache.spark.sql.functions.{col, min, max}
+    val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val ranges = zCols.zipWithIndex.map { case (c, i) =>
+      if (r.isNullAt(2 * i)) (col(c), 0L, 0L) // empty/all-null input: degenerate bins
+      else (col(c), r.getLong(2 * i), r.getLong(2 * i + 1))
+    }
+    val arranged = df
+      .withColumn("__z", graft.functions.ZOrder.zvalue(ranges, bits))
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commit(table, arranged, maxAttempts, statsCols = zCols)
   }
 
   /** Manifest lines for an append of `fresh` on top of `base`: a DELTA
@@ -612,7 +677,7 @@ class Versioned(val spark: SparkSession, val root: String,
     * cannot exclude). */
   def commitAppend(table: String, df: DataFrame, maxAttempts: Int = 10,
                    statsCol: Option[String] = None): Long =
-    appendCommit(table, stage(table, df, statsCol), maxAttempts)
+    appendCommit(table, stage(table, df, statsCol.toSeq), maxAttempts)
 
   /** The metadata half of [[commitAppend]] (staged lines → committed
     * version). Package-visible: the spec drives hundreds of metadata-only
@@ -661,7 +726,7 @@ class Versioned(val spark: SparkSession, val root: String,
   def commitAppendTxn(table: String, df: DataFrame, appId: String, batchId: Long,
                       maxAttempts: Int = 10, statsCol: Option[String] = None): Option[Long] = {
     if (lastTxn(table, appId).exists(_ >= batchId)) return None
-    val fresh = stage(table, df, statsCol)
+    val fresh = stage(table, df, statsCol.toSeq)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(table)
@@ -726,9 +791,11 @@ class Versioned(val spark: SparkSession, val root: String,
       val base = latestVersion(table).getOrElse(
         throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
       val (entries, txns) = resolve(table, base)
-      val (affected, untouched) = entries.partition {
-        case FileEntry(_, Some((c, fLo, fHi))) if c == keyCol => fLo <= uHi && fHi >= uLo
-        case _ => true
+      val (affected, untouched) = entries.partition { e =>
+        e.statsFor(keyCol) match {
+          case Some((fLo, fHi)) => fLo <= uHi && fHi >= uLo
+          case None => true // no stats on the merge key: conservatively affected
+        }
       }
       val survivors =
         if (affected.isEmpty) updates
@@ -736,7 +803,7 @@ class Versioned(val spark: SparkSession, val root: String,
           .parquet(affected.map(e => abs(table, e.rel)): _*)
           .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
-      val fresh = stage(table, survivors, Some(keyCol))
+      val fresh = stage(table, survivors, Seq(keyCol))
       val markers = txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
       if (publish(table, base + 1L, untouched.map(_.line) ++ fresh ++ markers))
         return base + 1L
@@ -783,7 +850,7 @@ class Versioned(val spark: SparkSession, val root: String,
       val packed = spark.read.option("mergeSchema", "true")
         .parquet(small.map(e => abs(table, e._1.rel)): _*)
         .repartition(nOut)
-      val fresh = stage(table, packed, statsCol)
+      val fresh = stage(table, packed, statsCol.toSeq)
       val markers = txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
       if (publish(table, base + 1L, big.map(_._1.line) ++ fresh ++ markers))
         return Some((base + 1L, entries.size, big.size + fresh.size))
@@ -813,7 +880,7 @@ class Versioned(val spark: SparkSession, val root: String,
         catch { case _: java.io.FileNotFoundException => vacuumed += 1L; 0L }
       ).sum
       val txns = txnMap.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(",")
-      (v, entries.size.toLong, bytes, entries.count(_.stats.isDefined).toLong, vacuumed, txns)
+      (v, entries.size.toLong, bytes, entries.count(_.stats.nonEmpty).toLong, vacuumed, txns)
     }.toDF("version", "n_files", "n_bytes", "n_files_with_stats", "n_files_vacuumed", "txns")
   }
 
