@@ -3322,6 +3322,37 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** DELETION VECTORS end-to-end ([[graft.io.Versioned.deleteWhere]] →
+    * [[graft.io.Versioned.purgeDeletes]]): lineitem is committed once, two
+    * OVERLAPPING merge-on-read deletes land as position sidecars (zero data
+    * files rewritten — the second delete's anti-join against the first's
+    * vectors pins the no-double-delete path), then PURGE physically applies
+    * them. Three oracle-compared snapshots: v1 time-travels to the
+    * pre-delete image (deletes are version-addressed, not destructive),
+    * `mor` reads through the vectors, `purged` reads the rewrite — the
+    * oracle recomputes all three relationally, so a vector that drops the
+    * wrong position, resurrects on purge, or leaks into v1 breaks the hash. */
+  private def q201_delete_vectors(s: SparkSession, dir: String): DataFrame = {
+    val vt = new graft.io.Versioned(
+      s, java.nio.file.Files.createTempDirectory("graft_dv").toString)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+    vt.commit("li_dv", li)
+    vt.deleteWhere("li_dv", col("l_returnflag") === "R")
+    vt.deleteWhere("li_dv", col("l_quantity") >= 45)
+    def snap(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .select(lit(name).as("snapshot"), col("l_linestatus"),
+          col("n_rows"), col("sum_qty"), col("n_orders"))
+    val v1 = snap(vt.readVersion("li_dv", 1L), "v1")
+    val mor = snap(vt.read("li_dv"), "mor")
+    vt.purgeDeletes("li_dv")
+    v1.unionAll(mor).unionAll(snap(vt.read("li_dv"), "purged"))
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3560,6 +3591,7 @@ object SparkEntry {
     "q198_lm_perplexity" -> (q198_lm_perplexity _),
     "q199_ann_ivfpq" -> (q199_ann_ivfpq _),
     "q200_zorder_box" -> (q200_zorder_box _),
+    "q201_delete_vectors" -> (q201_delete_vectors _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5544,5 +5576,30 @@ object SparkEntry {
          FROM lineitem
          WHERE l_partkey BETWEEN 20 AND 149 AND l_suppkey BETWEEN 2 AND 7
          GROUP BY 1""",
+    // q201: three snapshots — pre-delete (v1), merge-on-read (mor), and
+    // post-purge (purged); the latter two must agree exactly
+    "q201_delete_vectors" ->
+      """WITH agg AS (
+           SELECT l_linestatus,
+             cast(count(*) as bigint) AS n_rows,
+             cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+             cast(count(DISTINCT l_orderkey) as bigint) AS n_orders,
+             TRUE AS live
+           FROM lineitem GROUP BY 1
+           UNION ALL
+           SELECT l_linestatus,
+             cast(count(*) as bigint), cast(sum(cast(l_quantity as bigint)) as bigint),
+             cast(count(DISTINCT l_orderkey) as bigint), FALSE
+           FROM lineitem
+           WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 45)
+           GROUP BY 1)
+         SELECT 'v1' AS snapshot, l_linestatus, n_rows, sum_qty, n_orders
+           FROM agg WHERE live
+         UNION ALL
+         SELECT 'mor', l_linestatus, n_rows, sum_qty, n_orders
+           FROM agg WHERE NOT live
+         UNION ALL
+         SELECT 'purged', l_linestatus, n_rows, sum_qty, n_orders
+           FROM agg WHERE NOT live""",
   )
 }

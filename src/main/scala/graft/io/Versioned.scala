@@ -147,6 +147,7 @@ class Versioned(val spark: SparkSession, val root: String,
   private val TxnPrefix = "#txn "
   private val BasePrefix = "#base "
   private val CommitPrefix = "#commit "
+  private val DvPrefix = "#dv "
 
   /** One manifest data entry: a file plus its skipping stats — zero or
     * more (column, min, max) triples (`rel|c1|lo1|hi1|c2|lo2|hi2|…`; the
@@ -181,21 +182,33 @@ class Versioned(val spark: SparkSession, val root: String,
       l.stripPrefix(BasePrefix).trim.toLong
     }
 
-  private type Memo = scala.collection.mutable.Map[Long, (Seq[FileEntry], Map[String, Long])]
+  private def dvLines(lines: Seq[String]): Seq[String] =
+    lines.collect { case l if l.startsWith(DvPrefix) => l.stripPrefix(DvPrefix).trim }
+
+  /** One resolved snapshot: data files, txn watermarks, and the DELETION
+    * VECTOR sidecars that apply to it (relative paths of parquet files of
+    * (`__dv_file`, `__dv_pos`) deleted positions — see [[deleteWhere]]). */
+  private[io] case class Snap(entries: Seq[FileEntry], txns: Map[String, Long],
+                              dvs: Seq[String])
+
+  private type Memo = scala.collection.mutable.Map[Long, Snap]
   private def newMemo: Memo = scala.collection.mutable.Map.empty
 
   /** Resolve a version's SNAPSHOT: follow the `#base` chain (≤
-    * `checkpointInterval` hops by construction) accumulating file entries
-    * and txn watermarks (later markers win). The memo amortizes shared
-    * prefixes when resolving many versions ([[history]], [[vacuum]]). */
-  private def resolve(table: String, v: Long, memo: Memo = newMemo): (Seq[FileEntry], Map[String, Long]) =
+    * `checkpointInterval` hops by construction) accumulating file entries,
+    * txn watermarks (later markers win), and deletion-vector sidecars. The
+    * memo amortizes shared prefixes when resolving many versions
+    * ([[history]], [[vacuum]]). */
+  private[io] def resolve(table: String, v: Long, memo: Memo = newMemo): Snap =
     memo.getOrElseUpdate(v, {
       val lines = readManifest(table, v)
-      val (baseEntries, baseTxns) = baseOf(lines) match {
+      val base = baseOf(lines) match {
         case Some(b) => resolve(table, b, memo)
-        case None => (Seq.empty[FileEntry], Map.empty[String, Long])
+        case None => Snap(Nil, Map.empty, Nil)
       }
-      (baseEntries ++ dataEntries(lines), baseTxns ++ txnLines(lines))
+      Snap(base.entries ++ dataEntries(lines),
+        base.txns ++ txnLines(lines),
+        base.dvs ++ dvLines(lines))
     })
 
   /** Manifests read to resolve `v` (spec hook: chains stay bounded). */
@@ -207,22 +220,22 @@ class Versioned(val spark: SparkSession, val root: String,
 
   /** The files of one immutable snapshot (absolute paths). */
   def snapshotFiles(table: String, v: Long): Seq[String] =
-    resolve(table, v)._1.map(e => abs(table, e.rel))
+    resolve(table, v).entries.map(e => abs(table, e.rel))
 
   /** Highest batchId this writer appId has committed, per the latest
     * manifest (None: never committed, or history was overwrite-reset). */
   def lastTxn(table: String, appId: String): Option[Long] =
-    latestVersion(table).flatMap(v => resolve(table, v)._2.get(appId))
+    latestVersion(table).flatMap(v => resolve(table, v).txns.get(appId))
 
   /** Read a pinned version (time travel). `mergeSchema=true` unions the
     * schemas of all snapshot files — the schema-EVOLUTION read: an append
     * that added columns surfaces them (older files yield nulls), exactly
     * Spark's parquet mergeSchema semantics applied to the manifest's file
     * set. Default stays cheap (first-file schema). */
-  def readVersion(table: String, v: Long, mergeSchema: Boolean = false): DataFrame =
-    spark.read
-      .option("mergeSchema", mergeSchema.toString)
-      .parquet(snapshotFiles(table, v): _*)
+  def readVersion(table: String, v: Long, mergeSchema: Boolean = false): DataFrame = {
+    val snap = resolve(table, v)
+    readWithDvs(table, snap.entries.map(e => abs(table, e.rel)), snap.dvs, mergeSchema)
+  }
 
   /** INCREMENTAL CONSUMPTION (the CDC-read / Delta `startingVersion` idea):
     * the rows ADDED between two versions, computed as a manifest file-set
@@ -240,10 +253,14 @@ class Versioned(val spark: SparkSession, val root: String,
     require(fromVersionExclusive <= toVersion,
       s"readDelta: from=$fromVersionExclusive > to=$toVersion")
     val memo = newMemo
-    val toRels = resolve(table, toVersion, memo)._1.map(_.rel)
-    val fromRels =
-      if (fromVersionExclusive <= 0L) Set.empty[String]
-      else resolve(table, fromVersionExclusive, memo)._1.map(_.rel).toSet
+    val toSnap = resolve(table, toVersion, memo)
+    val toRels = toSnap.entries.map(_.rel)
+    val (fromRels, fromDvs) =
+      if (fromVersionExclusive <= 0L) (Set.empty[String], Set.empty[String])
+      else {
+        val s = resolve(table, fromVersionExclusive, memo)
+        (s.entries.map(_.rel).toSet, s.dvs.toSet)
+      }
     val toSet = toRels.toSet
     if (strict && !fromRels.subsetOf(toSet)) {
       val gone = (fromRels -- toSet).size
@@ -254,9 +271,28 @@ class Versioned(val spark: SparkSession, val root: String,
         "would over-deliver their rows as new. Re-sync from a full snapshot " +
         "(readVersion) or pass strict=false to accept the over-delivery.")
     }
-    val added = toRels.filterNot(fromRels).map(abs(table, _))
+    val added = toRels.filterNot(fromRels)
+    // Deletion-vector boundary: sidecars added in the window are fine when
+    // they only hit files ALSO added in the window (the rows come and go
+    // inside the delta — delivering file∖dv is the exact net). A new dv row
+    // on a PRE-EXISTING file means a row the consumer already saw was
+    // deleted, which an added-rows feed cannot express — strict refuses.
+    val newDvs = toSnap.dvs.filterNot(fromDvs)
+    if (strict && newDvs.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val addedSet = added.toSet
+      val hitsOld = spark.read.parquet(newDvs.map(abs(table, _)): _*)
+        .select("__dv_file").distinct().collect()
+        .exists(r => !addedSet.contains(r.getString(0)))
+      if (hitsOld) throw new IllegalStateException(
+        s"readDelta($table, $fromVersionExclusive, $toVersion): non-append boundary — " +
+        "a deletion vector landed on a file of the FROM snapshot between the " +
+        "versions, so rows already delivered were deleted and an added-rows feed " +
+        "cannot express that. Re-sync from a full snapshot (readVersion) or pass " +
+        "strict=false to ignore the deletions.")
+    }
     if (added.isEmpty) readVersion(table, toVersion).limit(0) // schema, no rows
-    else spark.read.option("mergeSchema", mergeSchema.toString).parquet(added: _*)
+    else readWithDvs(table, added.map(abs(table, _)), toSnap.dvs, mergeSchema)
   }
 
   /** ROW-LEVEL CHANGE FEED between two snapshots, keyed by `keyCol` — the
@@ -394,7 +430,7 @@ class Versioned(val spark: SparkSession, val root: String,
     val files = prunedFiles(table, v, statsCol, lo, hi)
     val df =
       if (files.isEmpty) readVersion(table, v).limit(0) // schema-only, no rows
-      else spark.read.parquet(files: _*)
+      else readWithDvs(table, files, resolve(table, v).dvs, mergeSchema = false)
     df.filter(org.apache.spark.sql.functions.col(statsCol).between(lo, hi))
   }
 
@@ -412,7 +448,7 @@ class Versioned(val spark: SparkSession, val root: String,
     val files = prunedFilesBox(table, v, preds)
     val df =
       if (files.isEmpty) readVersion(table, v).limit(0) // schema-only, no rows
-      else spark.read.parquet(files: _*)
+      else readWithDvs(table, files, resolve(table, v).dvs, mergeSchema = false)
     import org.apache.spark.sql.functions.col
     df.filter(preds.map { case (c, lo, hi) => col(c).between(lo, hi) }.reduce(_ && _))
   }
@@ -425,7 +461,7 @@ class Versioned(val spark: SparkSession, val root: String,
 
   private[io] def prunedFilesBox(table: String, v: Long,
                                  preds: Seq[(String, Long, Long)]): Seq[String] =
-    resolve(table, v)._1.filter { e =>
+    resolve(table, v).entries.filter { e =>
       preds.forall { case (c, lo, hi) =>
         e.statsFor(c) match {
           case Some((fLo, fHi)) => fLo <= hi && fHi >= lo
@@ -451,7 +487,7 @@ class Versioned(val spark: SparkSession, val root: String,
     val files = pointFiles(table, v, statsCol, value)
     val df =
       if (files.isEmpty) readVersion(table, v).limit(0) // schema-only
-      else spark.read.parquet(files: _*)
+      else readWithDvs(table, files, resolve(table, v).dvs, mergeSchema = false)
     df.filter(org.apache.spark.sql.functions.col(statsCol) === value)
   }
 
@@ -490,6 +526,157 @@ class Versioned(val spark: SparkSession, val root: String,
     val v = latestVersion(table).getOrElse(
       throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
     readVersion(table, v, mergeSchema)
+  }
+
+  // ------------------------------------------------ deletion vectors
+  // Merge-on-read DELETEs (the public Delta deletion-vector / Iceberg
+  // positional-delete idea): a delete writes a tiny SIDECAR parquet of
+  // (data file, row position) pairs and an O(1) delta manifest — no data
+  // file is rewritten. Readers subtract the positions with one anti-join
+  // whose build side is the (small) deletion set; tables without deletions
+  // pay literally nothing (the plain parquet scan is returned untouched).
+  // At 100 TB this is the difference between "delete 0.1% of rows" costing
+  // O(deleted) and costing a copy-on-write rewrite of every touched file —
+  // the physical rewrite still exists, but as an explicitly scheduled
+  // maintenance op ([[purgeDeletes]]), not a tax on every delete.
+
+  /** A data/sidecar file's manifest-relative path (`commitId/fileName`)
+    * derived from the `_metadata.file_path` URI — the join key between a
+    * scanned row and its deletion-vector entries. Path-layout based
+    * (files always live at `data/<commitId>/<name>`), so DV contents stay
+    * relocatable like the manifests themselves. */
+  private def relOfPath(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val parts = split(pathCol, "/")
+    concat_ws("/", element_at(parts, -2), element_at(parts, -1))
+  }
+
+  /** Scan `files` with the snapshot's deletion vectors applied: rows whose
+    * (file, position) appears in a sidecar are subtracted by a LEFT ANTI
+    * join on the codegen'd (rel, row_index) pair. `_metadata.row_index` is
+    * the parquet reader's stable per-file row ordinal (public Spark ≥3.5
+    * metadata column), so positions captured at delete time address the
+    * same rows forever — files are immutable once staged. No deletion
+    * vectors → the untouched scan (zero overhead on the common path). */
+  private def readWithDvs(table: String, files: Seq[String], dvs: Seq[String],
+                          mergeSchema: Boolean): DataFrame = {
+    val base = spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(files: _*)
+    if (dvs.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.col
+      val dataCols = base.columns.toSeq
+      val dv = spark.read.parquet(dvs.map(abs(table, _)): _*)
+      base
+        .select(col("*"),
+          relOfPath(col("_metadata.file_path")).as("__dv_rel"),
+          col("_metadata.row_index").as("__dv_idx"))
+        .join(dv,
+          col("__dv_rel") === dv("__dv_file") && col("__dv_idx") === dv("__dv_pos"),
+          "left_anti")
+        .select(dataCols.map(col): _*)
+    }
+  }
+
+  /** Stage a deletion-vector sidecar (rows: `__dv_file` string,
+    * `__dv_pos` long) under a fresh commit dir; returns its manifest
+    * `#dv` lines. */
+  private def stageDv(table: String, dv: DataFrame): Seq[String] = {
+    val commitId = f"d${System.nanoTime()}%x-${(math.abs(scala.util.Random.nextLong()) % 0xffffff)}%06x"
+    val dir = new Path(dataDir(table), commitId)
+    dv.write.parquet(dir.toString)
+    val f = fs(dir)
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") || n.startsWith("part-"))
+      .map(n => s"$DvPrefix$commitId/$n")
+  }
+
+  /** MERGE-ON-READ DELETE: remove the rows matching `pred` from the latest
+    * snapshot by publishing a deletion-vector sidecar — O(matching rows)
+    * written, ZERO data files rewritten, O(1) manifest lines. The scan that
+    * finds the positions is column-pruned to the predicate's columns and
+    * the predicate is pushed down; rows already deleted by earlier vectors
+    * are excluded, so re-deleting is a detected NO-OP (returns None and
+    * publishes nothing — delete converges). Returns the committed version,
+    * or None when nothing matched.
+    *
+    * OCC like [[mergeByKey]]: the positions are computed against a pinned
+    * base; losing the publish race recomputes against the winner. Physical
+    * reclamation is [[purgeDeletes]]; time travel to pre-delete versions
+    * keeps working (the sidecar is version-addressed like any file). */
+  def deleteWhere(table: String, pred: org.apache.spark.sql.Column,
+                  maxAttempts: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(table).getOrElse(
+        throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+      val snap = resolve(table, base)
+      if (snap.entries.isEmpty) return None
+      // predicate first (pushdown + pruning), THEN subtract existing
+      // vectors — only candidate rows pay the anti-join
+      val candidates = spark.read
+        .parquet(snap.entries.map(e => abs(table, e.rel)): _*)
+        .filter(pred)
+        .select(relOfPath(col("_metadata.file_path")).as("__dv_file"),
+          col("_metadata.row_index").as("__dv_pos"))
+      val doomed =
+        if (snap.dvs.isEmpty) candidates
+        else candidates.join(spark.read.parquet(snap.dvs.map(abs(table, _)): _*),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+      val fresh = stageDv(table, doomed)
+      // the count rides the footers of the files just written — no second scan
+      val nDoomed = fresh.map(_.stripPrefix(DvPrefix)).map { rel =>
+        val p = new Path(dataDir(table), rel)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+      if (nDoomed == 0L) {
+        fresh.map(_.stripPrefix(DvPrefix)).foreach(rel =>
+          fs(dataDir(table)).delete(new Path(dataDir(table), rel), false))
+        return None
+      }
+      if (publish(table, base + 1L, s"$BasePrefix$base" +: fresh))
+        return Some(base + 1L)
+      attempt += 1 // lost a race: recompute against the winner's snapshot
+    }
+    throw new java.io.IOException(
+      s"versioned delete from $table lost $maxAttempts races — aborting")
+  }
+
+  /** PURGE (the REORG PURGE maintenance op): physically apply the deletion
+    * vectors — rewrite ONLY the files that actually carry deleted rows,
+    * carry every clean file's manifest line over untouched, and drop the
+    * `#dv` lines. Returns (version, filesRewritten), or None when the table
+    * has no deletion vectors. After a purge + [[vacuum]], the sidecars and
+    * the pre-image files are reclaimed. */
+  def purgeDeletes(table: String, statsCol: Option[String] = None,
+                   maxAttempts: Int = 10): Option[(Long, Int)] = {
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(table).getOrElse(
+        throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+      val snap = resolve(table, base)
+      if (snap.dvs.isEmpty) return None
+      val dirty = spark.read.parquet(snap.dvs.map(abs(table, _)): _*)
+        .select("__dv_file").distinct().collect().map(_.getString(0)).toSet
+      val (affected, untouched) = snap.entries.partition(e => dirty.contains(e.rel))
+      val fresh =
+        if (affected.isEmpty) Nil // vectors dangle on already-rewritten files
+        else stage(table,
+          readWithDvs(table, affected.map(e => abs(table, e.rel)), snap.dvs,
+            mergeSchema = true),
+          statsCol.toSeq)
+      val markers = snap.txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
+      if (publish(table, base + 1L, untouched.map(_.line) ++ fresh ++ markers))
+        return Some((base + 1L, affected.size))
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned purge of $table lost $maxAttempts races — aborting")
   }
 
   /** Stage `df` under a fresh immutable commit dir; returns the MANIFEST
@@ -664,9 +851,9 @@ class Versioned(val spark: SparkSession, val root: String,
       case Some(b) if next % checkpointInterval != 0L =>
         s"$BasePrefix$b" +: (fresh ++ markers(txnUpdate))
       case _ => // first version, or checkpoint: materialize the full snapshot
-        val (entries, txns) = base.map(resolve(table, _))
-          .getOrElse((Seq.empty[FileEntry], Map.empty[String, Long]))
-        entries.map(_.line) ++ fresh ++ markers(txns ++ txnUpdate)
+        val snap = base.map(resolve(table, _)).getOrElse(Snap(Nil, Map.empty, Nil))
+        snap.entries.map(_.line) ++ fresh ++ snap.dvs.map(DvPrefix + _) ++
+          markers(snap.txns ++ txnUpdate)
     }
   }
 
@@ -696,7 +883,7 @@ class Versioned(val spark: SparkSession, val root: String,
       // in the base snapshot means OUR commit stands: return it.
       base.foreach { b =>
         if (freshRels.nonEmpty &&
-            freshRels.subsetOf(resolve(table, b)._1.map(_.rel).toSet)) return b
+            freshRels.subsetOf(resolve(table, b).entries.map(_.rel).toSet)) return b
       }
       val next = base.getOrElse(0L) + 1L
       if (publish(table, next, appendManifestLines(table, base, fresh, Map.empty)))
@@ -730,7 +917,7 @@ class Versioned(val spark: SparkSession, val root: String,
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(table)
-      if (base.exists(v => resolve(table, v)._2.get(appId).exists(_ >= batchId)))
+      if (base.exists(v => resolve(table, v).txns.get(appId).exists(_ >= batchId)))
         return None // raced replay: the winner already carries this batch
       val next = base.getOrElse(0L) + 1L
       if (publish(table, next, appendManifestLines(table, base, fresh, Map(appId -> batchId))))
@@ -790,22 +977,27 @@ class Versioned(val spark: SparkSession, val root: String,
     while (attempt < maxAttempts) {
       val base = latestVersion(table).getOrElse(
         throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
-      val (entries, txns) = resolve(table, base)
-      val (affected, untouched) = entries.partition { e =>
+      val snap = resolve(table, base)
+      val (affected, untouched) = snap.entries.partition { e =>
         e.statsFor(keyCol) match {
           case Some((fLo, fHi)) => fLo <= uHi && fHi >= uLo
           case None => true // no stats on the merge key: conservatively affected
         }
       }
+      // deletion vectors are APPLIED to the files being rewritten (else the
+      // rewrite would resurrect deleted rows) and their `#dv` lines carry
+      // forward for the untouched files they may still cover — vector rows
+      // for the rewritten files dangle harmlessly (rel names never recur)
       val survivors =
         if (affected.isEmpty) updates
-        else spark.read.option("mergeSchema", "true")
-          .parquet(affected.map(e => abs(table, e.rel)): _*)
+        else readWithDvs(table, affected.map(e => abs(table, e.rel)), snap.dvs,
+            mergeSchema = true)
           .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       val fresh = stage(table, survivors, Seq(keyCol))
-      val markers = txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
-      if (publish(table, base + 1L, untouched.map(_.line) ++ fresh ++ markers))
+      val markers = snap.txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
+      val dvCarry = if (untouched.isEmpty) Nil else snap.dvs.map(DvPrefix + _)
+      if (publish(table, base + 1L, untouched.map(_.line) ++ fresh ++ dvCarry ++ markers))
         return base + 1L
       attempt += 1 // lost a race: recompute against the winner's snapshot
     }
@@ -837,23 +1029,26 @@ class Versioned(val spark: SparkSession, val root: String,
     while (attempt < maxAttempts) {
       val base = latestVersion(table).getOrElse(
         throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
-      val (entries, txns) = resolve(table, base)
+      val snap = resolve(table, base)
       val f = fs(dataDir(table))
-      val sized = entries.map(e => e -> f.getFileStatus(new Path(abs(table, e.rel))).getLen)
+      val sized = snap.entries.map(e => e -> f.getFileStatus(new Path(abs(table, e.rel))).getLen)
       val (small, big) = sized.partition(_._2 < smallBytes)
       if (small.size < 2) return None // nothing worth packing
       val totalSmall = small.map(_._2).sum
       val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
       // mergeSchema: a schema-evolved table's small files may carry columns
       // the oldest one lacks — a first-file-schema read would silently DROP
-      // them from the rewrite (data loss); the union schema never can
-      val packed = spark.read.option("mergeSchema", "true")
-        .parquet(small.map(e => abs(table, e._1.rel)): _*)
+      // them from the rewrite (data loss); the union schema never can.
+      // Deletion vectors are applied to the files being packed (no
+      // resurrection) and carried forward for the untouched big files.
+      val packed = readWithDvs(table, small.map(e => abs(table, e._1.rel)),
+          snap.dvs, mergeSchema = true)
         .repartition(nOut)
       val fresh = stage(table, packed, statsCol.toSeq)
-      val markers = txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
-      if (publish(table, base + 1L, big.map(_._1.line) ++ fresh ++ markers))
-        return Some((base + 1L, entries.size, big.size + fresh.size))
+      val markers = snap.txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a $b" }
+      val dvCarry = if (big.isEmpty) Nil else snap.dvs.map(DvPrefix + _)
+      if (publish(table, base + 1L, big.map(_._1.line) ++ fresh ++ dvCarry ++ markers))
+        return Some((base + 1L, snap.entries.size, big.size + fresh.size))
       attempt += 1
     }
     throw new java.io.IOException(
@@ -873,14 +1068,15 @@ class Versioned(val spark: SparkSession, val root: String,
     val f = fs(dataDir(table))
     val memo = newMemo
     versions(table).map { v =>
-      val (entries, txnMap) = resolve(table, v, memo)
+      val snap = resolve(table, v, memo)
       var vacuumed = 0L
-      val bytes = entries.map(e =>
+      val bytes = snap.entries.map(e =>
         try f.getFileStatus(new Path(abs(table, e.rel))).getLen
         catch { case _: java.io.FileNotFoundException => vacuumed += 1L; 0L }
       ).sum
-      val txns = txnMap.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(",")
-      (v, entries.size.toLong, bytes, entries.count(_.stats.nonEmpty).toLong, vacuumed, txns)
+      val txns = snap.txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(",")
+      (v, snap.entries.size.toLong, bytes, snap.entries.count(_.stats.nonEmpty).toLong,
+        vacuumed, txns)
     }.toDF("version", "n_files", "n_bytes", "n_files_with_stats", "n_files_vacuumed", "txns")
   }
 
@@ -915,7 +1111,12 @@ class Versioned(val spark: SparkSession, val root: String,
       baseOf(readManifest(table, v)).foreach { b => if (keepManifests.add(b)) chase(b) }
     kept.foreach(chase)
     val drop = vs.filterNot(keepManifests)
-    val keptFiles = keepManifests.toSeq.flatMap(v => resolve(table, v, memo)._1.map(_.rel)).toSet
+    // deletion-vector sidecars are version-addressed files like any other:
+    // referenced-by-a-kept-manifest means kept
+    val keptFiles = keepManifests.toSeq.flatMap { v =>
+      val snap = resolve(table, v, memo)
+      snap.entries.map(_.rel) ++ snap.dvs
+    }.toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val f = fs(dataDir(table))
     var removedData = 0

@@ -1,0 +1,159 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deletion vectors (merge-on-read deletes): the contracts the q201 oracle
+  * cannot see — metadata-only cost shape, interaction with merge / compact /
+  * checkpoint / vacuum / readDelta, and physical purge. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-dv").toString
+
+  private def keys(vt: Versioned, t: String): Set[Long] =
+    vt.read(t).select("k").as[Long].collect().toSet
+
+  test("deleteWhere is metadata-only, version-addressed, and convergent") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"))
+    val dataFiles = vt.snapshotFiles("t", 1L).toSet
+
+    assert(vt.deleteWhere("t", col("k") % 2 === 0) === Some(2L))
+    assert(keys(vt, "t") === Set(1L, 3L, 5L, 7L, 9L))
+    // merge-on-read: the DATA file set is untouched — only a sidecar landed
+    assert(vt.snapshotFiles("t", 2L).toSet === dataFiles,
+      "a delete must not rewrite data files")
+    // time travel: the pre-delete image is intact
+    assert(vt.readVersion("t", 1L).count() === 10L)
+    // convergence: re-deleting the same predicate finds nothing — no-op,
+    // no version published
+    assert(vt.deleteWhere("t", col("k") % 2 === 0) === None)
+    assert(vt.latestVersion("t") === Some(2L))
+    // overlapping second delete records only the NOT-yet-deleted positions
+    assert(vt.deleteWhere("t", col("k") >= 4) === Some(3L))
+    assert(keys(vt, "t") === Set(1L, 3L))
+  }
+
+  test("deletes compose with appends; pruned and point reads subtract vectors") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", (1L to 100L).map(k => (k, k * 10L)).toDF("k", "p"),
+      statsCol = Some("k"))
+    vt.deleteWhere("t", col("k").between(40L, 60L))
+    vt.commitAppend("t", Seq((200L, 2000L)).toDF("k", "p"), statsCol = Some("k"))
+    assert(vt.read("t").count() === (100L - 21L) + 1L)
+    // the skipping read paths apply the vectors too (same rows as a full
+    // read + filter — the readPruned/readPoint equality contract)
+    assert(vt.readPruned("t", "k", 30L, 70L).select("k").as[Long].collect().toSet
+      === ((30L to 39L) ++ (61L to 70L)).toSet)
+    assert(vt.readPoint("t", "k", 50L).count() === 0L)
+    assert(vt.readPoint("t", "k", 61L).count() === 1L)
+  }
+
+  test("mergeByKey and compact apply vectors on rewrite — deleted rows never resurrect") {
+    val vt = new Versioned(spark, tmpRoot())
+    // two files with disjoint key ranges so the merge prunes to one
+    vt.commit("t", (1L to 50L).map(k => (k, 0L)).toDF("k", "p").coalesce(1),
+      statsCol = Some("k"))
+    vt.commitAppend("t", (100L to 150L).map(k => (k, 0L)).toDF("k", "p").coalesce(1),
+      statsCol = Some("k"))
+    // deletions land in BOTH files
+    vt.deleteWhere("t", col("k").isin(10L, 110L))
+    // merge touches only the low file (keys 1-50): its deleted row must not
+    // resurrect from the rewrite, and the untouched file's vector must
+    // carry forward
+    vt.mergeByKey("t", Seq((20L, 99L)).toDF("k", "p"), "k")
+    val after = vt.read("t")
+    assert(after.filter(col("k") === 10L).count() === 0L, "rewrite resurrected a deleted row")
+    assert(after.filter(col("k") === 110L).count() === 0L, "carried vector was dropped")
+    assert(after.filter(col("k") === 20L).select("p").as[Long].head() === 99L)
+
+    // compact: everything here is a small file — the packed rewrite must
+    // also subtract the vectors
+    vt.deleteWhere("t", col("k") === 30L)
+    val Some((_, before, afterN)) = vt.compact("t"): @unchecked
+    assert(afterN < before)
+    val packed = vt.read("t")
+    assert(packed.filter(col("k").isin(10L, 30L, 110L)).count() === 0L)
+    assert(packed.count() === 101L - 3L)
+  }
+
+  test("purgeDeletes rewrites only dirty files and drops the vectors") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", (1L to 50L).map(k => (k, 0L)).toDF("k", "p").coalesce(1),
+      statsCol = Some("k"))
+    vt.commitAppend("t", (100L to 150L).map(k => (k, 0L)).toDF("k", "p").coalesce(1),
+      statsCol = Some("k"))
+    assert(vt.purgeDeletes("t") === None, "no vectors: purge is a no-op")
+    vt.deleteWhere("t", col("k").between(1L, 5L)) // dirties only the low file
+    val cleanFile = vt.snapshotFiles("t", 2L).filterNot(vt.snapshotFiles("t", 1L).contains).head
+    val Some((v, rewritten)) = vt.purgeDeletes("t", statsCol = Some("k")): @unchecked
+    assert(rewritten === 1, "only the file carrying deletions is rewritten")
+    assert(vt.snapshotFiles("t", v).contains(cleanFile), "clean file carried over untouched")
+    assert(vt.read("t").count() === 96L)
+    assert(vt.resolve("t", v).dvs.isEmpty, "purge must drop the #dv lines")
+    // purged layout keeps skipping stats
+    assert(vt.readPruned("t", "k", 100L, 150L).count() === 51L)
+  }
+
+  test("vacuum keeps referenced sidecars; reclaims them after purge") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", (1L to 10L).map(k => (k, 0L)).toDF("k", "p"))
+    vt.deleteWhere("t", col("k") <= 3L)
+    vt.vacuum("t", keepLast = 1, retentionMs = 0L)
+    assert(keys(vt, "t") === (4L to 10L).toSet, "vacuum deleted a live sidecar")
+    val sidecars = vt.resolve("t", vt.latestVersion("t").get).dvs
+    assert(sidecars.nonEmpty)
+    vt.purgeDeletes("t")
+    vt.vacuum("t", keepLast = 1, retentionMs = 0L)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    sidecars.foreach { rel =>
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"${vt.root}/t/data/$rel")),
+        s"sidecar $rel should be reclaimed after purge + vacuum")
+    }
+    assert(keys(vt, "t") === (4L to 10L).toSet)
+  }
+
+  test("checkpoint manifests materialize the vectors; txn watermarks ride the delta chain") {
+    val vt = new Versioned(spark, tmpRoot(), checkpointInterval = 4)
+    vt.commit("t", (1L to 10L).map(k => (k, 0L)).toDF("k", "p"))   // v1
+    assert(vt.commitAppendTxn("t", Seq((11L, 0L)).toDF("k", "p"), "app", 7L).isDefined) // v2
+    vt.deleteWhere("t", col("k") <= 2L)                             // v3 (delta)
+    vt.commitAppend("t", Seq((12L, 0L)).toDF("k", "p"))             // v4 = checkpoint
+    assert(vt.chainDepth("t", 4L) === 1, "v4 must be a full (checkpoint) manifest")
+    // the full manifest carried both the vectors and the watermark
+    assert(keys(vt, "t") === ((3L to 12L)).toSet)
+    assert(vt.lastTxn("t", "app") === Some(7L))
+    // replay after the checkpoint is still absorbed
+    assert(vt.commitAppendTxn("t", Seq((99L, 0L)).toDF("k", "p"), "app", 7L) === None)
+  }
+
+  test("readDelta: a delete on already-delivered files raises; in-window deletes net out") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", (1L to 10L).map(k => (k, 0L)).toDF("k", "p"))    // v1
+    vt.commitAppend("t", (100L to 110L).map(k => (k, 0L)).toDF("k", "p")) // v2
+    // in-window: the delete hits only v2's rows → delta(1→3) is the exact net
+    vt.deleteWhere("t", col("k") >= 105L)                           // v3
+    assert(vt.readDelta("t", 1L, 3L).select("k").as[Long].collect().toSet
+      === (100L to 104L).toSet)
+    // already-delivered: a consumer at v3 has seen k<=10; deleting one of
+    // those cannot be expressed as added rows → strict refuses
+    vt.deleteWhere("t", col("k") === 1L)                            // v4
+    val e = intercept[IllegalStateException] { vt.readDelta("t", 3L, 4L) }
+    assert(e.getMessage.contains("deletion vector"))
+    // non-strict opts into ignoring it (documented over-delivery)
+    assert(vt.readDelta("t", 3L, 4L, strict = false).count() === 0L)
+  }
+
+  test("change feed sees merge-on-read deletes as row-level deletes") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    vt.deleteWhere("t", col("k") === 2L)
+    val ch = vt.changesBetween("t", 1L, 2L, "k").collect()
+    assert(ch.length === 1)
+    assert(ch.head.getAs[String]("change_type") === "delete")
+    assert(ch.head.getAs[Long]("k") === 2L)
+  }
+}
