@@ -638,12 +638,85 @@ class Versioned(val spark: SparkSession, val root: String,
           fs(dataDir(table)).delete(new Path(dataDir(table), rel), false))
         return None
       }
-      if (publish(table, base + 1L, s"$BasePrefix$base" +: fresh))
+      // appendManifestLines: O(1) delta normally, full materialization at
+      // checkpoint versions — delete-heavy histories keep bounded chains
+      if (publish(table, base + 1L, appendManifestLines(table, Some(base), fresh, Map.empty)))
         return Some(base + 1L)
       attempt += 1 // lost a race: recompute against the winner's snapshot
     }
     throw new java.io.IOException(
       s"versioned delete from $table lost $maxAttempts races — aborting")
+  }
+
+  /** MERGE-ON-READ UPDATE: rewrite the rows matching `pred` with the `set`
+    * expressions (each may reference the row's old values) as ONE atomic
+    * commit that pairs a deletion vector for the old positions with an
+    * APPEND of the updated rows — O(matched rows) written, zero files
+    * rewritten, O(1) manifest lines; the copy-on-write alternative
+    * ([[mergeByKey]]) rewrites every key-overlapping file. Returns the
+    * committed version, or None when nothing matched.
+    *
+    * The matched set is computed ONCE (one scan, predicate pushed down,
+    * existing vectors subtracted) and staged; the sidecar and the new data
+    * files are then derived from that staging read, so the deleted
+    * positions and the appended rows can never disagree. OCC like
+    * [[deleteWhere]]: a lost race recomputes against the winner. */
+  def updateWhere(table: String, pred: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  statsCol: Option[String] = None,
+                  maxAttempts: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "updateWhere: empty SET clause")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(table).getOrElse(
+        throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+      val snap = resolve(table, base)
+      if (snap.entries.isEmpty) return None
+      val dataCols = spark.read.parquet(abs(table, snap.entries.head.rel)).columns.toSeq
+      set.keys.foreach(k => require(dataCols.contains(k),
+        s"updateWhere: SET column '$k' is not in the table schema"))
+      val matchedRaw = spark.read
+        .parquet(snap.entries.map(e => abs(table, e.rel)): _*)
+        .filter(pred)
+        .select(col("*"),
+          relOfPath(col("_metadata.file_path")).as("__dv_file"),
+          col("_metadata.row_index").as("__dv_pos"))
+      val matched =
+        if (snap.dvs.isEmpty) matchedRaw
+        else matchedRaw.join(spark.read.parquet(snap.dvs.map(abs(table, _)): _*),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+      // one scan lands (old position + updated values) together in a
+      // staging dir; sidecar and data files derive from THAT, not from a
+      // second scan that might not see the same rows
+      val stagingId = f"u${System.nanoTime()}%x-${(math.abs(scala.util.Random.nextLong()) % 0xffffff)}%06x.staging"
+      val stagingDir = new Path(dataDir(table), stagingId)
+      val updated = set.foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
+      // a SET expression must not retype its column — the appended files
+      // would diverge from the snapshot's schema and poison later reads
+      dataCols.foreach { c =>
+        val (was, is) = (matched.schema(c).dataType, updated.schema(c).dataType)
+        require(was == is,
+          s"updateWhere: SET retypes column '$c' from $was to $is — cast the expression back")
+      }
+      updated.select((Seq("__dv_file", "__dv_pos") ++ dataCols).map(col): _*)
+        .write.parquet(stagingDir.toString)
+      val staged = spark.read.parquet(stagingDir.toString)
+      val nMatched = staged.count()
+      if (nMatched == 0L) {
+        fs(stagingDir).delete(stagingDir, true)
+        return None
+      }
+      val dvFresh = stageDv(table, staged.select("__dv_file", "__dv_pos"))
+      val dataFresh = stage(table, staged.select(dataCols.map(col): _*), statsCol.toSeq)
+      fs(stagingDir).delete(stagingDir, true)
+      if (publish(table, base + 1L,
+          appendManifestLines(table, Some(base), dataFresh ++ dvFresh, Map.empty)))
+        return Some(base + 1L)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned update of $table lost $maxAttempts races — aborting")
   }
 
   /** PURGE (the REORG PURGE maintenance op): physically apply the deletion

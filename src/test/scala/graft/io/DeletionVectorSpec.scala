@@ -147,6 +147,54 @@ class DeletionVectorSpec extends SparkSpec {
     assert(vt.readDelta("t", 3L, 4L, strict = false).count() === 0L)
   }
 
+  test("updateWhere: one atomic commit pairs old-position vectors with rewritten rows") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", (1L to 10L).map(k => (k, k)).toDF("k", "p"))
+    assert(vt.updateWhere("t", col("k") <= 3L, Map("p" -> (col("p") * 100L))) === Some(2L))
+    val rows = vt.read("t").select("k", "p").as[(Long, Long)].collect().toMap
+    assert(rows === (1L to 10L).map(k => k -> (if (k <= 3) k * 100 else k)).toMap)
+    assert(vt.read("t").count() === 10L, "update must not change cardinality")
+    // time travel: pre-update image intact
+    assert(vt.readVersion("t", 1L).filter(col("p") === col("k")).count() === 10L)
+    // nothing matches → no-op, no version
+    assert(vt.updateWhere("t", col("k") > 100L, Map("p" -> lit(0L))) === None)
+    assert(vt.latestVersion("t") === Some(2L))
+    // a SET that retypes the column is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      vt.updateWhere("t", col("k") === 1L, Map("p" -> lit("oops")))
+    }
+    assert(e.getMessage.contains("retypes"))
+  }
+
+  test("updateWhere skips deleted rows; purge folds updates into a clean layout") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", (1L to 10L).map(k => (k, 0L)).toDF("k", "p"))
+    vt.deleteWhere("t", col("k") === 2L)
+    vt.updateWhere("t", col("k") <= 4L, Map("p" -> lit(7L)))
+    val afterUpdate = vt.read("t")
+    assert(afterUpdate.filter(col("k") === 2L).count() === 0L,
+      "update must not resurrect a deleted row")
+    assert(afterUpdate.filter(col("p") === 7L).select("k").as[Long].collect().toSet
+      === Set(1L, 3L, 4L))
+    val Some((v, _)) = vt.purgeDeletes("t"): @unchecked
+    assert(vt.resolve("t", v).dvs.isEmpty)
+    assert(vt.read("t").filter(col("p") === 7L).count() === 3L)
+    assert(vt.read("t").count() === 9L)
+  }
+
+  test("delete/update-heavy histories stay bounded through checkpoint manifests") {
+    val vt = new Versioned(spark, tmpRoot(), checkpointInterval = 3)
+    vt.commit("t", (1L to 30L).map(k => (k, 0L)).toDF("k", "p"))
+    for (i <- 1 to 7)
+      if (i % 2 == 0) vt.deleteWhere("t", col("k") === i.toLong)
+      else vt.updateWhere("t", col("k") === (10L + i), Map("p" -> lit(i.toLong)))
+    val latest = vt.latestVersion("t").get
+    assert(vt.chainDepth("t", latest) <= 3,
+      s"chain depth ${vt.chainDepth("t", latest)} exceeds the checkpoint interval")
+    assert(vt.read("t").count() === 27L)
+    assert(vt.read("t").filter(col("p") > 0L).count() === 4L)
+  }
+
   test("change feed sees merge-on-read deletes as row-level deletes") {
     val vt = new Versioned(spark, tmpRoot())
     vt.commit("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
