@@ -3353,6 +3353,147 @@ object SparkEntry {
     v1.unionAll(mor).unionAll(snap(vt.read("li_dv"), "purged"))
   }
 
+  /** HASHED LINEAR QUALITY CLASSIFIER ([[graft.text.HashedClassifier]]):
+    * fastText-shape scoring — unigram+bigram features, hashed weights,
+    * linear sum — as pure codegen'd array expressions (zero shuffle, no
+    * UDF). The md5-surrogate weights make the score integer-exact, so the
+    * oracle recomputes feature extraction AND scoring relationally: a
+    * tokenization drift, a bigram off-by-one, or a hash-fold mismatch all
+    * break the hash. */
+  private def q204_hashed_classifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.HashedClassifier
+    par(s, Tables.documents(s, dir)).select(
+      col("doc_id"),
+      size(HashedClassifier.features(col("text"))).cast("long").as("n_feats"),
+      HashedClassifier.score(col("text")).as("score"))
+      .withColumn("accepted", col("score") > 0L)
+  }
+
+  /** MERGE-ON-READ UPDATE + DELETE composed
+    * ([[graft.io.Versioned.updateWhere]] → [[graft.io.Versioned.deleteWhere]]):
+    * an UPDATE lands as one atomic commit pairing a deletion vector for the
+    * old positions with an append of the rewritten rows (O(matched), zero
+    * file rewrites), then a delete stacks a second vector on top — the read
+    * resolves both plus the appended rows. The oracle recomputes the final
+    * state relationally (CASE for the update, WHERE for the delete), so a
+    * position pair that drifts between the vector and the append, or an
+    * update leaking onto deleted rows, breaks the hash. */
+  private def q203_mor_update(s: SparkSession, dir: String): DataFrame = {
+    val vt = new graft.io.Versioned(
+      s, java.nio.file.Files.createTempDirectory("graft_up").toString)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+    vt.commit("li_up", li)
+    vt.updateWhere("li_up", col("l_quantity") >= 45,
+      Map("l_quantity" -> (col("l_quantity") - 40)))
+    vt.deleteWhere("li_up", col("l_returnflag") === "R")
+    vt.read("li_up")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** MATERIALIZED-VIEW AUTO-REWRITE ([[graft.plans.MvRewriteRule]]): a
+    * rollup MV is registered over a lineitem projection, then a DIFFERENT
+    * query — coarser grouping, filter on a grouping column — is written
+    * against the BASE table and the optimizer rewrites it to re-aggregate
+    * the MV. The builder `require`s the optimized plan scans the MV and
+    * not the base (a silent bail would still pass the oracle — the access
+    * path is the point), while the oracle recomputes from the base
+    * relationally, so a wrong rollup algebra breaks the hash. */
+  private def q202_mv_rewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MvRewriteRule
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_mvq_base").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("graft_mvq_mv").toString
+    Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .write.mode("overwrite").parquet(baseDir)
+    val base = s.read.parquet(baseDir)
+    MvRewriteRule.install(s)
+    MvRewriteRule.create(s, "q202_li_rollup", base, mvDir,
+      groupCols = Seq("flag", "status"), aggCols = Seq("qty"))
+    val q = base.filter(col("flag") =!= "R").groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+        min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"))
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(scanned.exists(_.endsWith(mvDir)) && !scanned.exists(_.endsWith(baseDir)),
+      s"q202: the MV rewrite did not fire — scans $scanned")
+    q
+  }
+
+  /** THE FULL MV LIFECYCLE composed — create, go stale, refresh
+    * incrementally, serve again ([[graft.plans.MvRewriteRule]] +
+    * [[graft.io.Versioned]] + [[graft.ops.Incremental]]): an MV is built
+    * over a versioned table's v1 snapshot, the base then evolves through an
+    * APPEND and a key-pruned MERGE; because the rewrite's match key is the
+    * snapshot's exact file set, the stale MV silently stops firing (the
+    * builder proves it: the interim query scans the base). The refresh
+    * applies the row-level change feed to the OLD rollup — O(changes), no
+    * base rescan — re-registers against the new snapshot, and the same
+    * query rewrites onto the refreshed MV (proven again). The oracle
+    * recomputes the final aggregate relationally from the evolution
+    * definition, so a wrong delta application breaks the hash. */
+  private def q205_mv_incremental_rewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MvRewriteRule
+    import graft.ops.Incremental
+    val vt = new graft.io.Versioned(
+      s, java.nio.file.Files.createTempDirectory("graft_mvi").toString)
+    val mvDir1 = java.nio.file.Files.createTempDirectory("graft_mvi_v1").toString
+    val mvDir2 = java.nio.file.Files.createTempDirectory("graft_mvi_v2").toString
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("grp"), cents.as("v"))
+    vt.commit("t", base, statsCol = Some("k"))
+    MvRewriteRule.install(s)
+    MvRewriteRule.create(s, "q205_rollup", vt.readVersion("t", 1L), mvDir1,
+      groupCols = Seq("grp"), aggCols = Seq("v"))
+
+    def scansOf(df: DataFrame): Seq[String] = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    def query(): DataFrame = vt.read("t").groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"))
+
+    require(scansOf(query()).exists(_.endsWith(mvDir1)), "q205: v1 rewrite must fire")
+    // evolve: append late rows, then a key-pruned copy-on-write merge
+    vt.commitAppend("t",
+      base.filter(col("k") % 10 === 7)
+        .select((col("k") + 10000000L).as("k"), col("grp"), (col("v") + 5L).as("v")),
+      statsCol = Some("k"))
+    val v3 = vt.mergeByKey("t",
+      vt.read("t").filter(col("k") % 10 === 3)
+        .withColumn("v", col("v") + 1000L), "k")
+    // staleness guard: the old registration matches v1's files only
+    require(!scansOf(query()).exists(_.endsWith(mvDir1)),
+      "q205: a stale MV must never answer a fresh query")
+    // incremental refresh: old rollup + change feed → new rollup
+    val old = s.read.parquet(mvDir1)
+      .select(col("grp"), col("__cnt").as("n_rows"), col("__sum_v").as("sum_val"))
+    Incremental.applyCountSumDeltas(old, vt.changesWithImages("t", 1L, v3, "k"), "grp", "v")
+      .select(col("grp"), col("n_rows").as("__cnt"), col("sum_val").as("__sum_v"))
+      .write.mode("overwrite").parquet(mvDir2)
+    MvRewriteRule.registerExisting(s, "q205_rollup", vt.read("t"), mvDir2,
+      groupCols = Seq("grp"), countStar = "__cnt", sums = Map("v" -> "__sum_v"))
+    val q = query()
+    require(scansOf(q).exists(_.endsWith(mvDir2)),
+      "q205: the refreshed MV must serve the rewritten query")
+    q
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3592,6 +3733,10 @@ object SparkEntry {
     "q199_ann_ivfpq" -> (q199_ann_ivfpq _),
     "q200_zorder_box" -> (q200_zorder_box _),
     "q201_delete_vectors" -> (q201_delete_vectors _),
+    "q202_mv_rewrite" -> (q202_mv_rewrite _),
+    "q203_mor_update" -> (q203_mor_update _),
+    "q204_hashed_classifier" -> (q204_hashed_classifier _),
+    "q205_mv_incremental_rewrite" -> (q205_mv_incremental_rewrite _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5601,5 +5746,61 @@ object SparkEntry {
          UNION ALL
          SELECT 'purged', l_linestatus, n_rows, sum_qty, n_orders
            FROM agg WHERE NOT live""",
+    // q202: the MV-rewritten rollup must equal the base-table aggregate —
+    // the rewrite changes the access path, never the answer
+    "q202_mv_rewrite" ->
+      """SELECT l_linestatus AS status,
+           cast(count(*) as bigint) AS n_rows,
+           cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+           cast(min(cast(l_quantity as bigint)) as bigint) AS min_qty,
+           cast(max(cast(l_quantity as bigint)) as bigint) AS max_qty
+         FROM lineitem
+         WHERE l_returnflag <> 'R'
+         GROUP BY 1""",
+    // q203: update-then-delete through vectors must equal the relational
+    // CASE + WHERE recomputation
+    "q203_mor_update" ->
+      """SELECT l_linestatus,
+           cast(count(*) as bigint) AS n_rows,
+           cast(sum(cast(CASE WHEN l_quantity >= 45 THEN l_quantity - 40
+                              ELSE l_quantity END as bigint)) as bigint) AS sum_qty,
+           cast(count(DISTINCT l_orderkey) as bigint) AS n_orders
+         FROM lineitem
+         WHERE l_returnflag <> 'R'
+         GROUP BY 1""",
+    // q204: feature extraction and hashed-weight scoring recomputed
+    // relationally (same md5 fold on both engines)
+    "q204_hashed_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS u
+           FROM documents
+         ), feats AS (
+           SELECT doc_id,
+             u || list_transform(range(1, greatest(len(u), 1)),
+                                 i -> u[i] || ' ' || u[i+1]) AS f
+           FROM toks
+         ), scored AS (
+           SELECT doc_id, cast(len(f) as bigint) AS n_feats,
+             cast(coalesce(list_sum(list_transform(f,
+               t -> (('0x' || substring(md5(t),1,8))::BIGINT % 997) - 498)), 0) as bigint) AS score
+           FROM feats)
+         SELECT doc_id, n_feats, score, score > 0 AS accepted FROM scored""",
+    // q205: the incrementally refreshed MV must equal the relational
+    // recomputation of the evolved base (append + keyed update)
+    "q205_mv_incremental_rewrite" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_orderpriority AS grp,
+             cast(cast(o_totalprice as DECIMAL(18,2)) * 100 as bigint) AS v
+           FROM orders
+         ), appended AS (
+           SELECT k + 10000000 AS k, grp, v + 5 AS v FROM base WHERE k % 10 = 7
+         ), merged AS (
+           SELECT k, grp, CASE WHEN k % 10 = 3 THEN v + 1000 ELSE v END AS v FROM base
+           UNION ALL
+           SELECT k, grp, v FROM appended)
+         SELECT grp, cast(count(*) as bigint) AS n_rows,
+           cast(sum(v) as bigint) AS sum_cents
+         FROM merged GROUP BY 1""",
   )
 }

@@ -91,21 +91,42 @@ object MvRewriteRule extends Rule[LogicalPlan] {
              groupCols: Seq[String], aggCols: Seq[String]): MvDef = {
     import org.apache.spark.sql.functions._
     require(groupCols.nonEmpty, "an MV needs at least one grouping column")
-    val paths = relationPaths(base.queryExecution.analyzed)
-    require(paths.nonEmpty,
-      s"MV '$name': the base plan has no file relation to match against")
     val aggs = count(lit(1)).as("__cnt") +: aggCols.flatMap(c => Seq(
       sum(col(c)).as(s"__sum_$c"), min(col(c)).as(s"__min_$c"),
       max(col(c)).as(s"__max_$c"), count(col(c)).as(s"__cnt_$c")))
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
-    val mvPlan = spark.read.parquet(mvPath).queryExecution.analyzed
-    val d = MvDef(name, paths, mvPlan, groupCols,
+    registerExisting(spark, name, base, mvPath, groupCols,
       countStar = "__cnt",
       sums = aggCols.map(c => c -> s"__sum_$c").toMap,
       mins = aggCols.map(c => c -> s"__min_$c").toMap,
       maxs = aggCols.map(c => c -> s"__max_$c").toMap,
       counts = aggCols.map(c => c -> s"__cnt_$c").toMap)
+  }
+
+  /** Register an EXISTING rollup dataset as the MV for `base` WITHOUT
+    * recomputing it — the registration path for incrementally maintained
+    * views (maintain with [[graft.ops.Incremental.applyCountSumDeltas]]
+    * from the versioned change feed, then re-point the registry at the
+    * refreshed data). The match key is `base`'s CURRENT file set, which is
+    * also the staleness guard: when the base table evolves to a new
+    * snapshot, its file set changes and the rewrite silently stops firing
+    * until the MV is refreshed and re-registered against the new snapshot
+    * — a stale MV can never answer a fresh query. Only the rollup columns
+    * actually present need declaring; queries needing an undeclared rollup
+    * bail to the base. */
+  def registerExisting(spark: SparkSession, name: String, base: DataFrame,
+                       mvPath: String, groupCols: Seq[String], countStar: String,
+                       sums: Map[String, String] = Map.empty,
+                       mins: Map[String, String] = Map.empty,
+                       maxs: Map[String, String] = Map.empty,
+                       counts: Map[String, String] = Map.empty): MvDef = {
+    require(groupCols.nonEmpty, "an MV needs at least one grouping column")
+    val paths = relationPaths(base.queryExecution.analyzed)
+    require(paths.nonEmpty,
+      s"MV '$name': the base plan has no file relation to match against")
+    val d = MvDef(name, paths, spark.read.parquet(mvPath).queryExecution.analyzed,
+      groupCols, countStar, sums, mins, maxs, counts)
     register(d)
     d
   }
