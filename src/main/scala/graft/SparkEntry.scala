@@ -3494,6 +3494,46 @@ object SparkEntry {
     q
   }
 
+  /** RESTORE + SHALLOW CLONE composed ([[graft.io.Versioned.restore]],
+    * [[graft.io.Versioned.cloneTable]]): lineitem is committed, a
+    * deletion-vector delete lands (v2), a SHALLOW CLONE pins v2 by
+    * absolute file reference — zero bytes copied, and the clone must read
+    * THROUGH the source's deletion vectors — then the source is polluted
+    * with a junk append and RESTOREd back to v2 (zero bytes moved, junk
+    * files de-referenced, the DV re-referenced). Restored source and clone
+    * must both equal the relational `WHERE flag <> 'R'` recomputation: a
+    * restore that loses the DV, or a clone whose DV join key drifts under
+    * absolute paths, breaks the hash. */
+  private def q206_restore_clone(s: SparkSession, dir: String): DataFrame = {
+    val vt = new graft.io.Versioned(
+      s, java.nio.file.Files.createTempDirectory("graft_rc").toString)
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+    vt.commit("src", base)
+    vt.deleteWhere("src", col("l_returnflag") === "R") // v2: merge-on-read
+    vt.cloneTable("src", "snap")                       // pins v2, zero-copy
+    vt.commitAppend("src",                             // v3: junk to undo
+      base.limit(500).withColumn("l_quantity", col("l_quantity") + 1000))
+    vt.restore("src", 2L)                              // v4 ≡ v2
+    def agg(df: DataFrame, tag: String) = df.groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .withColumn("src", lit(tag))
+    agg(vt.read("src"), "restored").unionAll(agg(vt.read("snap"), "clone"))
+  }
+
+  /** EXACT DUPLICATED-SPAN DEDUP ([[graft.dedup.SpanDedup.dedupSpans]],
+    * Lee et al. 2021): every 8-word window is fingerprinted, windows whose
+    * fingerprint repeats anywhere in the corpus are duplicated spans, and
+    * covered tokens are stripped from the text. The oracle recomputes the
+    * whole thing relationally in DuckDB — same tokenizer, same md5
+    * surrogate — down to the cleaned text STRING, so a 1-based/0-based
+    * slip, an off-by-one in coverage expansion, or a token dropped from
+    * the wrong position all break the hash. */
+  private def q207_span_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SpanDedup.dedupSpans(
+      par(s, Tables.documents(s, dir)), "doc_id", "text", w = 8)
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3737,6 +3777,8 @@ object SparkEntry {
     "q203_mor_update" -> (q203_mor_update _),
     "q204_hashed_classifier" -> (q204_hashed_classifier _),
     "q205_mv_incremental_rewrite" -> (q205_mv_incremental_rewrite _),
+    "q206_restore_clone" -> (q206_restore_clone _),
+    "q207_span_dedup" -> (q207_span_dedup _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5802,5 +5844,57 @@ object SparkEntry {
          SELECT grp, cast(count(*) as bigint) AS n_rows,
            cast(sum(v) as bigint) AS sum_cents
          FROM merged GROUP BY 1""",
+    // q206: restored source and shallow clone must both equal the
+    // relational recomputation of the v2 snapshot (delete applied, junk
+    // append gone)
+    "q206_restore_clone" ->
+      """WITH agg AS (
+           SELECT l_linestatus,
+             cast(count(*) as bigint) AS n_rows,
+             cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+           FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1)
+         SELECT l_linestatus, n_rows, sum_qty, 'restored' AS src FROM agg
+         UNION ALL
+         SELECT l_linestatus, n_rows, sum_qty, 'clone' AS src FROM agg""",
+    // q207: the full span-dedup recomputed relationally — window
+    // fingerprints, global duplicate set, coverage expansion, and the
+    // cleaned text itself
+    "q207_span_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS u
+           FROM documents
+         ), p AS (
+           SELECT doc_id, u,
+             unnest(range(1, greatest(len(u) - 7, 0) + 1)) AS pos
+           FROM toks
+         ), g AS (
+           SELECT doc_id, pos,
+             substring(md5(array_to_string(u[pos:pos+7], ' ')), 1, 16) AS h
+           FROM p
+         ), dup AS (
+           SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+         ), m AS (
+           SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+         ), cpos AS (
+           SELECT DISTINCT doc_id, tp
+           FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS tp FROM m)
+         ), cagg AS (
+           SELECT doc_id, cast(count(*) as bigint) AS n_covered, list(tp) AS cov
+           FROM cpos GROUP BY 1
+         ), magg AS (
+           SELECT doc_id, cast(count(*) as bigint) AS n_dup_grams FROM m GROUP BY 1
+         )
+         SELECT t.doc_id,
+           cast(len(t.u) as bigint) AS n_tokens,
+           coalesce(magg.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(cagg.n_covered, 0) AS n_covered,
+           coalesce(array_to_string(list_transform(
+             list_filter(range(1, len(t.u) + 1),
+                         i -> coalesce(NOT list_contains(cagg.cov, i), TRUE)),
+             i -> t.u[i]), ' '), '') AS cleaned_text
+         FROM toks t
+         LEFT JOIN magg USING (doc_id)
+         LEFT JOIN cagg USING (doc_id)""",
   )
 }

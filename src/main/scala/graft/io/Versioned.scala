@@ -1094,6 +1094,72 @@ class Versioned(val spark: SparkSession, val root: String,
     * the small-file set that now exists). Returns (version, filesBefore,
     * filesAfter), or None when fewer than 2 small files exist.
     */
+  /** RESTORE (the public Delta `RESTORE TABLE … TO VERSION` idea): publish
+    * a NEW version whose data content — file entries, their skipping stats,
+    * and deletion-vector sidecars — is exactly `toVersion`'s snapshot.
+    * History is preserved, never rewritten: the restore is itself a commit,
+    * so a bad restore is undone by restoring again, and [[history]] shows
+    * the full excursion. O(snapshot) manifest lines, ZERO data bytes moved
+    * (the old version's immutable files are re-referenced).
+    *
+    * Txn watermarks are carried from the CURRENT latest, not the restore
+    * target: a restore rewinds DATA, not the exactly-once stream contract —
+    * a restarted stream replaying batch N after a restore must still no-op,
+    * else the rewound table double-ingests everything past the rewind
+    * point. Restoring to the current latest is a detected no-op (returns
+    * the latest version, publishes nothing). Restored-to versions must not
+    * have been [[vacuum]]ed (reads would fail; vacuum keeps what its
+    * `keepLast` retains). */
+  def restore(table: String, toVersion: Long, maxAttempts: Int = 10): Long = {
+    val snap = resolve(table, toVersion) // throws if the manifest is gone
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = latestVersion(table).getOrElse(
+        throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
+      if (cur == toVersion) return cur
+      val markers = resolve(table, cur).txns.toSeq.sortBy(_._1)
+        .map { case (a, b) => s"$TxnPrefix$a $b" }
+      val lines = snap.entries.map(_.line) ++ snap.dvs.map(DvPrefix + _) ++ markers
+      if (publish(table, cur + 1L, lines)) return cur + 1L
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned restore of $table lost $maxAttempts races — aborting")
+  }
+
+  /** SHALLOW CLONE (the public Delta `CREATE TABLE … SHALLOW CLONE` idea):
+    * create `dstTable` at version 1 referencing `srcTable`'s data files
+    * IN PLACE — O(snapshot) manifest lines, ZERO data bytes copied. The
+    * clone is immediately independent: writes to either table never touch
+    * the other (appends/merges stage under the writer's own data dir;
+    * source files are immutable by the format's contract).
+    *
+    * Mechanics: cloned entries carry ABSOLUTE source paths, which [[abs]]
+    * passes through untouched (`Path(parent, child)` keeps an absolute
+    * child), and deletion-vector matching survives because [[relOfPath]]
+    * keys on the last two path segments (`commitId/fileName`), identical
+    * for the absolute and the source-relative spelling. [[vacuum]] on the
+    * CLONE never deletes source data (it only walks the clone's own data
+    * dir) — but vacuum on the SOURCE does not know about clones and can
+    * delete files a clone still references (the documented Delta
+    * shallow-clone hazard: treat clones as pinned readers and retain
+    * accordingly). Txn watermarks are NOT carried — the clone is a new
+    * writer lineage. */
+  def cloneTable(srcTable: String, dstTable: String,
+                 version: Option[Long] = None): Long = {
+    require(!exists(dstTable),
+      s"cloneTable: target $dstTable already exists — clone creates, never overwrites")
+    val v = version.getOrElse(latestVersion(srcTable).getOrElse(
+      throw new java.util.NoSuchElementException(s"versioned table $srcTable does not exist")))
+    val snap = resolve(srcTable, v)
+    val lines = snap.entries.map(e => e.copy(rel = abs(srcTable, e.rel)).line) ++
+      snap.dvs.map(d => DvPrefix + abs(srcTable, d))
+    if (!publish(dstTable, 1L, lines))
+      throw new java.io.IOException(
+        s"cloneTable: lost the creation race for $dstTable — target no longer fresh")
+    1L
+  }
+
   def compact(table: String, smallBytes: Long = 32L << 20,
               targetBytes: Long = 128L << 20,
               statsCol: Option[String] = None,

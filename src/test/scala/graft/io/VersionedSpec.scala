@@ -433,4 +433,44 @@ class VersionedSpec extends SparkSpec {
     // absent rows is not generated); key 2 gains extra=x; key 3 inserts
     assert(ch === Set((2L, "update", "b", "x"), (3L, "insert", "c", "y")))
   }
+
+  test("restore rewinds data (incl. undoing deletes) but keeps txn watermarks") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    vt.commitAppendTxn("t", Seq((4L, "d")).toDF("k", "v"), "app", 7L) // v2
+    vt.deleteWhere("t", col("k") === 2L)                              // v3: DV
+    assert(vt.read("t").count() === 3)
+    val v4 = vt.restore("t", 2L)
+    assert(v4 === 4L)
+    assert(vt.read("t").select("k").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L),
+      "restore must de-reference the deletion vector")
+    // the stream contract survives the rewind: replaying batch 7 no-ops
+    assert(vt.commitAppendTxn("t", Seq((9L, "z")).toDF("k", "v"), "app", 7L).isEmpty)
+    // restore-to-latest is a detected no-op
+    assert(vt.restore("t", 4L) === 4L && vt.versions("t").max === 4L)
+    // a restore is itself history: restoring past the restore re-deletes
+    vt.restore("t", 3L)
+    assert(vt.read("t").select("k").as[Long].collect().toSet === Set(1L, 3L, 4L))
+  }
+
+  test("shallow clone: zero-copy, reads through source DVs, then fully independent") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("src", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    vt.deleteWhere("src", col("k") === 3L) // v2: clone must see this DV
+    vt.cloneTable("src", "dst")
+    assert(vt.read("dst").select("k").as[Long].collect().toSet === Set(1L, 2L))
+    // independence both ways
+    vt.commitAppend("src", Seq((7L, "s")).toDF("k", "v"))
+    vt.commitAppend("dst", Seq((8L, "d")).toDF("k", "v"))
+    assert(vt.read("src").select("k").as[Long].collect().toSet === Set(1L, 2L, 7L))
+    assert(vt.read("dst").select("k").as[Long].collect().toSet === Set(1L, 2L, 8L))
+    // a clone writes its own data dir, so vacuuming it never touches source
+    // files: after a full-retention-0 vacuum of dst, src still reads clean
+    vt.commit("dst", Seq((0L, "only")).toDF("k", "v")) // orphan dst's clone refs
+    vt.vacuum("dst", keepLast = 1, retentionMs = 0L)
+    assert(vt.read("src").count() === 3, "vacuum of a clone must not reach source data")
+    assert(vt.read("dst").count() === 1)
+    // clone never overwrites
+    intercept[IllegalArgumentException](vt.cloneTable("src", "dst"))
+  }
 }
