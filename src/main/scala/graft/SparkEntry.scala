@@ -587,18 +587,13 @@ object SparkEntry {
     * (Trigger.AvailableNow): the oracle is the batch date_trunc answer —
     * windowed streaming and batch agree. */
   private def q60_stream_windows(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val tsType = Tables.eventsRawTsType(s, dir)
     graft.streaming.EventIngest.streamWindowedCountsOverParquet(
-      s, s"$dir/events.parq*", raw,
+      s, s"$dir/events.parq*", Tables.eventsRawSchema(tsType),
       // watermarks require TIMESTAMP (instant) — the helper casts the window
       // start back to NTZ for engine comparison; session TZ is UTC so the
       // wall-clock value is unchanged
-      tsExpr = "timestamp_micros(ts div 1000)",
+      tsExpr = Tables.eventsTsInstantExpr(tsType),
       windowLen = "1 hour", watermark = "1 minute",
       name = s"q60_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
@@ -669,12 +664,7 @@ object SparkEntry {
     * parquet, aggregated in-stream; the oracle is the BATCH answer, proving
     * stream/batch agreement. */
   private def q51_stream_counts(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = Tables.eventsRawSchema(Tables.eventsRawTsType(s, dir))
     // glob (not a bare file path): the file stream source requires a
     // directory basePath and resolves the pattern beneath it
     graft.streaming.EventIngest.streamCountsOverParquet(
@@ -764,14 +754,10 @@ object SparkEntry {
     * horizon here exceeds the dataset span, so the batch COUNT(DISTINCT)
     * oracle is exact. */
   private def q72_stream_dedup(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val tsType = Tables.eventsRawTsType(s, dir)
     graft.streaming.EventIngest.streamDedupCountsOverParquet(
-      s, s"$dir/events.parq*", raw,
-      tsExpr = "timestamp_micros(ts div 1000)",
+      s, s"$dir/events.parq*", Tables.eventsRawSchema(tsType),
+      tsExpr = Tables.eventsTsInstantExpr(tsType),
       watermark = "3650 days", idCols = Seq("event_id"),
       name = s"q72_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
@@ -1071,14 +1057,10 @@ object SparkEntry {
     * Oracle = the equivalent batch self-join.
     */
   private def q91_stream_join(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val tsType = Tables.eventsRawTsType(s, dir)
     graft.streaming.EventIngest.streamStreamJoinOverParquet(
-      s, s"$dir/events.parq*", raw,
-      tsExpr = "timestamp_micros(ts div 1000)",
+      s, s"$dir/events.parq*", Tables.eventsRawSchema(tsType),
+      tsExpr = Tables.eventsTsInstantExpr(tsType),
       leftType = "click", rightType = "purchase", maxDelay = "30 minutes",
       name = s"q91_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
@@ -1134,14 +1116,10 @@ object SparkEntry {
     * epoch-aligned window starts.
     */
   private def q95_sliding_windows(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val tsType = Tables.eventsRawTsType(s, dir)
     graft.streaming.EventIngest.streamWindowedCountsOverParquet(
-      s, s"$dir/events.parq*", raw,
-      tsExpr = "timestamp_micros(ts div 1000)",
+      s, s"$dir/events.parq*", Tables.eventsRawSchema(tsType),
+      tsExpr = Tables.eventsTsInstantExpr(tsType),
       windowLen = "1 hour", watermark = "1 minute",
       name = s"q95_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
       slide = Some("15 minutes"))
@@ -2108,11 +2086,7 @@ object SparkEntry {
     * [[graft.streaming.Stateful]] for the processor.
     */
   private def q144_stateful_stream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = Tables.eventsRawSchema(Tables.eventsRawTsType(s, dir))
     graft.streaming.Stateful.runningUserAggOverParquet(
       s, s"$dir/events.parq*", raw,
       centsExpr = "cast(cast(value as decimal(18,4)) * 10000 as long)",
@@ -2476,12 +2450,7 @@ object SparkEntry {
     * landed (the at-least-once hole foreachBatch leaves open), every count
     * would double and the hash would break. */
   private def q169_stream_versioned(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = Tables.eventsRawSchema(Tables.eventsRawTsType(s, dir))
     val vt = new graft.io.Versioned(
       s, java.nio.file.Files.createTempDirectory("graft_vsink").toString)
     val chk = java.nio.file.Files.createTempDirectory("graft_vsink_chk").toString
@@ -2643,12 +2612,7 @@ object SparkEntry {
     * oracle is the identical batch join — streaming enrichment must not
     * drop, duplicate, or mis-key a single row. */
   private def q179_stream_static(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = Tables.eventsRawSchema(Tables.eventsRawTsType(s, dir))
     val dim = Tables.nation(s, dir)
       .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"))
     val enriched = graft.streaming.EventIngest.streamStaticEnrichOverParquet(
@@ -3026,14 +2990,11 @@ object SparkEntry {
     * the final watermark passed. See [[graft.streaming.Stateful.SessionizeTimers]].
     */
   private def q156_timer_sessions(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val tsType = Tables.eventsRawTsType(s, dir)
     graft.streaming.Stateful.timerSessionsOverParquet(
-      s, s"$dir/events.parq*", raw,
-      tsUsExpr = "ts div 1000", gapUs = 1800L * 1000000L, delay = "1 hour",
+      s, s"$dir/events.parq*", Tables.eventsRawSchema(tsType),
+      tsUsExpr = Tables.eventsTsMicrosExpr(tsType),
+      gapUs = 1800L * 1000000L, delay = "1 hour",
       name = s"q156_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
 
@@ -3097,11 +3058,7 @@ object SparkEntry {
     * groupBy(user, type) count = the oracle.
     */
   private def q159_mapstate_counts(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = Tables.eventsRawSchema(Tables.eventsRawTsType(s, dir))
     graft.streaming.Stateful.typeCountsOverParquet(
       s, s"$dir/events.parq*", raw,
       name = s"q159_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")

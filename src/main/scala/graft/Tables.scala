@@ -20,20 +20,71 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects outright; read it as raw nanos (legacy flag) and truncate to
-    * microseconds — exactly what DuckDB does internally (its TIMESTAMP is µs),
-    * so oracle comparisons see identical values. Integer `div` avoids the
-    * double-precision loss a `/ 1000` would introduce on epoch-nanos.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so the loader adapts to
+    * whatever the footer declares instead of hard-coding one physical type.
+    * NANOS is unreadable by Spark's vectorized reader, so the legacy
+    * nanosAsLong flag is always set: a NANOS column then loads as LongType
+    * (raw epoch-nanos) and is integer-truncated to µs — exactly what DuckDB
+    * does internally (its TIMESTAMP is µs), with `div` (not `/ 1000`)
+    * avoiding double-precision loss on epoch-nanos. MICROS/MILLIS columns
+    * are untouched by the flag and load as a timestamp directly. Either way
+    * the result is TIMESTAMP_NTZ at µs precision, matching the source's
+    * isAdjustedToUTC=false and DuckDB's naive TIMESTAMP; session TZ is UTC
+    * so wall-clock values are identical across all paths.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        // NTZ to match the source's isAdjustedToUTC=false (and DuckDB's naive
-        // TIMESTAMP); session TZ is UTC so the wall-clock value is unchanged.
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
+
+  /** The dtype the (flag-adjusted) parquet reader materializes for
+    * `events.ts` — LongType when the footer says NANOS (legacy-flag path),
+    * a timestamp type for MICROS/MILLIS. The streaming readers derive their
+    * explicit `readStream` schemas and ts-decode expressions from THIS, so
+    * batch and streaming can never disagree about the same file again
+    * (r5 regression: five hard-coded LongType stream schemas silently read
+    * micros as nanos after a testdata regen).
+    */
+  def eventsRawTsType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events").schema("ts").dataType
+  }
+
+  /** events schema for `readStream.schema(...)`, with `ts` typed per the
+    * actual parquet footer (see [[eventsRawTsType]]). */
+  def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** SQL expr decoding the raw streaming `ts` to a TIMESTAMP instant (what
+    * watermarks require). Session TZ is UTC, so the wall-clock value equals
+    * the batch loader's NTZ value on every path. */
+  def eventsTsInstantExpr(tsType: org.apache.spark.sql.types.DataType): String =
+    tsType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+      case _                                   => "cast(ts as timestamp)"
+    }
+
+  /** SQL expr decoding the raw streaming `ts` to integer epoch-µs (the
+    * timer-session state machine keys on integer ms/µs, not timestamps). */
+  def eventsTsMicrosExpr(tsType: org.apache.spark.sql.types.DataType): String =
+    tsType match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000"
+      case _ => "unix_micros(cast(ts as timestamp))"
+    }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

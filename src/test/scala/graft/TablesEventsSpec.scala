@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The events loader must adapt to WHATEVER physical ts type the testdata
+  * generator shipped — it has flipped between parquet TIMESTAMP(NANOS)
+  * (loads as raw Long under the legacy nanosAsLong flag) and
+  * TIMESTAMP(MICROS) (loads as TIMESTAMP_NTZ) across regenerations, and the
+  * r5 round lost 30 queries to a loader that hard-coded one of them. This
+  * suite pins the contract: identical rows out of [[Tables.events]] for the
+  * same instants stored either way, batch and streaming decode agreeing on
+  * the real driver file, so the next regen cannot silently break anything.
+  */
+class TablesEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // same five logical events, µs precision
+  private val baseUs = 1700000000000000L // 2023-11-14T22:13:20 UTC, µs
+  private val rowsUs = Seq(
+    (1L, baseUs + 1L, 10L, "click", 1.5, "{}"),
+    (2L, baseUs + 999999L, 11L, "view", 2.0, "{}"),
+    (3L, baseUs + 3600L * 1000000L, 10L, "purchase", 9.99, "{}"),
+    (4L, baseUs, 12L, "click", 0.0, "{}"),
+    (5L, baseUs + 7L * 86400L * 1000000L, 13L, "view", 4.25, "{}"))
+
+  private def writeNanosFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_nanos").toString
+    rowsUs.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), (col("ts_us") * 1000L).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def writeMicrosFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_micros").toString
+    rowsUs.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        expr("cast(timestamp_micros(ts_us) as timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("Tables.events: NANOS-as-long and MICROS fixtures decode to identical rows") {
+    val nanosDir  = writeNanosFixture()
+    val microsDir = writeMicrosFixture()
+    assert(Tables.eventsRawTsType(spark, nanosDir) === LongType)
+    assert(Tables.eventsRawTsType(spark, microsDir) === TimestampNTZType)
+    val a = Tables.events(spark, nanosDir)
+    val b = Tables.events(spark, microsDir)
+    assert(a.schema("ts").dataType === TimestampNTZType)
+    assert(b.schema("ts").dataType === TimestampNTZType)
+    val got  = a.orderBy("event_id").collect().map(_.toSeq).toSeq
+    val want = b.orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("streaming decode exprs agree with the batch loader on both fixtures") {
+    for (dir <- Seq(writeNanosFixture(), writeMicrosFixture())) {
+      val tsType = Tables.eventsRawTsType(spark, dir)
+      val raw = spark.read.schema(Tables.eventsRawSchema(tsType))
+        .parquet(s"$dir/events.parquet")
+      // instant expr: wall-clock equals the batch NTZ value (session TZ UTC)
+      val streamed = raw
+        .withColumn("ts_i", expr(Tables.eventsTsInstantExpr(tsType)))
+        .select(col("event_id"), col("ts_i").cast(TimestampNTZType).as("ts"))
+      val batch = Tables.events(spark, dir).select("event_id", "ts")
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        s"instant decode mismatch for tsType=$tsType")
+      // integer-µs expr: exact epoch micros
+      val us = raw.withColumn("us", expr(Tables.eventsTsMicrosExpr(tsType)))
+        .orderBy("event_id").select("us").as[Long].collect().toSeq
+      assert(us === rowsUs.map(_._2), s"epoch-µs decode mismatch for tsType=$tsType")
+    }
+  }
+
+  test("the REAL driver events file: batch loads, and streaming schema decode matches") {
+    val tsType = Tables.eventsRawTsType(spark, sfDir)
+    val batch = Tables.events(spark, sfDir)
+    assert(batch.schema("ts").dataType === TimestampNTZType)
+    val (bMin, bMax, bCnt) = batch
+      .agg(min("ts"), max("ts"), count(lit(1)))
+      .as[(java.time.LocalDateTime, java.time.LocalDateTime, Long)].head()
+    assert(bCnt > 0)
+    val raw = spark.read.schema(Tables.eventsRawSchema(tsType))
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_i", expr(Tables.eventsTsInstantExpr(tsType)))
+    val (sMin, sMax) = raw
+      .agg(min(col("ts_i").cast(TimestampNTZType)), max(col("ts_i").cast(TimestampNTZType)))
+      .as[(java.time.LocalDateTime, java.time.LocalDateTime)].head()
+    assert(sMin === bMin && sMax === bMax,
+      s"streaming decode [$sMin, $sMax] != batch [$bMin, $bMax] — the r5 regression shape")
+  }
+}

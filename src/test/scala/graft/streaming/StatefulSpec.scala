@@ -7,10 +7,7 @@ import graft.{SparkSpec, Tables}
 
 class StatefulSpec extends SparkSpec {
 
-  private val raw = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private lazy val raw = Tables.eventsRawSchema(Tables.eventsRawTsType(spark, sfDir))
 
   test("transformWithState running agg converges to the batch groupBy answer") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
