@@ -90,6 +90,10 @@ object Clusters {
       iter += 1
     }
     sym.unpersist()
+    // operational breadcrumb: iteration count IS the diameter bound — a
+    // jump here after a corpus change explains a wall-clock regression
+    // before any profiler does (each round = 1 join + 1 agg + 1 checkpoint)
+    System.err.println(s"[cc] rounds=$iter converged=$converged")
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 }

@@ -307,32 +307,87 @@ object Similarity {
     -greatest(scored: _*).getField("negId")
   }
 
-  /** Train the PQ codebooks: one L2 k-means per subspace, seeded from the
-    * same hash-sampled row set (deterministic, the [[ivfTopK]] sampling
-    * convention), refined by [[lloyd]] with L2 assignment. The training
-    * passes slice the corpus to dsub-wide sub-vectors — m small jobs, each
-    * a map pass + tiny partial-sum shuffle per iteration.
+  /** Train the PQ codebooks: one L2 k-means per subspace, seeded AND
+    * refined on a bounded hash-sample of the corpus (deterministic — the
+    * xxhash64 order used by every sampler here; default
+    * max(10·ksub, 4096) rows, the classic ~"dozens of points per
+    * centroid" training budget).
+    *
+    * Training cost is ONE TakeOrdered pass over the corpus to collect the
+    * sample; the Lloyd refinement then runs driver-side over that
+    * dim-table-sized array — zero further Spark jobs. That is the 100 TB
+    * regime's shape: quantizer quality saturates at a few thousand
+    * training points (Jégou et al. train on samples, as does FAISS), so
+    * full-corpus training passes are pure waste — you train on a sample
+    * once and [[pqEncode]] everything. (The r5 version ran m×iters
+    * full-corpus Lloyd jobs per call — 43× the cost of a brute-force
+    * search at bench scale — precisely the per-query training the paper's
+    * offline-train/online-search split exists to avoid.)
     */
   def trainPqCodebooks(corpus: DataFrame, cId: String, cVec: String,
-                       m: Int, ksub: Int, iters: Int): PqCodebooks = {
+                       m: Int, ksub: Int, iters: Int, trainRows: Int = 0): PqCodebooks = {
     require(m >= 1 && ksub >= 1, s"trainPqCodebooks: m=$m ksub=$ksub")
     require(m.toLong * ksub <= (1 << 20),
       s"trainPqCodebooks: m×ksub = ${m.toLong * ksub} — codebooks must stay plan-literal-sized")
-    val seeds = corpus.select(col(cId).as("__id"), col(cVec).as("__v"))
+    val budget = if (trainRows > 0) trainRows else math.max(10 * ksub, 4096)
+    val sample = corpus.select(col(cId).as("__id"), col(cVec).as("__v"))
       .withColumn("__h", xxhash64(col("__id")))
-      .orderBy(col("__h")).limit(ksub)
+      .orderBy(col("__h"), col("__id")).limit(budget)
       .collect().map(r => r.getSeq[Float](1).toArray)
-    require(seeds.nonEmpty, "trainPqCodebooks: empty corpus")
-    val dim = seeds.head.length
+    require(sample.nonEmpty, "trainPqCodebooks: empty corpus")
+    val dim = sample.head.length
     require(dim % m == 0, s"trainPqCodebooks: dim=$dim not divisible by m=$m")
     val dsub = dim / m
+    val seeds = sample.take(ksub)
     val books = (0 until m).map { mi =>
       val init = seeds.zipWithIndex.map { case (v, i) =>
         i.toLong -> v.slice(mi * dsub, (mi + 1) * dsub) }.toSeq
-      val subs = corpus.select(slice(col(cVec), mi * dsub + 1, dsub).as("__sub"))
-      if (iters > 0) lloyd(subs, "__sub", init, iters, argminL2Expr) else init
+      if (iters > 0)
+        lloydLocal(sample.map(_.slice(mi * dsub, (mi + 1) * dsub)), init, iters)
+      else init
     }
     PqCodebooks(m, ksub, dsub, books)
+  }
+
+  /** Driver-side Lloyd over the bounded training sample, mirroring
+    * [[argminL2Expr]]'s semantics exactly: assignment maximizes
+    * dot(v, c) − ½‖c‖² (= L2 argmin), ties → smallest code (ascending scan
+    * with strict `>`), empty cells keep their previous centroid, means in
+    * double then truncated to float — so a sample that covers the whole
+    * corpus reproduces the distributed version bit-for-bit.
+    */
+  private def lloydLocal(data: Array[Array[Float]], init: Seq[(Long, Array[Float])],
+                         iters: Int): Seq[(Long, Array[Float])] = {
+    var cents = init.toArray
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Long](cents.length)
+      data.foreach { v =>
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val c = cents(ci)._2
+          var dot = 0.0; var nn = 0.0; var i = 0
+          while (i < dim) {
+            dot += v(i).toDouble * c(i); nn += c(i).toDouble * c(i); i += 1
+          }
+          val s = dot - nn / 2.0
+          if (s > bestS) { bestS = s; best = ci }
+          ci += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+        cnts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case ((id, old), ci) =>
+        if (cnts(ci) > 0L)
+          id -> Array.tabulate(dim)(d => (sums(ci)(d) / cnts(ci)).toFloat)
+        else id -> old
+      }
+    }
+    cents.toSeq
   }
 
   /** Encode the corpus against coarse cells + PQ codebooks: one map-only
@@ -398,22 +453,30 @@ object Similarity {
     val cb = trainPqCodebooks(corpus, cId, cVec, m, ksub, codebookIters)
     val index = pqEncode(corpus, cId, cVec, coarse, cb)
 
-    // per-query ADC table: map key mi·ksub + code → dot(q_sub, centroid)
-    val tabKeys = array((for (mi <- 0 until cb.m; (code, _) <- cb.books(mi))
-      yield lit(mi.toLong * cb.ksub + code)): _*)
+    // per-query ADC table: a FLAT ARRAY in (mi, code) order — entry
+    // mi·ksub + code holds dot(q_sub_mi, sub-centroid_code). An array
+    // index is an O(1) offset read per lookup; the r5 map-typed table paid
+    // an O(m·ksub) linear key scan for every one of the m lookups on every
+    // candidate row — m²·ksub comparisons/row on the hottest loop of the
+    // whole query (the dominant cost at bench scale once training was
+    // sample-bounded).
     val tabVals = array((for (mi <- 0 until cb.m; (_, cv) <- cb.books(mi))
       yield dot(slice(col(qVec), mi * cb.dsub + 1, cb.dsub), typedLit(cv))): _*)
     val probes = probeCells(queries.select(col(qId), col(qVec)), qId, qVec,
         centroidDf(spark, coarse), nprobe)
-      .withColumn("__qtab", map_from_arrays(tabKeys, tabVals))
+      .withColumn("__qtab", tabVals)
       .withColumn("__qnorm", sqrt(dot(col(qVec), col(qVec))))
       .drop(qVec)
 
     val adcDot = (0 until cb.m).map(mi =>
-      element_at(col("__qtab"), element_at(col("codes"), mi + 1) + lit(mi.toLong * cb.ksub)))
+      element_at(col("__qtab"),
+        (element_at(col("codes"), mi + 1) + lit(mi.toLong * cb.ksub) + 1L).cast("int")))
       .reduce(_ + _)
     val wShort = Window.partitionBy(col(qId)).orderBy(col("__adc").desc, col(cId).asc)
-    val shortlist = probes.join(index, Seq("cell"))
+    // probes (queries × nprobe rows + their ADC tables) is the dim side of
+    // the candidate join — broadcast it so the compressed index streams
+    // map-side and the 100 TB side never shuffles on `cell`
+    val shortlist = broadcast(probes).join(index, Seq("cell"))
       .filter(col(qId) =!= col(cId))
       .withColumn("__adc", adcDot / (col("__qnorm") * col("norm")))
       .withColumn("__rs", row_number().over(wShort))
