@@ -3491,6 +3491,41 @@ object SparkEntry {
     graft.dedup.SpanDedup.dedupSpans(
       par(s, Tables.documents(s, dir)), "doc_id", "text", w = 8)
 
+  /** k-NN LABEL CLASSIFICATION ([[graft.sim.Similarity.knnClassify]]):
+    * label-0 vectors treated as unlabeled queries, classified by majority
+    * vote of their 5 nearest labeled neighbors (exact cosine ranking —
+    * swap [[graft.sim.Similarity.pqTopK]] in as the neighbor producer at
+    * scale, the vote is producer-agnostic). Oracle mirrors the ranking
+    * (order-only, like q38) and the vote with its smallest-label tiebreak.
+    */
+  private def q208_knn_classify(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    val queries = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val labeled = emb.filter(col("label") =!= 0)
+    val nn = Similarity.bruteForceTopK(queries, labeled.select("vec_id", "embedding"), k = 5)
+    Similarity.knnClassify(nn,
+      labeled.select(col("vec_id").as("neighbor_id"), col("label")))
+  }
+
+  /** PER-SOURCE QUOTA CAP ([[graft.ops.RelOps.groupQuota]]): at most 10
+    * documents per source, selected by deterministic md5(doc_id) order —
+    * the C4/RefinedWeb "cap each domain's share" curation step, exactly
+    * reproducible in the oracle because membership is a pure function of
+    * the key. */
+  private def q209_source_quota(s: SparkSession, dir: String): DataFrame =
+    RelOps.groupQuota(
+      Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id", n = 10)
+
+  /** QUANTIZED SPARSE JL RANDOM PROJECTION
+    * ([[graft.sim.Similarity.jlProjectQuantized]]): 64-dim embeddings down
+    * to 16 integer dims via the closed-form ±1/0 matrix — all-integer
+    * arithmetic, so unlike the float ANN family this dimensionality
+    * reducer is HASH-EXACT against the oracle. */
+  private def q210_jl_projection(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlProjectQuantized(
+      par(s, Tables.embeddings(s, dir)), "vec_id", "embedding", outDims = 16)
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3736,6 +3771,9 @@ object SparkEntry {
     "q205_mv_incremental_rewrite" -> (q205_mv_incremental_rewrite _),
     "q206_restore_clone" -> (q206_restore_clone _),
     "q207_span_dedup" -> (q207_span_dedup _),
+    "q208_knn_classify" -> (q208_knn_classify _),
+    "q209_source_quota" -> (q209_source_quota _),
+    "q210_jl_projection" -> (q210_jl_projection _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5853,5 +5891,43 @@ object SparkEntry {
          FROM toks t
          LEFT JOIN magg USING (doc_id)
          LEFT JOIN cagg USING (doc_id)""",
+    // q208: rank-only neighbor ordering (the q38 convention — cosine values
+    // never cross the comparison, only their order), then the same
+    // votes-desc/label-asc argmax the Spark struct-max encodes
+    "q208_knn_classify" ->
+      """WITH nn AS (
+           SELECT q.vec_id AS query_id, c.label AS lbl,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS rk
+           FROM embeddings q, embeddings c
+           WHERE q.label = 0 AND c.label <> 0),
+         v AS (SELECT query_id, lbl, cast(count(*) as bigint) AS votes
+               FROM nn WHERE rk <= 5 GROUP BY 1, 2),
+         r AS (SELECT query_id, lbl, votes,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY votes DESC, lbl ASC) AS pick
+               FROM v)
+         SELECT query_id, cast(lbl as bigint) AS pred_label, votes
+         FROM r WHERE pick = 1""",
+    "q209_source_quota" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source
+             ORDER BY substring(md5(cast(doc_id as varchar)), 1, 8), doc_id) AS rn
+           FROM documents) WHERE rn <= 10""",
+    // q210: all-integer JL projection — float→double cast is exact, ·1024 is
+    // an exponent shift, and the ±1/0 matrix comes from the same closed-form
+    // integer formula on both sides, so the comparison is hash-exact
+    "q210_jl_projection" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         d AS (SELECT unnest(range(0, 16)) AS dim)
+         SELECT q.vec_id, cast(d.dim as bigint) AS dim,
+           cast(list_sum(list_transform(range(0, len(qv)),
+             i -> qv[i+1] * ((i * 131 + d.dim * 37) % 101 % 3 - 1))) as bigint) AS val
+         FROM q, d""",
   )
 }

@@ -407,6 +407,23 @@ object RelOps {
     }
   }
 
+  /** PER-GROUP QUOTA CAP — the C4/RefinedWeb "at most N documents per
+    * domain" curation step: keep up to `n` rows per group, chosen
+    * DETERMINISTICALLY by md5(key) order (a seedless pseudo-random draw,
+    * reproducible in any engine and immune to partitioning) with the key
+    * itself as the tiebreak. One window shuffle keyed on the group column;
+    * each group is ranked in a single pass, so at 100 TB the cost is one
+    * exchange of (group, key) — the quota never sees row payloads until
+    * the surviving rows are selected.
+    */
+  def groupQuota(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"groupQuota: n=$n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8), col(keyCol))
+    df.withColumn("__quota_rn", row_number().over(w))
+      .filter(col("__quota_rn") <= n).drop("__quota_rn")
+  }
+
   /** Multi-way DETERMINISTIC split labeling (train/val/test): the labeling
     * form of [[hashSampleFilter]] — each key lands in exactly one split,
     * decided by where its md5 bucket falls among the cumulative fractions.

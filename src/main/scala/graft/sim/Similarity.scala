@@ -49,6 +49,55 @@ object Similarity {
       .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("__rk").as("rank"))
   }
 
+  /** k-NN LABEL CLASSIFICATION by majority vote: predict each query's label
+    * from its k nearest labeled neighbors — the embedding-space annotation /
+    * label-propagation / mislabel-QA pass a training corpus runs after
+    * similarity search. Takes ANY neighbor producer's output ((qId, nId)
+    * pairs — [[bruteForceTopK]] for exactness, [[ivfTopK]]/[[pqTopK]] at
+    * scale), so the vote itself is search-strategy-agnostic: one equi-join
+    * to the label table plus two tiny aggregations keyed by query. Ties →
+    * smallest label (deterministic, oracle-mirrorable); the argmax is one
+    * struct-max, not a second window pass.
+    */
+  def knnClassify(neighbors: DataFrame, labels: DataFrame,
+                  qId: String = "query_id", nId: String = "neighbor_id",
+                  labelCol: String = "label"): DataFrame =
+    neighbors.select(qId, nId).join(labels, nId)
+      .groupBy(col(qId), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col(qId))
+      .agg(max(struct(col("votes"), (-col(labelCol)).cast("long").as("neg"))).as("m"))
+      .select(col(qId), (-col("m.neg")).as("pred_label"), col("m.votes").as("votes"))
+
+  /** QUANTIZED SPARSE RANDOM PROJECTION — the Achlioptas {−1, 0, +1} flavor
+    * of the Johnson–Lindenstrauss transform over integer-quantized
+    * embeddings: x → round(x·2¹⁰) (float→double is exact and ·2¹⁰ is a pure
+    * exponent shift, so the only rounding is the final round itself), then
+    * out_j = Σ_i q_i · R(i, j) with the matrix entry R(i, j) =
+    * (((i·131 + j·37) mod 101) mod 3) − 1 from a closed-form integer
+    * formula — no stored matrix, no RNG state, bit-exact in ANY engine and
+    * under ANY partitioning. (The inner mod must exceed both dimensions
+    * and be coprime to the multipliers: anything linear taken mod 3
+    * directly is periodic with period 3 in BOTH indexes — every third
+    * output column identical — which the 101 detour breaks.) This is the dimensionality-reduction pass a 100 TB ANN
+    * pipeline runs before indexing; the all-integer formulation means it
+    * gets a hash-exact DuckDB oracle rather than a rows-only waiver.
+    * Long output shape (id, dim, val) keeps the comparison scalar. Pure
+    * codegen'd transform/aggregate lambdas inside the scan — zero shuffle.
+    */
+  def jlProjectQuantized(df: DataFrame, idCol: String, vecCol: String,
+                         outDims: Int): DataFrame = {
+    require(outDims >= 1 && outDims <= 4096, s"jlProjectQuantized: outDims=$outDims")
+    df.select(col(idCol),
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1024) as bigint))").as("qv"))
+      .withColumn("dim", explode(expr(s"sequence(0, ${outDims - 1})")))
+      .withColumn("val", expr(
+        """aggregate(sequence(0, size(qv) - 1), 0L,
+          |  (acc, i) -> acc + element_at(qv, i + 1) *
+          |    (cast((i * 131 + dim * 37) % 101 % 3 as bigint) - 1))""".stripMargin))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("val"))
+  }
+
   /** Sign buckets of `vec` in all hash tables at once — codegen'd kernel with
     * a cached deterministic hyperplane matrix (graft.functions.LshExprs);
     * reproducible across runs and executors with zero state to ship. */

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.RelOps
+import graft.sim.Similarity
+
+/** Round-6 additions: k-NN label voting, per-group quota capping, and the
+  * quantized JL projection — handcrafted-fixture semantics checks (the
+  * sf-scale correctness rides the DuckDB oracles q208–q210).
+  */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("knnClassify: majority vote wins; vote ties break to the smallest label") {
+    val nn = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L),        // q1: labels 7, 7, 3 → 7 by count
+      (2L, 104L), (2L, 105L))                    // q2: labels 9, 4 → tie → 4
+      .toDF("query_id", "neighbor_id")
+    val labels = Seq((101L, 7), (102L, 7), (103L, 3), (104L, 9), (105L, 4))
+      .toDF("neighbor_id", "label")
+    val got = Similarity.knnClassify(nn, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 7L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("groupQuota: caps each group at n, deterministically under repartitioning") {
+    val docs = (1L to 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val kept = RelOps.groupQuota(docs, "source", "doc_id", n = 7)
+    val sizes = kept.groupBy("source").count().select("count").as[Long].collect()
+    assert(sizes.length === 4 && sizes.forall(_ === 7L))
+    // membership is a pure function of the key — partitioning can't change it
+    val again = RelOps.groupQuota(docs.repartition(13), "source", "doc_id", n = 7)
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+    // n >= group size keeps everything
+    assert(RelOps.groupQuota(docs, "source", "doc_id", n = 1000).count() === 100L)
+  }
+
+  test("jlProjectQuantized: closed-form matrix, exact integer projection") {
+    // one-hot input isolates single matrix entries: proj(e_i)_j = 1024·R(i,j)
+    val oneHot = Seq((0L, Array.tabulate(8)(i => if (i == 2) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.jlProjectQuantized(oneHot, "vec_id", "embedding", outDims = 4)
+      .orderBy("dim").select("val").as[Long].collect().toSeq
+    val want = (0 until 4).map(j => 1024L * ((2 * 131 + j * 37) % 101 % 3 - 1))
+    assert(got === want)
+    // the mod-101 detour must yield non-degenerate columns (the naive
+    // linear-mod-3 formula collapses every third column to the same vector)
+    val cols = (0 until 16).map(j =>
+      (0 until 64).map(i => (i * 131 + j * 37) % 101 % 3 - 1))
+    assert(cols.distinct.size === 16)
+    // output shape: outDims rows per input row, dims 0..outDims-1
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
+    val out = Similarity.jlProjectQuantized(emb, "vec_id", "embedding", outDims = 16)
+    assert(out.count() === 20L * 16)
+    assert(out.groupBy("vec_id").count().select("count").as[Long].collect().forall(_ == 16L))
+  }
+}
