@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "q137_semantic_dedup" -> "RETIRED brute-force oracle twin of q162",
     "q153_label_agreement" -> "RETIRED brute-force oracle twin of q163",
     "q38_ann_brute" -> "designed brute baseline: |Q|-bounded query set broadcast against the corpus (DESIGN: the |Q|-small regime)",
+    "q208_knn_classify" -> "exact-kNN vote form rides q38's brute producer (same |Q|-bounded broadcast); the vote itself is equi-join + agg, and pqTopK slots in as the producer at scale",
     "q43_ann_ivf" -> "nprobe-cell candidate join against the nlist-bounded centroid dim",
     "q199_ann_ivfpq" -> "probe pass crossJoins the nlist-bounded centroid dim (broadcast); codes-only cell join and broadcast re-rank are equi-joins",
     "q135_source_overlap" -> "O(sources^2) matrix over per-source 1-row-per-source aggregates")
