@@ -42,6 +42,18 @@ class ClustersSpec extends SparkSpec {
     assert(cc(Seq(1L, 2L), Seq((2L, 1L))) === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("pointer jumping closes a 200-node path in O(log d) rounds, not O(d)") {
+    // plain min-propagation needs 199 rounds here; with the label(label(x))
+    // shortcut the remaining diameter halves per round, so maxIters = 12
+    // either converges or this test fails with the partial labeling
+    val n = 200L
+    val v = (1L to n).toDF("id")
+    val e = (1L to n).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    val got = Clusters.connectedComponents(v, "id", e, "src", "dst", maxIters = 12)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got === Set(1L), s"path graph must fully collapse within 12 rounds, labels: $got")
+  }
+
   test("randomized graphs match a driver-side union-find") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 4) {
