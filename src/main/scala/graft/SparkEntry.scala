@@ -3526,6 +3526,41 @@ object SparkEntry {
     Similarity.jlProjectQuantized(
       par(s, Tables.embeddings(s, dir)), "vec_id", "embedding", outDims = 16)
 
+  /** TIME-SERIES LINEAR INTERPOLATION over calendar gaps — the third gap
+    * policy next to q64's LOCF and q84's zero-fill: each user's missing
+    * days get pv + (nv − pv)·(d − pd)/(nd − pd) between the bracketing
+    * observations. Exact-comparison discipline: daily sums are integer
+    * cents, the numerator product is exact integer arithmetic, and the
+    * single double division + addition are mirrored verbatim in the oracle
+    * (deterministic IEEE ops, the q92 convention). Two windows over the
+    * same user partitioning = ONE shuffle; the spine explode is
+    * domain-bounded (calendar days, not rows) at any SF.
+    */
+  private def q211_interpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sum(expr("cast(cast(value as decimal(18,4)) * 10000 as long)")).as("cents"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pd", last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"),
+        when(col("cents").isNotNull, col("cents").cast("double"))
+          .otherwise(col("pv") +
+            (col("nv") - col("pv")) * datediff(col("day"), col("pd")) /
+              datediff(col("nd"), col("pd")))
+          .as("cents_filled"),
+        col("cents").isNotNull.as("observed"))
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3774,6 +3809,7 @@ object SparkEntry {
     "q208_knn_classify" -> (q208_knn_classify _),
     "q209_source_quota" -> (q209_source_quota _),
     "q210_jl_projection" -> (q210_jl_projection _),
+    "q211_interpolate" -> (q211_interpolate _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -5929,5 +5965,37 @@ object SparkEntry {
            cast(list_sum(list_transform(range(0, len(qv)),
              i -> qv[i+1] * ((i * 131 + d.dim * 37) % 101 % 3 - 1))) as bigint) AS val
          FROM q, d""",
+    // q211: integer cents, exact integer numerator, one mirrored double
+    // division + addition (the q92 deterministic-IEEE convention)
+    "q211_interpolate" ->
+      """WITH daily AS (
+           SELECT user_id, cast(ts as date) AS day,
+             cast(sum(cast(cast(value as decimal(18,4)) * 10000 as bigint)) as bigint) AS cents
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         spine AS (SELECT user_id,
+             cast(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) as date) AS day FROM bounds),
+         j AS (SELECT s.user_id, s.day, d.cents
+               FROM spine s LEFT JOIN daily d USING (user_id, day)),
+         f AS (SELECT user_id, day, cents,
+            last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            last_value(cents IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+            first_value(cents IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+          FROM j)
+         SELECT user_id, day,
+           CASE WHEN cents IS NOT NULL THEN cast(cents as double)
+                ELSE pv + (nv - pv) * datediff('day', pd, day) / datediff('day', pd, nd)
+           END AS cents_filled,
+           cents IS NOT NULL AS observed
+         FROM f""",
   )
 }
