@@ -36,6 +36,35 @@ class Round6Spec extends SparkSpec {
     assert(RelOps.groupQuota(docs, "source", "doc_id", n = 1000).count() === 100L)
   }
 
+  test("knnClassify over the pqTopK producer: the documented scale composition holds") {
+    // the vote is producer-agnostic; query the PLANTED near-dup triples
+    // (each triple shares a label: (vec_id div 3) % 7 + 1) with k=2, so the
+    // exact top-2 are the query's triple-mates and the prediction is their
+    // shared label. pqTopK recovers those mates at 0.99 recall (PqSpec), so
+    // the approximate-producer vote must agree on ≥90% of queries — the
+    // measured form of the "swap pqTopK in at scale" claim in q208's doc.
+    // (Querying the ISOTROPIC background instead would fail by geometry:
+    // coarse pruning is uninformative there — the documented PqSpec caveat.)
+    import graft.tools.NearDupScale
+    import graft.sim.Similarity
+    val vecs = NearDupScale.planted(spark, 1200L)
+      .withColumn("label", (expr("vec_id div 3") % 7 + 1).cast("int")).cache()
+    val queries = vecs.withColumn("grp", expr("vec_id div 3"))
+      .filter($"grp" % 10 === 0).limit(40)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec")).cache()
+    val labels = vecs.select($"vec_id".as("neighbor_id"), $"label")
+    def votes(nn: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.knnClassify(nn, labels)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact  = votes(Similarity.bruteForceTopK(queries, vecs.select("vec_id", "embedding"), k = 2))
+    val approx = votes(Similarity.pqTopK(queries, vecs.select("vec_id", "embedding"), k = 2,
+      m = 8, ksub = 32, nlist = 32, nprobe = 8, codebookIters = 1))
+    assert(exact.keySet === approx.keySet)
+    val agree = exact.count { case (q, l) => approx(q) == l }
+    assert(agree >= (exact.size * 9) / 10,
+      s"approximate-producer vote agreement $agree/${exact.size} below 90%")
+  }
+
   test("jlProjectQuantized: closed-form matrix, exact integer projection") {
     // one-hot input isolates single matrix entries: proj(e_i)_j = 1024·R(i,j)
     val oneHot = Seq((0L, Array.tabulate(8)(i => if (i == 2) 1.0f else 0.0f)))
