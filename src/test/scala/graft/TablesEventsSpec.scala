@@ -43,6 +43,34 @@ class TablesEventsSpec extends SparkSpec {
     dir
   }
 
+  private def writeInstantFixture(): String = {
+    // the third physical shape a regen could ship: isAdjustedToUTC=true
+    // (plain TIMESTAMP) — loads as TimestampType and takes the cast branch
+    val dir = java.nio.file.Files.createTempDirectory("events_instant").toString
+    rowsUs.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("Tables.events: the UTC-instant (TimestampType) branch matches the other two") {
+    val instantDir = writeInstantFixture()
+    assert(Tables.eventsRawTsType(spark, instantDir) === TimestampType)
+    val a = Tables.events(spark, instantDir)
+    assert(a.schema("ts").dataType === TimestampNTZType)
+    val got  = a.orderBy("event_id").collect().map(_.toSeq).toSeq
+    val want = Tables.events(spark, writeMicrosFixture())
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+    // streaming decode exprs agree too
+    val raw = spark.read.schema(Tables.eventsRawSchema(TimestampType))
+      .parquet(s"$instantDir/events.parquet")
+    val us = raw.withColumn("us", expr(Tables.eventsTsMicrosExpr(TimestampType)))
+      .orderBy("event_id").select("us").as[Long].collect().toSeq
+    assert(us === rowsUs.map(_._2))
+  }
+
   test("Tables.events: NANOS-as-long and MICROS fixtures decode to identical rows") {
     val nanosDir  = writeNanosFixture()
     val microsDir = writeMicrosFixture()
