@@ -401,13 +401,18 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(par(s, Tables.embeddings(s, dir)), "vec_id", "embedding", thresh = 0.45)
       .select(col("id_a"), col("id_b"))
 
-  /** q41's WIRED SCALE FORM — hyperplane-LSH banded candidate generation →
-    * exact cosine verify (Similarity.cosineNearDupPairsBanded): the candidate
-    * join is an equi-join on (table, bucket) carrying ids only, never a theta
-    * join over vector pairs (PlanSpec pins this). Same oracle as q41: the
-    * (64, 4) banding has measured recall 1.0 on this corpus at every sf
-    * (differential-tested), and verification is exact, so the answers are
-    * identical — the brute q41 is retired to oracle-duty (not benched). */
+  /** q41's WIRED SCALE FORM — auto-planned near-dup search
+    * (Similarity.cosineNearDupPairsBanded, tables=nbits=0): planBanding
+    * sizes an LSH banding from (n, thresh, recall target) when geometry
+    * allows — nbits = ⌈log₂ n⌉+1 so buckets grow with the corpus, candidate
+    * join an equi-join on (table, bucket) carrying ids only — and on THIS
+    * corpus (isotropic: every pair cosine < 0.61 at threshold 0.45, p ≈
+    * 0.65, where any banding is ~dense) it logs the infeasibility and takes
+    * the exact blocked all-pairs kernel instead, the route that replaced
+    * r6's fixed (64, 4) banding measured super-linear (38.5 s at sf1).
+    * Neither route plans a theta join over vector pairs (PlanSpec pins
+    * this). Same oracle as q41: the fallback is exact by construction, so
+    * the answers are identical — brute q41 stays on oracle-duty. */
   private def q161_embed_neardup_banded(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairsBanded(par(s, Tables.embeddings(s, dir)), "vec_id", "embedding",
         thresh = 0.45)
@@ -1920,11 +1925,11 @@ object SparkEntry {
   }
 
   /** q137's WIRED SCALE FORM — the composed semantic-dedup pipeline with the
-    * banded (LSH-bucketed) pair generator instead of the O(n²) theta join:
-    * banded candidates → exact cosine verify → connected components → keep
-    * min-id per cluster. Same oracle as q137 (recall-1 banding + exact
-    * verify ⇒ identical edge set ⇒ identical components); the brute q137 is
-    * retired to oracle-duty. */
+    * auto-planned pair generator (q161's — LSH banding when geometry
+    * separates, the exact blocked kernel here) instead of the O(n²) theta
+    * join: pairs → connected components → keep min-id per cluster. Same
+    * oracle as q137 (an exact or recall-1 pair set ⇒ identical edge set ⇒
+    * identical components); the brute q137 is retired to oracle-duty. */
   private def q162_semantic_dedup_banded(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Clusters
     val vecs = par(s, Tables.embeddings(s, dir))
@@ -2904,22 +2909,24 @@ object SparkEntry {
         sum(when(col("n_agree") <= 1, 1L).otherwise(0L)).as("n_suspect"))
   }
 
-  /** q153's WIRED SCALE FORM — all-corpus kNN via the LSH bucket join
-    * (Similarity.lshBucketTopK with broadcastQueries=false): candidates come
-    * from the (table, bucket) equi-join, query vectors rejoin by id-keyed
-    * shuffle (NOT broadcast — the query side here IS the corpus, and
-    * broadcasting the corpus was exactly the r3 scale flaw), and the label
-    * lookups are plain id joins for the same reason. The (64, 4) banding
-    * reproduces every exact 5-NN set on this corpus at every sf
-    * (differential-tested), so the per-label aggregate is identical to
-    * brute q153 and shares its oracle; brute q153 retires to oracle-duty. */
+  /** q153's WIRED SCALE FORM — all-corpus kNN via the auto-planned search
+    * (Similarity.lshBucketTopK, tables=nbits=0, broadcastQueries=false):
+    * planBanding sizes an LSH banding at the stated design cosine when
+    * geometry separates; on THIS corpus (isotropic at designCosine 0.45) it
+    * logs the infeasibility and takes the exact blocked top-k kernel — block
+    * -pair cogroups with per-block top-5 then a per-query merge window,
+    * never |Q|×|C| rows and never a broadcast of the corpus-sized query
+    * side (the r3 scale flaw), replacing r6's fixed (64, 4) banding
+    * measured super-linear (66.9 s at sf1). The fallback reproduces exact
+    * 5-NN including tie-breaks, so the per-label aggregate is identical to
+    * brute q153 and shares its oracle; brute q153 stays on oracle-duty. */
   private def q163_label_agreement_banded(s: SparkSession, dir: String): DataFrame = {
     val emb = par(s, Tables.embeddings(s, dir))
     val queries = emb.select(col("vec_id").as("query_id"),
       col("embedding").as("query_vec"), col("label").cast("long").as("qlab"))
     val nn = Similarity.lshBucketTopK(
         queries.select("query_id", "query_vec"), emb.select("vec_id", "embedding"), k = 5,
-        tables = 64, nbits = 4, broadcastQueries = false)
+        tables = 0, nbits = 0, broadcastQueries = false, designCosine = 0.45)
       .join(emb.select(col("vec_id").as("neighbor_id"),
         col("label").cast("long").as("nlab")), "neighbor_id")
       .join(queries.select("query_id", "qlab"), "query_id")

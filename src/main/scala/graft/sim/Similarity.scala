@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.sim.Similarity")
+
   /** Codegen'd fused kernels (graft.functions.VectorExprs) — one pass, double
     * accumulation, same value as the HOF zip_with/aggregate form but without
     * per-element interpreted lambda dispatch. */
@@ -108,12 +110,39 @@ object Similarity {
     * tables; exact cosine re-rank keeps top-k per query. Recall < 1 by
     * construction (tune tables/nbits); candidate generation is a bucket
     * equi-join, so the plan scales as sum of bucket sizes, not |Q|×|C|.
+    *
+    * tables = nbits = 0 AUTO-SIZES via [[planBanding]] against
+    * `designCosine` — the cosine at which neighbor recall is targeted (a
+    * top-k search has no intrinsic threshold, so the caller states the
+    * similarity regime its neighbors live in). When the planner reports no
+    * affordable banding separates at that cosine (isotropic geometry), it
+    * LOGS the decision and falls back to the exact [[topKBlocked]] — the
+    * route the r6 bench needed for q163, where the fixed (64, 4) banding
+    * was effectively a dense all-pairs join paying full LSH overhead.
     */
   def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     tables: Int = 8, nbits: Int = 12,
                     qId: String = "query_id", qVec: String = "query_vec",
                     cId: String = "vec_id", cVec: String = "embedding",
-                    broadcastQueries: Boolean = true): DataFrame = {
+                    broadcastQueries: Boolean = true,
+                    designCosine: Double = Double.NaN,
+                    recallTarget: Double = 0.98, maxTables: Int = 256): DataFrame = {
+    require((tables > 0) == (nbits > 0),
+      s"lshBucketTopK: tables=$tables nbits=$nbits — set both explicitly or both 0 (auto)")
+    if (tables == 0) {
+      require(!designCosine.isNaN,
+        "lshBucketTopK: auto sizing (tables=0) needs designCosine — the cosine regime to target recall at")
+      val cn = corpus.count()
+      return planBanding(cn, designCosine, recallTarget, maxTables) match {
+        case Some((t, b)) =>
+          log.info(s"lsh top-k: auto banding (tables=$t, nbits=$b) for n=$cn at designCosine=$designCosine")
+          lshBucketTopK(queries, corpus, k, t, b, qId, qVec, cId, cVec, broadcastQueries)
+        case None =>
+          log.warn(s"lsh top-k: no affordable LSH banding separates at designCosine=$designCosine " +
+            s"for n=$cn — falling back to the exact blocked top-k kernel")
+          topKBlocked(queries, corpus, k, qId, qVec, cId, cVec, knownCorpusCount = cn)
+      }
+    }
     // Candidate generation carries ONLY ids through the bucket join and the
     // dedup — vectors rejoin afterwards, so the shuffle payload is
     // (table, bucket, id), never embeddings. `broadcastQueries` picks how the
@@ -300,6 +329,228 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** P[a random hyperplane puts both vectors of a pair at cosine `c` on the
+    * same side] — the Goemans–Williamson collision probability
+    * 1 − acos(c)/π that every hyperplane-LSH recall bound derives from. */
+  def lshBitAgreeProb(c: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+
+  /** Plan an LSH banding (tables, nbits) for a corpus of `n` vectors such
+    * that pairs at cosine ≥ `cosFloor` are recalled with probability ≥
+    * `recallTarget`, or decide that NO affordable banding exists.
+    *
+    * Sizing discipline (the [[ivfTopK]] auto-nlist rule applied to LSH):
+    * nbits starts at ⌈log₂ n⌉+1 so the bucket count GROWS with the corpus —
+    * a fixed nbits leaves random collisions a constant fraction of n², i.e.
+    * still quadratic — and tables follows from the recall formula
+    * 1 − (1 − p^nbits)^tables with p = [[lshBitAgreeProb]](cosFloor). A plan
+    * is affordable when tables ≤ `maxTables` AND the expected RANDOM-pair
+    * candidate density 1 − (1 − 2⁻ⁿᵇⁱᵗˢ)^tables ≤ `densityCap`: nbits is
+    * lowered until tables fits, and if every nbits either needs too many
+    * tables or floods the candidate join, the answer is None — the
+    * threshold sits too close to random (ρ → 1) for geometry LSH to
+    * separate, and callers fall back to an exact blocked kernel instead of
+    * running a banding that would shuffle ~n² candidates anyway.
+    *
+    * Worked regimes (spec-pinned): τ = 0.85, n = 6000 → Some((58, 14)),
+    * candidates < 1% of pairs; τ = 0.45 (the isotropic bench corpus, p ≈
+    * 0.65) → None at every n — exactly the geometry the r6 bench measured
+    * as super-linear under the old fixed (64, 4) defaults.
+    */
+  def planBanding(n: Long, cosFloor: Double, recallTarget: Double = 0.98,
+                  maxTables: Int = 256, densityCap: Double = 0.05): Option[(Int, Int)] = {
+    require(n >= 0, s"planBanding: n=$n")
+    require(recallTarget > 0 && recallTarget < 1, s"planBanding: recallTarget=$recallTarget")
+    require(maxTables >= 1 && densityCap > 0 && densityCap <= 1,
+      s"planBanding: maxTables=$maxTables densityCap=$densityCap")
+    val p = lshBitAgreeProb(cosFloor)
+    if (n < 2) return Some((1, 1))
+    if (p >= 1.0) return Some((1, math.max(4, log2Ceil(n) + 1))) // exact dups: any banding recalls them
+    val bMax = math.max(4, log2Ceil(n) + 1)
+    (bMax to 1 by -1).iterator.map { b =>
+      val hit = math.pow(p, b)
+      val t =
+        if (hit >= 1.0) 1
+        else {
+          val raw = math.log1p(-recallTarget) / math.log1p(-hit)
+          if (raw > 1e9) Int.MaxValue else math.ceil(raw).toInt
+        }
+      val density = 1.0 - math.pow(1.0 - math.pow(2.0, -b), t.toDouble.min(1e9))
+      (t, b, density)
+    }.collectFirst { case (t, b, d) if t <= maxTables && d <= densityCap => (t, b) }
+  }
+
+  private def log2Ceil(n: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+
+  /** JVM mirror of the codegen'd cosine kernel (graft.functions.VectorAlgs
+    * .cosine): double accumulation, left-to-right — BIT-IDENTICAL results,
+    * which is what lets the blocked kernels below share exact oracles with
+    * the expression-based operators. */
+  private[sim] def cosJvm(a: Array[Float], b: Array[Float]): Double = {
+    val n = a.length
+    if (n != b.length)
+      throw new IllegalArgumentException(
+        s"vector length mismatch: $n vs ${b.length} (malformed embedding)")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** EXACT all-pairs cosine-threshold join, blocked: the dense-regime
+    * fallback when [[planBanding]] says LSH can't separate. Vectors are
+    * hashed into ⌈n/rowsPerBlock⌉ blocks; every unordered block pair (i ≤ j)
+    * is one cogroup, and a tight JVM loop scores its ≤ rowsPerBlock² pairs.
+    * The Ω(n²) compare work is inherent to the answer on such geometry —
+    * what this kernel removes is the per-pair OVERHEAD the banded wiring
+    * pays in that regime (×tables candidate duplication, the ~n²-row
+    * distinct shuffle, two id-joins to refetch vectors): total shuffle here
+    * is n×⌈n/rowsPerBlock⌉ tagged rows, compute is [[cosJvm]] in a while
+    * loop, and each executor holds at most two blocks (~2·rowsPerBlock
+    * vectors) at once, so the plan is skew-free and memory-bounded at any
+    * corpus size. Requires an integral-castable id column. Output is
+    * bit-identical to [[cosineNearDupPairs]] (id_a < id_b, cos_sim ≥
+    * thresh).
+    */
+  def cosineAllPairsBlocked(vecs: DataFrame, idCol: String, vecCol: String,
+                            thresh: Double, rowsPerBlock: Int = 4096,
+                            knownCount: Long = -1L): DataFrame = {
+    require(rowsPerBlock >= 2, s"cosineAllPairsBlocked: rowsPerBlock=$rowsPerBlock")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val n = if (knownCount >= 0L) knownCount else vecs.count()
+    val nB = math.max(1L, math.ceil(n.toDouble / rowsPerBlock).toLong)
+    val tagged = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        pmod(xxhash64(col(idCol).cast("long")), lit(nB)).as("b"))
+      .select(col("id"), col("vec"), col("b"),
+        explode(sequence(lit(0L), lit(nB - 1L))).as("o"))
+      .select(
+        when(col("o") >= col("b"), col("b") * nB + col("o"))
+          .otherwise(col("o") * nB + col("b")).as("g"),
+        (col("o") >= col("b")).as("isLeft"),
+        col("id"), col("vec"))
+      .as[(Long, Boolean, Long, Array[Float])]
+    tagged.groupByKey(_._1)
+      .flatMapGroups { (g: Long, it: Iterator[(Long, Boolean, Long, Array[Float])]) =>
+        val lefts = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val rights = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach(t => (if (t._2) lefts else rights) += ((t._3, t._4)))
+        val diag = (g / nB) == (g % nB)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        if (diag) {
+          var i = 0
+          while (i < lefts.length) {
+            val (idI, vI) = lefts(i)
+            var j = i + 1
+            while (j < lefts.length) {
+              val (idJ, vJ) = lefts(j)
+              val c = cosJvm(vI, vJ)
+              if (c >= thresh)
+                out += (if (idI < idJ) (idI, idJ, c) else (idJ, idI, c))
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < lefts.length) {
+            val (idI, vI) = lefts(i)
+            var j = 0
+            while (j < rights.length) {
+              val (idJ, vJ) = rights(j)
+              val c = cosJvm(vI, vJ)
+              if (c >= thresh)
+                out += (if (idI < idJ) (idI, idJ, c) else (idJ, idI, c))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b", "cos_sim")
+  }
+
+  /** EXACT top-k, blocked — the dense-regime fallback for all-corpus kNN
+    * (query side ≈ corpus side, so [[bruteForceTopK]]'s broadcast-the-
+    * queries shape is unavailable). Queries and corpus are hashed into
+    * blocks; each (query block × corpus block) cogroup emits its LOCAL
+    * top-k per query under the global ordering (cos desc, id asc), and one
+    * final per-query window over the ≤ corpusBlocks·k survivors recovers
+    * the global top-k exactly (the global top-k is contained in the union
+    * of per-block top-k under the same total order). Shuffle is
+    * |Q|·corpusBlocks + |C|·queryBlocks tagged rows — never |Q|×|C| — and
+    * compute is the tight [[cosJvm]] loop, so results are bit-identical to
+    * [[bruteForceTopK]] (self-pairs excluded, same tie-break) at a fraction
+    * of its per-pair overhead. Requires integral-castable ids.
+    */
+  def topKBlocked(queries: DataFrame, corpus: DataFrame, k: Int,
+                  qId: String = "query_id", qVec: String = "query_vec",
+                  cId: String = "vec_id", cVec: String = "embedding",
+                  rowsPerBlock: Int = 4096,
+                  knownQueryCount: Long = -1L, knownCorpusCount: Long = -1L): DataFrame = {
+    require(k >= 1 && rowsPerBlock >= 2, s"topKBlocked: k=$k rowsPerBlock=$rowsPerBlock")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qn = if (knownQueryCount >= 0L) knownQueryCount else queries.count()
+    val cn = if (knownCorpusCount >= 0L) knownCorpusCount else corpus.count()
+    val qB = math.max(1L, math.ceil(qn.toDouble / rowsPerBlock).toLong)
+    val cB = math.max(1L, math.ceil(cn.toDouble / rowsPerBlock).toLong)
+    val qTag = queries
+      .select(col(qId).cast("long").as("id"), col(qVec).as("vec"),
+        pmod(xxhash64(col(qId).cast("long")), lit(qB)).as("qb"))
+      .select(col("id"), col("vec"), col("qb"),
+        explode(sequence(lit(0L), lit(cB - 1L))).as("cb"))
+      .select((col("qb") * cB + col("cb")).as("g"), lit(true).as("isQ"), col("id"), col("vec"))
+    val cTag = corpus
+      .select(col(cId).cast("long").as("id"), col(cVec).as("vec"),
+        pmod(xxhash64(col(cId).cast("long")), lit(cB)).as("cb"))
+      .select(col("id"), col("vec"), col("cb"),
+        explode(sequence(lit(0L), lit(qB - 1L))).as("qb"))
+      .select((col("qb") * cB + col("cb")).as("g"), lit(false).as("isQ"), col("id"), col("vec"))
+    val local = qTag.unionByName(cTag)
+      .as[(Long, Boolean, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Boolean, Long, Array[Float])]) =>
+        val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val cs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach(t => (if (t._2) qs else cs) += ((t._3, t._4)))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        qs.foreach { case (qid, qv) =>
+          // insertion top-k under (cos desc, id asc) — k is small
+          val bc = new Array[Double](k); val bi = new Array[Long](k)
+          var m = 0
+          cs.foreach { case (cid, cv) =>
+            if (cid != qid) {
+              val c = cosJvm(qv, cv)
+              if (m < k || c > bc(m - 1) || (c == bc(m - 1) && cid < bi(m - 1))) {
+                var pos = if (m < k) m else m - 1
+                while (pos > 0 && (c > bc(pos - 1) || (c == bc(pos - 1) && cid < bi(pos - 1)))) {
+                  bc(pos) = bc(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+                }
+                bc(pos) = c; bi(pos) = cid
+                if (m < k) m += 1
+              }
+            }
+          }
+          var r = 0
+          while (r < m) { out += ((qid, bi(r), bc(r))); r += 1 }
+        }
+        out.iterator
+      }
+      .toDF("__q", "__c", "cos_sim")
+    val w = Window.partitionBy(col("__q")).orderBy(col("cos_sim").desc, col("__c").asc)
+    local.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("__q").as(qId), col("__c").as("neighbor_id"),
+        col("cos_sim"), col("__rk").as("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs AT SCALE: hyperplane-LSH banded
     * candidate generation (equi-join on (table, bucket), ids only in the
     * shuffle) → exact cosine verification. Precision is always 1 (every
@@ -320,18 +571,39 @@ object Similarity {
     *    ~n^1.3, not n² (63M = 0.003% of pairs), because moderate-angle
     *    pairs dominate collisions at high nbits (Jensen tail); the knobs
     *    are (tables, nbits), bought with recall per the formula above.
-    *  - the synthetic bench corpus has *weak* affinities (all pair cosines
-    *    < 0.61, threshold 0.45 ⇒ p ≈ 0.65): the defaults (64, 4) are tuned
-    *    so measured recall is exactly 1.0 at sf0.001/0.01/0.1 (differential
-    *    tests + the q41 oracle pin this). On such isotropic data the
-    *    candidate set is necessarily dense (~90% of all pairs — LSH cannot
-    *    separate what geometry doesn't) but the PLAN is unchanged: no theta
-    *    join, documents/vectors never cross the wire during generation, and
-    *    the same wiring goes sub-quadratic the moment the corpus has real
-    *    near-dup structure (the planted measurement above).
+    *  - tables = nbits = 0 (the default) AUTO-SIZES the banding with
+    *    [[planBanding]] — nbits = ⌈log₂ n⌉+1 so buckets grow with the
+    *    corpus, tables from the recall formula at `thresh` — and when the
+    *    planner reports that NO affordable banding separates at `thresh`
+    *    (the isotropic regime: e.g. the synthetic bench corpus, all pair
+    *    cosines < 0.61 at threshold 0.45 ⇒ p ≈ 0.65, where any banding's
+    *    candidate set is ~dense and the r6 bench measured the old fixed
+    *    (64, 4) defaults as super-linear), it LOGS the decision and falls
+    *    back to [[cosineAllPairsBlocked]]: exact, recall 1 by construction,
+    *    and strictly cheaper than dense banding because it skips the
+    *    ×tables candidate duplication, the ~n²-row distinct and the vector
+    *    refetch joins. Both routes produce bit-identical pairs whenever the
+    *    banding's recall is 1, and the fallback always does.
     */
   def cosineNearDupPairsBanded(vecs: DataFrame, idCol: String, vecCol: String, thresh: Double,
-                               tables: Int = 64, nbits: Int = 4): DataFrame = {
+                               tables: Int = 0, nbits: Int = 0,
+                               recallTarget: Double = 0.98, maxTables: Int = 256,
+                               knownCount: Long = -1L): DataFrame = {
+    require((tables > 0) == (nbits > 0),
+      s"cosineNearDupPairsBanded: tables=$tables nbits=$nbits — set both explicitly or both 0 (auto)")
+    if (tables == 0) {
+      val n = if (knownCount >= 0L) knownCount else vecs.count()
+      return planBanding(n, thresh, recallTarget, maxTables) match {
+        case Some((t, b)) =>
+          log.info(s"banded near-dup: auto banding (tables=$t, nbits=$b) for n=$n at thresh=$thresh")
+          cosineNearDupPairsBanded(vecs, idCol, vecCol, thresh, t, b)
+        case None =>
+          log.warn(s"banded near-dup: no affordable LSH banding separates at thresh=$thresh " +
+            s"for n=$n (collision prob ${lshBitAgreeProb(thresh)} too close to random) — " +
+            "falling back to the exact blocked all-pairs kernel")
+          cosineAllPairsBlocked(vecs, idCol, vecCol, thresh, knownCount = n)
+      }
+    }
     val b = vecs.select(col(idCol).as("id"),
       posexplode(lshBuckets(col(vecCol), tables, nbits)).as(Seq("table", "bucket")))
     val cands = b.as("l").join(b.as("r"),

@@ -150,6 +150,49 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("planBanding: sparse plan in the production regime, None in the isotropic regime") {
+    // τ=0.85, n=6000 → log-scaled nbits, affordable tables, sparse candidates
+    val plan = Similarity.planBanding(6000, 0.85)
+    assert(plan.nonEmpty, "production regime must plan a banding")
+    val (t, b) = plan.get
+    assert(b >= 12 && t <= 256, s"(t=$t, b=$b)")
+    assert(1.0 - math.pow(1.0 - math.pow(2.0, -b), t.toDouble) <= 0.05,
+      s"random-pair density must be sparse at (t=$t, b=$b)")
+    // a billion-vector near-dup corpus at τ=0.92 still plans
+    assert(Similarity.planBanding(1000000000L, 0.92).nonEmpty)
+    // isotropic regime: τ=0.45 (p ≈ 0.65 — too close to random) at ANY n:
+    // every banding either needs unaffordable tables or floods the join
+    for (n <- Seq(4L, 500L, 5000L, 50000L, 5000000L))
+      assert(Similarity.planBanding(n, 0.45).isEmpty, s"n=$n must be infeasible")
+  }
+
+  test("cosineAllPairsBlocked is bit-identical to the brute theta join across many blocks") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val blocked = Similarity.cosineAllPairsBlocked(emb, "vec_id", "embedding", 0.3, rowsPerBlock = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked === brute) // Double equality included — cosJvm mirrors the codegen kernel
+  }
+
+  test("topKBlocked is bit-identical to bruteForceTopK, tie-breaks included") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val blocked = Similarity.topKBlocked(q, emb, 5, rowsPerBlock = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(blocked === brute)
+  }
+
+  test("auto mode (tables=nbits=0) on the isotropic fixture routes to the exact fallback") {
+    val auto = Similarity.cosineNearDupPairsBanded(vecs, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto === brute)
+  }
+
   test("production regime (τ=0.85): banded near-dup on a PLANTED corpus — high recall, sparse candidates") {
     import graft.tools.NearDupScale
     val n = 6000L
@@ -179,6 +222,14 @@ class SimilaritySpec extends SparkSpec {
     val allPairs = n * (n - 1) / 2
     assert(cands.toDouble / allPairs < 0.02,
       s"candidate density ${cands.toDouble / allPairs} not sub-quadratic-sparse")
-    vecs.unpersist(); truth.unpersist(); banded.unpersist()
+    // AUTO mode on the same corpus: planBanding picks the banding (not the
+    // fallback — the regime is separable) and recall holds without anyone
+    // hand-tuning (tables, nbits). This is the r7 auto-sizing contract.
+    val autoBanded = Similarity.cosineNearDupPairsBanded(vecs, "vec_id", "embedding", 0.85).cache()
+    val autoHit = autoBanded.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+    assert(autoHit.toDouble / truthCount >= 0.95,
+      s"auto-banding recall ${autoHit.toDouble / truthCount} below the bar")
+    assert(autoBanded.filter(col("cos_sim") < 0.85).count() === 0)
+    vecs.unpersist(); truth.unpersist(); banded.unpersist(); autoBanded.unpersist()
   }
 }
