@@ -23,8 +23,11 @@ object Tables {
   /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) and
     * TIMESTAMP(MICROS) across testdata generations, so the loader adapts to
     * whatever the footer declares instead of hard-coding one physical type.
-    * NANOS is unreadable by Spark's vectorized reader, so the legacy
-    * nanosAsLong flag is always set: a NANOS column then loads as LongType
+    * NANOS is unreadable by Spark's vectorized reader without the legacy
+    * nanosAsLong flag; the footer PROBE sets it save/restore-scoped, and
+    * only a genuinely NANOS file sets it on the session (the reader needs
+    * it again at execution) — MICROS/MILLIS callers' conf is never touched.
+    * A NANOS column loads as LongType
     * (raw epoch-nanos) and is integer-truncated to µs — exactly what DuckDB
     * does internally (its TIMESTAMP is µs), with `div` (not `/ 1000`)
     * avoiding double-precision loss on epoch-nanos. MICROS/MILLIS columns
@@ -33,16 +36,33 @@ object Tables {
     * isAdjustedToUTC=false and DuckDB's naive TIMESTAMP; session TZ is UTC
     * so wall-clock values are identical across all paths.
     */
+  private val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Run `body` with the legacy nanos flag set, then RESTORE the caller's
+    * value — schema inference happens eagerly inside `load`, so the flag is
+    * only needed for the duration of the probe. */
+  private def probeWithNanosFlag[T](spark: SparkSession, body: => T): T = {
+    val prev = spark.conf.getOption(NanosFlag)
+    spark.conf.set(NanosFlag, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(NanosFlag, v)
+      case None    => spark.conf.unset(NanosFlag)
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
-    df.schema("ts").dataType match {
+    // eventsRawTsType leaves the session flag set iff the file is NANOS —
+    // which the scan below then needs at execution time
+    eventsRawTsType(spark, dir) match {
       case LongType =>
-        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-      case TimestampNTZType => df
-      case _ => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+        load(spark, dir, "events")
+          .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType => load(spark, dir, "events")
+      case _ =>
+        load(spark, dir, "events").withColumn("ts", col("ts").cast(TimestampNTZType))
     }
   }
 
@@ -55,8 +75,18 @@ object Tables {
     * micros as nanos after a testdata regen).
     */
   def eventsRawTsType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events").schema("ts").dataType
+    val t = probeWithNanosFlag(spark, load(spark, dir, "events").schema("ts").dataType)
+    // A genuinely-NANOS file needs the flag again when the (batch or
+    // streaming) scan EXECUTES, so it must outlive the probe — set it
+    // persistently for this one physical shape only, logged. MICROS/MILLIS/
+    // instant files never mutate caller conf.
+    if (t == org.apache.spark.sql.types.LongType) {
+      org.slf4j.LoggerFactory.getLogger("graft.Tables").info(
+        s"events: NANOS-typed ts at $dir — setting $NanosFlag=true for this session " +
+          "(required by the parquet reader at execution time)")
+      spark.conf.set(NanosFlag, "true")
+    }
+    t
   }
 
   /** events schema for `readStream.schema(...)`, with `ts` typed per the

@@ -33,7 +33,8 @@ object Clusters {
     * extra join is ~free), but RECORD-LINKAGE graphs chain — A~B~C~… — and
     * plain min-propagation walks them one hop per round (measured: 21
     * rounds on the sf1 ER graph, each a join + agg + checkpoint; with
-    * shortcutting the same graph closes in 6).
+    * shortcutting the same graph closes in 8 — the number the in-loop
+    * comment, DESIGN.md and the r6 bench all agree on).
     *
     * Scale notes for the 100 TB regime:
     *  - the per-round shuffle is keyed on vertex id both in the neighbor
@@ -111,8 +112,11 @@ object Clusters {
     sym.unpersist()
     // operational breadcrumb: iteration count IS the diameter bound — a
     // jump here after a corpus change explains a wall-clock regression
-    // before any profiler does (each round = 1 join + 1 agg + 1 checkpoint)
-    System.err.println(s"[cc] rounds=$iter converged=$converged")
+    // before any profiler does (each round = 1 join + 1 agg + 1 checkpoint).
+    // info-level, not stderr: a library entry point must not print
+    // unconditionally.
+    org.slf4j.LoggerFactory.getLogger("graft.dedup.Clusters")
+      .info(s"connectedComponents: rounds=$iter converged=$converged")
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 }

@@ -268,7 +268,8 @@ object Similarity {
               nlist: Int = 0, nprobe: Int = 0,
               centroidIters: Int = 0,
               qId: String = "query_id", qVec: String = "query_vec",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+              cId: String = "vec_id", cVec: String = "embedding",
+              knownCount: Long = -1L): DataFrame = {
     // The centroid set lives on the driver and inside the assignment
     // expression: its budget is nlist×dim×8 bytes. 65536 cells is already a
     // billion-vector index (FAISS sizing: nlist ≈ √n); nlist=10⁶ would be a
@@ -277,11 +278,14 @@ object Similarity {
     // floor 4): candidates/query ≈ nprobe·n/nlist, so a FIXED nlist degrades
     // linearly with corpus growth while √n sizing holds it to ≈ nprobe·√n —
     // same rationale measured on [[pqTopK]] (14× → 4× wall at 10× data).
+    // n comes from ONE count() job — a column-pruned scan answered from the
+    // parquet row-group counts, but a real job nonetheless; callers that
+    // already know the cardinality pass `knownCount` to skip it.
     require(nlist >= 0 && nprobe >= 0, s"ivfTopK: nlist=$nlist nprobe=$nprobe (0 = auto)")
     val nlistEff =
       if (nlist > 0) nlist
       else math.min(4096, math.max(16, math.ceil(math.sqrt(
-        corpus.count().toDouble)).toInt))
+        (if (knownCount >= 0L) knownCount else corpus.count()).toDouble)).toInt))
     val nprobeEff = if (nprobe > 0) nprobe else math.max(4, nlistEff / 16)
     require(nlistEff >= 1 && nlistEff <= 65536, s"ivfTopK: nlist=$nlistEff outside [1, 65536]")
     require(nprobeEff >= 1 && nprobeEff <= nlistEff,
@@ -764,8 +768,10 @@ object Similarity {
     * raise it before raising m/ksub.
     *
     * nlist = 0 (the default) AUTO-SIZES the cell count to ⌈√n⌉ clamped to
-    * [16, 4096] — the FAISS sizing rule — from the parquet-metadata row
-    * count, and nprobe = 0 derives max(4, nlist/16). This is what keeps the
+    * [16, 4096] — the FAISS sizing rule — from one count() job (a
+    * column-pruned scan answered from parquet row-group counts; pass
+    * `knownCount` to skip it), and nprobe = 0 derives max(4, nlist/16).
+    * This is what keeps the
     * search sub-linear: candidates/query ≈ nprobe·n/nlist, so a FIXED nlist
     * degrades linearly with corpus growth (measured: 14× wall for 10× data
     * at nlist=16), while √n sizing holds it to ≈ nprobe·√n.
@@ -774,13 +780,14 @@ object Similarity {
              m: Int = 8, ksub: Int = 32, nlist: Int = 0, nprobe: Int = 0,
              codebookIters: Int = 2, coarseIters: Int = 0, refineFactor: Int = 10,
              qId: String = "query_id", qVec: String = "query_vec",
-             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+             cId: String = "vec_id", cVec: String = "embedding",
+             knownCount: Long = -1L): DataFrame = {
     require(k >= 1 && refineFactor >= 1, s"pqTopK: k=$k refineFactor=$refineFactor")
     require(nlist >= 0 && nprobe >= 0, s"pqTopK: nlist=$nlist nprobe=$nprobe (0 = auto)")
     val nlistEff =
       if (nlist > 0) nlist
       else math.min(4096, math.max(16, math.ceil(math.sqrt(
-        corpus.count().toDouble)).toInt))
+        (if (knownCount >= 0L) knownCount else corpus.count()).toDouble)).toInt))
     val nprobeEff = if (nprobe > 0) nprobe else math.max(4, nlistEff / 16)
     require(nlistEff >= 1 && nlistEff <= 65536, s"pqTopK: nlist=$nlistEff outside [1, 65536]")
     require(nprobeEff >= 1 && nprobeEff <= nlistEff,
@@ -814,15 +821,34 @@ object Similarity {
       .withColumn("__qnorm", sqrt(dot(col(qVec), col(qVec))))
       .drop(qVec)
 
+    // flat-table offsets are CUMULATIVE book lengths, not mi·ksub: when the
+    // corpus has fewer than ksub rows, trainPqCodebooks' books are shorter
+    // than ksub and a fixed stride would misalign every subspace after the
+    // first (silently wrong ADC scores — the map-keyed r5 table was immune)
+    val bookOffsets = cb.books.map(_.length).scanLeft(0)(_ + _)
     val adcDot = (0 until cb.m).map(mi =>
       element_at(col("__qtab"),
-        (element_at(col("codes"), mi + 1) + lit(mi.toLong * cb.ksub) + 1L).cast("int")))
+        (element_at(col("codes"), mi + 1) + lit(bookOffsets(mi).toLong) + 1L).cast("int")))
       .reduce(_ + _)
     val wShort = Window.partitionBy(col(qId)).orderBy(col("__adc").desc, col(cId).asc)
     // probes (queries × nprobe rows + their ADC tables) is the dim side of
     // the candidate join — broadcast it so the compressed index streams
-    // map-side and the 100 TB side never shuffles on `cell`
-    val shortlist = broadcast(probes).join(index, Seq("cell"))
+    // map-side and the 100 TB side never shuffles on `cell`. The hint is
+    // GATED on an estimated probe-side size: |Q|·nprobe rows × an ADC table
+    // of Σ|books| doubles each — auto-sizing can push nprobe to 256, and a
+    // forced broadcast past a few hundred MB is an executor/driver OOM, not
+    // an optimization. Past the gate the join falls back to the planner's
+    // choice (hash join on `cell`), correct either way.
+    val qCount = queries.count()
+    val probeBytes = qCount * nprobeEff * (bookOffsets.last.toLong * 8L + 64L)
+    val probesSide =
+      if (probeBytes <= (256L << 20)) broadcast(probes)
+      else {
+        log.warn(s"pqTopK: probe side ≈ ${probeBytes >> 20} MB (|Q|=$qCount, nprobe=$nprobeEff) " +
+          "exceeds the broadcast gate — using a non-broadcast cell join")
+        probes
+      }
+    val shortlist = probesSide.join(index, Seq("cell"))
       .filter(col(qId) =!= col(cId))
       .withColumn("__adc", adcDot / (col("__qnorm") * col("norm")))
       .withColumn("__rs", row_number().over(wShort))

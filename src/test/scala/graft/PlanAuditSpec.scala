@@ -66,9 +66,20 @@ class PlanAuditSpec extends SparkSpec {
     "q195_seq_pack" -> "global window over the <=1025 chunk-sum rows only (chunk width scales with max id); doc cumsum is chunk-partitioned",
     "q197_bm25_topk" -> "the SinglePartition exchange is the 32-row query-term limit (per-task top-32 first); the ranking window itself hash-partitions by query_id")
 
-  private def audit(name: String): Seq[String] = {
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    val plan = df.queryExecution.explainString(SimpleMode)
+  /** Left(failure) when the query can't even be BUILT (loader/testdata
+    * regression — reported as its own violation class, so one broken
+    * builder can't silence the whole-surface audit: exactly r5's failure
+    * mode, where a dead events loader blinded the audit for 26 queries),
+    * Right(findings) otherwise. */
+  private def audit(name: String): Either[String, Seq[String]] =
+    scala.util.Try(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(SimpleMode)) match {
+      case scala.util.Failure(e) =>
+        Left(s"$name: UNBUILDABLE (audit skipped): ${e.toString.linesIterator.next()}")
+      case scala.util.Success(plan) => Right(auditPlan(name, plan))
+    }
+
+  private def auditPlan(name: String, plan: String): Seq[String] = {
     val findings = scala.collection.mutable.Buffer.empty[String]
     val nlj = plan.contains("CartesianProduct") ||
       plan.contains("BroadcastNestedLoopJoin")
@@ -89,9 +100,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no query plans a cartesian join or an unjustified global window") {
     // batch-plannable surface: streaming queries execute their drain on
-    // construction and return a post-drain batch table - audited as such
-    val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap(audit)
-    assert(violations.isEmpty, "plan-audit violations:\n" + violations.mkString("\n"))
+    // construction and return a post-drain batch table - audited as such.
+    // Per-query Try: unbuildable queries surface as their own failure list
+    // while every buildable plan is STILL audited.
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(audit)
+    val unbuildable = results.collect { case Left(f) => f }
+    val violations = results.collect { case Right(fs) => fs }.flatten
+    assert(unbuildable.isEmpty && violations.isEmpty,
+      "plan-audit violations:\n" + (unbuildable ++ violations).mkString("\n"))
   }
 
   test("the allowlists only name real queries (no stale entries)") {

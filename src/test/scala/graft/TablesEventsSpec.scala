@@ -71,6 +71,24 @@ class TablesEventsSpec extends SparkSpec {
     assert(us === rowsUs.map(_._2))
   }
 
+  test("loading a non-NANOS events file leaves the caller's session conf untouched") {
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    // run in a FRESH session so flag state left by other suites/tests (the
+    // NANOS fixtures legitimately set it) can't mask a regression
+    val s2 = spark.newSession()
+    val before = s2.conf.getOption(flag) // the conf default surfaces as Some("false")
+    assert(!before.contains("true"), "precondition: flag not already forced on")
+    for (dir <- Seq(writeMicrosFixture(), writeInstantFixture())) {
+      Tables.events(s2, dir).collect()
+      assert(s2.conf.getOption(flag) === before,
+        s"loader mutated $flag for a non-NANOS file at $dir")
+    }
+    // and the NANOS shape is the documented exception: the reader needs the
+    // flag at execution time, so the probe sets it persistently
+    Tables.events(s2, writeNanosFixture()).collect()
+    assert(s2.conf.getOption(flag).contains("true"))
+  }
+
   test("Tables.events: NANOS-as-long and MICROS fixtures decode to identical rows") {
     val nanosDir  = writeNanosFixture()
     val microsDir = writeMicrosFixture()
