@@ -425,8 +425,14 @@ object SparkEntry {
     Dedup.shingleJaccardPairsPrefix(par(s, Tables.documents(s, dir)), "doc_id", "text", thresh10 = 7)
 
   /** Multimodal plumbing (binary payload + typed metadata + per-partition
-    * batched feature extraction; codec is a deterministic stub — no SQL
-    * oracle). */
+    * batched feature extraction). The codec stays a STUB (no media libs in
+    * the sandbox) but r7 made the stub md5-derived instead of xxhash64, so
+    * the fake features have a CLOSED-FORM oracle: the DuckDB SQL
+    * (generated by [[q50OracleSql]]) recomputes every feature, the norm
+    * chain and the kind dispatch verbatim — this query is hash-exact now,
+    * not rows-only. Real-format payloads still take the real decoders
+    * (q166/q183-q188 prove that path); this corpus is text-payload synthetic
+    * media, all stub-routed. */
   private def q50_media_features(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
     import graft.functions.VectorExprs
@@ -714,32 +720,40 @@ object SparkEntry {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
-  /** APPROXIMATE percentiles (KLL-style sketch, single pass, mergeable
-    * partials) — the 100 TB twin of q58's exact sort-based percentile; the
-    * sketch is accuracy-bounded, not exact, so no SQL oracle (rows-only);
-    * Round3Spec asserts it lands within the sketch's error bound of q58. */
+  /** HISTOGRAM-EXACT percentiles (sketch.HistogramQuantiles) — the
+    * mergeable single-fact-pass scale path for DISCRETE measures: one
+    * partial-aggregated (group, value) histogram, running sum over the
+    * O(distinct values) rows, rank = ceil(p·n). Same single-pass/mergeable
+    * shape the KLL sketch buys for continuous domains (q58's doc covers
+    * that regime), but all-integer here — so r7 converts this query from
+    * rows-only to a hash-exact DuckDB oracle mirroring rank semantics
+    * verbatim. (Historical name kept for artifact continuity; r1-r6 ran an
+    * approx_percentile sketch in this slot.) */
   private def q69_approx_quantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag").as("returnflag"))
-      .agg(approx_percentile(col("l_quantity").cast("long"),
-          array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("ps"))
-      .select(col("returnflag"),
-        element_at(col("ps"), 1).as("p25"),
-        element_at(col("ps"), 2).as("p50"),
-        element_at(col("ps"), 3).as("p90"))
+    graft.sketch.HistogramQuantiles.discPercentiles(
+      Tables.lineitem(s, dir).select(col("l_returnflag").as("returnflag"),
+        col("l_quantity").cast("long").as("qty")),
+      "returnflag", col("qty"), Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
 
-  /** MERGEABLE distinct-count sketches (Datasketches HLL builtins): per-
-    * (flag,status) sketches unioned up to flag level without re-scanning the
-    * fact table — the re-aggregatable form q26's scalar estimate can't give
-    * you. At 100 TB this is the pattern: store sketch BYTES per fine-grained
-    * cell once, answer any coarser rollup by sketch union. Estimates ⇒ no
-    * SQL oracle; Round3Spec bounds the error vs exact. */
-  private def q70_hll_union(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
-      .groupBy(col("l_returnflag").as("returnflag"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_orders"))
+  /** MERGEABLE distinct-count sketches — the DETERMINISTIC md5-HLL
+    * (sketch.DetHll, m = 16): per-(flag,status) register vectors unioned
+    * (element-wise max) up to flag level without re-scanning the fact
+    * table. At 100 TB this is the pattern: store registers per fine cell
+    * once, answer any coarser rollup by union. r7 swaps the Datasketches
+    * builtin (still demonstrated by q26) for the engine-portable form: the
+    * registers, the union AND the harmonic-mean estimate are closed-form
+    * md5/integer functions with ONE mirrored double division, so the
+    * estimate itself is DuckDB-oracle-checked hash-exactly; Round3Spec pins
+    * the mergeability algebra (union-then-estimate ≡ direct flag-level
+    * registers) and the m=16 error envelope vs exact. */
+  private def q70_hll_union(s: SparkSession, dir: String): DataFrame = {
+    import graft.sketch.DetHll
+    val fine = DetHll.registers(Tables.lineitem(s, dir),
+      Seq("l_returnflag", "l_linestatus"), col("l_orderkey"))
+    val flagRegs = DetHll.union(fine, Seq("l_returnflag"))
+    DetHll.estimate(flagRegs, Seq("l_returnflag"), outCol = "approx_orders")
+      .withColumnRenamed("l_returnflag", "returnflag")
+  }
 
   /** NATIVE session windows (Sessionize.sessionWindows): break detection and
     * aggregation fused in one `session_window` grouping — one shuffle, no
@@ -3917,10 +3931,67 @@ object SparkEntry {
     "q39_ann_lsh" -> "exact twin q38_ann_brute (oracle-checked); SimilaritySpec recall bound",
     "q40_fingerprint_rolling" -> "xxhash64 fold is hash-family-specific; TextOpsSpec pins order sensitivity",
     "q43_ann_ivf" -> "exact twin q38_ann_brute; SimilaritySpec recall bound",
-    "q50_media_features" -> "declared codec stub (no media libs in sandbox); q59 oracle-checks the plumbing",
-    "q69_approx_quantiles" -> "exact twin q58_quantiles; Round3Spec bounds sketch error",
-    "q70_hll_union" -> "exact twin q23_count_distinct; Round3Spec bounds union error",
     "q199_ann_ivfpq" -> "exact twin q38_ann_brute; PqSpec exhaustive-regime identity + planted recall bound")
+  // r7: q50 (md5 stub → closed-form oracle), q69 (histogram-exact
+  // percentiles) and q70 (deterministic md5-HLL) left this set — 10 → 7.
+
+  /** Closed-form oracle for q50: recompute the md5 stub features
+    * (Multimodal.stubDecodeFeatures) in pure SQL. hex16 parses the first 4
+    * hex chars of md5(text || ':' || i) via strpos — portable, no
+    * engine-specific hex cast — and the norm chain adds squares in ascending
+    * feature order, matching the JVM dot-product loop exactly. */
+  private def q50OracleSql: String = {
+    val hexDigits = "0123456789abcdef"
+    def hex4(e: String): String =
+      (1 to 4).map(p =>
+        s"(strpos('$hexDigits', substr($e, $p, 1)) - 1) * ${1 << (4 * (4 - p))}")
+        .mkString(" + ")
+    def vf(i: Int): String =
+      s"cast(((${hex4(s"md5(text || ':' || '$i')")}) % 2001 - 1000) / 1000.0 as float)"
+    val vdefs = (0 until 16).map(i => s"${vf(i)} AS __v$i").mkString(",\n           ")
+    val normChain = (0 until 16)
+      .map(i => s"(cast(__v$i as double) * cast(__v$i as double))")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH feats AS (
+         SELECT doc_id,
+           $vdefs
+         FROM documents)
+       SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         cast(16 as bigint) AS feature_dim,
+         cast(__v0 as double) AS f0,
+         sqrt($normChain) AS feature_norm
+       FROM feats"""
+  }
+
+  /** Oracle for q70: the deterministic md5-HLL (sketch.DetHll) re-derived
+    * in pure SQL — register from the first md5 nibble, rho from the next 15
+    * hex chars (integer logic only), max-union to flag level, harmonic-mean
+    * estimate with the single mirrored double division. */
+  private def q70OracleSql: String =
+    """WITH rr AS (
+         SELECT l_returnflag, l_linestatus,
+           strpos('0123456789abcdef', substr(md5(cast(l_orderkey as varchar)), 1, 1)) - 1 AS reg,
+           (15 - length(regexp_replace(substr(md5(cast(l_orderkey as varchar)), 2, 15), '^0*', ''))) * 4
+             + CASE substr(regexp_replace(substr(md5(cast(l_orderkey as varchar)), 2, 15), '^0*', ''), 1, 1)
+                 WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                 ELSE 0 END
+             + 1 AS rho
+         FROM lineitem),
+       fine AS (
+         SELECT l_returnflag, l_linestatus, reg, max(rho) AS max_rho
+         FROM rr GROUP BY 1, 2, 3),
+       unioned AS (
+         SELECT l_returnflag, reg, max(max_rho) AS max_rho
+         FROM fine GROUP BY 1, 2),
+       n AS (
+         SELECT l_returnflag,
+           sum((cast(1 as bigint) << (59 - max_rho))) + (16 - count(*)) * (cast(1 as bigint) << 59) AS nn
+         FROM unioned GROUP BY 1)
+       SELECT l_returnflag AS returnflag,
+         cast(floor(0.673 * 256.0 * 576460752303423488.0 / cast(nn as double)) as bigint) AS approx_orders
+       FROM n"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -4155,6 +4226,7 @@ object SparkEntry {
            min(ts) AS session_start, max(ts) AS session_end,
            cast(count(*) as bigint) AS n_events
          FROM numbered GROUP BY 1, 2""",
+    "q50_media_features" -> q50OracleSql,
     "q52_pivot_wide" ->
       """SELECT cast(ts as date) AS day,
            cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n_click,
@@ -4309,6 +4381,25 @@ object SparkEntry {
            cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
          FROM orders WHERE year(o_orderdate) = 1995
          GROUP BY 1""",
+    // q69: histogram-exact percentile_disc — rank = ceil(p·n), smallest
+    // value whose cumulative count reaches it; all-integer, mirrors
+    // sketch.HistogramQuantiles verbatim
+    "q69_approx_quantiles" ->
+      """WITH h AS (
+           SELECT l_returnflag AS returnflag, cast(l_quantity as bigint) AS v,
+             cast(count(*) as bigint) AS c
+           FROM lineitem GROUP BY 1, 2),
+         t AS (
+           SELECT returnflag, v,
+             sum(c) OVER (PARTITION BY returnflag ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY returnflag) AS n
+           FROM h)
+         SELECT returnflag,
+           min(CASE WHEN cum >= ceil(0.25 * n) THEN v END) AS p25,
+           min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+           min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90
+         FROM t GROUP BY 1""",
+    "q70_hll_union" -> q70OracleSql,
     // q71: gaps-and-islands with session_window's exact boundary semantics —
     // Spark coalesces touching windows, so merge iff gap <= 30 min (a break
     // needs STRICTLY more), and session_end is last_ts + gap

@@ -44,15 +44,27 @@ object Multimodal {
 
   /** ==== DETERMINISTIC STUB ==== real deployments replace this with an
     * actual codec (JPEG decode, PCM resample, H.264 frame extraction). The
-    * stub maps payload bytes -> pseudo feature vector via xxhash64 chaining,
-    * so it is a pure, reproducible function of the payload.
+    * stub maps payload bytes -> pseudo feature vector via per-feature MD5
+    * digests — a pure, reproducible function of the payload, and chosen
+    * over xxhash64 deliberately: MD5 is available in every SQL engine, so
+    * the fake features have a CLOSED-FORM oracle (q50's DuckDB SQL
+    * recomputes v_i = (hex16(md5(bytes || ':' || i)) % 2001 − 1000)/1000
+    * verbatim — hash-exact, where the xxhash64 stub was rows-only).
+    * Feature i reads the first 16 bits of md5(bytes ++ ":i"); float
+    * division by 1000.0f last, so the only rounding is one float4 divide
+    * mirrored identically in SQL.
     */
   def stubDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
-    val base = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(featureDim) { i =>
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(base, i.toLong)
-      (java.lang.Math.floorMod(h, 2001L) - 1000L).toFloat / 1000.0f
+      md.reset()
+      md.update(bytes)
+      md.update(s":$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      // double divide, then ONE narrowing to float — the exact shape
+      // cast((x % 2001 - 1000) / 1000.0 as float) takes in SQL
+      (((v % 2001) - 1000) / 1000.0).toFloat
     }
   }
 

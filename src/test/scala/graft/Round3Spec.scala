@@ -9,23 +9,38 @@ import org.apache.spark.sql.functions._
 class Round3Spec extends SparkSpec {
   import spark.implicits._
 
-  test("q69: approx percentiles land within the sketch accuracy of q58's exact answer") {
-    val exact = SparkEntry.queries("q58_quantiles")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = SparkEntry.queries("q69_approx_quantiles")(spark, sfDir)
+  test("q69: histogram percentiles EQUAL rank-ceil(p·n) order statistics (exact, not approx)") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("f"), col("l_quantity").cast("long").as("v"))
+    // brute order statistic per group: sort values, pick rank ceil(p*n)
+    val byGroup = li.collect().groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+    val got = SparkEntry.queries("q69_approx_quantiles")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(approx.keySet === exact.keySet)
-    // accuracy=10000 ⇒ rank error ≤ 1/10000; on ~2k rows/group of small-int
-    // quantities the estimate must sit within one quantity unit of exact
-    for ((k, (p25, p50, p90)) <- approx) {
-      assert(math.abs(p25 - exact(k)._1) <= 1.0, s"$k p25: $p25 vs ${exact(k)._1}")
-      assert(math.abs(p50 - exact(k)._2) <= 1.0, s"$k p50: $p50 vs ${exact(k)._2}")
-      assert(math.abs(p90 - exact(k)._3) <= 1.0, s"$k p90: $p90 vs ${exact(k)._3}")
+    assert(got.keySet === byGroup.keySet)
+    def rank(vs: Array[Long], p: Double): Long = vs(math.ceil(p * vs.length).toInt - 1)
+    for ((k, vs) <- byGroup) {
+      assert(got(k)._1 === rank(vs, 0.25), s"$k p25")
+      assert(got(k)._2 === rank(vs, 0.5), s"$k p50")
+      assert(got(k)._3 === rank(vs, 0.9), s"$k p90")
     }
   }
 
-  test("q70: unioned HLL sketches estimate within 5% of exact distinct counts") {
+  test("q70: md5-HLL mergeability is EXACT (union-then-estimate ≡ direct coarse registers) and the m=16 error envelope holds") {
+    import graft.sketch.DetHll
     val li = Tables.lineitem(spark, sfDir)
+    // the algebraic pin: element-wise-max union of fine (flag,status)
+    // registers equals registers computed directly at flag level — the
+    // property that lets a 100 TB rollup skip the fact re-scan, with NO
+    // approximation in the merge itself
+    val fine = DetHll.registers(li, Seq("l_returnflag", "l_linestatus"), col("l_orderkey"))
+    val unioned = DetHll.union(fine, Seq("l_returnflag"))
+      .select("l_returnflag", "reg", "max_rho")
+    val direct = DetHll.registers(li, Seq("l_returnflag"), col("l_orderkey"))
+      .select("l_returnflag", "reg", "max_rho")
+    assert(unioned.exceptAll(direct).isEmpty && direct.exceptAll(unioned).isEmpty)
+    // m=16 ⇒ ~26% standard error; the estimate must land inside a 2.5σ
+    // envelope of exact (this is the accuracy the tiny demonstrator buys)
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -33,7 +48,7 @@ class Round3Spec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est.keySet === exact.keySet)
     for ((k, e) <- est)
-      assert(math.abs(e - exact(k)).toDouble / exact(k) < 0.05, s"$k: est $e vs exact ${exact(k)}")
+      assert(math.abs(e - exact(k)).toDouble / exact(k) < 0.65, s"$k: est $e vs exact ${exact(k)}")
   }
 
   test("session_window boundary: a gap of exactly `gap` MERGES; only > gap breaks") {
