@@ -3132,11 +3132,15 @@ object SparkEntry {
   /** BINNED INTERVAL JOIN ([[graft.ops.Temporal.binnedIntervalJoin]]) —
     * promotion windows derived from a 1-in-97 sample of orders (length =
     * key mod 30 days) collect the lineitem shipments that fall inside them,
-    * then aggregate per window. The join is an EQUI-join on 30-day calendar
-    * bins with the exact BETWEEN as residual (expansion ≤ 2 rows per
-    * interval); the oracle IS the theta-join (`d BETWEEN s AND e`) that
-    * this plan refuses to execute as a nested loop. Dates travel as epoch
-    * days (exact long arithmetic) and return as dates at the end.
+    * then aggregate per window. Since r7 the operator ROUTES THROUGH
+    * [[graft.plans.RangeJoinRule]] (the band→bin rewrite applied eagerly to
+    * its own theta plan), so q193 and the user-written-theta q196 exercise
+    * the same single implementation; PlanSpec asserts the bin equi-join and
+    * the absence of any nested loop here. The join is an EQUI-join on
+    * 30-day calendar bins with the exact BETWEEN as residual (expansion ≤ 2
+    * rows per interval); the oracle IS the theta-join (`d BETWEEN s AND e`)
+    * that this plan refuses to execute as a nested loop. Dates travel as
+    * epoch days (exact long arithmetic) and return as dates at the end.
     */
   private def q193_interval_join(s: SparkSession, dir: String): DataFrame = {
     val epoch = to_date(lit("1970-01-01"))

@@ -100,18 +100,23 @@ object Temporal {
       endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binnedIntervalJoin: binWidth must be positive, got $binWidth")
-    // floor-div on possibly-negative longs: Spark's `div` is floor for
-    // positive divisors only when operands are non-negative; use FLOOR of
-    // the double-free integer form ((x - (x mod w) + w) mod w) … simpler and
-    // exact: pmod-based floor division
-    def floorDiv(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
-    val iv = intervals
-      .withColumn("__bin",
-        explode(sequence(floorDiv(col(startCol)), floorDiv(col(endCol)))))
-    val pt = points.withColumn("__bin", floorDiv(col(pointCol)))
-    iv.join(pt, Seq("__bin"))
-      .filter(col(startCol) <= col(pointCol) && col(pointCol) <= col(endCol))
-      .drop("__bin")
+    // Since r7 this operator IS [[graft.plans.RangeJoinRule]]: it writes the
+    // join the way a user would — the plain theta band — and applies the
+    // rule's band→bin rewrite EAGERLY to its own logical plan
+    // (rewritePlan), so the operator form and the conf-gated optimizer
+    // injection share one binning implementation and cannot drift. No
+    // session conf or extraOptimizations are touched. The rewrite is
+    // required to fire: if the band isn't eligible (non-integral columns),
+    // this throws instead of silently running the nested loop the operator
+    // exists to avoid.
+    val theta = intervals.join(points,
+      intervals(startCol) <= points(pointCol) && points(pointCol) <= intervals(endCol))
+    val analyzed = theta.queryExecution.analyzed
+    val rewritten = graft.plans.RangeJoinRule.rewritePlan(analyzed, binWidth)
+    require(rewritten ne analyzed,
+      s"binnedIntervalJoin: RangeJoinRule did not rewrite the band on " +
+        s"($startCol <= $pointCol <= $endCol) — columns must be integral (cast dates/" +
+        "timestamps to epoch days/micros first)")
+    org.apache.spark.sql.graftshim.ColumnBridge.ofRows(points.sparkSession, rewritten)
   }
 }

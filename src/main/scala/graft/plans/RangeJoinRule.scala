@@ -78,6 +78,16 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (widthStr.isEmpty) return plan
     val width = widthStr.toLong
     if (width <= 0) return plan
+    rewritePlan(plan, width)
+  }
+
+  /** The band→bin rewrite at an EXPLICIT width, independent of the conf
+    * gate — the entry point [[graft.ops.Temporal.binnedIntervalJoin]] uses
+    * to route its operator form through this one implementation (applied
+    * eagerly to its own plan; no session conf, no extraOptimizations
+    * mutation). Unmatched joins pass through untouched. */
+  def rewritePlan(plan: LogicalPlan, width: Long): LogicalPlan = {
+    require(width > 0, s"RangeJoinRule.rewritePlan: width=$width")
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         rewrite(j, left, right, cond, hint, width).getOrElse(j)

@@ -20,4 +20,13 @@ object ColumnBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` is
+    * private[sql]) — lets an operator apply an optimizer rewrite eagerly to
+    * its own plan without mutating session conf or extraOptimizations. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

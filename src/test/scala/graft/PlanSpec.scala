@@ -138,6 +138,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "audit should broadcast dim key sets:\n" + p)
   }
 
+  test("q193: the operator form routes through RangeJoinRule — bin equi-join, no nested loop") {
+    val p = planOf("q193_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binnedIntervalJoin must never plan a nested loop:\n" + p)
+    // the rule's fingerprints: the derived bin attributes on both sides
+    assert(p.contains("__graft_bin_pt") && p.contains("__graft_bin_iv"),
+      "q193 must carry RangeJoinRule's bin columns (operator routed through the rule):\n" + p)
+  }
+
   test("q161/q163: banded similarity queries contain NO theta/cross join over the corpus") {
     // q162 wires the same generator as q161 but its CC loop materializes
     // eagerly (checkpointed plans show LogicalRDD), so the assertion there
