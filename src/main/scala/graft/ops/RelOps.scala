@@ -263,9 +263,21 @@ object RelOps {
 
   /** Skew-resistant equi-join: salt the skewed (large) side into `salts`
     * sub-keys and replicate the other side across all salts, so one hot key
-    * spreads over `salts` reducers instead of stalling a single task. Use
-    * when AQE's runtime skew-join split isn't available (e.g. the skew is in
-    * a non-shuffle-stage input) — otherwise prefer AQE.
+    * spreads over `salts` reducers instead of stalling a single task.
+    *
+    * Which skew tool at 100 TB (PlanSpec's "AQE splits a skewed sort-merge
+    * join" case demonstrates the alternative): AQE's `OptimizeSkewedJoin`
+    * rewrites the SCHEDULE at runtime from actual map-output statistics — it
+    * costs nothing when there is no skew, needs no salt-count guess, and
+    * handles skew on EITHER side — so it is the default for shuffle joins
+    * (sort-merge / shuffled-hash over `skewedPartitionThresholdInBytes`).
+    * Manual salting rewrites the PLAN and is the right tool where AQE's
+    * split cannot apply: skewed AGGREGATIONS (AQE only splits joins), skew
+    * feeding a non-shuffle stage, hot keys so extreme one key exceeds a
+    * single task's practical ceiling even after byte-splits (the split is by
+    * bytes, but every sub-partition of one key still joins the same
+    * replicated build rows), or engines/paths with AQE disabled. Salting's
+    * price — `salts`× replication of the other side — is why it is opt-in.
     *
     * Semantics: inner/left equi-join on `key` only.
     */

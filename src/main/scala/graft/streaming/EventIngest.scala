@@ -41,8 +41,10 @@ object EventIngest {
 
   /** Formats whose rows arrive as a (key, value, topic, …) bus envelope and
     * need the payload parsed out of `value`, vs file formats that apply the
-    * schema at read time. */
-  private val busFormats = Set("kafka")
+    * schema at read time. `graft-bus` ([[BusSource]]) is the in-process DSv2
+    * connector with the identical envelope — it proves this branch executes
+    * end-to-end without a broker. */
+  private val busFormats = Set("kafka", BusSource.ShortName)
 
   /** The connector seam: a streaming DataFrame of TYPED event rows from
     * either a file directory (local stand-in, SURVEY §2.10) or a message-bus

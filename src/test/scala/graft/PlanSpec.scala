@@ -229,4 +229,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "exact producer is the designed |Q|-bounded broadcast (q38 regime):\n" + p)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the no-salt alternative to saltedJoin)") {
+    // The skew family has two tools (RelOps.saltedJoin scaladoc): manual
+    // salting rewrites the PLAN (works everywhere, costs a replicated side),
+    // while AQE's OptimizeSkewedJoin rewrites the SCHEDULE at runtime from
+    // actual map-output sizes (needs a shuffle join + statistics, costs
+    // nothing when there's no skew). This pins the AQE path: one hot key
+    // carrying ~95% of the left side, thresholds scaled to test-sized data,
+    // and the final adaptive plan must show the skewed-partition split.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // test-sized analogs of the 256MB/64MB production thresholds
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val hot = spark.range(40000).select(
+        when(col("id") < 38000, lit(0L)).otherwise(col("id") % 2000).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("payload"))
+      val dim = spark.range(2000).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("tag"))
+      val joined = hot.join(dim, "k")
+      // collect() (not count()) so the inspected queryExecution is the one
+      // that actually ran — AQE finalizes the plan per execution
+      assert(joined.collect().length === 40000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        "OptimizeSkewedJoin should have split the hot partition:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

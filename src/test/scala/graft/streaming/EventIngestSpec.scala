@@ -54,6 +54,36 @@ class EventIngestSpec extends SparkSpec {
     assert(decoded.exceptAll(typed).isEmpty && typed.exceptAll(decoded).isEmpty)
   }
 
+  test("connector seam: eventSource drains a NON-FILE DSv2 bus source end-to-end") {
+    // The r5/r6 gap: the Kafka-shaped seam had never executed against a
+    // non-file source. graft-bus is a real DataSource-V2 micro-batch
+    // connector with the Kafka envelope (binary value, topic/partition/
+    // offset), so this drain runs the full bus branch — format resolution
+    // by shortName, DSv2 scan planning, offset checkpointing, and the
+    // from_json(value) payload decode — with zero file-source involvement.
+    val topic = "extract-arrivals"
+    BusSource.clear(topic)
+    BusSource.publish(topic, events, timestampMicros = 1717214400000000L)
+    val out = tmp("bus_meta_") + "/meta"
+    val kafkaShaped = Map("subscribe" -> topic, "startingOffsets" -> "earliest")
+    EventIngest.ingestAvailable(spark, topic, out,
+      sourceFormat = BusSource.ShortName, sourceOptions = kafkaShaped)
+    val meta = spark.read.parquet(out)
+    assert(meta.count() === 2)
+    assert(meta.filter(col("extract_type") === "mmd").select(col("object"))
+      .head().getString(0) === "mmd/x.parquet")
+
+    // publish one more message; the checkpointed second drain reads ONLY it
+    BusSource.publish(topic,
+      Seq("""{"extract_type":"vls","bucket":"lake","object":"vls/z.parquet","uploaded_at":"2024-06-01T05:00:00"}"""),
+      timestampMicros = 1717218000000000L)
+    EventIngest.ingestAvailable(spark, topic, out,
+      sourceFormat = BusSource.ShortName, sourceOptions = kafkaShaped)
+    assert(spark.read.parquet(out).count() === 3)
+    assert(spark.read.parquet(out).filter(col("extract_type") === "vls").count() === 1)
+    BusSource.clear(topic)
+  }
+
   test("streaming upsert: drains merge by key, idempotent across re-runs") {
     import org.apache.spark.sql.types._
     val in = tmp("merge_in_"); val cp = tmp("merge_cp_")
