@@ -3586,6 +3586,34 @@ object SparkEntry {
         col("cents").isNotNull.as("observed"))
   }
 
+  /** DETERMINISTIC MinHash-LSH near-dup pairs
+    * ([[Dedup.minhashDetNearDupPairs]]) — the hash-PROVEN form of the LSH
+    * pipeline: md5-affine signatures, banding, bucket join and exact
+    * verify all mirror verbatim in the DuckDB oracle, so the CANDIDATE
+    * GENERATION itself (which pairs the banding surfaces, and in how many
+    * bands) is cross-engine-checked — the property q36's xxhash64 fast
+    * path can only pin differentially. */
+  private def q212_minhash_det(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDetNearDupPairs(par(s, Tables.documents(s, dir)),
+      "doc_id", "text", thresh10 = 8)
+
+  /** DETERMINISTIC 56-bit SimHash near-dup pairs
+    * ([[Dedup.simhashDetNearDupPairs]]): md5-derived bit votes + pigeonhole
+    * banding + exact Hamming verify, all integer → hash-exact oracle (the
+    * provable twin of q37). */
+  private def q213_simhash_det(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDetNearDupPairs(par(s, Tables.documents(s, dir)),
+      "doc_id", "text", maxDist = 3)
+
+  /** Quantized nearest-centroid corpus sharding
+    * ([[Similarity.centroidShardQuantized]]): the IVF/k-means assignment
+    * step with deterministic seeds and exact integer distances — shard
+    * membership is engine-exact, so the layout pass a 100 TB ANN pipeline
+    * runs before index build gets a hash-exact oracle. */
+  private def q214_centroid_shard(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidShardQuantized(
+      par(s, Tables.embeddings(s, dir)), "vec_id", "embedding", k = 8)
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3835,6 +3863,9 @@ object SparkEntry {
     "q209_source_quota" -> (q209_source_quota _),
     "q210_jl_projection" -> (q210_jl_projection _),
     "q211_interpolate" -> (q211_interpolate _),
+    "q212_minhash_det" -> (q212_minhash_det _),
+    "q213_simhash_det" -> (q213_simhash_det _),
+    "q214_centroid_shard" -> (q214_centroid_shard _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -3915,11 +3946,19 @@ object SparkEntry {
     * the two forms against each other differentially). At bench scale the
     * operator a real deployment runs IS the bucketed/banded form; timing
     * the N² twins would benchmark algorithms the library exists to avoid.
+    *
+    * Same discipline for the r7 ORACLE-BRIDGE forms q212/q213: their whole
+    * point is md5-affine hashes an external engine reproduces (hash-exact
+    * DuckDB proof of the LSH pipeline incl. candidate generation), which
+    * forces interpreted-lambda evaluation — 52 s at sf0.1 vs the 0.6 s
+    * xxhash64 codegen kernels (q36/q37) a deployment actually runs. The
+    * correctness gate runs them (sf0.01, seconds); benching them would time
+    * the deliberately-portable slow form.
     */
   def headlineQueries: Seq[String] =
     (queries.keySet -- Set("q35_jaccard_pairs", "q41_embed_neardup",
       "q137_semantic_dedup", "q153_label_agreement",
-      "q140_record_linkage")).toSeq.sorted
+      "q140_record_linkage", "q212_minhash_det", "q213_simhash_det")).toSeq.sorted
 
   /** Queries that are DELIBERATELY un-oracled (approximate / hash-family /
     * stub semantics no ANSI engine reproduces), each mapped to the
@@ -6099,5 +6138,106 @@ object SparkEntry {
            END AS cents_filled,
            cents IS NOT NULL AS observed
          FROM f""",
+    // q212: the ENTIRE MinHash-LSH pipeline on the md5-affine hash family —
+    // 28-bit token hash from 7 hex chars, affine perms derived inline from
+    // the seed index, per-band bucket keys, candidate join, exact verify
+    "q212_minhash_det" -> detMinhashOracleSql,
+    // q213: md5-derived SimHash bit votes, pigeonhole bands, exact Hamming
+    "q213_simhash_det" -> detSimhashOracleSql,
+    // q214: q210's proven round(x*1024) quantization; exact integer
+    // distances; ties to the smaller centroid id
+    "q214_centroid_shard" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT q.vec_id, c.centroid_id,
+             cast(list_sum(list_transform(range(0, len(qv)),
+               j -> (qv[j+1] - cv[j+1]) * (qv[j+1] - cv[j+1]))) as bigint) AS sqd
+           FROM q CROSS JOIN c),
+         a AS (
+           SELECT vec_id, centroid_id, sqd,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sqd, centroid_id) AS rn
+           FROM d)
+         SELECT centroid_id, cast(count(*) as bigint) AS n_vecs,
+           cast(sum(sqd) as bigint) AS sum_sqdist,
+           min(vec_id) AS min_vec, max(vec_id) AS max_vec
+         FROM a WHERE rn = 1 GROUP BY 1""",
   )
+
+  /** The md5 token hash in portable SQL — first `chars` hex chars parsed by
+    * strpos (Dedup.detTokenHash/detTokenHash56's conv(substr(md5(w),1,n),16,10)). */
+  private def detHexHashSql(e: String, chars: Int): String =
+    (1 to chars).map(p =>
+      s"(strpos('0123456789abcdef', substr(md5($e), $p, 1)) - 1) * ${1L << (4 * (chars - p))}")
+      .mkString("\n             + ")
+
+  /** Distinct word-3-gram shingle sets (Dedup.detShingleSet) as a CTE body. */
+  private val detShingleSetsSql: String =
+    """SELECT doc_id, ws FROM (
+         SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS ws
+         FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts
+               FROM documents)
+         WHERE len(ts) >= 3) WHERE len(ws) > 0"""
+
+  private def detMinhashOracleSql: String =
+    s"""WITH ne AS ($detShingleSetsSql),
+       hs AS (
+         SELECT doc_id,
+           ${detHexHashSql("w", 7)} AS h
+         FROM (SELECT doc_id, unnest(ws) AS w FROM ne)),
+       mins AS (
+         SELECT doc_id, i,
+           min(((i * 2 + 1) * 65537 * h + i * 40503 + 7) % 268435399) AS m
+         FROM hs CROSS JOIN (SELECT unnest(range(0, 32)) AS i) seeds
+         GROUP BY doc_id, i),
+       sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, bnum,
+           array_to_string(list_transform(sig[bnum*4+1 : bnum*4+4],
+             v -> cast(v as varchar)), ',') AS bucket
+         FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS bnum) gb),
+       cand AS (
+         SELECT ba.doc_id AS id_a, bb.doc_id AS id_b, cast(count(*) as bigint) AS n_bands
+         FROM bands ba JOIN bands bb
+           ON ba.bnum = bb.bnum AND ba.bucket = bb.bucket AND ba.doc_id < bb.doc_id
+         GROUP BY 1, 2)
+       SELECT c.id_a, c.id_b, c.n_bands,
+         cast(len(list_intersect(x.ws, y.ws)) as bigint) AS inter,
+         cast(len(x.ws) + len(y.ws) - len(list_intersect(x.ws, y.ws)) as bigint) AS uni
+       FROM cand c JOIN ne x ON c.id_a = x.doc_id JOIN ne y ON c.id_b = y.doc_id
+       WHERE len(list_intersect(x.ws, y.ws)) * 10 >=
+             (len(x.ws) + len(y.ws) - len(list_intersect(x.ws, y.ws))) * 8"""
+
+  private def detSimhashOracleSql: String =
+    s"""WITH ne AS ($detShingleSetsSql),
+       hs AS (
+         SELECT doc_id,
+           ${detHexHashSql("w", 14)} AS h
+         FROM (SELECT doc_id, unnest(ws) AS w FROM ne)),
+       bits AS (
+         SELECT doc_id, j,
+           CASE WHEN sum(((h >> j) & 1) * 2 - 1) >= 0
+                THEN cast(1 as bigint) << j ELSE cast(0 as bigint) END AS bitval
+         FROM hs CROSS JOIN (SELECT unnest(range(0, 56)) AS j) g
+         GROUP BY doc_id, j),
+       fp AS (SELECT doc_id, cast(sum(bitval) as bigint) AS fp FROM bits GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, fp, bnum, (fp >> (bnum * 14)) & 16383 AS bbits
+         FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS bnum) g),
+       cand AS (
+         SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b,
+           ba.fp AS fp_a, bb.fp AS fp_b
+         FROM banded ba JOIN banded bb
+           ON ba.bnum = bb.bnum AND ba.bbits = bb.bbits AND ba.doc_id < bb.doc_id)
+       SELECT id_a, id_b,
+         cast(list_sum(list_transform(range(0, 56),
+           j -> (xor(fp_a, fp_b) >> j) & 1)) as bigint) AS dist
+       FROM cand
+       WHERE cast(list_sum(list_transform(range(0, 56),
+           j -> (xor(fp_a, fp_b) >> j) & 1)) as bigint) <= 3"""
 }

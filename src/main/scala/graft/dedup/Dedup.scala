@@ -254,4 +254,132 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("dist")).distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  // ------------------------------------------- deterministic (oracle) forms
+
+  /** Engine-portable 28-bit token hash: the first 7 hex chars of md5(token)
+    * parsed as an integer. md5 is bit-identical in every engine (unlike the
+    * xxhash64 fast path above), so every operator built on this hash can be
+    * mirrored verbatim in ANSI-ish SQL and hash-checked against an
+    * independent engine. 28 bits keeps every affine-permutation product
+    * `a*h` (a < 2^28) inside a signed 64-bit long — no modular-multiply
+    * gymnastics on either engine.
+    */
+  def detTokenHash(w: Column): Column =
+    conv(substring(md5(w), 1, 7), 16, 10).cast("long")
+
+  /** 56-bit variant (first 14 hex chars) — for the SimHash fingerprint,
+    * where more bits = better separation and no products are ever formed. */
+  def detTokenHash56(w: Column): Column =
+    conv(substring(md5(w), 1, 14), 16, 10).cast("long")
+
+  /** Distinct word 3-gram shingles as STRINGS ("w1 w2 w3") from `text` —
+    * the engine-portable analog of the xxhash64 shingle_hashes kernel.
+    * Shingle-set (not word-set) similarity is what makes near-dup detection
+    * selective on template-heavy corpora: word sets of two documents built
+    * from the same template are nearly identical, their shingle sequences
+    * are not (measured on the bench corpus: word-set J≥0.8 yields ~3M
+    * pairs at 5k docs; shingle J≥0.8 yields tens). Docs with < 3 tokens
+    * have no shingles — filter on size > 0 downstream.
+    */
+  def detShingleSet(text: Column): Column = {
+    val ts = TextOps.tokens(text)
+    // guard: Spark's sequence(1, n) REVERSES when n < 1 — empty-out instead
+    when(size(ts) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ts) - 2),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Largest prime below 2^28 — modulus of the affine MinHash family. */
+  val DetHashP = 268435399L
+
+  /** Deterministic affine permutation i of a 28-bit hash: (a_i·h + b_i) mod P
+    * with a_i = (2i+1)·65537 (odd, nonzero mod the prime P) and
+    * b_i = 40503·i + 7 — both derivable from `i` inline in SQL, so the
+    * oracle needs no constant tables. a_i·h ≤ 2^22·2^28 = 2^50: no overflow.
+    */
+  def detPerm(i: Column, h: Column): Column =
+    ((i * 2 + 1) * lit(65537L) * h + i * lit(40503L) + lit(7L)) % lit(DetHashP)
+
+  /** MinHash+LSH near-dup pairs over the DETERMINISTIC hash family — the
+    * correctness bridge for the LSH pipeline: same shape as
+    * [[minhashNearDupPairs]] (signature → banding → bucket equi-join →
+    * exact integer-Jaccard verify) but with md5-affine hashes an external
+    * SQL engine reproduces bit-for-bit, so the WHOLE pipeline — including
+    * which candidate pairs the banding surfaces — is hash-provable, not just
+    * the verified survivors. Signatures are 3-gram SHINGLE-set MinHash
+    * (q36's semantics — see [[detShingleSet]] on why shingles, not word
+    * sets, keep output linear on template corpora). Keep the xxhash64
+    * kernel form as the 100 TB fast path; this form costs
+    * interpreted-lambda evaluation and exists to pin the algorithm.
+    *
+    * Output: (id_a, id_b, n_bands shared, inter, uni) for verified pairs.
+    */
+  def minhashDetNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                             thresh10: Int, bands: Int = 8, rows: Int = 4): DataFrame = {
+    val k = bands * rows
+    val base = docs
+      .select(col(idCol).as("id"), detShingleSet(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+      // stage hs as an attribute: lambda bodies re-evaluate nested
+      // subexpressions per element (same pitfall as minhashSignature)
+      .withColumn("hs", transform(col("ws"), detTokenHash(_)))
+    val sigs = base.withColumn("sig",
+      transform(sequence(lit(0L), lit((k - 1).toLong)),
+        i => array_min(transform(col("hs"), h => detPerm(i, h)))))
+    val buckets = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
+          x => x.cast("string"))))).as(Seq("band", "bucket")))
+    val bl = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val br = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cands = bl.join(br, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
+    val sets = base.select(col("id"), col("ws"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .withColumn("inter", setIntersectionSize(col("ws_a"), col("ws_b")))
+      .withColumn("uni", (size(col("ws_a")) + size(col("ws_b")) - col("inter")).cast("long"))
+      .filter(col("inter") * 10 >= col("uni") * thresh10)
+      .select(col("id_a"), col("id_b"), col("n_bands"), col("inter"), col("uni"))
+  }
+
+  /** Deterministic 56-bit SimHash near-dup pairs — the oracle-provable twin
+    * of [[simhashNearDupPairs]]: per-distinct-SHINGLE md5 hash
+    * ([[detTokenHash56]]; shingles for selectivity, 56 bits for
+    * separation), each bit position accumulates ±1 across shingles (bit =
+    * 1 iff the sum is ≥ 0), pigeonhole banding into `maxDist+1` 14-bit
+    * bands (any pair within Hamming distance `maxDist` agrees on ≥ 1 whole
+    * band), exact Hamming verify. Every step is integer arithmetic on
+    * md5-derived values — reproducible in SQL bit-for-bit.
+    *
+    * Output: (id_a, id_b, dist) with dist ≤ maxDist.
+    */
+  def simhashDetNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                             maxDist: Int = 3): DataFrame = {
+    require(maxDist == 3, "56-bit det SimHash bands as 4x14 bits (maxDist 3)")
+    val nBands = maxDist + 1
+    val width = 56 / nBands
+    val base = docs
+      .select(col(idCol).as("id"), detShingleSet(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("hs", transform(col("ws"), detTokenHash56(_)))
+    val fpExpr = (0 until 56).map { j =>
+      when(aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fp = base.select(col("id"), fpExpr.as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => call_function("shiftright", col("fp"), b * lit(width)).bitwiseAND(lit((1L << width) - 1))))
+        .as(Seq("band", "bits")))
+    val l = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("dist")).distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }

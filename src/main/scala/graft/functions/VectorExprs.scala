@@ -52,6 +52,17 @@ object VectorAlgs {
       while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
       acc
     }
+
+    /** Σ(aᵢ−bᵢ)² over two INTEGER-QUANTIZED vectors (array<long>) — the
+      * exact distance of the centroid-shard / IVF-assign path. All-integer:
+      * bit-identical under any partitioning and in any engine. */
+    def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+      val n = checkLen(a, b)
+      var acc = 0L
+      var i = 0
+      while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+      acc
+    }
 }
 
 object VectorExprs {
@@ -97,8 +108,34 @@ object VectorExprs {
       copy(left = l, right = r)
   }
 
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  case class QuantizedSqDist(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isLongArray(left.dataType) && isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs two ARRAY<BIGINT>, got ${left.dataType}, ${right.dataType}")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "quantized_sqdist"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorAlgs.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorAlgs.sqDistLong($a, $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def quantized_sqdist(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedSqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))

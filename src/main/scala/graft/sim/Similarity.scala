@@ -100,6 +100,45 @@ object Similarity {
       .select(col(idCol), col("dim").cast("long").as("dim"), col("val"))
   }
 
+  /** QUANTIZED NEAREST-CENTROID SHARDING — partition a corpus into k shards
+    * by nearest centroid, the assignment step of IVF/k-means corpus layout
+    * (one Lloyd E-step with fixed seeds), made ENGINE-EXACT: vectors are
+    * integer-quantized with the proven q210 scheme (round(x·2¹⁰) — the ·2¹⁰
+    * is a pure exponent shift so the only rounding is round itself), seed
+    * centroids are the k smallest ids (deterministic, no RNG), distances
+    * are exact integer Σ(Δq)², and ties break to the smaller centroid id
+    * via one struct-min — so shard membership is bit-identical in any
+    * engine and under any partitioning, and the operator earns a hash-exact
+    * oracle where classic k-means (float sums, RNG init) never could.
+    *
+    * Scale shape: centroids are broadcast (k rows), the corpus is scanned
+    * once, the argmin is a map-side struct-min — no shuffle until the final
+    * k-row rollup. This is how a 100 TB embedding corpus gets laid out into
+    * locality shards before index build.
+    *
+    * Output: per centroid — n_vecs, sum of squared quantized distance,
+    * min/max assigned id.
+    */
+  def centroidShardQuantized(vecs: DataFrame, idCol: String, vecCol: String,
+                             k: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, s"centroidShardQuantized: k=$k")
+    val q = vecs.select(col(idCol).as("__vid"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1024) as bigint))").as("__qv"))
+    val cents = q.orderBy(col("__vid").asc).limit(k)
+      .select(col("__vid").as("centroid_id"), col("__qv").as("__cv"))
+    q.crossJoin(broadcast(cents))
+      // codegen'd integer kernel — the zip_with/aggregate HOF form costs
+      // interpreted lambda dispatch per element (~2 s at 2k×8×64; this is
+      // the corpus×k hot loop, so it scales that cost)
+      .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("__qv"), col("__cv")))
+      .groupBy(col("__vid"))
+      .agg(min(struct(col("__d"), col("centroid_id"))).as("m"))
+      .select(col("__vid"), col("m.centroid_id").as("centroid_id"), col("m.__d").as("sqdist"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sqdist")).as("sum_sqdist"),
+        min(col("__vid")).as("min_vec"), max(col("__vid")).as("max_vec"))
+  }
+
   /** Sign buckets of `vec` in all hash tables at once — codegen'd kernel with
     * a cached deterministic hyperplane matrix (graft.functions.LshExprs);
     * reproducible across runs and executors with zero state to ship. */

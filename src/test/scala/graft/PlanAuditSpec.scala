@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "q208_knn_classify" -> "exact-kNN vote form rides q38's brute producer (same |Q|-bounded broadcast); the vote itself is equi-join + agg, and pqTopK slots in as the producer at scale",
     "q43_ann_ivf" -> "nprobe-cell candidate join against the nlist-bounded centroid dim",
     "q199_ann_ivfpq" -> "probe pass crossJoins the nlist-bounded centroid dim (broadcast); codes-only cell join and broadcast re-rank are equi-joins",
-    "q135_source_overlap" -> "O(sources^2) matrix over per-source 1-row-per-source aggregates")
+    "q135_source_overlap" -> "O(sources^2) matrix over per-source 1-row-per-source aggregates",
+    "q214_centroid_shard" -> "k-bounded centroid dim (limit 8) broadcast against the corpus - the IVF coarse-assign shape (q43's regime)")
 
   /** Queries allowed a single-partition (unpartitioned ORDER BY) window and
     * the domain bound that justifies it. */

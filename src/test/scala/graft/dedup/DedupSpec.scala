@@ -133,4 +133,41 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0))
     assert(got.toSeq === exp.toSeq)
   }
+
+  test("detShingleSet: distinct 3-gram strings; short docs empty, not reversed-sequence garbage") {
+    val out = Seq("a b c d", "x y", "").toDF("text")
+      .select(Dedup.detShingleSet($"text").as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty) // < 3 tokens: the sequence(1,0) guard
+    assert(out(2) === Seq.empty)
+  }
+
+  test("det MinHash: exact dup shares all bands; near-dup found; unrelated absent") {
+    val pairs = Dedup.minhashDetNearDupPairs(docs, "doc_id", "text", thresh10 = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) === 8L) // identical: all 8 bands
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near-dups
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("det SimHash: exact dup at distance 0; unrelated beyond maxDist") {
+    val pairs = Dedup.simhashDetNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 3L)) === 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("det MinHash bands and the xxhash64 kernel path agree on planted dup clusters") {
+    // same corpus through both hash families: the verified pair sets must
+    // agree on the planted relations (exact + near dups), the det form
+    // additionally exposing band counts the oracle checks
+    val det = Dedup.minhashDetNearDupPairs(docs, "doc_id", "text", thresh10 = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Dedup.minhashNearDupPairs(docs, "doc_id", "text", thresh10 = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(det === fast)
+  }
 }

@@ -24,6 +24,39 @@ class SimilaritySpec extends SparkSpec {
     assert(diff === 0.0)
   }
 
+  test("quantized_sqdist kernel matches the zip_with/aggregate HOF form exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1024) as bigint))").as("qv"))
+    val a = emb.select($"vec_id".as("id_a"), $"qv".as("qa"))
+    val b = emb.select($"vec_id".as("id_b"), $"qv".as("qb"))
+    val pairs = a.join(b, $"id_a" < $"id_b").limit(2000)
+    val mismatches = pairs.select(
+      graft.functions.VectorExprs.quantized_sqdist($"qa", $"qb").as("k"),
+      expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)").as("h"))
+      .filter($"k" =!= $"h").count()
+    assert(mismatches === 0L)
+  }
+
+  test("centroidShardQuantized: every vector sharded once, to its geometric centroid") {
+    // centroids = ids 0..2 (k smallest). 10/11 plant near centroid 1's axis,
+    // 12 near centroid 2's; ties impossible by construction
+    val corpus = Seq(
+      (0L, Array(8.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 8.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 8.0f)),
+      (10L, Array(0.1f, 7.9f, 0.0f)),
+      (11L, Array(0.0f, 8.2f, 0.1f)),
+      (12L, Array(0.2f, 0.0f, 7.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.centroidShardQuantized(corpus, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.values.map(_._1).sum === 6L)       // every vector assigned exactly once
+    assert(out(0L) === ((1L, 0L, 0L, 0L)))        // centroid 0: only itself, sqdist 0
+    assert(out(1L)._1 === 3L && out(1L)._4 === 11L) // 1, 10, 11
+    assert(out(2L)._1 === 2L && out(2L)._3 === 2L && out(2L)._4 === 12L)
+  }
+
   test("cosine: identical=1, orthogonal=0, opposite=-1") {
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(-1f, -2f, -3f), Array(3f, 0f, 0f), Array(0f, 4f, 0f)))
       .toDF("a", "b", "c", "x", "y")
