@@ -3614,6 +3614,14 @@ object SparkEntry {
     Similarity.centroidShardQuantized(
       par(s, Tables.embeddings(s, dir)), "vec_id", "embedding", k = 8)
 
+  /** Deterministic ORDER-SENSITIVE rolling fingerprint
+    * ([[Dedup.fingerprintRollingDet]]) — the hash-proven twin of q40's
+    * xxhash64 fold: polynomial rolling hash whose order sensitivity the
+    * DuckDB oracle reproduces via a recursive B-power table. */
+  private def q215_fingerprint_det(s: SparkSession, dir: String): DataFrame =
+    par(s, Tables.documents(s, dir))
+      .select(col("doc_id"), Dedup.fingerprintRollingDet(col("text")).as("fp"))
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3866,6 +3874,7 @@ object SparkEntry {
     "q212_minhash_det" -> (q212_minhash_det _),
     "q213_simhash_det" -> (q213_simhash_det _),
     "q214_centroid_shard" -> (q214_centroid_shard _),
+    "q215_fingerprint_det" -> (q215_fingerprint_det _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6144,6 +6153,9 @@ object SparkEntry {
     "q212_minhash_det" -> detMinhashOracleSql,
     // q213: md5-derived SimHash bit votes, pigeonhole bands, exact Hamming
     "q213_simhash_det" -> detSimhashOracleSql,
+    // q215: the fold acc*B + h mod P equals sum(h_t * B^(n-1-t)) mod P —
+    // recursive power table; per-term mod keeps the sum < 2^43
+    "q215_fingerprint_det" -> detRollingOracleSql,
     // q214: q210's proven round(x*1024) quantization; exact integer
     // distances; ties to the smaller centroid id
     "q214_centroid_shard" ->
@@ -6212,6 +6224,30 @@ object SparkEntry {
        FROM cand c JOIN ne x ON c.id_a = x.doc_id JOIN ne y ON c.id_b = y.doc_id
        WHERE len(list_intersect(x.ws, y.ws)) * 10 >=
              (len(x.ws) + len(y.ws) - len(list_intersect(x.ws, y.ws))) * 8"""
+
+  private def detRollingOracleSql: String =
+    s"""WITH RECURSIVE toks AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+           x -> len(x) > 0) AS ts
+         FROM documents),
+       mx AS (SELECT max(len(ts)) AS m FROM toks),
+       powers AS (
+         SELECT 0 AS k, CAST(1 AS BIGINT) AS p
+         UNION ALL
+         SELECT k + 1, (p * 1000003) % 2147483647 FROM powers
+         WHERE k < (SELECT m FROM mx)),
+       pos AS (
+         SELECT doc_id, len(ts) AS n, g.i AS i, ts[g.i + 1] AS w
+         FROM toks, (SELECT unnest(range(0, (SELECT m FROM mx))) AS i) g
+         WHERE g.i < len(ts)),
+       ph AS (SELECT doc_id, n, i, ${detHexHashSql("w", 7)} AS h FROM pos),
+       agg AS (
+         SELECT ph.doc_id,
+           cast(sum((ph.h * pw.p) % 2147483647) % 2147483647 as bigint) AS fp
+         FROM ph JOIN powers pw ON pw.k = ph.n - 1 - ph.i
+         GROUP BY ph.doc_id)
+       SELECT t.doc_id, coalesce(a.fp, 0) AS fp
+       FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id"""
 
   private def detSimhashOracleSql: String =
     s"""WITH ne AS ($detShingleSetsSql),

@@ -302,6 +302,22 @@ object Dedup {
   def detPerm(i: Column, h: Column): Column =
     ((i * 2 + 1) * lit(65537L) * h + i * lit(40503L) + lit(7L)) % lit(DetHashP)
 
+  /** ORDER-SENSITIVE deterministic document fingerprint — the
+    * engine-portable twin of TextOps.fingerprintRolling (whose xxhash64
+    * fold no ANSI engine reproduces): a polynomial rolling hash
+    * `acc ← (acc·B + h(token)) mod P` folded left-to-right over the token
+    * stream, B = 1000003, P = 2³¹−1, h = [[detTokenHash]]. The fold equals
+    * Σ hₜ·B^(n−1−t) mod P, which a SQL oracle computes from a recursive
+    * power table — so token ORDER sensitivity itself is cross-engine
+    * checked (bag-of-words permutations change the value; md5 of the whole
+    * text — q33 — can't distinguish "order matters" from "content
+    * matters"). All products stay < 2⁵¹: no overflow on either engine.
+    * Codegen'd HOF aggregate — shuffle-free, pipelines in the scan.
+    */
+  def fingerprintRollingDet(text: Column): Column =
+    aggregate(TextOps.tokens(text), lit(0L),
+      (acc, t) => (acc * lit(1000003L) + detTokenHash(t)) % lit(2147483647L))
+
   /** MinHash+LSH near-dup pairs over the DETERMINISTIC hash family — the
     * correctness bridge for the LSH pipeline: same shape as
     * [[minhashNearDupPairs]] (signature → banding → bucket equi-join →

@@ -160,6 +160,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("det rolling fingerprint is order-sensitive; identical docs equal; empty doc = 0") {
+    val fps = Seq(
+      (0L, "alpha beta gamma"), (1L, "gamma beta alpha"), // same bag, different order
+      (2L, "alpha beta gamma"), (3L, "")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.fingerprintRollingDet($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(2L))
+    assert(fps(0L) !== fps(1L))
+    assert(fps(3L) === 0L)
+  }
+
   test("det MinHash bands and the xxhash64 kernel path agree on planted dup clusters") {
     // same corpus through both hash families: the verified pair sets must
     // agree on the planted relations (exact + near dups), the det form
