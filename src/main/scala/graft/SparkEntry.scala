@@ -3622,6 +3622,25 @@ object SparkEntry {
     par(s, Tables.documents(s, dir))
       .select(col("doc_id"), Dedup.fingerprintRollingDet(col("text")).as("fp"))
 
+  /** WINNOWING fingerprint selection ([[Dedup.winnowFingerprintsDet]],
+    * Schleimer et al. SIGMOD 2003): min-hash-per-window k-gram sampling
+    * with the rightmost tie-break — the localized-overlap fingerprint
+    * (MOSS) next to q40/q215's whole-document digests. Deterministic
+    * md5 hashes, integer window minima → the oracle reproduces hash,
+    * window minimum AND tie-break bit-for-bit. */
+  private def q216_winnow_fingerprints(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprintsDet(par(s, Tables.documents(s, dir)), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("pos"), col("fp"))
+
+  /** Distributed quantized K-MEANS ([[Similarity.kmeansQuantized]], k = 8,
+    * 2 full Lloyd rounds): integer quantization + integer floor-div M-step
+    * make EVERY iteration engine-exact — the oracle unrolls both rounds and
+    * checks memberships, inertia AND the learned centroids (centroid_l1).
+    * This is the clustering pass SemDeDup/IVF training runs at 100 TB. */
+  private def q217_kmeans_quantized(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansQuantized(par(s, Tables.embeddings(s, dir)),
+      "vec_id", "embedding", k = 8, iters = 2)
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3875,6 +3894,8 @@ object SparkEntry {
     "q213_simhash_det" -> (q213_simhash_det _),
     "q214_centroid_shard" -> (q214_centroid_shard _),
     "q215_fingerprint_det" -> (q215_fingerprint_det _),
+    "q216_winnow_fingerprints" -> (q216_winnow_fingerprints _),
+    "q217_kmeans_quantized" -> (q217_kmeans_quantized _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6156,6 +6177,28 @@ object SparkEntry {
     // q215: the fold acc*B + h mod P equals sum(h_t * B^(n-1-t)) mod P —
     // recursive power table; per-term mod keeps the sum < 2^43
     "q215_fingerprint_det" -> detRollingOracleSql,
+    // q216: robust winnowing (k=3, w=4) — min per hash window, RIGHTMOST
+    // tie-break via max position among window minima; ≥ 6 tokens required
+    // for one full window (k + w − 1)
+    "q216_winnow_fingerprints" ->
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ts
+           FROM documents),
+         grams AS (
+           SELECT doc_id, list_transform(range(1, len(ts) - 1),
+             i -> ${detHexHashSql("ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]", 7)}) AS hs
+           FROM toks WHERE len(ts) >= 6),
+         win AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS i FROM grams),
+         sel AS (
+           SELECT DISTINCT doc_id,
+             list_max(list_filter(range(i, i + 4), j -> hs[j] = list_min(hs[i:i+3]))) AS pos,
+             list_min(hs[i:i+3]) AS fp
+           FROM win)
+         SELECT doc_id, cast(pos as bigint) AS pos, fp FROM sel""",
+    // q217: both Lloyd rounds unrolled — assignment (exact integer sqdist,
+    // ties to the smaller cluster), M-step (floor-div centroid update,
+    // empty clusters keep the old centroid), final stats + centroid digest
+    "q217_kmeans_quantized" -> kmeansOracleSql(k = 8, iters = 2),
     // q214: q210's proven round(x*1024) quantization; exact integer
     // distances; ties to the smaller centroid id
     "q214_centroid_shard" ->
@@ -6178,6 +6221,61 @@ object SparkEntry {
            min(vec_id) AS min_vec, max(vec_id) AS max_vec
          FROM a WHERE rn = 1 GROUP BY 1""",
   )
+
+  /** q217's oracle: `iters` unrolled Lloyd rounds over the quantized
+    * corpus. Each round: exact-integer assignment (ties to the smaller
+    * cluster), per-dim floor-div M-step ((sv − pmod(sv, n)) // n — DuckDB's
+    * // truncates, so make the numerator divisible first; matches Scala's
+    * math.floorDiv), empty clusters coalesce to the previous centroid. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def round(t: Int): String =
+      s"""a$t AS (
+           SELECT q.vec_id, q.qv, c.cluster,
+             cast(list_sum(list_transform(range(0, len(q.qv)),
+               j -> (q.qv[j+1] - c.cv[j+1]) * (q.qv[j+1] - c.cv[j+1]))) as bigint) AS sqd
+           FROM q CROSS JOIN c$t c),
+         m$t AS (
+           SELECT vec_id, qv, cluster, sqd FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cluster) AS rn
+             FROM a$t) WHERE rn = 1),
+         s$t AS (
+           SELECT cluster, d, sum(v) AS sv, count(*) AS n FROM (
+             SELECT cluster, unnest(range(1, len(qv) + 1)) AS d, unnest(qv) AS v FROM m$t)
+           GROUP BY 1, 2),
+         n$t AS (
+           SELECT cluster, list((sv - ((sv % n) + n) % n) // n ORDER BY d) AS cv
+           FROM s$t GROUP BY 1),
+         c${t + 1} AS (
+           SELECT o.cluster, coalesce(x.cv, o.cv) AS cv
+           FROM c$t o LEFT JOIN n$t x ON o.cluster = x.cluster)"""
+    s"""WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+           FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+         ${(0 until iters).map(round).mkString(",\n         ")},
+         af AS (
+           SELECT q.vec_id, q.qv, c.cluster,
+             cast(list_sum(list_transform(range(0, len(q.qv)),
+               j -> (q.qv[j+1] - c.cv[j+1]) * (q.qv[j+1] - c.cv[j+1]))) as bigint) AS sqd
+           FROM q CROSS JOIN c$iters c),
+         mf AS (
+           SELECT vec_id, cluster, sqd FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cluster) AS rn
+             FROM af) WHERE rn = 1),
+         stats AS (
+           SELECT cluster, cast(count(*) as bigint) AS n_vecs,
+             cast(sum(sqd) as bigint) AS inertia,
+             min(vec_id) AS min_vec, max(vec_id) AS max_vec
+           FROM mf GROUP BY 1)
+         SELECT c.cluster, coalesce(s.n_vecs, cast(0 as bigint)) AS n_vecs,
+           coalesce(s.inertia, cast(0 as bigint)) AS inertia,
+           s.min_vec, s.max_vec,
+           cast(list_sum(list_transform(c.cv, x -> abs(x))) as bigint) AS centroid_l1
+         FROM c$iters c LEFT JOIN stats s ON c.cluster = s.cluster"""
+  }
 
   /** The md5 token hash in portable SQL — first `chars` hex chars parsed by
     * strpos (Dedup.detTokenHash/detTokenHash56's conv(substr(md5(w),1,n),16,10)). */

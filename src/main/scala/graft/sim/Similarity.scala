@@ -139,6 +139,81 @@ object Similarity {
         min(col("__vid")).as("min_vec"), max(col("__vid")).as("max_vec"))
   }
 
+  /** DISTRIBUTED QUANTIZED K-MEANS (Lloyd's algorithm, `iters` full E+M
+    * rounds after the q214 seed assignment) — the clustering pass of a
+    * SemDeDup-style curation pipeline (Abbas et al., arXiv:2303.09540:
+    * cluster, then dedup within clusters) and of IVF index training, made
+    * ENGINE-EXACT end-to-end: q210's round(x·2¹⁰) integer quantization,
+    * seeds = the k smallest ids (cluster j = rank-j seed), exact integer
+    * Σ(Δq)² distances with struct-min tiebreak to the smaller cluster,
+    * and an ALL-INTEGER M-step — the new centroid coordinate is
+    * floorDiv(Σ q_d, n), empty clusters keep their previous centroid — so
+    * every iteration, not just the first, is bit-identical in any engine.
+    *
+    * Scale shape per iteration: centroids broadcast (k·dim longs), one
+    * corpus scan, map-side struct-min argmin, then ONE shuffle of
+    * (cluster, dim) partial sums — k·dim cells regardless of corpus size.
+    * The k·dim new-centroid sums are collected to the driver between
+    * iterations (bounded by the k ≤ 4096 require, like the IVF centroid
+    * sample) to keep each round an independent O(n) job instead of a
+    * recursive lineage tower. The corpus is re-scanned once per iteration
+    * (+1 for the final assignment); at 100 TB persist or checkpoint the
+    * quantized projection first — the iteration logic is unchanged.
+    *
+    * Output: per cluster — final n_vecs, inertia (Σ sqdist), min/max
+    * assigned id, and centroid_l1 = Σ_d |c_d| (a scalar digest that pins
+    * the learned centroid itself, not just the memberships).
+    */
+  def kmeansQuantized(vecs: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, s"kmeansQuantized: k=$k")
+    require(iters >= 0 && iters <= 16, s"kmeansQuantized: iters=$iters")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val q = vecs.select(col(idCol).cast("long").as("__vid"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1024) as bigint))").as("__qv"))
+
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("__qv"), col("__cv")))
+        .groupBy(col("__vid"))
+        .agg(min(struct(col("__d"), col("cluster"), col("__qv"))).as("m"))
+        .select(col("__vid"), col("m.cluster").as("cluster"),
+          col("m.__d").as("sqd"), col("m.__qv").as("__qv"))
+
+    // seeds: rank-ordered k smallest ids (bounded collect, k·dim longs)
+    var cents: DataFrame = q.orderBy(col("__vid").asc).limit(k)
+      .collect().sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, j) => (j.toLong, r.getSeq[Long](1)) }
+      .toSeq.toDF("cluster", "__cv")
+
+    for (_ <- 1 to iters) {
+      val sums = assign(cents)
+        .select(col("cluster"), posexplode(col("__qv")).as(Seq("d", "v")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect() // bounded: ≤ k·dim cells (the require above)
+      val updated = sums.groupBy(_.getLong(0)).map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(r => math.floorDiv(r.getLong(2), r.getLong(3))).toSeq
+      }
+      val prev = cents.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      cents = prev.keys.toSeq.sorted
+        .map(c => (c, updated.getOrElse(c, prev(c)))) // empty cluster keeps its centroid
+        .toDF("cluster", "__cv")
+    }
+
+    val l1 = cents.select(col("cluster"),
+      expr("aggregate(__cv, 0L, (acc, x) -> acc + abs(x))").as("centroid_l1"))
+    assign(cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sqd")).as("inertia"),
+        min(col("__vid")).as("min_vec"), max(col("__vid")).as("max_vec"))
+      .join(l1, Seq("cluster"), "right")
+      .select(col("cluster"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
+        col("min_vec"), col("max_vec"), col("centroid_l1"))
+  }
+
   /** Sign buckets of `vec` in all hash tables at once — codegen'd kernel with
     * a cached deterministic hyperplane matrix (graft.functions.LshExprs);
     * reproducible across runs and executors with zero state to ship. */

@@ -172,6 +172,36 @@ class DedupSpec extends SparkSpec {
     assert(fps(3L) === 0L)
   }
 
+  test("winnowing: rightmost tie-break pinned on a constant doc; guarantee + bounds") {
+    // 8 identical tokens -> all 6 k-grams hash equal -> every window's min
+    // ties across the whole window, so robust winnowing must select the
+    // RIGHTMOST position of each window: {w, w+1, ..., m} = {4, 5, 6}
+    val const = Seq((0L, "t t t t t t t t")).toDF("doc_id", "text")
+    val sel = Dedup.winnowFingerprintsDet(const, "doc_id", "text")
+      .collect().map(_.getLong(1)).sorted
+    assert(sel.toSeq === Seq(4L, 5L, 6L))
+
+    // substring guarantee: docs sharing >= w+k-1 = 6 consecutive tokens
+    // share at least one selected fingerprint VALUE
+    val docs2 = Seq(
+      (1L, "p q r s t u v w x"),
+      (2L, "zz yy r s t u v w qq")).toDF("doc_id", "text") // share "r s t u v w"
+    val byDoc = Dedup.winnowFingerprintsDet(docs2, "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(2)).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+
+    // density/bounds: m - w + 1 >= selections >= m / w; all pos in [1, m]
+    val m = 9 - 2 // doc 1: 9 tokens -> 7 k-grams
+    val pos1 = Dedup.winnowFingerprintsDet(docs2, "doc_id", "text")
+      .filter($"id" === 1L).collect().map(_.getLong(1))
+    assert(pos1.length <= m - 3 && pos1.length >= m / 4)
+    assert(pos1.forall(p => p >= 1 && p <= m))
+
+    // short docs (< 6 tokens) produce no fingerprints
+    val short = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprintsDet(short, "doc_id", "text").count() === 0L)
+  }
+
   test("det MinHash bands and the xxhash64 kernel path agree on planted dup clusters") {
     // same corpus through both hash families: the verified pair sets must
     // agree on the planted relations (exact + near dups), the det form

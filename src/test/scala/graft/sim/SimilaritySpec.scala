@@ -265,4 +265,40 @@ class SimilaritySpec extends SparkSpec {
     assert(autoBanded.filter(col("cos_sim") < 0.85).count() === 0)
     vecs.unpersist(); truth.unpersist(); banded.unpersist(); autoBanded.unpersist()
   }
+
+  test("kmeansQuantized: blobs converge to blob partitions; empty clusters keep their centroid") {
+    import spark.implicits._
+    // two well-separated blobs: ids 0-9 near (1, 0, ...), ids 10-19 near
+    // (-1, 0, ...) — but SEEDS are ids 0 and 1 (both in blob A), so only
+    // ITERATING can move centroid 1 across to blob B: iters=0 must split
+    // blob A between the two seeds, iters=2 must recover the blob partition
+    val vecs = ((0 until 10).map(i => (i.toLong, Seq(1.0f + i * 0.001f, 0.0f))) ++
+      (10 until 20).map(i => (i.toLong, Seq(-1.0f - i * 0.001f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.kmeansQuantized(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val sizes = r2.map { case (c, r) => c -> r.getLong(1) }
+    assert(sizes.values.toSeq.sorted === Seq(10L, 10L),
+      s"expected the blob partition after 2 Lloyd rounds, got $sizes")
+    // each cluster's members are one contiguous blob (min/max id ranges)
+    val ranges = r2.values.map(r => (r.getLong(3), r.getLong(4))).toSet
+    assert(ranges === Set((0L, 9L), (10L, 19L)))
+    // iters=0 is the seed assignment: both seeds in blob A, so the nearest-
+    // centroid split cannot match the blob structure
+    // seed geometry: id0 at 1.0, id1 at 1.001 — blob A's tail joins seed 1,
+    // ALL of blob B is nearer seed 0 than seed 1, so the split is 11/9
+    val r0 = Similarity.kmeansQuantized(vecs, "vec_id", "embedding", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0.values.toSeq.sorted === Seq(9L, 11L), s"iters=0 seed split, got $r0")
+
+    // identical seed vectors: ties send every row to the smaller cluster,
+    // the other cluster goes EMPTY and must keep its (seed) centroid
+    val dup = Seq((0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rd = Similarity.kmeansQuantized(dup, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rd(0L).getLong(1) === 3L && rd(1L).getLong(1) === 0L)
+    assert(rd(1L).isNullAt(3) && rd(1L).isNullAt(4)) // no members: null min/max
+    assert(rd(1L).getLong(5) === 2048L) // kept centroid = quantized seed (1024+1024)
+  }
 }
