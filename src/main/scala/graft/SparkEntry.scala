@@ -3641,6 +3641,16 @@ object SparkEntry {
     Similarity.kmeansQuantized(par(s, Tables.embeddings(s, dir)),
       "vec_id", "embedding", k = 8, iters = 2)
 
+  /** SEMDEDUP ([[Similarity.semDedupQuantized]], k = 8, τ = 0.45):
+    * cluster-then-dedup semantic deduplication (Abbas et al. 2303.09540) —
+    * centroid shards, within-shard cosine-≥ τ pairs as an all-integer
+    * cross-multiplied predicate, connected components, keep the min-id
+    * representative. The oracle replays shards, edges AND the recursive
+    * component walk, so the kept set itself is hash-proven. */
+  private def q218_semdedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupQuantized(par(s, Tables.embeddings(s, dir)),
+      "vec_id", "embedding", k = 8)
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3896,6 +3906,7 @@ object SparkEntry {
     "q215_fingerprint_det" -> (q215_fingerprint_det _),
     "q216_winnow_fingerprints" -> (q216_winnow_fingerprints _),
     "q217_kmeans_quantized" -> (q217_kmeans_quantized _),
+    "q218_semdedup" -> (q218_semdedup _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6199,6 +6210,43 @@ object SparkEntry {
     // ties to the smaller cluster), M-step (floor-div centroid update,
     // empty clusters keep the old centroid), final stats + centroid digest
     "q217_kmeans_quantized" -> kmeansOracleSql(k = 8, iters = 2),
+    // q218: shard assignment, within-shard integer cosine-threshold edges
+    // (dot > 0 ∧ dot²·400 ≥ |a|²·|b|²·81 ⟺ cos ≥ 0.45), recursive-CTE
+    // connected components, min-id representative per duplicate group
+    "q218_semdedup" ->
+      """WITH RECURSIVE q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT q.vec_id, c.centroid_id, q.qv,
+             cast(list_sum(list_transform(range(0, len(q.qv)),
+               j -> (q.qv[j+1] - c.cv[j+1]) * (q.qv[j+1] - c.cv[j+1]))) as bigint) AS sqd
+           FROM q CROSS JOIN c),
+         a AS (
+           SELECT vec_id, centroid_id, qv,
+             cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS nr
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, centroid_id) AS rn
+                 FROM d)
+           WHERE rn = 1),
+         p AS (
+           SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.nr AS na, y.nr AS nb,
+             cast(list_sum(list_transform(range(0, len(x.qv)),
+               j -> x.qv[j+1] * y.qv[j+1])) as bigint) AS dot
+           FROM a x JOIN a y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+         e AS (SELECT id_a, id_b FROM p WHERE dot > 0 AND dot * dot * 400 >= na * nb * 81),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+         walk(id, lab) AS (
+           SELECT vec_id, vec_id FROM a
+           UNION
+           SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+         lab AS (SELECT id, min(lab) AS lab FROM walk GROUP BY id)
+         SELECT a.centroid_id, cast(count(*) as bigint) AS n_vecs,
+           cast(sum(CASE WHEN l.lab = a.vec_id THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           cast(sum(CASE WHEN l.lab = a.vec_id THEN a.vec_id END) as bigint) AS sum_kept
+         FROM a JOIN lab l ON a.vec_id = l.id
+         GROUP BY 1""",
     // q214: q210's proven round(x*1024) quantization; exact integer
     // distances; ties to the smaller centroid id
     "q214_centroid_shard" ->

@@ -214,6 +214,65 @@ object Similarity {
         col("min_vec"), col("max_vec"), col("centroid_l1"))
   }
 
+  /** SEMDEDUP — semantic deduplication by cluster-then-dedup (Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): partition the corpus into k
+    * centroid shards (the q214 seed assignment), find pairs WITHIN each
+    * shard whose cosine ≥ τ, connect them into duplicate groups, and keep
+    * the minimum-id representative per group. Restricting the pair search
+    * to one shard is the paper's core trick — Σ (n/k)² pairwise work
+    * instead of n², with k grown alongside the corpus (√n, like IVF cell
+    * counts) so shard sizes stay bounded — and is also its documented
+    * recall boundary: a cross-shard near-dup pair is invisible by design.
+    *
+    * Engine-exact throughout: quantized integer vectors, and the cosine
+    * threshold as a cross-multiplied ALL-INTEGER predicate —
+    * cos(a,b) ≥ τ  ⟺  dot > 0 ∧ dot²·tau2Den ≥ |a|²·|b|²·tau2Num
+    * (τ² = tau2Num/tau2Den, e.g. 81/400 for τ = 0.45) — no float compare
+    * anywhere, so the kept set is bit-identical in any engine. The pair
+    * join derives dot from the codegen'd sqdist kernel
+    * (dot = (|a|² + |b|² − sqdist)/2, exact: the numerator is even), so
+    * the hot loop stays whole-stage-codegen'd. Components via
+    * [[graft.dedup.Clusters.connectedComponents]] (pointer jumping;
+    * near-dup groups close in ~2 rounds).
+    *
+    * Output: per non-empty shard — n_vecs, n_kept (number of duplicate
+    * groups incl. singletons) and sum_kept (Σ of kept ids — a digest that
+    * pins exactly WHICH representatives survive).
+    */
+  def semDedupQuantized(vecs: DataFrame, idCol: String, vecCol: String,
+                        k: Int, tau2Num: Long = 81, tau2Den: Long = 400): DataFrame = {
+    require(k >= 1 && k <= 4096, s"semDedupQuantized: k=$k")
+    require(tau2Num > 0 && tau2Den > 0, "semDedupQuantized: τ² must be a positive rational")
+    val q = vecs.select(col(idCol).cast("long").as("__vid"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1024) as bigint))").as("__qv"))
+    val cents = q.orderBy(col("__vid").asc).limit(k)
+      .select(col("__vid").as("centroid_id"), col("__qv").as("__cv"))
+    val assign = q.crossJoin(broadcast(cents))
+      .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("__qv"), col("__cv")))
+      .groupBy(col("__vid"))
+      .agg(min(struct(col("__d"), col("centroid_id"), col("__qv"))).as("m"))
+      .select(col("__vid"), col("m.centroid_id").as("centroid_id"), col("m.__qv").as("__qv"))
+      .withColumn("__nr", expr("aggregate(__qv, 0L, (acc, x) -> acc + x * x)"))
+    val l = assign.select(col("centroid_id"), col("__vid").as("id_a"),
+      col("__qv").as("__qa"), col("__nr").as("na"))
+    val r = assign.select(col("centroid_id"), col("__vid").as("id_b"),
+      col("__qv").as("__qb"), col("__nr").as("nb"))
+    val edges = l.join(r, Seq("centroid_id")).filter(col("id_a") < col("id_b"))
+      .withColumn("__sqd", graft.functions.VectorExprs.quantized_sqdist(col("__qa"), col("__qb")))
+      .withColumn("__dot", expr("(na + nb - __sqd) div 2"))
+      .filter(col("__dot") > 0 &&
+        col("__dot") * col("__dot") * tau2Den >= col("na") * col("nb") * tau2Num)
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.dedup.Clusters.connectedComponents(
+      assign.select(col("__vid")), "__vid", edges, "id_a", "id_b")
+    assign.join(labels, "__vid")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cluster_id") === col("__vid"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cluster_id") === col("__vid"), col("__vid"))).as("sum_kept"))
+  }
+
   /** Sign buckets of `vec` in all hash tables at once — codegen'd kernel with
     * a cached deterministic hyperplane matrix (graft.functions.LshExprs);
     * reproducible across runs and executors with zero state to ship. */

@@ -301,4 +301,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rd(1L).isNullAt(3) && rd(1L).isNullAt(4)) // no members: null min/max
     assert(rd(1L).getLong(5) === 2048L) // kept centroid = quantized seed (1024+1024)
   }
+
+  test("semDedupQuantized: within-shard dup groups collapse to min-id; dot>0 guard; hand-checked") {
+    import spark.implicits._
+    // seeds: id0 = (1,0) / id1 = (0,1). Shard A gets {0,2,3,5} (id5 at
+    // (.5,.5) TIES between centroids -> smaller centroid id wins), shard B
+    // gets {1,4,6} (id6 = (-1,0) is geometrically CLOSER to (0,1) than to
+    // (1,0)). In A: ids 0/2/3 are near-identical and id5 has cos .707 ≥
+    // .45 to all -> ONE group, kept {0}. In B: 1-4 are identical (kept 1),
+    // id6 has dot ≤ 0 to both -> the dot>0 guard keeps it a singleton.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.999f, 0.0f)), (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.5f, 0.5f)),
+      (6L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupQuantized(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((0L, 4L, 1L, 0L), (1L, 3L, 2L, 7L)))
+  }
 }
