@@ -3651,6 +3651,33 @@ object SparkEntry {
     Similarity.semDedupQuantized(par(s, Tables.embeddings(s, dir)),
       "vec_id", "embedding", k = 8)
 
+  /** BPE MERGE LEARNING ([[graft.text.Bpe.learnMerges]], 8 merges) — the
+    * tokenizer-training loop (Sennrich et al. ACL 2016): weighted adjacent-
+    * pair counts over the VOCAB (the only corpus-scale job is the word
+    * count), deterministic (count DESC, pair ASC) argmax, boundary-padded
+    * fixpoint replace. The oracle unrolls all 8 iterations, so the learned
+    * merge TABLE itself — order, pairs, weights — is hash-proven. */
+  private def q219_bpe_learn(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.learnMerges(par(s, Tables.documents(s, dir)), "text", nMerges = 8)
+
+  /** BPE TOKENIZATION end-to-end ([[graft.text.Bpe.applyMerges]]): train 8
+    * merges on the corpus, then segment every document's words by replaying
+    * them in rank order — the tokenize pass a training pipeline runs over
+    * 100 TB (train on a sample/vocab once, segment everywhere; the apply
+    * side is a zero-shuffle scan). Output: per-doc subword token and type
+    * counts, hash-proven through BOTH the training and the segmentation. */
+  private def q220_bpe_segment(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val docs = par(s, Tables.documents(s, dir))
+    val merges = Bpe.learnMerges(docs, "text", nMerges = 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), explode(Bpe.applyMerges(col("w"), merges)).as("sub"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_subwords"),
+        countDistinct(col("sub")).as("n_subword_types"))
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3907,6 +3934,8 @@ object SparkEntry {
     "q216_winnow_fingerprints" -> (q216_winnow_fingerprints _),
     "q217_kmeans_quantized" -> (q217_kmeans_quantized _),
     "q218_semdedup" -> (q218_semdedup _),
+    "q219_bpe_learn" -> (q219_bpe_learn _),
+    "q220_bpe_segment" -> (q220_bpe_segment _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6210,6 +6239,12 @@ object SparkEntry {
     // ties to the smaller cluster), M-step (floor-div centroid update,
     // empty clusters keep the old centroid), final stats + centroid digest
     "q217_kmeans_quantized" -> kmeansOracleSql(k = 8, iters = 2),
+    // q219: all 8 BPE iterations unrolled — vocab pair counts, argmax,
+    // padded-replace merge rewrite; the merge table is the checked output
+    "q219_bpe_learn" -> bpeOracleSql(nMerges = 8),
+    // q220: train (shared CTEs) + segment every doc with the learned
+    // merges in rank order; per-doc subword token/type counts
+    "q220_bpe_segment" -> bpeSegmentOracleSql(nMerges = 8),
     // q218: shard assignment, within-shard integer cosine-threshold edges
     // (dot > 0 ∧ dot²·400 ≥ |a|²·|b|²·81 ⟺ cos ≥ 0.45), recursive-CTE
     // connected components, min-id representative per duplicate group
@@ -6269,6 +6304,79 @@ object SparkEntry {
            min(vec_id) AS min_vec, max(vec_id) AS max_vec
          FROM a WHERE rn = 1 GROUP BY 1""",
   )
+
+  /** q219's oracle: `nMerges` unrolled BPE iterations over the
+    * marker-wrapped symbol encoding (each symbol as chr(1)·sym·chr(2) —
+    * Bpe.scala's B/E markers). Each iteration: adjacent-pair weighted
+    * count over the vocab, (count DESC, pair ASC) argmax, then ONE literal
+    * `replace` of the wrapped pair — left-to-right non-overlapping in both
+    * engines, and exactly textbook-greedy because adjacent pairs share no
+    * characters in this encoding. */
+  /** The shared BPE-training CTE chain (v0, then p/b/v per iteration) —
+    * b$t is iteration t's chosen merge as a 1-row (pair, mrg, c). */
+  private def bpeTrainCtes(nMerges: Int): String = {
+    val iters = (1 to nMerges).map { t =>
+      s"""p$t AS (
+           SELECT s[i] || ' ' || s[i+1] AS pair, cnt FROM (
+             SELECT s, cnt, unnest(range(1, len(s))) AS i FROM (
+               SELECT string_split(substr(wstr, 2, len(wstr) - 2), chr(2) || chr(1)) AS s, cnt
+               FROM v${t - 1})
+             WHERE len(s) >= 2)),
+         b$t AS (
+           SELECT pair, replace(pair, ' ', '') AS mrg, cast(sum(cnt) as bigint) AS c
+           FROM p$t GROUP BY 1, 2 ORDER BY c DESC, pair ASC LIMIT 1),
+         v$t AS (
+           SELECT replace(v.wstr,
+               chr(1) || replace(b.pair, ' ', chr(2) || chr(1)) || chr(2),
+               chr(1) || b.mrg || chr(2)) AS wstr, cnt
+           FROM v${t - 1} v CROSS JOIN b$t b)"""
+    }.mkString(",\n         ")
+    s"""v0 AS (
+           SELECT array_to_string(list_transform(regexp_extract_all(w, '.'),
+               c -> chr(1) || c || chr(2)), '') AS wstr,
+             cast(cnt as bigint) AS cnt
+           FROM (SELECT w, count(*) AS cnt FROM (
+             SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS w
+             FROM documents) GROUP BY 1)),
+         $iters"""
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(t =>
+      s"SELECT cast($t as bigint) AS rank, pair, mrg AS merged, c AS weight FROM b$t")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${bpeTrainCtes(nMerges)}
+         $out"""
+  }
+
+  /** q220's oracle: train (shared CTEs), then SEGMENT every document's
+    * words with the learned merges in rank order — the same one-literal-
+    * replace-per-merge over the wrapped encoding — and count subword
+    * tokens and types per document. */
+  private def bpeSegmentOracleSql(nMerges: Int): String = {
+    val chain = (1 to nMerges).map { t =>
+      s"""z$t AS (
+           SELECT doc_id, replace(z.wstr,
+               chr(1) || replace(b.pair, ' ', chr(2) || chr(1)) || chr(2),
+               chr(1) || b.mrg || chr(2)) AS wstr
+           FROM z${t - 1} z CROSS JOIN b$t b)"""
+    }.mkString(",\n         ")
+    s"""WITH ${bpeTrainCtes(nMerges)},
+         z0 AS (
+           SELECT doc_id, array_to_string(list_transform(regexp_extract_all(w, '.'),
+               c -> chr(1) || c || chr(2)), '') AS wstr
+           FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS w
+                 FROM documents)),
+         $chain,
+         sub AS (
+           SELECT doc_id,
+             unnest(string_split(substr(wstr, 2, len(wstr) - 2), chr(2) || chr(1))) AS s
+           FROM z$nMerges)
+         SELECT doc_id, cast(count(*) as bigint) AS n_subwords,
+           cast(count(DISTINCT s) as bigint) AS n_subword_types
+         FROM sub GROUP BY 1"""
+  }
 
   /** q217's oracle: `iters` unrolled Lloyd rounds over the quantized
     * corpus. Each round: exact-integer assignment (ties to the smaller

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BYTE-PAIR-ENCODING MERGE LEARNING (Sennrich, Haddow & Birch, "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016 — the
+  * tokenizer-training algorithm behind GPT/Llama-style vocabularies),
+  * distributed and ENGINE-EXACT.
+  *
+  * The classic trainer loop: represent every word as a character sequence,
+  * count adjacent symbol pairs weighted by word frequency, merge the most
+  * frequent pair everywhere, repeat. The scale structure mirrors real BPE
+  * trainers: the ONLY corpus-sized job is the initial word count — every
+  * iteration after that runs on the VOCABULARY (distinct words + weights),
+  * which is orders of magnitude smaller than the corpus and bounded by
+  * Heaps' law. Per iteration: one explode + one aggregation over the vocab,
+  * a 1-row argmax collect (bounded), and a narrow per-row merge rewrite.
+  *
+  * Determinism contract (what earns the hash-exact oracle):
+  *  - argmax pair by (count DESC, pair ASC) — binary string order,
+  *    identical in any engine;
+  *  - each symbol is held individually WRAPPED between a begin marker
+  *    ⟨ = U+0001 and an end marker ⟩ = U+0002, so the merge is ONE
+  *    literal `replace` of "⟨L⟩⟨R⟩" with "⟨LR⟩": a pair can never match
+  *    inside a symbol, and — because adjacent pairs share NO characters
+  *    in this encoding (unlike a space-separated string, where the shared
+  *    separator is consumed by the previous match, which loses the second
+  *    of two adjacent occurrences) — left-to-right non-overlapping
+  *    `replace`, which every engine implements identically, IS exactly
+  *    the textbook leftmost-greedy merge: "aaaaa" under (a,a) →
+  *    aa·aa·a in one pass.
+  *
+  * Output: one row per learned merge — (rank, pair "L R", merged "LR",
+  * weight = the pair's weighted count when it was chosen). Stops early if
+  * the vocabulary runs out of adjacent pairs. Symbols never contain
+  * whitespace (whitespace tokenization), so "L R" is unambiguous. The
+  * markers must not occur in the corpus (text corpora never contain
+  * U+0001/U+0002; any sane ingest clean strips them).
+  */
+object Bpe {
+
+  private val B = "\u0001" // symbol-begin marker (SOH)
+  private val E = "\u0002" // symbol-end marker (STX)
+
+  /** word string → wrapped-symbol string: each char c as ⟨c⟩. */
+  private def wrapChars(w: Column): Column =
+    array_join(transform(regexp_extract_all(w, lit("."), lit(0)),
+      c => concat(lit(B), c, lit(E))), "")
+
+  /** wrapped-symbol string → array of symbols: strip the outer markers,
+    * split on the inter-symbol boundary ⟩⟨. */
+  private def unwrap(wstr: Column): Column =
+    when(length(wstr) === 0, array().cast("array<string>"))
+      .otherwise(split(call_function("substring",
+        wstr, lit(2), length(wstr) - 2), E + B))
+
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, s"learnMerges: nMerges=$nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the one corpus-scale job: word → weight, then wrap each char
+    var vocab: DataFrame = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(wrapChars(col("w")).as("wstr"), col("cnt"))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (t <- 1 to nMerges if !exhausted) {
+      val best = vocab
+        .withColumn("s", unwrap(col("wstr")))
+        .filter(size(col("s")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => concat(element_at(col("s"), i), lit(" "), element_at(col("s"), i + 1))))
+          .as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1).collect() // bounded: the 1-row argmax
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val Array(l, r) = pair.split(" ", 2)
+        val mrg = l + r
+        merges += ((t.toLong, pair, mrg, best(0).getLong(1)))
+        vocab = vocab.withColumn("wstr",
+          call_function("replace", col("wstr"), lit(B + l + E + B + r + E), lit(B + mrg + E)))
+      }
+    }
+    merges.toSeq.toDF("rank", "pair", "merged", "weight")
+  }
+
+  /** Apply a learned merge table to one WORD — wrap chars, replay the
+    * merges IN RANK ORDER (the order is the algorithm: later merges build
+    * on the symbols earlier ones created), one literal replace per merge.
+    * Pure column expression, zero shuffle: the merge table is a
+    * driver-side list (vocab-training output). Segment a document by
+    * mapping this over its word tokens.
+    *
+    * Output: array of subword symbols for the word (empty for "").
+    */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column = {
+    val applied = merges.foldLeft(wrapChars(word)) { case (acc, (pair, mrg)) =>
+      val Array(l, r) = pair.split(" ", 2)
+      call_function("replace", acc, lit(B + l + E + B + r + E), lit(B + mrg + E))
+    }
+    unwrap(applied)
+  }
+}

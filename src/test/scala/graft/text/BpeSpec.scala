@@ -1,0 +1,88 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Textbook reference trainer (Sennrich et al., Algorithm 1): vocab as
+    * symbol sequences, weighted pair counts, (count desc, pair asc) argmax,
+    * leftmost-greedy merge applied to every word. Driver-side, obviously
+    * correct — the differential anchor for the distributed trainer. */
+  private def referenceMerges(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, s"$l $r") }
+        out += ((s"$l $r", l + r, c))
+        vocab = vocab.map { case (syms, w) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2 // leftmost-greedy, skip the merged pair
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), w)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("learnMerges matches the textbook trainer on a fixture with ties, runs and adjacency") {
+    // crafted stress: repeated chars (aaaa -> overlapping-pair runs),
+    // count ties (broken by pair order), merges that chain (e->es->est)
+    val docs = Seq.fill(5)("lowest lowest newest") ++ Seq.fill(4)("lower newer") ++
+      Seq("aaaa aaaa baaa", "wide wide ride")
+    val df = docs.toDF("text")
+    val words = docs.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val exp = referenceMerges(words, 8).zipWithIndex
+      .map { case ((p, m, c), i) => ((i + 1).toLong, p, m, c) }
+    val got = Bpe.learnMerges(df, "text", nMerges = 8)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === exp)
+  }
+
+  test("applyMerges replays training: segmenting a training word yields its final symbols") {
+    val docs = Seq.fill(3)("banana bandana").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", nMerges = 4)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // reference final segmentation of "banana" after the same 4 merges
+    val ref = referenceMerges(Map("banana" -> 3L, "bandana" -> 3L), 4)
+    var syms = "banana".map(_.toString).toVector
+    for ((p, m, _) <- ref) {
+      val Array(l, r) = p.split(" ")
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length)
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += m; i += 2 }
+        else { b += syms(i); i += 1 }
+      syms = b.result()
+    }
+    val got = Seq("banana").toDF("w")
+      .select(Bpe.applyMerges(col("w"), merges).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got === syms)
+  }
+
+  test("adjacent-run semantics: wrapped-symbol replace merges runs leftmost-greedy") {
+    // pair (a,a) over "aaaa": textbook greedy gives [aa, aa]; over "aaaaa":
+    // [aa, aa, a] — the case a space-separated replace encoding gets wrong
+    // (the consumed separator hides the second adjacent occurrence)
+    val out = Seq("aaaa", "aaaaa", "a", "").toDF("w")
+      .select(Bpe.applyMerges(col("w"), Seq(("a a", "aa"))).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("aa", "aa"))
+    assert(out(1) === Seq("aa", "aa", "a"))
+    assert(out(2) === Seq("a"))
+    assert(out(3) === Seq.empty)
+  }
+}
