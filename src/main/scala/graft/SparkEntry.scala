@@ -3678,6 +3678,20 @@ object SparkEntry {
         countDistinct(col("sub")).as("n_subword_types"))
   }
 
+  /** MMR DIVERSIFIED RE-RANK ([[Similarity.mmrRerankQuantized]], c = 16,
+    * k = 5, λ = 1/2, Carbonell & Goldstein SIGIR 1998): top-c relevance
+    * candidates per query, then 5 greedy selections maximizing
+    * rel − max-sim-to-selected — the redundancy-free top-k a RAG pipeline
+    * serves. Sign-preserving scaled-squared-cosine integer scores; the
+    * oracle unrolls every selection step, so the DIVERSIFIED ranking
+    * itself is hash-proven. Queries = every 20th vector. */
+  private def q221_mmr_rerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    Similarity.mmrRerankQuantized(
+      emb.filter(col("vec_id") % 20 === 0), emb,
+      "vec_id", "embedding", "vec_id", "embedding", c = 16, k = 5)
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3936,6 +3950,7 @@ object SparkEntry {
     "q218_semdedup" -> (q218_semdedup _),
     "q219_bpe_learn" -> (q219_bpe_learn _),
     "q220_bpe_segment" -> (q220_bpe_segment _),
+    "q221_mmr_rerank" -> (q221_mmr_rerank _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6245,6 +6260,9 @@ object SparkEntry {
     // q220: train (shared CTEs) + segment every doc with the learned
     // merges in rank order; per-doc subword token/type counts
     "q220_bpe_segment" -> bpeSegmentOracleSql(nMerges = 8),
+    // q221: every greedy MMR step unrolled — candidate window, per-step
+    // argmax, max-sim update; integer sign·cos²-scaled scores throughout
+    "q221_mmr_rerank" -> mmrOracleSql(c = 16, k = 5),
     // q218: shard assignment, within-shard integer cosine-threshold edges
     // (dot > 0 ∧ dot²·400 ≥ |a|²·|b|²·81 ⟺ cos ≥ 0.45), recursive-CTE
     // connected components, min-id representative per duplicate group
@@ -6376,6 +6394,56 @@ object SparkEntry {
          SELECT doc_id, cast(count(*) as bigint) AS n_subwords,
            cast(count(DISTINCT s) as bigint) AS n_subword_types
          FROM sub GROUP BY 1"""
+  }
+
+  /** q221's oracle: candidate scoring + every greedy MMR selection step
+    * unrolled. rel/sim = sign-preserving scaled squared cosine with
+    * positive-arg integer division, identical to the Spark operator. */
+  private def mmrOracleSql(c: Int, k: Int): String = {
+    def relSql(d: String, na: String, nb: String): String =
+      s"CASE WHEN $d >= 0 THEN ($d * $d * 1024) // ($na * $nb) " +
+        s"ELSE -(($d * $d * 1024) // ($na * $nb)) END"
+    val steps = (1 to k).map { t =>
+      s"""s$t AS (
+           SELECT qid, cid AS sel_id, cv AS sel_cv, nc AS sel_nc,
+             rel - maxsim AS score
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY qid ORDER BY rel - maxsim DESC, cid ASC) AS rn
+                 FROM r${t - 1}) WHERE rn = 1),
+         r$t AS (
+           SELECT qid, cid, cv, nc, rel,
+             greatest(maxsim, ${relSql("sdot", "nc", "sel_nc")}) AS maxsim
+           FROM (SELECT r.qid, r.cid, r.cv, r.nc, r.rel, r.maxsim, s.sel_nc,
+                   cast(list_sum(list_transform(range(0, len(r.cv)),
+                     j -> r.cv[j+1] * s.sel_cv[j+1])) as bigint) AS sdot
+                 FROM r${t - 1} r JOIN s$t s ON r.qid = s.qid AND r.cid != s.sel_id))"""
+    }.mkString(",\n         ")
+    val out = (1 to k).map(t =>
+      s"SELECT qid AS query_id, cast($t as bigint) AS rank, sel_id AS doc_id, score AS mmr_score FROM s$t")
+      .mkString("\n         UNION ALL ")
+    s"""WITH qz AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         n AS (SELECT vec_id, qv,
+             cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS nr
+           FROM qz),
+         qq AS (SELECT vec_id AS qid, qv AS qqv, nr AS nq FROM n
+                WHERE vec_id % 20 = 0 AND nr > 0),
+         cc AS (SELECT vec_id AS cid, qv AS cv, nr AS nc FROM n WHERE nr > 0),
+         sc AS (
+           SELECT qid, cid, cv, nc, ${relSql("dot", "nc", "nq")} AS rel
+           FROM (SELECT qq.qid, cc.cid, cc.cv, cc.nc, qq.nq,
+                   cast(list_sum(list_transform(range(0, len(cc.cv)),
+                     j -> cc.cv[j+1] * qq.qqv[j+1])) as bigint) AS dot
+                 FROM cc CROSS JOIN qq WHERE cc.cid != qq.qid)),
+         r0 AS (
+           SELECT qid, cid, cv, nc, rel, cast(0 as bigint) AS maxsim
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+                 FROM sc) WHERE rn <= $c),
+         $steps
+         $out"""
   }
 
   /** q217's oracle: `iters` unrolled Lloyd rounds over the quantized

@@ -273,6 +273,89 @@ object Similarity {
         sum(when(col("cluster_id") === col("__vid"), col("__vid"))).as("sum_kept"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998) with λ = 1/2, ENGINE-EXACT: select k results per query that
+    * balance relevance against redundancy — step s picks
+    * argmax_d [rel(d, q) − max_{s∈Selected} sim(d, s)], the diversified
+    * top-k every retrieval-augmented pipeline wants instead of k near-
+    * duplicate hits.
+    *
+    * Integer determinism: similarities are the SIGN-PRESERVING SCALED
+    * SQUARED COSINE over quantized vectors —
+    * r = sign(dot) · floor(dot²·1024 / (|a|²·|b|²)) ∈ [−1024, 1024] —
+    * a monotone transform of cosine (sign·cos² is increasing), computed
+    * with integer ops only (dot derived from the codegen'd sqdist kernel;
+    * dot²·2¹⁰ ≤ 2⁶² for dim ≤ 64 quantized embeddings). Rel and sim share
+    * the scale, so the λ = 1/2 objective reduces to rel − maxsim. All
+    * argmaxes tie-break to the smaller id. Every step is a window + an
+    * equi-join — the full selection unrolls declaratively, which is what
+    * lets a SQL oracle replay it bit-for-bit.
+    *
+    * Scale shape: candidates = top-`c` by relevance per query (brute
+    * |Q|×|C| scored with the codegen kernel — swap in [[lshBucketTopK]] /
+    * [[ivfTopK]] as the candidate producer at 100 TB; the re-rank itself
+    * only ever touches |Q|·c rows). The k selection steps build a plan
+    * tower over the candidate set — persist the candidates first when c·k
+    * is large.
+    *
+    * Output: (query_id, rank 1..k, doc_id, mmr_score).
+    */
+  def mmrRerankQuantized(queries: DataFrame, corpus: DataFrame,
+                         qId: String, qVec: String, cId: String, cVec: String,
+                         c: Int, k: Int): DataFrame = {
+    require(c >= 1 && c <= 1024, s"mmrRerankQuantized: c=$c")
+    require(k >= 1 && k <= c, s"mmrRerankQuantized: k=$k must be ≤ c")
+    import org.apache.spark.sql.expressions.Window
+    def quant(v: Column) =
+      transform(v, x => round(x.cast("double") * 1024).cast("long"))
+    def norm(qv: Column) =
+      aggregate(qv, lit(0L), (acc, x) => acc + x * x)
+    // r = sign(dot) * floor(dot^2 * 1024 / (na*nb)); div truncates, args >= 0
+    def rel(dot: Column, na: Column, nb: Column): Column = {
+      val fd = call_function("div", dot * dot * lit(1024L), na * nb) // ≤ 2⁶² for dim ≤ 64
+      when(dot >= 0, fd).otherwise(-fd)
+    }
+    def dotOf(a: Column, na: Column, b: Column, nb: Column): Column =
+      call_function("div",
+        na + nb - graft.functions.VectorExprs.quantized_sqdist(a, b), lit(2L))
+
+    // zero-norm vectors are dropped on both sides (undefined cosine — and
+    // an integer div-by-zero in any engine; the oracle mirrors the filter)
+    val qq = queries.select(col(qId).cast("long").as("qid"), quant(col(qVec)).as("qv"))
+      .withColumn("nq", norm(col("qv"))).filter(col("nq") > 0)
+    val cc = corpus.select(col(cId).cast("long").as("cid"), quant(col(cVec)).as("cv"))
+      .withColumn("nc", norm(col("cv"))).filter(col("nc") > 0)
+    val scored = cc.crossJoin(broadcast(qq))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dot", dotOf(col("cv"), col("nc"), col("qv"), col("nq")))
+      .withColumn("rel", rel(col("dot"), col("nc"), col("nq")))
+    val wRel = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid").asc)
+    var remaining = scored
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= c)
+      .select(col("qid"), col("cid"), col("cv"), col("nc"), col("rel"))
+      .withColumn("maxsim", lit(0L))
+    val wMmr = Window.partitionBy("qid")
+      .orderBy((col("rel") - col("maxsim")).desc, col("cid").asc)
+    val steps = (1 to k).map { s =>
+      val sel = remaining
+        .withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
+        .select(col("qid"), col("cid").as("sel_id"), col("cv").as("sel_cv"),
+          col("nc").as("sel_nc"), (col("rel") - col("maxsim")).as("mmr_score"))
+      val out = sel.select(col("qid").as("query_id"), lit(s.toLong).as("rank"),
+        col("sel_id").as("doc_id"), col("mmr_score"))
+      remaining = remaining
+        .join(sel.select(col("qid"), col("sel_id"), col("sel_cv"), col("sel_nc")), "qid")
+        .filter(col("cid") =!= col("sel_id"))
+        .withColumn("sim", rel(
+          dotOf(col("cv"), col("nc"), col("sel_cv"), col("sel_nc")),
+          col("nc"), col("sel_nc")))
+        .withColumn("maxsim", greatest(col("maxsim"), col("sim")))
+        .select(col("qid"), col("cid"), col("cv"), col("nc"), col("rel"), col("maxsim"))
+      out
+    }
+    steps.reduce(_.unionByName(_))
+  }
+
   /** Sign buckets of `vec` in all hash tables at once — codegen'd kernel with
     * a cached deterministic hyperplane matrix (graft.functions.LshExprs);
     * reproducible across runs and executors with zero state to ship. */

@@ -302,6 +302,69 @@ class SimilaritySpec extends SparkSpec {
     assert(rd(1L).getLong(5) === 2048L) // kept centroid = quantized seed (1024+1024)
   }
 
+  test("mmrRerankQuantized matches a driver-side reference; diversity beats redundancy") {
+    import spark.implicits._
+    // reference: the same integer MMR (quantize, sign·cos²·1024 scores,
+    // greedy argmax with min-id tie-break) in plain Scala
+    def q1024(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 1024))
+    def rel(a: Seq[Long], b: Seq[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      val u = dot * dot * 1024L / (na * nb)
+      if (dot >= 0) u else -u
+    }
+    def refMmr(queries: Seq[(Long, Seq[Float])], corpus: Seq[(Long, Seq[Float])],
+               c: Int, k: Int): Set[(Long, Long, Long, Long)] = {
+      val cq = corpus.map { case (i, v) => (i, q1024(v)) }
+        .filter(_._2.exists(_ != 0L))
+      queries.map { case (qi, qv) => (qi, q1024(qv)) }
+        .filter(_._2.exists(_ != 0L))
+        .flatMap { case (qi, qv) =>
+          val cands = cq.filter(_._1 != qi)
+            .map { case (ci, cv) => (ci, cv, rel(cv, qv)) }
+            .sortBy { case (ci, _, r) => (-r, ci) }.take(c)
+          var remaining = cands.map { case (ci, cv, r) => (ci, cv, r, 0L) }
+          (1 to k).flatMap { s =>
+            if (remaining.isEmpty) Seq.empty
+            else {
+              val (si, sv, sr, sm) = remaining.minBy { case (ci, _, r, m) => (-(r - m), ci) }
+              remaining = remaining.filter(_._1 != si)
+                .map { case (ci, cv, r, m) => (ci, cv, r, math.max(m, rel(cv, sv))) }
+              Seq((qi, s.toLong, si, sr - sm))
+            }
+          }
+        }.toSet
+    }
+    val corpus = Seq(
+      0L -> Seq(1.0f, 0.0f, 0.2f), 1L -> Seq(0.99f, 0.02f, 0.21f),
+      2L -> Seq(0.0f, 1.0f, -0.3f), 3L -> Seq(-0.4f, 0.5f, 0.6f),
+      4L -> Seq(0.3f, 0.3f, 0.3f), 5L -> Seq(0.7f, -0.6f, 0.1f),
+      6L -> Seq(0.0f, 0.0f, 0.0f), // zero vector: dropped on both sides
+      7L -> Seq(-0.9f, -0.1f, 0.0f), 8L -> Seq(0.45f, 0.85f, 0.2f))
+    val queries = Seq(0L -> corpus.toMap.apply(0L), 2L -> corpus.toMap.apply(2L))
+    val got = Similarity.mmrRerankQuantized(
+        queries.toDF("vec_id", "embedding"), corpus.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "vec_id", "embedding", c = 6, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === refMmr(queries, corpus, c = 6, k = 4))
+
+    // the headline semantic: with one highly-relevant near-duplicate pair
+    // (10, 11) and one near-orthogonal doc (12), rank 2 must be the
+    // DIVERSE document, not the redundant twin — plain relevance order
+    // would put 11 second
+    val qv2 = Seq(100L -> Seq(0.9f, -0.1f))
+    val cv2 = Seq(10L -> Seq(1.0f, 0.0f), 11L -> Seq(0.999f, 0.01f),
+      12L -> Seq(0.1f, 1.0f))
+    val got2 = Similarity.mmrRerankQuantized(
+        qv2.toDF("vec_id", "embedding"), cv2.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "vec_id", "embedding", c = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got2 === refMmr(qv2, cv2, c = 3, k = 2))
+    val ranks = got2.map(t => t._2 -> t._3).toMap
+    assert(ranks(1L) === 10L) // most relevant first
+    assert(ranks(2L) === 12L) // diversity: the near-orthogonal doc, not id 11
+  }
+
   test("semDedupQuantized: within-shard dup groups collapse to min-id; dot>0 guard; hand-checked") {
     import spark.implicits._
     // seeds: id0 = (1,0) / id1 = (0,1). Shard A gets {0,2,3,5} (id5 at
