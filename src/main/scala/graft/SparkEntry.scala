@@ -3692,6 +3692,20 @@ object SparkEntry {
       "vec_id", "embedding", "vec_id", "embedding", c = 16, k = 5)
   }
 
+  /** INTEGER-MASS PAGERANK ([[graft.graph.Graphs.pagerankInt]], 3 rounds,
+    * total mass 10¹²) over the part co-purchase graph (q171's edges,
+    * symmetrized+distinct): damping and teleport as floor divisions make
+    * the full power iteration engine-exact — the oracle unrolls all three
+    * message-passing rounds. The iterative-graph workload next to CC. */
+  private def q222_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    graft.graph.Graphs.pagerankInt(e, iters = 3)
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3951,6 +3965,7 @@ object SparkEntry {
     "q219_bpe_learn" -> (q219_bpe_learn _),
     "q220_bpe_segment" -> (q220_bpe_segment _),
     "q221_mmr_rerank" -> (q221_mmr_rerank _),
+    "q222_pagerank" -> (q222_pagerank _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6263,6 +6278,9 @@ object SparkEntry {
     // q221: every greedy MMR step unrolled — candidate window, per-step
     // argmax, max-sim update; integer sign·cos²-scaled scores throughout
     "q221_mmr_rerank" -> mmrOracleSql(c = 16, k = 5),
+    // q222: three unrolled integer-mass power-iteration rounds over the
+    // symmetrized co-purchase graph
+    "q222_pagerank" -> pagerankOracleSql(iters = 3),
     // q218: shard assignment, within-shard integer cosine-threshold edges
     // (dot > 0 ∧ dot²·400 ≥ |a|²·|b|²·81 ⟺ cos ≥ 0.45), recursive-CTE
     // connected components, min-id representative per duplicate group
@@ -6394,6 +6412,36 @@ object SparkEntry {
          SELECT doc_id, cast(count(*) as bigint) AS n_subwords,
            cast(count(DISTINCT s) as bigint) AS n_subword_types
          FROM sub GROUP BY 1"""
+  }
+
+  /** q222's oracle: the symmetrized distinct co-purchase edge set, then
+    * `iters` unrolled message-passing rounds of the integer-mass PageRank
+    * recurrence (floor-div damping/teleport, positive args throughout). */
+  private def pagerankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""p$t AS (
+           SELECT verts.node,
+             (15 * (1000000000000 // nn.n)) // 100 +
+             (85 * coalesce(i.inm, 0)) // 100 AS m
+           FROM verts CROSS JOIN nn
+           LEFT JOIN (SELECT e.v AS node, cast(sum(p.m // d.d) as bigint) AS inm
+                      FROM p${t - 1} p JOIN deg d ON p.node = d.u
+                      JOIN edges e ON e.u = p.node
+                      GROUP BY 1) i USING (node))"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         raw AS (SELECT x.pk AS src, y.pk AS dst
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src != dst),
+         edges AS (SELECT a AS u, b AS v FROM canon
+                   UNION ALL SELECT b, a FROM canon),
+         deg AS (SELECT u, cast(count(*) as bigint) AS d FROM edges GROUP BY 1),
+         verts AS (SELECT u AS node FROM deg),
+         nn AS (SELECT cast(count(*) as bigint) AS n FROM verts),
+         p0 AS (SELECT node, 1000000000000 // n AS m FROM verts CROSS JOIN nn),
+         $rounds
+         SELECT node, cast(m as bigint) AS mass FROM p$iters"""
   }
 
   /** q221's oracle: candidate scoring + every greedy MMR selection step

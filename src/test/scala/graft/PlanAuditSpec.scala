@@ -30,7 +30,10 @@ class PlanAuditSpec extends SparkSpec {
     "q43_ann_ivf" -> "nprobe-cell candidate join against the nlist-bounded centroid dim",
     "q199_ann_ivfpq" -> "probe pass crossJoins the nlist-bounded centroid dim (broadcast); codes-only cell join and broadcast re-rank are equi-joins",
     "q135_source_overlap" -> "O(sources^2) matrix over per-source 1-row-per-source aggregates",
-    "q214_centroid_shard" -> "k-bounded centroid dim (limit 8) broadcast against the corpus - the IVF coarse-assign shape (q43's regime)")
+    "q214_centroid_shard" -> "k-bounded centroid dim (limit 8) broadcast against the corpus - the IVF coarse-assign shape (q43's regime)",
+    "q217_kmeans_quantized" -> "k-bounded centroid dim (k=8 LocalRelation) broadcast against the corpus each Lloyd round - q214's coarse-assign shape",
+    "q218_semdedup" -> "k-bounded seed-centroid dim broadcast for shard assignment; the dedup pair search itself is a shard equi-join",
+    "q221_mmr_rerank" -> "|Q|-bounded query sample broadcast against the corpus (q38's brute-candidate regime); every MMR selection step is a window + equi-join")
 
   /** Queries allowed a single-partition (unpartitioned ORDER BY) window and
     * the domain bound that justifies it. */

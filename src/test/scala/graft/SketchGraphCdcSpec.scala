@@ -110,6 +110,36 @@ class SketchGraphCdcSpec extends SparkSpec {
     assert(tri(messy) == ((3L, 3L, 1L)))
   }
 
+  test("pagerankInt: hand-computed path graph round; canonicalization; hub dominance") {
+    import spark.implicits._
+    // path 1-2-3, total 10^12, N=3: seed = 333333333333
+    // shares: leaf m/1, center m/2=166666666666
+    // m1(leaf) = (15*seed)//100 + (85*166666666666)//100
+    //          = 49999999999 + 141666666666 = 191666666665
+    // m1(center) = 49999999999 + (85*(2*333333333333))//100 = 616666666665
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val m1 = Graphs.pagerankInt(path, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 === Map(1L -> 191666666665L, 2L -> 616666666665L, 3L -> 191666666665L))
+
+    // messy input (reversed duplicates, self-loop) canonicalizes to the
+    // same graph — identical masses
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L)).toDF("src", "dst")
+    val m1b = Graphs.pagerankInt(messy, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1b === m1)
+
+    // star hub accumulates the leaves' full mass share each round
+    val star = (1L to 20L).map(i => (0L, i)).toDF("src", "dst")
+    val m3 = Graphs.pagerankInt(star, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m3(0L) > 10L * m3(1L)) // hub dominates
+    assert((1L to 20L).map(m3).toSet.size === 1) // leaves identical
+    // approximate mass conservation (floors lose < N*iters units... plus
+    // the 15/85 integer split rounding; bound loosely)
+    assert(math.abs(m3.values.sum - 1000000000000L) < 1000L)
+  }
+
   test("triangleCount: star graph (max-degree hub) has no triangles") {
     val star = (1L to 20L).map(i => (0L, i))
     assert(tri(star) == ((21L, 20L, 0L)))
