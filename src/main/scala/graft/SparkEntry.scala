@@ -3696,7 +3696,12 @@ object SparkEntry {
     * total mass 10¹²) over the part co-purchase graph (q171's edges,
     * symmetrized+distinct): damping and teleport as floor divisions make
     * the full power iteration engine-exact — the oracle unrolls all three
-    * message-passing rounds. The iterative-graph workload next to CC. */
+    * message-passing rounds. Complements the INLINE q146/q164 pair (2
+    * unrolled rounds over the directed bipartite customer→supplier graph,
+    * incl. the dangling-mass variant): this is the reusable LIBRARY form —
+    * arbitrary round count, persisted symmetrized edge list, undirected
+    * similarity-graph semantics (no dangling by construction) — the shape
+    * you point at a near-dup or co-occurrence graph. */
   private def q222_pagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
