@@ -3711,6 +3711,33 @@ object SparkEntry {
     graft.graph.Graphs.pagerankInt(e, iters = 3)
   }
 
+  /** DETERMINISTIC HYPERPLANE-LSH ANN ([[Similarity.lshDetTopK]], 4×8-bit
+    * tables, k = 5) — the hash-PROVEN twin of q39: closed-form integer
+    * hyperplanes, integer sign buckets, exact integer re-rank. The
+    * APPROXIMATION ITSELF (which candidates each table surfaces) is
+    * oracle-checked, the property q39's xxhash64-seeded float path can
+    * only bound. Same query set as q38/q39 (label = 0). */
+  private def q223_ann_lsh_det(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    Similarity.lshDetTopK(
+      emb.filter(col("label") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+      emb.select("vec_id", "embedding"), k = 5)
+  }
+
+  /** DETERMINISTIC IVF ANN ([[Similarity.ivfDetTopK]], nlist = 8 trained
+    * with 1 Lloyd round, nprobe = 2, k = 5) — the hash-PROVEN twin of q43:
+    * integer k-means training (q217's chain), exact cell assignment,
+    * deterministic probing, exact in-cell re-rank. The oracle replays the
+    * ENTIRE index — train, layout, probe, search. */
+  private def q224_ann_ivf_det(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    Similarity.ivfDetTopK(
+      emb.filter(col("label") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+      emb.select("vec_id", "embedding"), k = 5, nlist = 8, iters = 1, nprobe = 2)
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -3971,6 +3998,8 @@ object SparkEntry {
     "q220_bpe_segment" -> (q220_bpe_segment _),
     "q221_mmr_rerank" -> (q221_mmr_rerank _),
     "q222_pagerank" -> (q222_pagerank _),
+    "q223_ann_lsh_det" -> (q223_ann_lsh_det _),
+    "q224_ann_ivf_det" -> (q224_ann_ivf_det _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6286,6 +6315,12 @@ object SparkEntry {
     // q222: three unrolled integer-mass power-iteration rounds over the
     // symmetrized co-purchase graph
     "q222_pagerank" -> pagerankOracleSql(iters = 3),
+    // q223: closed-form hyperplane buckets + integer re-rank — candidate
+    // generation itself oracle-checked (the q212 discipline for ANN)
+    "q223_ann_lsh_det" -> lshDetOracleSql(tables = 4, nbits = 8, k = 5),
+    // q224: the whole IVF pipeline replayed — k-means train (shared CTEs),
+    // cell assign, nprobe probe, exact in-cell re-rank
+    "q224_ann_ivf_det" -> ivfDetOracleSql(nlist = 8, iters = 1, nprobe = 2, k = 5),
     // q218: shard assignment, within-shard integer cosine-threshold edges
     // (dot > 0 ∧ dot²·400 ≥ |a|²·|b|²·81 ⟺ cos ≥ 0.45), recursive-CTE
     // connected components, min-id representative per duplicate group
@@ -6504,7 +6539,9 @@ object SparkEntry {
     * cluster), per-dim floor-div M-step ((sv − pmod(sv, n)) // n — DuckDB's
     * // truncates, so make the numerator divisible first; matches Scala's
     * math.floorDiv), empty clusters coalesce to the previous centroid. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  /** The shared k-means CTE chain (quantized corpus `q`, seeds `c0`,
+    * then per-round assign/M-step CTEs ending at `c$iters`). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def round(t: Int): String =
       s"""a$t AS (
            SELECT q.vec_id, q.qv, c.cluster,
@@ -6525,14 +6562,18 @@ object SparkEntry {
          c${t + 1} AS (
            SELECT o.cluster, coalesce(x.cv, o.cv) AS cv
            FROM c$t o LEFT JOIN n$t x ON o.cluster = x.cluster)"""
-    s"""WITH q AS (
+    s"""q AS (
            SELECT vec_id, list_transform(embedding,
              x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
            FROM embeddings),
          c0 AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
            FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
-         ${(0 until iters).map(round).mkString(",\n         ")},
+         ${(0 until iters).map(round).mkString(",\n         ")}"""
+  }
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)},
          af AS (
            SELECT q.vec_id, q.qv, c.cluster,
              cast(list_sum(list_transform(range(0, len(q.qv)),
@@ -6552,7 +6593,92 @@ object SparkEntry {
            s.min_vec, s.max_vec,
            cast(list_sum(list_transform(c.cv, x -> abs(x))) as bigint) AS centroid_l1
          FROM c$iters c LEFT JOIN stats s ON c.cluster = s.cluster"""
+
+  /** q223's oracle: deterministic hyperplane buckets from the closed-form
+    * ±1/0 matrix ((j·131 + r·37) mod 101 mod 3) − 1 (r = table·nbits+bit),
+    * bucket equi-join, exact integer sign·cos²·2¹⁰ re-rank. */
+  private def lshDetOracleSql(tables: Int, nbits: Int, k: Int): String = {
+    def planeSum(r: Int): String =
+      s"""cast(list_sum(list_transform(range(0, len(qv)),
+               j -> qv[j+1] * (((j * 131 + ${r * 37}) % 101 % 3) - 1))) as bigint)"""
+    def bucketSql(t: Int): String =
+      (0 until nbits).map(b =>
+        s"(CASE WHEN ${planeSum(t * nbits + b)} >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("\n             + ")
+    val qbkt = (0 until tables).map(t =>
+      s"""SELECT vec_id, qv, nr, $t AS t,
+             ${bucketSql(t)} AS bkt
+           FROM n""").mkString("\n           UNION ALL ")
+    s"""WITH z AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv, label
+           FROM embeddings),
+         n AS (SELECT vec_id, qv, label,
+             cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS nr
+           FROM z),
+         bkt AS (
+           $qbkt),
+         qb AS (SELECT b.vec_id AS qid, b.qv AS qqv, b.nr AS nq, b.t, b.bkt
+                FROM bkt b JOIN n ON b.vec_id = n.vec_id WHERE n.label = 0),
+         pairs AS (
+           SELECT DISTINCT q.qid, c.vec_id AS cid, q.qqv, q.nq, c.qv AS cv, c.nr AS nc
+           FROM qb q JOIN bkt c ON q.t = c.t AND q.bkt = c.bkt),
+         sc AS (
+           SELECT qid, cid,
+             CASE WHEN dot >= 0 THEN (dot * dot * 1024) // (nq * nc)
+                  ELSE -((dot * dot * 1024) // (nq * nc)) END AS score
+           FROM (SELECT qid, cid, nq, nc,
+                   cast(list_sum(list_transform(range(0, len(qqv)),
+                     j -> qqv[j+1] * cv[j+1])) as bigint) AS dot
+                 FROM pairs)),
+         rk AS (SELECT qid, cid, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+           FROM sc)
+         SELECT qid AS query_id, cid AS neighbor_id, cast(rn as bigint) AS rank, score
+         FROM rk WHERE rn <= $k"""
   }
+
+  /** q224's oracle: the shared k-means chain trains the coarse centroids,
+    * then cell assignment, nprobe probing and the exact in-cell re-rank —
+    * the whole IVF pipeline replayed. */
+  private def ivfDetOracleSql(nlist: Int, iters: Int, nprobe: Int, k: Int): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+         cells AS (
+           SELECT vec_id AS cid, cluster, qv AS cv,
+             cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS nc
+           FROM (SELECT q.vec_id, q.qv, c.cluster,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     cast(list_sum(list_transform(range(0, len(q.qv)),
+                       j -> (q.qv[j+1] - c.cv[j+1]) * (q.qv[j+1] - c.cv[j+1]))) as bigint),
+                     c.cluster) AS rn
+                 FROM q CROSS JOIN c$iters c)
+           WHERE rn = 1),
+         qq AS (
+           SELECT q.vec_id AS qid, q.qv,
+             cast(list_sum(list_transform(q.qv, x -> x * x)) as bigint) AS nq
+           FROM q JOIN embeddings e ON q.vec_id = e.vec_id WHERE e.label = 0),
+         probes AS (
+           SELECT qid, qv, nq, cluster FROM (
+             SELECT qq.qid, qq.qv, qq.nq, c.cluster,
+               row_number() OVER (PARTITION BY qq.qid ORDER BY
+                 cast(list_sum(list_transform(range(0, len(qq.qv)),
+                   j -> (qq.qv[j+1] - c.cv[j+1]) * (qq.qv[j+1] - c.cv[j+1]))) as bigint),
+                 c.cluster) AS rn
+             FROM qq CROSS JOIN c$iters c)
+           WHERE rn <= $nprobe),
+         sc AS (
+           SELECT qid, cid,
+             CASE WHEN dot >= 0 THEN (dot * dot * 1024) // (nq * nc)
+                  ELSE -((dot * dot * 1024) // (nq * nc)) END AS score
+           FROM (SELECT p.qid, l.cid, p.nq, l.nc,
+                   cast(list_sum(list_transform(range(0, len(p.qv)),
+                     j -> p.qv[j+1] * l.cv[j+1])) as bigint) AS dot
+                 FROM probes p JOIN cells l ON p.cluster = l.cluster)),
+         rk AS (SELECT qid, cid, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+           FROM sc)
+         SELECT qid AS query_id, cid AS neighbor_id, cast(rn as bigint) AS rank, score
+         FROM rk WHERE rn <= $k"""
 
   /** The md5 token hash in portable SQL — first `chars` hex chars parsed by
     * strpos (Dedup.detTokenHash/detTokenHash56's conv(substr(md5(w),1,n),16,10)). */

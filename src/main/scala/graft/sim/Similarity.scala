@@ -164,31 +164,37 @@ object Similarity {
     * assigned id, and centroid_l1 = Σ_d |c_d| (a scalar digest that pins
     * the learned centroid itself, not just the memberships).
     */
-  def kmeansQuantized(vecs: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && k <= 4096, s"kmeansQuantized: k=$k")
-    require(iters >= 0 && iters <= 16, s"kmeansQuantized: iters=$iters")
+  /** The quantized projection (__vid, __qv) shared by the k-means family. */
+  private def quantizedCorpus(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).cast("long").as("__vid"), quantize1024(col(vecCol)).as("__qv"))
+
+  /** One E-step: nearest centroid per vector (exact integer sqdist,
+    * struct-min tiebreak to the smaller cluster id). */
+  private def kmeansAssign(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("__qv"), col("__cv")))
+      .groupBy(col("__vid"))
+      .agg(min(struct(col("__d"), col("cluster"), col("__qv"))).as("m"))
+      .select(col("__vid"), col("m.cluster").as("cluster"),
+        col("m.__d").as("sqd"), col("m.__qv").as("__qv"))
+
+  /** The trained centroid table (cluster 0..k−1, quantized vector) after
+    * `iters` Lloyd rounds — [[kmeansQuantized]]'s training loop, exposed
+    * for operators that BUILD on the centroids (deterministic IVF q224). */
+  def kmeansCentroidsQuantized(vecs: DataFrame, idCol: String, vecCol: String,
+                               k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, s"kmeansCentroidsQuantized: k=$k")
+    require(iters >= 0 && iters <= 16, s"kmeansCentroidsQuantized: iters=$iters")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val q = vecs.select(col(idCol).cast("long").as("__vid"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1024) as bigint))").as("__qv"))
-
-    def assign(cents: DataFrame): DataFrame =
-      q.crossJoin(broadcast(cents))
-        .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("__qv"), col("__cv")))
-        .groupBy(col("__vid"))
-        .agg(min(struct(col("__d"), col("cluster"), col("__qv"))).as("m"))
-        .select(col("__vid"), col("m.cluster").as("cluster"),
-          col("m.__d").as("sqd"), col("m.__qv").as("__qv"))
-
+    val q = quantizedCorpus(vecs, idCol, vecCol)
     // seeds: rank-ordered k smallest ids (bounded collect, k·dim longs)
     var cents: DataFrame = q.orderBy(col("__vid").asc).limit(k)
       .collect().sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, j) => (j.toLong, r.getSeq[Long](1)) }
       .toSeq.toDF("cluster", "__cv")
-
     for (_ <- 1 to iters) {
-      val sums = assign(cents)
+      val sums = kmeansAssign(q, cents)
         .select(col("cluster"), posexplode(col("__qv")).as(Seq("d", "v")))
         .groupBy(col("cluster"), col("d"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
@@ -201,6 +207,14 @@ object Similarity {
         .map(c => (c, updated.getOrElse(c, prev(c)))) // empty cluster keeps its centroid
         .toDF("cluster", "__cv")
     }
+    cents
+  }
+
+  def kmeansQuantized(vecs: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    val q = quantizedCorpus(vecs, idCol, vecCol)
+    val cents = kmeansCentroidsQuantized(vecs, idCol, vecCol, k, iters)
+    def assign(c: DataFrame): DataFrame = kmeansAssign(q, c)
 
     val l1 = cents.select(col("cluster"),
       expr("aggregate(__cv, 0L, (acc, x) -> acc + abs(x))").as("centroid_l1"))
@@ -273,6 +287,130 @@ object Similarity {
         sum(when(col("cluster_id") === col("__vid"), col("__vid"))).as("sum_kept"))
   }
 
+  /** DETERMINISTIC HYPERPLANE-LSH ANN — the hash-PROVEN twin of
+    * [[lshBucketTopK]], the q212/q213 oracle-bridge discipline applied to
+    * vector search: hyperplanes are the q210 closed-form integer ±1/0
+    * matrix w(r, j) = ((j·131 + r·37) mod 101 mod 3) − 1 with plane index
+    * r = table·nbits + bit, sign buckets are integer sums over quantized
+    * vectors, and the re-rank is the exact sign·cos²·2¹⁰ integer score —
+    * so bucket assignment, WHICH candidates each table surfaces, and the
+    * final ranking (ties to the smaller id) are all reproducible
+    * bit-for-bit in SQL. Recall < 1 exactly like the xxhash64 fast path —
+    * but here the approximation itself is oracle-checkable. Keep
+    * [[lshBucketTopK]] as the deployment path (codegen'd kernels,
+    * auto-sized banding); this form pays interpreted HOF plane sums to be
+    * portable, and exists to pin the algorithm.
+    *
+    * Output: (query_id, neighbor_id, rank, score).
+    */
+  def lshDetTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 tables: Int = 4, nbits: Int = 8,
+                 qId: String = "query_id", qVec: String = "query_vec",
+                 cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(k >= 1, s"lshDetTopK: k=$k")
+    require(tables >= 1 && tables <= 16 && nbits >= 1 && nbits <= 16,
+      s"lshDetTopK: tables=$tables nbits=$nbits")
+    import org.apache.spark.sql.expressions.Window
+    def planeSum(qv: Column, r: Int): Column =
+      aggregate(sequence(lit(0), size(qv) - 1), lit(0L),
+        (acc, i) => acc + element_at(qv, i + 1) *
+          (((i * 131 + lit(r * 37)) % 101 % 3).cast("long") - 1))
+    def bucket(qv: Column, t: Int): Column =
+      (0 until nbits).map(b =>
+        when(planeSum(qv, t * nbits + b) >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    def side(df: DataFrame, id: String, vec: String, pfx: String): DataFrame = {
+      val q = df.select(col(id).cast("long").as(s"${pfx}id"),
+          quantize1024(col(vec)).as(s"${pfx}v"))
+        .withColumn(s"${pfx}n", qnorm(col(s"${pfx}v")))
+      q.select(col(s"${pfx}id"), col(s"${pfx}v"), col(s"${pfx}n"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), bucket(col(s"${pfx}v"), t).as("bkt"))): _*)).as("tb"))
+        .select(col(s"${pfx}id"), col(s"${pfx}v"), col(s"${pfx}n"),
+          col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    }
+    val qb = side(queries, qId, qVec, "q")
+    val cb = side(corpus, cId, cVec, "c")
+    val scored = qb.join(cb, Seq("t", "bkt"))
+      .withColumn("dot", qdot(col("qv"), col("qn"), col("cv"), col("cn")))
+      .select(col("qid"), col("cid"), qrel(col("dot"), col("qn"), col("cn")).as("score"))
+      .distinct() // a pair may share buckets in several tables
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** DETERMINISTIC IVF ANN — the hash-PROVEN twin of [[ivfTopK]]: coarse
+    * centroids from [[kmeansCentroidsQuantized]] (integer Lloyd training),
+    * cell assignment by exact integer distance, query probing of the
+    * `nprobe` nearest cells (ties to the smaller cluster), and exact
+    * integer re-rank within the probed cells. Every stage of the IVF
+    * pipeline — train, layout, probe, search — is reproducible in SQL, so
+    * the oracle checks the whole index, not just an error bound. Same
+    * deployment note as [[lshDetTopK]]: [[ivfTopK]] (auto-sized nlist,
+    * codegen'd float kernels) is the 100 TB path; this pins the algorithm.
+    *
+    * Output: (query_id, neighbor_id, rank, score).
+    */
+  def ivfDetTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 nlist: Int, iters: Int, nprobe: Int,
+                 qId: String = "query_id", qVec: String = "query_vec",
+                 cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"ivfDetTopK: k=$k nprobe=$nprobe nlist=$nlist")
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroidsQuantized(corpus, cId, cVec, nlist, iters)
+    val cells = kmeansAssign(quantizedCorpus(corpus, cId, cVec), cents)
+      .select(col("__vid").as("cid"), col("cluster"), col("__qv").as("cv"))
+      .withColumn("cn", qnorm(col("cv")))
+    val qq = quantizedCorpus(queries, qId, qVec)
+      .select(col("__vid").as("qid"), col("__qv").as("qv"))
+      .withColumn("qn", qnorm(col("qv")))
+    val probes = qq.crossJoin(broadcast(cents))
+      .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("qv"), col("__cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__d").asc, col("cluster").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cluster"))
+    probes.join(cells, "cluster")
+      .withColumn("dot", qdot(col("qv"), col("qn"), col("cv"), col("cn")))
+      .select(col("qid"), col("cid"), qrel(col("dot"), col("qn"), col("cn")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  // ---- shared integer-exact scoring helpers (q217/q218/q221/q223/q224) --
+
+  /** round(x·2¹⁰) quantization (the q210 proven scheme). */
+  private[sim] def quantize1024(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1024).cast("long"))
+
+  /** Σ q² over a quantized vector. */
+  private[sim] def qnorm(qv: Column): Column =
+    aggregate(qv, lit(0L), (acc, x) => acc + x * x)
+
+  /** Integer dot product derived from the codegen'd sqdist kernel:
+    * dot = (|a|² + |b|² − sqdist)/2 — the numerator is even, so integral
+    * division is exact, and the hot loop stays whole-stage-codegen'd. */
+  private[sim] def qdot(a: Column, na: Column, b: Column, nb: Column): Column =
+    call_function("div",
+      na + nb - graft.functions.VectorExprs.quantized_sqdist(a, b), lit(2L))
+
+  /** Sign-preserving scaled squared cosine:
+    * r = sign(dot)·⌊dot²·1024 / (|a|²·|b|²)⌋ ∈ [−1024, 1024] — a monotone
+    * transform of cosine, pure integer ops (dot²·2¹⁰ ≤ 2⁶² for dim ≤ 64
+    * quantized embeddings), identical in any engine. */
+  private[sim] def qrel(dot: Column, na: Column, nb: Column): Column = {
+    val fd = call_function("div", dot * dot * lit(1024L), na * nb)
+    when(dot >= 0, fd).otherwise(-fd)
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein, SIGIR
     * 1998) with λ = 1/2, ENGINE-EXACT: select k results per query that
     * balance relevance against redundancy — step s picks
@@ -308,18 +446,10 @@ object Similarity {
     require(c >= 1 && c <= 1024, s"mmrRerankQuantized: c=$c")
     require(k >= 1 && k <= c, s"mmrRerankQuantized: k=$k must be ≤ c")
     import org.apache.spark.sql.expressions.Window
-    def quant(v: Column) =
-      transform(v, x => round(x.cast("double") * 1024).cast("long"))
-    def norm(qv: Column) =
-      aggregate(qv, lit(0L), (acc, x) => acc + x * x)
-    // r = sign(dot) * floor(dot^2 * 1024 / (na*nb)); div truncates, args >= 0
-    def rel(dot: Column, na: Column, nb: Column): Column = {
-      val fd = call_function("div", dot * dot * lit(1024L), na * nb) // ≤ 2⁶² for dim ≤ 64
-      when(dot >= 0, fd).otherwise(-fd)
-    }
-    def dotOf(a: Column, na: Column, b: Column, nb: Column): Column =
-      call_function("div",
-        na + nb - graft.functions.VectorExprs.quantized_sqdist(a, b), lit(2L))
+    def quant(v: Column) = quantize1024(v)
+    def norm(qv: Column) = qnorm(qv)
+    def rel(dot: Column, na: Column, nb: Column): Column = qrel(dot, na, nb)
+    def dotOf(a: Column, na: Column, b: Column, nb: Column): Column = qdot(a, na, b, nb)
 
     // zero-norm vectors are dropped on both sides (undefined cosine — and
     // an integer div-by-zero in any engine; the oracle mirrors the filter)

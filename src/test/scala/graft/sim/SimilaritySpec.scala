@@ -365,6 +365,64 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks(2L) === 12L) // diversity: the near-orthogonal doc, not id 11
   }
 
+  test("det ANN twins: self at rank 1; ivfDet(nprobe=nlist) equals the exact integer top-k") {
+    import spark.implicits._
+    // deterministic pseudo-random fixture (closed-form, no RNG)
+    val corpus = (0L until 30L).map(i =>
+      (i, (0 until 8).map(j => (((i * 31 + j * 17) % 13).toFloat - 6.0f) / 7.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 7 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+    // driver-side exact integer top-k reference (the q221 score function)
+    def q1024(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 1024))
+    def rel(a: Seq[Long], b: Seq[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      val u = dot * dot * 1024L / (na * nb)
+      if (dot >= 0) u else -u
+    }
+    val cvecs = (0L until 30L).map(i =>
+      i -> q1024((0 until 8).map(j => (((i * 31 + j * 17) % 13).toFloat - 6.0f) / 7.0f))).toMap
+    val expected = cvecs.keys.filter(_ % 7 == 0).flatMap { qi =>
+      cvecs.toSeq.map { case (ci, cv) => (ci, rel(cv, cvecs(qi))) }
+        .sortBy { case (ci, r) => (-r, ci) }.take(5).zipWithIndex
+        .map { case ((ci, r), idx) => (qi, ci, (idx + 1).toLong, r) }
+    }.toSet
+
+    // IVF with every cell probed = exact search, bit for bit
+    val ivfAll = Similarity.ivfDetTopK(queries, corpus, k = 5,
+        nlist = 4, iters = 1, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ivfAll === expected)
+
+    // nprobe=1 still finds an IDENTICAL vector at rank 1 (score 1024; the
+    // fixture repeats with period 13, so the smallest-id twin wins the
+    // tie, e.g. query 14's rank-1 is vector 1) — its own cell is by
+    // definition the nearest centroid's cell
+    val ivf1 = Similarity.ivfDetTopK(queries, corpus, k = 5,
+        nlist = 4, iters = 1, nprobe = 1)
+      .filter($"rank" === 1).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    assert(ivf1.forall { case (q, (n, score)) => score == 1024L && n % 13 == q % 13 })
+
+    // LSH det twin: an identical vector shares every bucket -> rank 1 at
+    // score 1024 (smallest-id twin on ties); ranks contiguous from 1 with
+    // non-increasing scores
+    val lsh = Similarity.lshDetTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = lsh.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qi, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._4 === 1024L && sorted.head._2 % 13 === qi % 13,
+        s"no identical twin at rank 1 for $qi: $sorted")
+      assert(sorted.map(_._3).toSeq === (1L to sorted.length).toSeq)
+      val scores = sorted.map(_._4).toSeq
+      assert(scores === scores.sorted(Ordering[Long].reverse)) // non-increasing
+    }
+  }
+
   test("semDedupQuantized: within-shard dup groups collapse to min-id; dot>0 guard; hand-checked") {
     import spark.implicits._
     // seeds: id0 = (1,0) / id1 = (0,1). Shard A gets {0,2,3,5} (id5 at
