@@ -3738,6 +3738,19 @@ object SparkEntry {
       emb.select("vec_id", "embedding"), k = 5, nlist = 8, iters = 1, nprobe = 2)
   }
 
+  /** DETERMINISTIC PQ ANN ([[Similarity.pqDetTopK]], m = 4 subspaces,
+    * ksub = 8 codes, 1 Lloyd round, k = 5) — the hash-PROVEN twin of
+    * q199, completing the proven-twin matrix: codebook training, argmin
+    * encoding, the per-query ADC tables and the Σ-ADC scan are ALL
+    * integer-exact and replayed by the oracle. */
+  private def q225_ann_pq_det(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    Similarity.pqDetTopK(
+      emb.filter(col("label") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+      emb.select("vec_id", "embedding"), k = 5, m = 4, ksub = 8, iters = 1)
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE end-to-end
     * ([[graft.io.Versioned.changesWithImages]] →
     * [[graft.ops.Incremental.applyCountSumDeltas]]): commit orders as v1,
@@ -4000,6 +4013,7 @@ object SparkEntry {
     "q222_pagerank" -> (q222_pagerank _),
     "q223_ann_lsh_det" -> (q223_ann_lsh_det _),
     "q224_ann_ivf_det" -> (q224_ann_ivf_det _),
+    "q225_ann_pq_det" -> (q225_ann_pq_det _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6321,6 +6335,9 @@ object SparkEntry {
     // q224: the whole IVF pipeline replayed — k-means train (shared CTEs),
     // cell assign, nprobe probe, exact in-cell re-rank
     "q224_ann_ivf_det" -> ivfDetOracleSql(nlist = 8, iters = 1, nprobe = 2, k = 5),
+    // q225: PQ codebook train / encode / ADC tables / Σ-ADC scan, all
+    // integer — the whole compressed index replayed
+    "q225_ann_pq_det" -> pqDetOracleSql(m = 4, ksub = 8, iters = 1, k = 5),
     // q218: shard assignment, within-shard integer cosine-threshold edges
     // (dot > 0 ∧ dot²·400 ≥ |a|²·|b|²·81 ⟺ cos ≥ 0.45), recursive-CTE
     // connected components, min-id representative per duplicate group
@@ -6679,6 +6696,74 @@ object SparkEntry {
            FROM sc)
          SELECT qid AS query_id, cid AS neighbor_id, cast(rn as bigint) AS rank, score
          FROM rk WHERE rn <= $k"""
+
+  /** q225's oracle: the full PQ pipeline replayed — subspace split,
+    * per-subspace codebook training (seed + floor-div Lloyd rounds),
+    * argmin encoding, per-query integer ADC tables, Σ-ADC scan. */
+  private def pqDetOracleSql(m: Int, ksub: Int, iters: Int, k: Int): String = {
+    def sqd(a: String, b: String): String =
+      s"""cast(list_sum(list_transform(range(0, len($a)),
+               j -> ($a[j+1] - $b[j+1]) * ($a[j+1] - $b[j+1]))) as bigint)"""
+    val rounds = (0 until iters).map { t =>
+      s"""pa$t AS (
+           SELECT sub.vec_id, sub.mi, c.code, sub.sv,
+             ${sqd("sub.sv", "c.cv")} AS d
+           FROM subq sub JOIN pc$t c ON sub.mi = c.mi),
+         pm$t AS (
+           SELECT vec_id, mi, code, sv FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+             FROM pa$t) WHERE rn = 1),
+         ps$t AS (
+           SELECT mi, code, dd, sum(v) AS s, count(*) AS n FROM (
+             SELECT mi, code, unnest(range(1, len(sv) + 1)) AS dd, unnest(sv) AS v
+             FROM pm$t) GROUP BY 1, 2, 3),
+         pn$t AS (
+           SELECT mi, code, list((s - ((s % n) + n) % n) // n ORDER BY dd) AS cv
+           FROM ps$t GROUP BY 1, 2),
+         pc${t + 1} AS (
+           SELECT o.mi, o.code, coalesce(x.cv, o.cv) AS cv
+           FROM pc$t o LEFT JOIN pn$t x ON o.mi = x.mi AND o.code = x.code)"""
+    }.mkString(",\n         ")
+    val roundsSql = if (iters == 0) "" else s"$rounds,"
+    s"""WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         subq AS (
+           SELECT vec_id, mi,
+             qv[mi * (len(qv) // $m) + 1 : (mi + 1) * (len(qv) // $m)] AS sv
+           FROM (SELECT vec_id, qv, unnest(range(0, $m)) AS mi FROM q)),
+         seeds AS (
+           SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+           FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $ksub)),
+         pc0 AS (
+           SELECT s.mi, d.code, s.sv AS cv
+           FROM subq s JOIN seeds d ON s.vec_id = d.vec_id),
+         $roundsSql
+         enc AS (
+           SELECT vec_id AS cid, mi, code FROM (
+             SELECT sub.vec_id, sub.mi, c.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.mi
+                 ORDER BY ${sqd("sub.sv", "c.cv")}, c.code) AS rn
+             FROM subq sub JOIN pc$iters c ON sub.mi = c.mi) WHERE rn = 1),
+         qsub AS (
+           SELECT s.vec_id AS qid, s.mi, s.sv AS qsv
+           FROM subq s JOIN embeddings e ON s.vec_id = e.vec_id
+           WHERE e.label = 0),
+         adc AS (
+           SELECT qs.qid, qs.mi, c.code, ${sqd("qs.qsv", "c.cv")} AS d
+           FROM qsub qs JOIN pc$iters c ON qs.mi = c.mi),
+         sc AS (
+           SELECT a.qid, e.cid, cast(sum(a.d) as bigint) AS score
+           FROM enc e JOIN adc a ON e.mi = a.mi AND e.code = a.code
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT qid, cid, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score ASC, cid ASC) AS rn
+           FROM sc)
+         SELECT qid AS query_id, cid AS neighbor_id, cast(rn as bigint) AS rank, score
+         FROM rk WHERE rn <= $k"""
+  }
 
   /** The md5 token hash in portable SQL — first `chars` hex chars parsed by
     * strpos (Dedup.detTokenHash/detTokenHash56's conv(substr(md5(w),1,n),16,10)). */

@@ -385,6 +385,98 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** DETERMINISTIC PRODUCT-QUANTIZATION ANN (asymmetric distance
+    * computation) — the hash-PROVEN twin of [[pqTopK]]/q199, completing
+    * the proven-twin matrix for the approximate-search stack: split the
+    * quantized vector into `m` subspaces, train one integer codebook per
+    * subspace (seed = the `ksub` smallest ids' subvectors, `iters` Lloyd
+    * rounds with the floor-div M-step), encode every corpus vector as its
+    * per-subspace argmin code (ties to the smaller code), build each
+    * query's integer ADC table (exact sub-sqdist to every centroid), and
+    * score candidates as Σ_m adc[m][code_m] — ranked ascending with ties
+    * to the smaller id. Every stage — training, encoding, table, scan —
+    * is integer arithmetic an external SQL engine replays bit-for-bit.
+    * [[pqTopK]] (sampled float training, flat-array ADC, codegen'd
+    * kernels) stays the 100 TB deployment path; this form pins the
+    * algorithm the way q212/q213 pin the LSH pipeline.
+    *
+    * Output: (query_id, neighbor_id, rank, score) — score = exact ADC
+    * distance in quantized units (lower is nearer).
+    */
+  def pqDetTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                m: Int = 4, ksub: Int = 8, iters: Int = 1,
+                qId: String = "query_id", qVec: String = "query_vec",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(k >= 1 && m >= 1 && m <= 64 && ksub >= 1 && ksub <= 256,
+      s"pqDetTopK: k=$k m=$m ksub=$ksub")
+    require(iters >= 0 && iters <= 8, s"pqDetTopK: iters=$iters")
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = quantizedCorpus(corpus, cId, cVec)
+    // subspace split: dim must divide evenly into m (require'd at runtime
+    // via the first row — slice on a short vector would silently truncate)
+    val sub = q.select(col("__vid"), col("__qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("mi"))
+      .select(col("__vid"), col("mi"),
+        slice(col("__qv"), col("mi") * (size(col("__qv")) / m).cast("int") + 1,
+          (size(col("__qv")) / m).cast("int")).as("sv"))
+
+    def assign(cents: DataFrame): DataFrame =
+      sub.join(broadcast(cents), Seq("mi"))
+        .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("sv"), col("cv")))
+        .groupBy(col("__vid"), col("mi"))
+        .agg(min(struct(col("__d"), col("code"), col("sv"))).as("s"))
+        .select(col("__vid"), col("mi"), col("s.code").as("code"),
+          col("s.__d").as("d"), col("s.sv").as("sv"))
+
+    // seeds: the ksub smallest ids' subvectors, code = id rank
+    val seedRows = q.orderBy(col("__vid").asc).limit(ksub)
+      .collect().sortBy(_.getLong(0)).zipWithIndex
+    val dim = seedRows.head._1.getSeq[Long](1).length
+    require(dim % m == 0, s"pqDetTopK: dim $dim not divisible by m=$m")
+    val sd = dim / m
+    var cents: DataFrame = seedRows.flatMap { case (r, j) =>
+      val v = r.getSeq[Long](1)
+      (0 until m).map(mi => (mi, j.toLong, v.slice(mi * sd, (mi + 1) * sd)))
+    }.toSeq.toDF("mi", "code", "cv")
+
+    for (_ <- 1 to iters) {
+      val sums = assign(cents)
+        .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("dd", "v")))
+        .groupBy(col("mi"), col("code"), col("dd"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect() // bounded: ≤ m·ksub·(dim/m) cells
+      val updated = sums.groupBy(r => (r.getInt(0), r.getLong(1))).map { case (key, rows) =>
+        key -> rows.sortBy(_.getInt(2)).map(r => math.floorDiv(r.getLong(3), r.getLong(4))).toSeq
+      }
+      val prev = cents.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+      cents = prev.keys.toSeq.sorted
+        .map { case (mi, c) => (mi, c, updated.getOrElse((mi, c), prev((mi, c)))) }
+        .toDF("mi", "code", "cv")
+    }
+
+    val codes = assign(cents).select(col("__vid").as("cid"), col("mi"), col("code"))
+    val qsub = quantizedCorpus(queries, qId, qVec)
+      .select(col("__vid").as("qid"), col("__qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("mi"))
+      .select(col("qid"), col("mi"),
+        slice(col("__qv"), col("mi") * (size(col("__qv")) / m).cast("int") + 1,
+          (size(col("__qv")) / m).cast("int")).as("qsv"))
+    val adc = qsub.join(broadcast(cents), Seq("mi"))
+      .select(col("qid"), col("mi"), col("code"),
+        graft.functions.VectorExprs.quantized_sqdist(col("qsv"), col("cv")).as("d"))
+    codes.join(adc, Seq("mi", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("d")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").asc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
   // ---- shared integer-exact scoring helpers (q217/q218/q221/q223/q224) --
 
   /** round(x·2¹⁰) quantization (the q210 proven scheme). */

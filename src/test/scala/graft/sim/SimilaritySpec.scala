@@ -423,6 +423,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqDetTopK: exhaustive regime (m=1, ksub=n, iters=0) equals exact integer L2 top-k") {
+    import spark.implicits._
+    val n = 20
+    val corpus = (0L until n.toLong).map(i =>
+      (i, (0 until 8).map(j => (((i * 29 + j * 23) % 11).toFloat - 5.0f) / 6.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    // ksub = n, iters = 0, m = 1: every vector is (a twin of) a centroid,
+    // codes index exact vectors, ADC = exact L2 — the PqSpec identity
+    // argument in deterministic form
+    def q1024(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 1024))
+    val cv = (0L until n.toLong).map(i =>
+      i -> q1024((0 until 8).map(j => (((i * 29 + j * 23) % 11).toFloat - 5.0f) / 6.0f))).toMap
+    // duplicate vectors (period 11) share a code: ADC score is exact L2
+    // regardless, so compare (qid, score-ranked multiset) not raw ids
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expScores = cv.keys.filter(_ % 5 == 0).map { qi =>
+      qi -> cv.toSeq.map { case (ci, v) => l2(v, cv(qi)) }.sorted.take(5)
+    }.toMap
+    val got = Similarity.pqDetTopK(queries, corpus, k = 5, m = 1, ksub = n, iters = 0)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qi, rows) => qi -> rows.map(_.getLong(3)).sorted.toSeq }
+    assert(got === expScores)
+
+    // m=4 compressed regime: deterministic (two runs identical), ranks
+    // contiguous, scores non-decreasing
+    val r1 = Similarity.pqDetTopK(queries, corpus, k = 5, m = 4, ksub = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val r2 = Similarity.pqDetTopK(queries, corpus, k = 5, m = 4, ksub = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(r1 === r2 && r1.nonEmpty)
+    r1.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(_._3)
+      assert(sorted.map(_._3) === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4) === sorted.map(_._4).sorted)
+    }
+  }
+
   test("semDedupQuantized: within-shard dup groups collapse to min-id; dot>0 guard; hand-checked") {
     import spark.implicits._
     // seeds: id0 = (1,0) / id1 = (0,1). Shard A gets {0,2,3,5} (id5 at
