@@ -3711,6 +3711,16 @@ object SparkEntry {
     graft.graph.Graphs.pagerankInt(e, iters = 3)
   }
 
+  /** SEMDEDUP with the PAPER's representative rule ([[Similarity
+    * .semDedupQuantized]] `keepFarthest = true`, Abbas et al. §3): each
+    * duplicate group keeps the member FARTHEST from its shard centroid —
+    * the diversity-preserving choice — decided by integer sqdist with
+    * min-id ties, so the kept set stays hash-proven. q218's min-id policy
+    * is the simpler baseline; both share shards/edges/components. */
+  private def q226_semdedup_far(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupQuantized(par(s, Tables.embeddings(s, dir)),
+      "vec_id", "embedding", k = 8, keepFarthest = true)
+
   /** DETERMINISTIC HYPERPLANE-LSH ANN ([[Similarity.lshDetTopK]], 4×8-bit
     * tables, k = 5) — the hash-PROVEN twin of q39: closed-form integer
     * hyperplanes, integer sign buckets, exact integer re-rank. The
@@ -4014,6 +4024,7 @@ object SparkEntry {
     "q223_ann_lsh_det" -> (q223_ann_lsh_det _),
     "q224_ann_ivf_det" -> (q224_ann_ivf_det _),
     "q225_ann_pq_det" -> (q225_ann_pq_det _),
+    "q226_semdedup_far" -> (q226_semdedup_far _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -4117,12 +4128,12 @@ object SparkEntry {
     */
   def rowsOnlyByDesign: Map[String, String] = Map(
     "q26_sketch_distinct" -> "exact twin q23_count_distinct; Round3Spec bounds HLL error",
-    "q36_minhash_lsh" -> "exact twin q35_jaccard_pairs (oracle-checked); DedupSpec differential",
-    "q37_simhash_neardup" -> "DedupSpec differential vs exact Hamming over simhash64",
-    "q39_ann_lsh" -> "exact twin q38_ann_brute (oracle-checked); SimilaritySpec recall bound",
-    "q40_fingerprint_rolling" -> "xxhash64 fold is hash-family-specific; TextOpsSpec pins order sensitivity",
-    "q43_ann_ivf" -> "exact twin q38_ann_brute; SimilaritySpec recall bound",
-    "q199_ann_ivfpq" -> "exact twin q38_ann_brute; PqSpec exhaustive-regime identity + planted recall bound")
+    "q36_minhash_lsh" -> "exact twin q35_jaccard_pairs (oracle-checked); hash-PROVEN det twin q212; DedupSpec differential",
+    "q37_simhash_neardup" -> "hash-PROVEN det twin q213; DedupSpec differential vs exact Hamming over simhash64",
+    "q39_ann_lsh" -> "exact twin q38_ann_brute (oracle-checked); hash-PROVEN det twin q223 (candidate generation itself oracle-checked); SimilaritySpec recall bound",
+    "q40_fingerprint_rolling" -> "xxhash64 fold is hash-family-specific; hash-PROVEN det twin q215; TextOpsSpec pins order sensitivity",
+    "q43_ann_ivf" -> "exact twin q38_ann_brute; hash-PROVEN det twin q224 (whole IVF pipeline oracle-checked); SimilaritySpec recall bound",
+    "q199_ann_ivfpq" -> "exact twin q38_ann_brute; hash-PROVEN det twin q225 (train/encode/ADC oracle-checked); PqSpec exhaustive-regime identity + planted recall bound")
   // r7: q50 (md5 stub → closed-form oracle), q69 (histogram-exact
   // percentiles) and q70 (deterministic md5-HLL) left this set — 10 → 7.
 
@@ -6338,6 +6349,45 @@ object SparkEntry {
     // q225: PQ codebook train / encode / ADC tables / Σ-ADC scan, all
     // integer — the whole compressed index replayed
     "q225_ann_pq_det" -> pqDetOracleSql(m = 4, ksub = 8, iters = 1, k = 5),
+    // q226: q218's shards/edges/components with the paper's representative
+    // rule — farthest-from-centroid (max sqdist, min-id ties) per group
+    "q226_semdedup_far" ->
+      """WITH RECURSIVE q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT q.vec_id, c.centroid_id, q.qv,
+             cast(list_sum(list_transform(range(0, len(q.qv)),
+               j -> (q.qv[j+1] - c.cv[j+1]) * (q.qv[j+1] - c.cv[j+1]))) as bigint) AS sqd
+           FROM q CROSS JOIN c),
+         a AS (
+           SELECT vec_id, centroid_id, qv, sqd AS cd,
+             cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS nr
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, centroid_id) AS rn
+                 FROM d)
+           WHERE rn = 1),
+         p AS (
+           SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.nr AS na, y.nr AS nb,
+             cast(list_sum(list_transform(range(0, len(x.qv)),
+               j -> x.qv[j+1] * y.qv[j+1])) as bigint) AS dot
+           FROM a x JOIN a y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+         e AS (SELECT id_a, id_b FROM p WHERE dot > 0 AND dot * dot * 400 >= na * nb * 81),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+         walk(id, lab) AS (
+           SELECT vec_id, vec_id FROM a
+           UNION
+           SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+         lab AS (SELECT id, min(lab) AS lab FROM walk GROUP BY id),
+         kp AS (
+           SELECT a.centroid_id, a.vec_id,
+             row_number() OVER (PARTITION BY l.lab ORDER BY a.cd DESC, a.vec_id ASC) AS krn
+           FROM a JOIN lab l ON a.vec_id = l.id)
+         SELECT centroid_id, cast(count(*) as bigint) AS n_vecs,
+           cast(sum(CASE WHEN krn = 1 THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           cast(sum(CASE WHEN krn = 1 THEN vec_id END) as bigint) AS sum_kept
+         FROM kp GROUP BY 1""",
     // q218: shard assignment, within-shard integer cosine-threshold edges
     // (dot > 0 ∧ dot²·400 ≥ |a|²·|b|²·81 ⟺ cos ≥ 0.45), recursive-CTE
     // connected components, min-id representative per duplicate group

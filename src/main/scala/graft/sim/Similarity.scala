@@ -253,9 +253,15 @@ object Similarity {
     * Output: per non-empty shard — n_vecs, n_kept (number of duplicate
     * groups incl. singletons) and sum_kept (Σ of kept ids — a digest that
     * pins exactly WHICH representatives survive).
+    *
+    * `keepFarthest = true` switches the representative rule from min-id to
+    * the paper's diversity-preserving choice: keep the group member
+    * FARTHEST from its shard centroid (max integer sqdist, ties to the
+    * smaller id) — still fully integer-decided, still hash-exact.
     */
   def semDedupQuantized(vecs: DataFrame, idCol: String, vecCol: String,
-                        k: Int, tau2Num: Long = 81, tau2Den: Long = 400): DataFrame = {
+                        k: Int, tau2Num: Long = 81, tau2Den: Long = 400,
+                        keepFarthest: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 4096, s"semDedupQuantized: k=$k")
     require(tau2Num > 0 && tau2Den > 0, "semDedupQuantized: τ² must be a positive rational")
     val q = vecs.select(col(idCol).cast("long").as("__vid"),
@@ -266,7 +272,8 @@ object Similarity {
       .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("__qv"), col("__cv")))
       .groupBy(col("__vid"))
       .agg(min(struct(col("__d"), col("centroid_id"), col("__qv"))).as("m"))
-      .select(col("__vid"), col("m.centroid_id").as("centroid_id"), col("m.__qv").as("__qv"))
+      .select(col("__vid"), col("m.centroid_id").as("centroid_id"),
+        col("m.__qv").as("__qv"), col("m.__d").as("__cd"))
       .withColumn("__nr", expr("aggregate(__qv, 0L, (acc, x) -> acc + x * x)"))
     val l = assign.select(col("centroid_id"), col("__vid").as("id_a"),
       col("__qv").as("__qa"), col("__nr").as("na"))
@@ -280,11 +287,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     val labels = graft.dedup.Clusters.connectedComponents(
       assign.select(col("__vid")), "__vid", edges, "id_a", "id_b")
-    assign.join(labels, "__vid")
+    val labeled = assign.join(labels, "__vid")
+    // representative per duplicate group: min id (default), or — the
+    // paper's §3 diversity-preserving rule — the member FARTHEST from its
+    // shard centroid (max integer sqdist, ties to the smaller id)
+    val kept =
+      if (!keepFarthest) col("cluster_id") === col("__vid")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("__cd").desc, col("__vid").asc)) === 1
+      }
+    labeled.withColumn("__keep", kept)
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("cluster_id") === col("__vid"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("cluster_id") === col("__vid"), col("__vid"))).as("sum_kept"))
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), col("__vid"))).as("sum_kept"))
   }
 
   /** DETERMINISTIC HYPERPLANE-LSH ANN — the hash-PROVEN twin of

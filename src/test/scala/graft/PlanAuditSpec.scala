@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     "q214_centroid_shard" -> "k-bounded centroid dim (limit 8) broadcast against the corpus - the IVF coarse-assign shape (q43's regime)",
     "q217_kmeans_quantized" -> "k-bounded centroid dim (k=8 LocalRelation) broadcast against the corpus each Lloyd round - q214's coarse-assign shape",
     "q218_semdedup" -> "k-bounded seed-centroid dim broadcast for shard assignment; the dedup pair search itself is a shard equi-join",
-    "q221_mmr_rerank" -> "|Q|-bounded query sample broadcast against the corpus (q38's brute-candidate regime); every MMR selection step is a window + equi-join")
+    "q221_mmr_rerank" -> "|Q|-bounded query sample broadcast against the corpus (q38's brute-candidate regime); every MMR selection step is a window + equi-join",
+    "q224_ann_ivf_det" -> "nlist-bounded centroid dim broadcast for cell assignment and query probing (q43's regime); the cell search itself is a cluster equi-join",
+    "q226_semdedup_far" -> "q218's shard shape - k-bounded seed-centroid dim broadcast; the dedup pair search is a shard equi-join")
 
   /** Queries allowed a single-partition (unpartitioned ORDER BY) window and
     * the domain bound that justifies it. */

@@ -478,5 +478,13 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.semDedupQuantized(vecs, "vec_id", "embedding", k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(out === Set((0L, 4L, 1L, 0L), (1L, 3L, 2L, 7L)))
+
+    // keepFarthest (the paper's rule): shard A's group keeps id5 — the
+    // member farthest from centroid (1024,0) — instead of min-id 0; shard
+    // B's {1,4} are both AT the centroid (cd 0), tie -> min id 1; {6} kept
+    val far = Similarity.semDedupQuantized(vecs, "vec_id", "embedding", k = 2,
+        keepFarthest = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(far === Set((0L, 4L, 1L, 5L), (1L, 3L, 2L, 7L)))
   }
 }
