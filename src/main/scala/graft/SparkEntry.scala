@@ -3796,6 +3796,147 @@ object SparkEntry {
       .select(col("grp"), col("n_rows"), col("sum_val").as("sum_cents"))
   }
 
+  /** Integer GRAM MATRIX ([[graft.sim.LinAlg.gramUpperQuantized]]):
+    * G = XᵀX over the quantized embedding corpus, upper triangle — the
+    * first pass of whitening/PCA/drift monitoring. One scan, map-side
+    * partial sums, a dim²-cell shuffle regardless of corpus size; the
+    * all-integer reduction is order-independent, so the matrix is
+    * hash-exact. */
+  private def q227_gram_matrix(s: SparkSession, dir: String): DataFrame =
+    graft.sim.LinAlg.gramUpperQuantized(par(s, Tables.embeddings(s, dir)), "embedding")
+
+  /** Exact integer COVARIANCE numerators ([[graft.sim.LinAlg
+    * .covarianceUpperQuantized]]): n·Σxy − Σx·Σy per dim pair — the
+    * covariance matrix with the single float division deferred forever,
+    * so the full matrix is engine-exact (the q211 integer-cents
+    * discipline applied to second moments). Same scan/shuffle shape as
+    * q227 plus a broadcast-joined column-sum table. */
+  private def q228_covariance(s: SparkSession, dir: String): DataFrame =
+    graft.sim.LinAlg.covarianceUpperQuantized(par(s, Tables.embeddings(s, dir)), "embedding")
+
+  /** TOP PRINCIPAL COMPONENT + corpus projection ([[graft.sim.LinAlg
+    * .pcaProjectQuantized]], 3 power rounds): distributed integer Gram →
+    * driver-side all-integer power iteration (w = G·v;
+    * v ← (w·1024) div max|w|, truncation-toward-zero div) → zero-shuffle
+    * projection of every vector onto the learned direction. The oracle
+    * rebuilds G, unrolls all 3 rounds and reprojects — the EIGENVECTOR
+    * and every projection are hash-proven. */
+  private def q229_pca_project(s: SparkSession, dir: String): DataFrame =
+    graft.sim.LinAlg.pcaProjectQuantized(par(s, Tables.embeddings(s, dir)),
+      "vec_id", "embedding", iters = 3)
+
+  /** BOUNDED K-CORE PEEL ([[graft.graph.Graphs.kcorePeel]], k = 80,
+    * 3 rounds) over the part co-purchase graph (q171/q222's edges):
+    * iteratively drop vertices with induced degree < k — the
+    * dense-substructure filter (spam/bot rings, boilerplate hubs in a
+    * near-dup graph). Membership is a pure integer degree threshold, so
+    * the surviving set and its induced degrees are hash-exact; the
+    * oracle replays all 3 peels. */
+  private def q230_kcore(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Graphs.kcorePeel(copurchaseEdges(s, dir), k = 80, rounds = 3)
+
+  /** SYNCHRONOUS LABEL PROPAGATION ([[graft.graph.Graphs.labelPropagate]],
+    * 2 rounds, Raghavan et al. 2007) over the co-purchase graph:
+    * communities by most-frequent-neighbor-label with min-label ties — no
+    * RNG, no visit order, so the assignment after any fixed round count
+    * is engine-exact and the oracle replays both rounds. The
+    * community-detection complement to the q88/q177 connected components
+    * (which merge everything touching; LPA splits dense regions). */
+  private def q231_label_prop(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Graphs.labelPropagate(copurchaseEdges(s, dir), rounds = 2)
+
+  /** TRAIN/TEST LEAKAGE AUDIT ([[Similarity.splitLeakageAudit]], k = 8
+    * shards, τ = 0.45, 80/20 md5 split): semantic near-dup pairs whose
+    * endpoints fall in DIFFERENT splits — the eval-integrity check every
+    * training pipeline should run before trusting a held-out metric. The
+    * pair machinery is q218's engine-exact integer predicate; the split is
+    * the q114 md5 bucket rule; the id-sum digest pins the exact pair set,
+    * so cross-split contamination is hash-proven, not sampled. */
+  private def q232_split_leakage(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    val splits = emb.select(col("vec_id"),
+      RelOps.hashSplit(col("vec_id"), Seq(("train", 0.8), ("test", 0.2))).as("split"))
+    Similarity.splitLeakageAudit(emb, "vec_id", "embedding",
+      splits, "vec_id", "split", k = 8)
+  }
+
+  /** EMBEDDING DRIFT MONITOR ([[graft.sim.LinAlg.meanShiftQuantized]]):
+    * per-dimension integer mean-shift numerator n_B·Σ_A − n_A·Σ_B between
+    * the label-0 cohort and the rest — the per-ingest-batch distribution
+    * check that catches an upstream embedding-model or source-mix change
+    * before it poisons an index. One scan, dim-cell shuffle, hash-exact. */
+  private def q233_drift_shift(s: SparkSession, dir: String): DataFrame =
+    graft.sim.LinAlg.meanShiftQuantized(par(s, Tables.embeddings(s, dir)),
+      "embedding", col("label") === 0)
+
+  /** HILBERT-CURVE LAYOUT ([[graft.functions.ZOrder.withHilbertIndex2D]],
+    * 10-bit buckets, q141's exact dimensions and rollup): the
+    * locality-superior space-filling curve next to q141's Z-order —
+    * consecutive Hilbert indexes are always grid-adjacent (no cross-plane
+    * Z-jumps), so range-partitioned files get tighter per-file bounding
+    * boxes (HilbertSpec proves the adjacency invariant and the box-width
+    * win on this very layout). Pure integer bit arithmetic, unrolled per
+    * level in both engines → hash-exact. */
+  private def q234_hilbert_layout(s: SparkSession, dir: String): DataFrame = {
+    val bits = 10
+    val base = Tables.orders(s, dir).select(
+      (col("o_custkey") % 1024).cast("long").as("x"),
+      (datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01"))) % 1024)
+        .cast("long").as("y"))
+    graft.functions.ZOrder.withHilbertIndex2D(base, col("x"), col("y"), bits, "h")
+      .groupBy(expr(s"h * 16 div ${1L << (2 * bits)}").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("x_lo"), max("x").as("x_hi"),
+        min("y").as("y_lo"), max("y").as("y_hi"))
+  }
+
+  /** COUNT-MIN SKETCH ([[graft.sketch.CountMin]], depth 4 × width 64,
+    * Cormode & Muthukrishnan 2005) over event user traffic — the
+    * MERGEABLE frequency sketch next to the exact SpaceSaving pair
+    * (q172/q173): per-shard cell grids add cell-wise, so a 100 TB fleet
+    * sketches locally and merges ≤ depth·width integers. The md5-affine
+    * hash family makes the SKETCH ITSELF hash-exact (cells, estimates,
+    * and each key's one-sided overcount est − exact ≥ 0 all replayed by
+    * the oracle) — no seeded-murmur sketch can be cross-engine-checked
+    * like this. */
+  private def q235_countmin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sketch.CountMin
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val cells = CountMin.sketch(ev, "user_id", depth = 4, width = 64)
+    val est = CountMin.estimates(ev.distinct(), "user_id", cells, depth = 4, width = 64)
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, "user_id")
+      .select(col("user_id"), col("est"), col("n_exact"),
+        (col("est") - col("n_exact")).as("overcount"))
+  }
+
+  /** ROBUST MAD OUTLIERS ([[RelOps.withMadFlag]], c = 3) on lineitem
+    * prices per return flag — the heavy-tail-safe anomaly screen next to
+    * q87's z-scores: medians are exact lower order statistics (the q119
+    * rank discipline), the flag is the pure integer compare
+    * |cents − med| > 3·mad, and the per-group rollup digests which mass
+    * was flagged — all integer, hash-exact. Two window passes on ONE
+    * group-key exchange. */
+  private def q236_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("returnflag"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    RelOps.withMadFlag(li, "returnflag", col("cents"), c = 3L)
+      .groupBy("returnflag")
+      .agg(count(lit(1)).as("n"), max("med").as("med_cents"), max("mad").as("mad_cents"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        coalesce(sum(when(col("is_out"), col("cents"))), lit(0L)).as("sum_outlier_cents"))
+  }
+
+  /** The part co-purchase edge list (parts sharing an order), the shared
+    * input of q171/q222/q230/q231. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4025,6 +4166,16 @@ object SparkEntry {
     "q224_ann_ivf_det" -> (q224_ann_ivf_det _),
     "q225_ann_pq_det" -> (q225_ann_pq_det _),
     "q226_semdedup_far" -> (q226_semdedup_far _),
+    "q227_gram_matrix" -> (q227_gram_matrix _),
+    "q228_covariance" -> (q228_covariance _),
+    "q229_pca_project" -> (q229_pca_project _),
+    "q230_kcore" -> (q230_kcore _),
+    "q231_label_prop" -> (q231_label_prop _),
+    "q232_split_leakage" -> (q232_split_leakage _),
+    "q233_drift_shift" -> (q233_drift_shift _),
+    "q234_hilbert_layout" -> (q234_hilbert_layout _),
+    "q235_countmin" -> (q235_countmin _),
+    "q236_mad_outliers" -> (q236_mad_outliers _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6388,6 +6539,151 @@ object SparkEntry {
            cast(sum(CASE WHEN krn = 1 THEN 1 ELSE 0 END) as bigint) AS n_kept,
            cast(sum(CASE WHEN krn = 1 THEN vec_id END) as bigint) AS sum_kept
          FROM kp GROUP BY 1""",
+    // q227: integer Gram matrix — the lateral dim cross join mirrors the
+    // double posexplode; the integer sum is partition-order-independent
+    "q227_gram_matrix" ->
+      """WITH qz AS (SELECT list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         dims AS (SELECT unnest(range(0, (SELECT max(len(qv)) FROM qz))) AS d)
+         SELECT cast(di.d as bigint) AS i, cast(dj.d as bigint) AS j,
+           cast(sum(qz.qv[di.d + 1] * qz.qv[dj.d + 1]) as bigint) AS s
+         FROM qz CROSS JOIN dims di CROSS JOIN dims dj
+         WHERE dj.d >= di.d
+         GROUP BY 1, 2""",
+    // q228: covariance numerators n·Σxy − Σx·Σy — all integer, the one
+    // float division deferred to the (never-taken) display step
+    "q228_covariance" ->
+      """WITH qz AS (SELECT list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         dims AS (SELECT unnest(range(0, (SELECT max(len(qv)) FROM qz))) AS d),
+         gram AS (
+           SELECT cast(di.d as bigint) AS i, cast(dj.d as bigint) AS j,
+             cast(sum(qz.qv[di.d + 1] * qz.qv[dj.d + 1]) as bigint) AS s
+           FROM qz CROSS JOIN dims di CROSS JOIN dims dj
+           WHERE dj.d >= di.d
+           GROUP BY 1, 2),
+         sums AS (
+           SELECT cast(d.d as bigint) AS d, cast(sum(qz.qv[d.d + 1]) as bigint) AS sx,
+             cast(count(*) as bigint) AS n
+           FROM qz CROSS JOIN dims d
+           GROUP BY 1)
+         SELECT g.i, g.j, cast(si.n * g.s - si.sx * sj.sx as bigint) AS cov_num
+         FROM gram g JOIN sums si ON si.d = g.i JOIN sums sj ON sj.d = g.j""",
+    // q229: Gram rebuild + all 3 integer power rounds + reprojection —
+    // the eigenvector itself is replayed, not just bounded
+    "q229_pca_project" -> pcaOracleSql(iters = 3),
+    // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
+    // co-purchase edges
+    "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),
+    // q231: 2 unrolled synchronous LPA rounds, min-label ties via the
+    // (count DESC, label ASC) window
+    "q231_label_prop" -> lpaOracleSql(rounds = 2),
+    // q232: q218's shard/edge chain + the q114 md5 split rule — the
+    // cross-split near-dup pair set replayed exactly (id-sum digest)
+    "q232_split_leakage" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT q.vec_id, c.centroid_id, q.qv,
+             cast(list_sum(list_transform(range(0, len(q.qv)),
+               j -> (q.qv[j+1] - c.cv[j+1]) * (q.qv[j+1] - c.cv[j+1]))) as bigint) AS sqd
+           FROM q CROSS JOIN c),
+         a AS (
+           SELECT vec_id, centroid_id, qv,
+             cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS nr
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, centroid_id) AS rn
+                 FROM d)
+           WHERE rn = 1),
+         p AS (
+           SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.nr AS na, y.nr AS nb,
+             cast(list_sum(list_transform(range(0, len(x.qv)),
+               j -> x.qv[j+1] * y.qv[j+1])) as bigint) AS dot
+           FROM a x JOIN a y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+         e AS (SELECT id_a, id_b FROM p WHERE dot > 0 AND dot * dot * 400 >= na * nb * 81),
+         sp AS (
+           SELECT vec_id,
+             CASE WHEN substring(md5(cast(vec_id as varchar)), 1, 4) < 'cccd'
+                  THEN 'train' ELSE 'test' END AS split
+           FROM embeddings)
+         SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(sum(e.id_a + e.id_b) as bigint) AS sum_ids
+         FROM e JOIN sp sa ON sa.vec_id = e.id_a JOIN sp sb ON sb.vec_id = e.id_b
+         GROUP BY 1, 2""",
+    // q234: the unrolled Hilbert bit walk replayed level by level
+    "q234_hilbert_layout" -> hilbertOracleSql(bits = 10),
+    // q235: the whole count-min sketch rebuilt — md5-affine cells, min-row
+    // estimates, one-sided overcounts
+    "q235_countmin" -> {
+      val h = detHexHashSql("cast(user_id as varchar)", 7)
+      val perm = (hc: String) =>
+        s"((r.row * 2 + 1) * 65537 * $hc + r.row * 40503 + 7) % 268435399 % 64"
+      s"""WITH ev AS (SELECT user_id, $h AS h FROM events),
+         rws AS (SELECT unnest(range(0, 4)) AS row),
+         cells AS (
+           SELECT r.row AS row, ${perm("e.h")} AS col, cast(count(*) as bigint) AS cnt
+           FROM ev e CROSS JOIN rws r GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT user_id, h FROM ev),
+         est AS (
+           SELECT k.user_id, min(c.cnt) AS est
+           FROM keys k CROSS JOIN rws r
+           JOIN cells c ON c.row = r.row AND c.col = ${perm("k.h")}
+           GROUP BY 1),
+         exact AS (SELECT user_id, cast(count(*) as bigint) AS n_exact
+                   FROM events GROUP BY 1)
+         SELECT e.user_id, e.est, x.n_exact, e.est - x.n_exact AS overcount
+         FROM est e JOIN exact x USING (user_id)"""
+    },
+    // q236: exact lower-median / MAD (the q119 rank rule) and the integer
+    // |x − med| > 3·mad flag, replayed per group
+    "q236_mad_outliers" ->
+      """WITH li AS (SELECT l_returnflag AS returnflag,
+             cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) AS cents
+           FROM lineitem),
+         med AS (
+           SELECT returnflag, max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med
+           FROM (SELECT returnflag, cents,
+                   row_number() OVER (PARTITION BY returnflag ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY returnflag) AS n
+                 FROM li)
+           GROUP BY 1),
+         wm AS (SELECT li.returnflag, li.cents, m.med,
+                  abs(li.cents - m.med) AS ad
+                FROM li JOIN med m USING (returnflag)),
+         mad AS (
+           SELECT returnflag, max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+           FROM (SELECT returnflag, ad,
+                   row_number() OVER (PARTITION BY returnflag ORDER BY ad) AS rn,
+                   count(*) OVER (PARTITION BY returnflag) AS n
+                 FROM wm)
+           GROUP BY 1)
+         SELECT w.returnflag, cast(count(*) as bigint) AS n,
+           max(w.med) AS med_cents, max(d.mad) AS mad_cents,
+           cast(sum(CASE WHEN w.ad > 3 * d.mad THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+           cast(coalesce(sum(CASE WHEN w.ad > 3 * d.mad THEN w.cents END), 0) as bigint) AS sum_outlier_cents
+         FROM wm w JOIN mad d USING (returnflag)
+         GROUP BY 1""",
+    // q233: per-dim integer mean-shift numerators between label-0 and rest
+    "q233_drift_shift" ->
+      """WITH qz AS (SELECT label, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         dims AS (SELECT unnest(range(0, (SELECT max(len(qv)) FROM qz))) AS d)
+         SELECT cast(d.d as bigint) AS d,
+           cast(sum(CASE WHEN qz.label = 0 THEN 1 ELSE 0 END) as bigint) AS n_a,
+           cast(sum(CASE WHEN qz.label = 0 THEN 0 ELSE 1 END) as bigint) AS n_b,
+           cast(sum(CASE WHEN qz.label = 0 THEN 0 ELSE 1 END)
+                  * sum(CASE WHEN qz.label = 0 THEN qz.qv[d.d + 1] ELSE 0 END)
+                - sum(CASE WHEN qz.label = 0 THEN 1 ELSE 0 END)
+                  * sum(CASE WHEN qz.label = 0 THEN 0 ELSE qz.qv[d.d + 1] END) as bigint) AS shift_num
+         FROM qz CROSS JOIN dims d
+         GROUP BY 1""",
     // q218: shard assignment, within-shard integer cosine-threshold edges
     // (dot > 0 ∧ dot²·400 ≥ |a|²·|b|²·81 ⟺ cos ≥ 0.45), recursive-CTE
     // connected components, min-id representative per duplicate group
@@ -6524,6 +6820,115 @@ object SparkEntry {
   /** q222's oracle: the symmetrized distinct co-purchase edge set, then
     * `iters` unrolled message-passing rounds of the integer-mass PageRank
     * recurrence (floor-div damping/teleport, positive args throughout). */
+  /** q229's oracle: integer Gram, `iters` unrolled power rounds
+    * (w = G·v; v ← (w·1024) // max|w|, `//` = truncation-toward-zero like
+    * Spark's `div` and Java's `/`; a zero max keeps the previous vector,
+    * mirroring the operator), then the corpus reprojection. */
+  private def pcaOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""w$t AS (SELECT g.i, cast(sum(g.s * v.v) as bigint) AS w
+             FROM gsym g JOIN v${t - 1} v ON v.i = g.j GROUP BY 1),
+         m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+         v$t AS (SELECT w.i,
+             cast(CASE WHEN m.m = 0 THEN p.v ELSE (w.w * 1024) // m.m END as bigint) AS v
+           FROM w$t w CROSS JOIN m$t m JOIN v${t - 1} p ON p.i = w.i)"""
+    }.mkString(",\n         ")
+    s"""WITH qz AS (SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         dims AS (SELECT unnest(range(0, (SELECT max(len(qv)) FROM qz))) AS d),
+         gram AS (
+           SELECT cast(di.d as bigint) AS i, cast(dj.d as bigint) AS j,
+             cast(sum(qz.qv[di.d + 1] * qz.qv[dj.d + 1]) as bigint) AS s
+           FROM qz CROSS JOIN dims di CROSS JOIN dims dj
+           WHERE dj.d >= di.d
+           GROUP BY 1, 2),
+         gsym AS (SELECT i, j, s FROM gram
+                  UNION ALL SELECT j, i, s FROM gram WHERE i != j),
+         v0 AS (SELECT cast(d as bigint) AS i, cast(1024 as bigint) AS v FROM dims),
+         $rounds
+         SELECT qz.vec_id, cast(sum(qz.qv[v.i + 1] * v.v) as bigint) AS proj
+         FROM qz CROSS JOIN v$iters v GROUP BY 1"""
+  }
+
+  /** q234's oracle: the same unrolled Hilbert xy2d bit walk — one CTE per
+    * level carrying (x, y, hx, hy, hd) through rotate-and-accumulate. */
+  private def hilbertOracleSql(bits: Int): String = {
+    val levels = (bits - 1 to 0 by -1).zipWithIndex.map { case (lvl, n) =>
+      val s = 1L << lvl
+      s"""h${n + 1} AS (
+           SELECT x, y,
+             CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END
+                  ELSE hx END AS hx,
+             CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END
+                  ELSE hy END AS hy,
+             hd + ${1L << (2 * lvl)} * xor(3 * rx, ry) AS hd
+           FROM (SELECT x, y, hx, hy, hd,
+                   CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+                 FROM h$n))"""
+    }.mkString(",\n         ")
+    s"""WITH h0 AS (
+           SELECT cast(o_custkey % 1024 as bigint) AS x,
+             cast(date_diff('day', date '1970-01-01', o_orderdate) % 1024 as bigint) AS y,
+             cast(o_custkey % 1024 as bigint) AS hx,
+             cast(date_diff('day', date '1970-01-01', o_orderdate) % 1024 as bigint) AS hy,
+             cast(0 as bigint) AS hd
+           FROM orders),
+         $levels
+         SELECT cast(hd * 16 // ${1L << (2 * bits)} as bigint) AS bucket,
+           cast(count(*) as bigint) AS n,
+           min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+         FROM h$bits GROUP BY 1"""
+  }
+
+  /** q230's oracle: `rounds` unrolled peels — each round keeps only
+    * vertices whose induced degree among the previous survivors is ≥ k. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { t =>
+      s"""a$t AS (SELECT e.u AS node, cast(count(*) as bigint) AS core_deg
+             FROM edges e
+             JOIN (SELECT node FROM a${t - 1} WHERE core_deg >= $k) x ON e.u = x.node
+             JOIN (SELECT node FROM a${t - 1} WHERE core_deg >= $k) y ON e.v = y.node
+             GROUP BY 1)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         raw AS (SELECT x.pk AS src, y.pk AS dst
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src != dst),
+         edges AS (SELECT a AS u, b AS v FROM canon
+                   UNION ALL SELECT b, a FROM canon),
+         a0 AS (SELECT u AS node, cast(count(*) as bigint) AS core_deg
+                FROM edges GROUP BY 1),
+         $rs
+         SELECT node, core_deg FROM a$rounds"""
+  }
+
+  /** q231's oracle: `rounds` unrolled synchronous LPA rounds — the argmax
+    * is the same (count DESC, label ASC) total order as the operator's
+    * struct-max. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { t =>
+      s"""l$t AS (SELECT node, label FROM (
+             SELECT e.v AS node, l.label,
+               row_number() OVER (PARTITION BY e.v
+                 ORDER BY count(*) DESC, l.label ASC) AS rn
+             FROM edges e JOIN l${t - 1} l ON l.node = e.u
+             GROUP BY e.v, l.label) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         raw AS (SELECT x.pk AS src, y.pk AS dst
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src != dst),
+         edges AS (SELECT a AS u, b AS v FROM canon
+                   UNION ALL SELECT b, a FROM canon),
+         l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+         $rs
+         SELECT node, cast(label as bigint) AS label FROM l$rounds"""
+  }
+
   private def pagerankOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       s"""p$t AS (

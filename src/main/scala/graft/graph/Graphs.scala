@@ -148,4 +148,92 @@ object Graphs {
     }
     pr.select(col("node"), col("m").as("mass"))
   }
+
+  /** Symmetrized distinct directed edge list (u, v) from an undirected
+    * input — self-loops dropped, both orientations emitted once. The
+    * canonical pre-pass of every iterative operator here. */
+  private def symmetrize(edges0: DataFrame, src: String, dst: String): DataFrame = {
+    val canon = edges0
+      .select(least(col(src), col(dst)).cast("long").as("a"),
+        greatest(col(src), col(dst)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    canon.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(canon.select(col("b").as("u"), col("a").as("v")))
+  }
+
+  /** BOUNDED K-CORE PEEL (Seidman 1983; the Batagelj–Zaveršnik peeling
+    * family): `rounds` synchronous rounds of "drop every vertex whose
+    * degree in the current induced subgraph is < k". The k-core is the
+    * fixpoint; a FIXED round count keeps the semantics deterministic and
+    * oracle-unrollable (the house discipline of the PageRank/CC unrolls),
+    * and on real graphs the peel converges in a handful of rounds —
+    * KcoreSpec asserts the fixpoint is reached on the test corpus, and
+    * callers at 100 TB loop until a round removes nothing (same join
+    * shape per round).
+    *
+    * All-integer: membership is a degree threshold, no scores — so the
+    * surviving set and its induced degrees are engine-exact.
+    *
+    * Scale shape per round: two semi-joins of the persisted edge list
+    * against the current alive set (vertex-keyed, the same exchange
+    * layout every round) + one count aggregate. Nothing O(V) is ever
+    * broadcast or collected.
+    *
+    * Output: (node, core_deg) — the vertices alive after `rounds` peels
+    * with their induced degree at that point.
+    */
+  def kcorePeel(edges0: DataFrame, k: Int, rounds: Int,
+                src: String = "src", dst: String = "dst"): DataFrame = {
+    require(k >= 1, s"kcorePeel: k=$k")
+    require(rounds >= 1 && rounds <= 16, s"kcorePeel: rounds=$rounds")
+    import org.apache.spark.storage.StorageLevel
+    val edges = symmetrize(edges0, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    def induced(alive: DataFrame): DataFrame =
+      edges
+        .join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+        .select(col("u").as("node"), col("core_deg"))
+    var alive = edges.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("node"), col("core_deg"))
+    for (_ <- 1 to rounds) alive = induced(alive.filter(col("core_deg") >= k))
+    alive
+  }
+
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan, Albert & Kumara 2007) with
+    * deterministic tie-breaks, `rounds` rounds: every vertex starts
+    * labeled with its own id; each round it adopts the most frequent
+    * label among its neighbors, ties to the SMALLEST label — one
+    * struct-max argmax, no RNG, no visit order — so community
+    * assignments after any fixed round count are engine-exact and the
+    * oracle replays every round. (Classic LPA randomizes update order to
+    * dodge bipartite oscillation; fixed-round synchronous + min-label
+    * ties is the reproducible variant a data pipeline wants — near-dup
+    * similarity graphs converge in 2–3 rounds.)
+    *
+    * Scale shape per round: one edge-join to ship neighbor labels + two
+    * vertex-keyed aggregations (count, argmax) — the PageRank exchange
+    * layout, reused every round on the persisted edge list.
+    *
+    * Output: (node, label) after `rounds` rounds.
+    */
+  def labelPropagate(edges0: DataFrame, rounds: Int,
+                     src: String = "src", dst: String = "dst"): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"labelPropagate: rounds=$rounds")
+    import org.apache.spark.storage.StorageLevel
+    val edges = symmetrize(edges0, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("node").as("u"), col("label")), "u")
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("v").as("node"), (-col("m.neg")).as("label"))
+    }
+    labels
+  }
 }

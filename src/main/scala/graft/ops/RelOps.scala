@@ -485,4 +485,39 @@ object RelOps {
       .withColumn(as, z)
       .drop("__n", "__sx", "__sxx")
   }
+
+  /** ROBUST per-group outlier flags via the median / MAD (median absolute
+    * deviation) — the heavy-tail-safe sibling of [[zscore]]: a single
+    * wild value drags a mean and explodes a stddev (masking the very
+    * outlier it should expose), but moves a median not at all. `x` must
+    * be integer-typed; medians are the exact LOWER order statistic
+    * (rn = (n+1) div 2, the q119 discipline) and the flag is the pure
+    * integer compare |x − med| > c·mad — no float anywhere, so flags are
+    * engine-exact. A value is NOT flagged when mad = 0 and x = med (the
+    * degenerate constant group).
+    *
+    * Cost: two window passes on the SAME group key (one exchange, reused
+    * — rank x, then rank |x − med|) plus two tiny per-group joins.
+    * Appends `med`, `mad`, `is_out`.
+    */
+  def withMadFlag(df: DataFrame, groupKey: String, x: Column, c: Long = 3L): DataFrame = {
+    val byX = Window.partitionBy(col(groupKey)).orderBy(x.asc)
+    val grp = Window.partitionBy(col(groupKey))
+    val med = df
+      .withColumn("__rn", row_number().over(byX))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .groupBy(col(groupKey))
+      .agg(max(when(col("__rn") === expr("(__n + 1) div 2"), x)).as("med"))
+    val withMed = df.join(broadcast(med), groupKey)
+      .withColumn("__ad", abs(x - col("med")))
+    val byAd = Window.partitionBy(col(groupKey)).orderBy(col("__ad").asc)
+    val mad = withMed
+      .withColumn("__rn", row_number().over(byAd))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .groupBy(col(groupKey))
+      .agg(max(when(col("__rn") === expr("(__n + 1) div 2"), col("__ad"))).as("mad"))
+    withMed.join(broadcast(mad), groupKey)
+      .withColumn("is_out", col("__ad") > lit(c) * col("mad"))
+      .drop("__ad")
+  }
 }

@@ -259,11 +259,16 @@ object Similarity {
     * FARTHEST from its shard centroid (max integer sqdist, ties to the
     * smaller id) — still fully integer-decided, still hash-exact.
     */
-  def semDedupQuantized(vecs: DataFrame, idCol: String, vecCol: String,
-                        k: Int, tau2Num: Long = 81, tau2Den: Long = 400,
-                        keepFarthest: Boolean = false): DataFrame = {
-    require(k >= 1 && k <= 4096, s"semDedupQuantized: k=$k")
-    require(tau2Num > 0 && tau2Den > 0, "semDedupQuantized: τ² must be a positive rational")
+  /** The shard-assignment + within-shard integer cosine-threshold edge
+    * generation [[semDedupQuantized]] is built on, exposed for operators
+    * that consume the PAIRS rather than the kept set (cross-split leakage
+    * audits, duplicate-graph analytics). Returns (assign, edges):
+    * assign = (__vid, centroid_id, __qv, __cd, __nr), edges = (id_a, id_b)
+    * with id_a < id_b and cos ≥ √(tau2Num/tau2Den) decided all-integer. */
+  private[sim] def semanticShardPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                                      k: Int, tau2Num: Long, tau2Den: Long): (DataFrame, DataFrame) = {
+    require(k >= 1 && k <= 4096, s"semanticShardPairs: k=$k")
+    require(tau2Num > 0 && tau2Den > 0, "semanticShardPairs: τ² must be a positive rational")
     val q = vecs.select(col(idCol).cast("long").as("__vid"),
       expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1024) as bigint))").as("__qv"))
     val cents = q.orderBy(col("__vid").asc).limit(k)
@@ -285,6 +290,41 @@ object Similarity {
       .filter(col("__dot") > 0 &&
         col("__dot") * col("__dot") * tau2Den >= col("na") * col("nb") * tau2Num)
       .select(col("id_a"), col("id_b"))
+    (assign, edges)
+  }
+
+  /** TRAIN/TEST LEAKAGE AUDIT — the eval-integrity pass a training
+    * pipeline runs after splitting: count semantic near-duplicate pairs
+    * (the [[semanticShardPairs]] machinery — centroid shards, all-integer
+    * cosine-≥ τ predicate) whose endpoints landed in DIFFERENT splits. A
+    * test document with a near-twin in train inflates every metric; the
+    * (train, test) row of this audit is the size of that contamination.
+    *
+    * Inputs: the embedding corpus plus an (id, split) assignment table
+    * (e.g. [[graft.ops.RelOps.hashSplit]] output). Output: one row per
+    * unordered split pair — n_pairs and an id-sum digest pinning WHICH
+    * pairs (so the oracle proves the exact pair set, not just counts).
+    * Engine-exact end-to-end; same cross-shard recall boundary as
+    * SemDeDup, documented there.
+    */
+  def splitLeakageAudit(vecs: DataFrame, idCol: String, vecCol: String,
+                        splits: DataFrame, splitIdCol: String, splitCol: String,
+                        k: Int, tau2Num: Long = 81, tau2Den: Long = 400): DataFrame = {
+    val (_, edges) = semanticShardPairs(vecs, idCol, vecCol, k, tau2Num, tau2Den)
+    val sp = splits.select(col(splitIdCol).cast("long").as("__sid"), col(splitCol).as("__sp"))
+    edges
+      .join(sp.select(col("__sid").as("id_a"), col("__sp").as("sp_a")), "id_a")
+      .join(sp.select(col("__sid").as("id_b"), col("__sp").as("sp_b")), "id_b")
+      .groupBy(least(col("sp_a"), col("sp_b")).as("split_lo"),
+        greatest(col("sp_a"), col("sp_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a") + col("id_b")).as("sum_ids"))
+  }
+
+  def semDedupQuantized(vecs: DataFrame, idCol: String, vecCol: String,
+                        k: Int, tau2Num: Long = 81, tau2Den: Long = 400,
+                        keepFarthest: Boolean = false): DataFrame = {
+    val (assign, edges) = semanticShardPairs(vecs, idCol, vecCol, k, tau2Num, tau2Den)
     val labels = graft.dedup.Clusters.connectedComponents(
       assign.select(col("__vid")), "__vid", edges, "id_a", "id_b")
     val labeled = assign.join(labels, "__vid")

@@ -1,0 +1,54 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** COUNT-MIN SKETCH (Cormode & Muthukrishnan, J. Algorithms 2005) with the
+  * repo's deterministic md5-affine hash family — the mergeable
+  * frequency-sketch complement to the exact SpaceSaving heavy-hitters
+  * (q172/q173): depth×width integer cells, point estimate = min over
+  * rows, one-sided error (est ≥ exact always; E[over] ≤ 2n/width per
+  * row, min over depth rows drives it down).
+  *
+  * Determinism: key → 28-bit md5 hash ([[Dedup.detTokenHash]]), row r's
+  * column = affine permutation r of that hash mod width
+  * ([[Dedup.detPerm]] — coefficients derived inline from r, so an
+  * external SQL engine rebuilds the SAME sketch cell-for-cell, and both
+  * the sketch table and every estimate are hash-exact, which no seeded
+  * murmur sketch can offer).
+  *
+  * Scale shape: the sketch build is one scan + a (row, col)-keyed
+  * aggregation whose output is ≤ depth·width cells regardless of input
+  * size — partial aggregation collapses each partition to the same
+  * bounded grid, which is the whole point of sketching at 100 TB (cells
+  * from disjoint shards ADD, so per-partition/per-day sketches merge by
+  * cell-wise sum). Point queries broadcast the tiny cell grid.
+  */
+object CountMin {
+
+  private def colOf(row: Column, key: Column, width: Int): Column =
+    Dedup.detPerm(row, Dedup.detTokenHash(key.cast("string"))) % width
+
+  /** The sketch cells: (row, col, cnt), one count per occupied cell. */
+  def sketch(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 2 && width <= (1 << 20),
+      s"CountMin.sketch: depth=$depth width=$width")
+    df.select(col(keyCol).as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .groupBy(col("row"), colOf(col("row"), col("__k"), width).as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `keys` against a built sketch: min over the
+    * depth row-cells each key hashes to. The cell grid is broadcast —
+    * the key side streams. */
+  def estimates(keys: DataFrame, keyCol: String, cells: DataFrame,
+                depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .withColumn("col", colOf(col("row"), col(keyCol), width))
+      .join(broadcast(cells), Seq("row", "col"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("est"))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.RelOps
+import graft.sketch.CountMin
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch guarantees and MAD outlier flags on planted data. */
+class CountMinMadSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min estimates are one-sided and exact when collision-free") {
+    // few keys vs a wide sketch: no collisions → est == exact
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val cells = CountMin.sketch(df, "k", depth = 4, width = 1024)
+    val est = CountMin.estimates(df.distinct(), "k", cells, depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("count-min overcounts are never negative under heavy collisions") {
+    val df = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i")).toDF("k")
+    val cells = CountMin.sketch(df, "k", depth = 4, width = 16)
+    val exact = df.groupBy("k").agg(count(lit(1)).as("n"))
+    val joined = CountMin.estimates(df.distinct(), "k", cells, depth = 4, width = 16)
+      .join(exact, "k").select(col("est") - col("n")).collect().map(_.getLong(0))
+    assert(joined.forall(_ >= 0L), "count-min must never undercount")
+    assert(joined.exists(_ > 0L), "width 16 with 500 keys must collide somewhere")
+  }
+
+  test("count-min cell grid is bounded by depth x width") {
+    val df = (1 to 1000).map(i => s"k$i").toDF("k")
+    assert(CountMin.sketch(df, "k", depth = 4, width = 16).count() <= 4L * 16)
+  }
+
+  test("withMadFlag: the median shrugs at the wild value a z-score masks") {
+    // group g: nine values near 100 and one at 100000 — MAD flags exactly
+    // the wild row; med/mad are untouched by it
+    val df = ((1 to 9).map(i => ("g", 95L + i)) :+ (("g", 100000L))).toDF("grp", "x")
+    val out = RelOps.withMadFlag(df, "grp", col("x"), c = 3L)
+    val flagged = out.filter(col("is_out")).select("x").collect().map(_.getLong(0)).toSeq
+    assert(flagged === Seq(100000L))
+    val r = out.select("med", "mad").distinct().collect().head
+    assert(r.getLong(0) === 100L) // lower median of 96..104, 100000
+    assert(r.getLong(1) === 2L)   // deviations 0..4 and 99900 -> lower median 2
+  }
+
+  test("withMadFlag: constant group flags nothing (mad = 0, x = med)") {
+    val df = Seq(("g", 7L), ("g", 7L), ("g", 7L)).toDF("grp", "x")
+    assert(RelOps.withMadFlag(df, "grp", col("x")).filter(col("is_out")).count() === 0L)
+  }
+}

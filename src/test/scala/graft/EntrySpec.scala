@@ -6,10 +6,13 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // pair-finding queries can legitimately be empty at the tiny sf0.001 scale
+  // pair-finding queries can legitimately be empty at the tiny sf0.001 scale;
+  // q230: the 80-core of the sf0.001 co-purchase graph is empty (max degree
+  // 138, the peel cascades to nothing — the documented ER-collapse property;
+  // non-empty at sf0.01/sf0.1 where the driver's gates run)
   private val mayBeEmptyAtTinySf =
     Set("q35_jaccard_pairs", "q36_minhash_lsh", "q37_simhash_neardup", "q41_embed_neardup",
-      "q42_ngram_jaccard")
+      "q42_ngram_jaccard", "q230_kcore")
 
   test("every declared query runs on sf0.001; non-pair queries return rows") {
     val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

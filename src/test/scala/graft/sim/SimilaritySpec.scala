@@ -487,4 +487,20 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(far === Set((0L, 4L, 1L, 5L), (1L, 3L, 2L, 7L)))
   }
+
+  test("splitLeakageAudit counts and digests cross-split near-dup pairs") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // ids 10/11 near-identical (cos ≈ 1), id 12 orthogonal; 10 → train,
+    // 11 → test, 12 → train: the only pair (10, 11) crosses the split
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.99f, 0.01f)),
+      (12L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val splits = corpus.select(col("vec_id"),
+      when(col("vec_id") === 11L, lit("test")).otherwise(lit("train")).as("split"))
+    val out = Similarity.splitLeakageAudit(corpus, "vec_id", "embedding",
+        splits, "vec_id", "split", k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("test", "train", 1L, 21L)))
+  }
 }
