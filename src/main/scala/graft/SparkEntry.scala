@@ -3927,6 +3927,75 @@ object SparkEntry {
         coalesce(sum(when(col("is_out"), col("cents"))), lit(0L)).as("sum_outlier_cents"))
   }
 
+  /** DSIR IMPORTANCE SCORING ([[graft.text.Importance.dsirScores]], Xie
+    * et al. NeurIPS 2023; target = English docs, 256 hash buckets): every
+    * document scored by Σ c_f·(log₂ p_target(f) − log₂ p_raw(f)) over
+    * md5-hashed unigram features — the in-domain data selector that needs
+    * only a target SAMPLE, no labels. Floor-log2 as len(bin(x)) − 1
+    * keeps the whole scorer integer, so scores are hash-exact. Counts
+    * shuffle ≤ buckets cells; the corpus itself never shuffles. */
+  private def q237_dsir_scores(s: SparkSession, dir: String): DataFrame =
+    graft.text.Importance.dsirScores(par(s, Tables.documents(s, dir)),
+      "doc_id", "text", col("lang") === "en")
+
+  /** RENDEZVOUS (HRW) SHARDING ([[graft.text.Importance
+    * .withRendezvousOwner]], k = 8, Thaler & Ravishankar 1998): each doc
+    * owned by the worker with the lexicographically largest
+    * md5(key:worker) — the consistent-assignment scheme where adding a
+    * worker moves only ~1/(k+1) of keys (ImportanceSpec measures the
+    * property exactly) vs a full reshuffle for hash-mod-k. Zero-shuffle
+    * per-row assignment; per-shard rollup digests the exact membership. */
+  private def q238_rendezvous_shard(s: SparkSession, dir: String): DataFrame =
+    graft.text.Importance.withRendezvousOwner(
+        par(s, Tables.documents(s, dir)).select(col("doc_id")), "doc_id", k = 8)
+      .groupBy("owner")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+
+  /** MULTI-SOURCE BFS LAYERS ([[graft.graph.Graphs.bfsLayers]], seeds =
+    * parts ≡ 0 mod 100, 3 rounds) over the co-purchase graph — the
+    * blast-radius primitive: how far does a set of known-bad nodes reach
+    * through a similarity graph in ≤ 3 hops? Integer hop minima,
+    * replayed round by round by the oracle. */
+  private def q239_bfs_layers(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.part(s, dir).select(col("p_partkey"))
+      .filter(col("p_partkey") % 100 === 0)
+    graft.graph.Graphs.bfsLayers(copurchaseEdges(s, dir), seeds, "p_partkey", rounds = 3)
+  }
+
+  /** Per-segment OLS TREND ([[RelOps.olsTrendPair]]): is order value
+    * drifting over time, per market segment? x = order date centered at a
+    * fixed pivot (day 9300 ≈ mid-range), y = total price in integer
+    * thousands — the caller-side coarsening that keeps the exact integer
+    * rational n·Σxy − Σx·Σy / n·Σx² − (Σx)² inside int64 (envelope
+    * documented on the operator). Slope sign/magnitude compare without
+    * ever dividing — the trend monitor as one tiny-output aggregation. */
+  private def q240_trend_ols(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).join(
+      Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("segment")), "o_custkey")
+    RelOps.olsTrendPair(
+      o.select(col("segment"),
+        (datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long") - 9300L).as("x"),
+        call_function("div",
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+          lit(100000L)).as("y")),
+      "segment", col("x"), col("y"))
+  }
+
+  /** CUSUM CHANGE-POINT detection ([[RelOps.cusumMax]], Page 1954) on
+    * each user's event-value series ordered by (ts, event_id): the
+    * integer statistic max|n·S_i − i·S_n| bows out where the series mean
+    * shifts; the argmax locates the change (ties → earliest). The
+    * per-stream drift detector a monitoring pipeline runs per key — one
+    * window exchange per group, integer-exact including the located
+    * index. */
+  private def q241_cusum(s: SparkSession, dir: String): DataFrame =
+    RelOps.cusumMax(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("v")),
+      "user_id", col("ts"), col("event_id"), col("v"))
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4176,6 +4245,11 @@ object SparkEntry {
     "q234_hilbert_layout" -> (q234_hilbert_layout _),
     "q235_countmin" -> (q235_countmin _),
     "q236_mad_outliers" -> (q236_mad_outliers _),
+    "q237_dsir_scores" -> (q237_dsir_scores _),
+    "q238_rendezvous_shard" -> (q238_rendezvous_shard _),
+    "q239_bfs_layers" -> (q239_bfs_layers _),
+    "q240_trend_ols" -> (q240_trend_ols _),
+    "q241_cusum" -> (q241_cusum _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6669,6 +6743,72 @@ object SparkEntry {
            cast(coalesce(sum(CASE WHEN w.ad > 3 * d.mad THEN w.cents END), 0) as bigint) AS sum_outlier_cents
          FROM wm w JOIN mad d USING (returnflag)
          GROUP BY 1""",
+    // q237: hashed-unigram DSIR — counts, totals and every floor-log2
+    // (len(bin(x)) − 1) replayed, so the scores are hash-exact
+    "q237_dsir_scores" -> {
+      val h = detHexHashSql("w", 7)
+      s"""WITH tk AS (
+           SELECT doc_id, lang = 'en' AS t, ($h) % 256 AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                     x -> len(x) > 0)) AS w
+                 FROM documents)),
+         counts AS (
+           SELECT b, cast(sum(CASE WHEN t THEN 1 ELSE 0 END) + 1 as bigint) AS tb,
+             cast(count(*) + 1 as bigint) AS rb
+           FROM tk GROUP BY 1),
+         tot AS (SELECT cast(sum(tb) as bigint) AS tt, cast(sum(rb) as bigint) AS rr
+                 FROM counts)
+         SELECT tk.doc_id,
+           cast(sum((len(bin(c.tb * tot.rr)) - 1) - (len(bin(c.rb * tot.tt)) - 1)) as bigint) AS score
+         FROM tk JOIN counts c USING (b) CROSS JOIN tot
+         GROUP BY 1"""
+    },
+    // q238: per-doc HRW argmax replayed as a (md5 DESC, w DESC) window
+    "q238_rendezvous_shard" ->
+      """WITH a AS (
+           SELECT doc_id, w,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY md5(cast(doc_id as varchar) || ':' || cast(w as varchar)) DESC,
+                 w DESC) AS rn
+           FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS w))
+         SELECT cast(w as bigint) AS owner, cast(count(*) as bigint) AS n_docs,
+           cast(sum(doc_id) as bigint) AS sum_ids
+         FROM a WHERE rn = 1 GROUP BY 1""",
+    // q239: 3 unrolled frontier expansions — per-vertex integer hop minima
+    "q239_bfs_layers" -> bfsOracleSql(rounds = 3),
+    // q240: n²·cov / n²·var integer rational per segment — centered days ×
+    // price-in-thousands keeps every product in int64
+    "q240_trend_ols" ->
+      """WITH t AS (
+           SELECT c.c_mktsegment AS segment,
+             cast(date_diff('day', DATE '1970-01-01', o.o_orderdate) - 9300 as bigint) AS x,
+             cast(cast(o.o_totalprice as decimal(18,2)) * 100 as bigint) // 100000 AS y
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+         SELECT segment, cast(count(*) as bigint) AS n,
+           cast(count(*) * sum(x * y) - sum(x) * sum(y) as bigint) AS slope_num,
+           cast(count(*) * sum(x * x) - sum(x) * sum(x) as bigint) AS slope_den
+         FROM t GROUP BY 1""",
+    // q241: prefix-sum CUSUM per user — max|n·S_i − i·S_n| and the
+    // earliest argmax index, explicit ROWS frame
+    "q241_cusum" ->
+      """WITH t AS (
+           SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+             sum(cast(cast(value as decimal(18,4)) * 10000 as bigint)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             sum(cast(cast(value as decimal(18,4)) * 10000 as bigint)) OVER
+               (PARTITION BY user_id) AS tot
+           FROM events),
+         d AS (SELECT user_id, n, abs(n * s - i * tot) AS t_i, i,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY abs(n * s - i * tot) DESC, i ASC) AS rn
+               FROM t)
+         SELECT user_id, cast(n as bigint) AS n, cast(t_i as bigint) AS cusum_stat,
+           cast(i as bigint) AS cusum_at
+         FROM d WHERE rn = 1""",
     // q233: per-dim integer mean-shift numerators between label-0 and rest
     "q233_drift_shift" ->
       """WITH qz AS (SELECT label, list_transform(embedding,
@@ -6880,6 +7020,32 @@ object SparkEntry {
            cast(count(*) as bigint) AS n,
            min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
          FROM h$bits GROUP BY 1"""
+  }
+
+  /** q239's oracle: `rounds` unrolled multi-source BFS frontier
+    * expansions over the symmetrized co-purchase edges. */
+  private def bfsOracleSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { t =>
+      s"""d$t AS (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d${t - 1}
+             UNION ALL
+             SELECT e.v AS node, d.dist + 1 AS dist
+             FROM edges e JOIN d${t - 1} d ON e.u = d.node)
+           GROUP BY 1)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         raw AS (SELECT x.pk AS src, y.pk AS dst
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src != dst),
+         edges AS (SELECT a AS u, b AS v FROM canon
+                   UNION ALL SELECT b, a FROM canon),
+         d0 AS (SELECT DISTINCT cast(p_partkey as bigint) AS node,
+                  cast(0 as bigint) AS dist
+                FROM part WHERE p_partkey % 100 = 0),
+         $rs
+         SELECT node, cast(dist as bigint) AS dist FROM d$rounds"""
   }
 
   /** q230's oracle: `rounds` unrolled peels — each round keeps only

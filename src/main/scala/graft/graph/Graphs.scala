@@ -188,17 +188,56 @@ object Graphs {
     require(k >= 1, s"kcorePeel: k=$k")
     require(rounds >= 1 && rounds <= 16, s"kcorePeel: rounds=$rounds")
     import org.apache.spark.storage.StorageLevel
-    val edges = symmetrize(edges0, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
-    def induced(alive: DataFrame): DataFrame =
-      edges
-        .join(alive.select(col("node").as("u")), "u")
-        .join(alive.select(col("node").as("v")), "v")
-        .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
-        .select(col("u").as("node"), col("core_deg"))
+    // Peeling is MONOTONE: once a vertex is dropped, every edge touching it
+    // is gone for good — so each round filters the PREVIOUS round's edge
+    // list, not the full graph. Rounds get strictly cheaper as the graph
+    // shrinks (the full list is touched exactly once); each stage persists
+    // because two joins + the next round consume it.
+    var edges = symmetrize(edges0, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     var alive = edges.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("node"), col("core_deg"))
-    for (_ <- 1 to rounds) alive = induced(alive.filter(col("core_deg") >= k))
+    for (_ <- 1 to rounds) {
+      val keep = alive.filter(col("core_deg") >= k).select(col("node"))
+      edges = edges
+        .join(keep.select(col("node").as("u")), "u")
+        .join(keep.select(col("node").as("v")), "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      alive = edges.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+        .select(col("u").as("node"), col("core_deg"))
+    }
     alive
+  }
+
+  /** MULTI-SOURCE BFS LAYERS: shortest hop distance from ANY seed vertex,
+    * `rounds` synchronous frontier expansions — the reachability /
+    * blast-radius primitive (how far does contamination spread from a set
+    * of known-bad documents through a similarity graph?). Distances are
+    * pure integer minima, so the layer assignment after any fixed round
+    * count is engine-exact and the oracle replays every round; vertices
+    * beyond `rounds` hops are absent (run more rounds or loop to
+    * fixpoint at the caller — diameter rounds suffice).
+    *
+    * Scale shape per round: one edge-join shipping the current frontier's
+    * distances + one min-aggregate keyed by vertex — the PageRank
+    * exchange layout on the persisted edge list.
+    *
+    * Output: (node, dist) for every vertex within `rounds` hops of a seed.
+    */
+  def bfsLayers(edges0: DataFrame, seeds: DataFrame, seedCol: String, rounds: Int,
+                src: String = "src", dst: String = "dst"): DataFrame = {
+    require(rounds >= 0 && rounds <= 16, s"bfsLayers: rounds=$rounds")
+    import org.apache.spark.storage.StorageLevel
+    val edges = symmetrize(edges0, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val stepped = edges
+        .join(dist.select(col("node").as("u"), col("dist")), "u")
+        .select(col("v").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(stepped)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
   }
 
   /** SYNCHRONOUS LABEL PROPAGATION (Raghavan, Albert & Kumara 2007) with

@@ -520,4 +520,59 @@ object RelOps {
       .withColumn("is_out", col("__ad") > lit(c) * col("mad"))
       .drop("__ad")
   }
+
+  /** Per-group OLS TREND as an exact integer rational: slope =
+    * slope_num / slope_den with slope_num = n·Σxy − Σx·Σy and
+    * slope_den = n·Σx² − (Σx)² — n² times the covariance/variance, so the
+    * sign IS the trend direction and ratios compare across groups without
+    * ever dividing (the q211/q228 deferred-division discipline applied to
+    * regression). One aggregation, all integer ⇒ hash-exact.
+    *
+    * Both inputs must be integer-typed and PRE-CENTERED/COARSENED by the
+    * caller to fit the envelope: |x|·|y|·n² < 2⁶³ (e.g. days-from-pivot ×
+    * value in thousands holds to n ≈ 3·10⁶ per group; beyond that,
+    * pre-aggregate to a daily rollup first — which is what a 100 TB trend
+    * job should do anyway, and what keeps this a single tiny-output
+    * aggregation at any corpus size).
+    */
+  def olsTrendPair(df: DataFrame, groupKey: String, x: Column, y: Column): DataFrame =
+    df.groupBy(col(groupKey))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+      .select(col(groupKey), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_den"))
+
+  /** CUSUM CHANGE-POINT statistic per group (Page 1954, the scaled
+    * integer form): order the series by (`ordCol`, `tieCol`), and with
+    * S_i the prefix sum of x and S_n the total, the drift-free deviation
+    * T_i = n·S_i − i·S_n is zero for a flat series and bows out where the
+    * mean shifts — max |T_i| is the change evidence, argmax i the
+    * estimated change point (ties → earliest). All integer (T_i is n·
+    * (S_i − i·S_n/n) without the division), so the statistic AND the
+    * located index are engine-exact. Envelope: |x|·n² < 2⁶³.
+    *
+    * One window pass per group (rank + prefix sum on the same ordering —
+    * a single exchange) and one argmax aggregate. Output: per group —
+    * n, cusum_stat = max|T_i|, cusum_at = the 1-based index of the max.
+    */
+  def cusumMax(df: DataFrame, groupKey: String, ordCol: Column, tieCol: Column,
+               x: Column): DataFrame = {
+    val w = Window.partitionBy(col(groupKey)).orderBy(ordCol.asc, tieCol.asc)
+    // explicit ROWS frame: the default RANGE frame sums over order-value
+    // peers, which only matches row-at-a-time CUSUM when (ord, tie) is
+    // unique — make the frame unconditional instead of relying on that
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupKey))
+    df.withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__s", sum(x).over(wSum))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum(x).over(wAll))
+      .withColumn("__t", abs(col("__n") * col("__s") - col("__i") * col("__tot")))
+      .groupBy(col(groupKey))
+      .agg(max(col("__n")).as("n"),
+        max(struct(col("__t"), (-col("__i")).as("ni"))).as("m"))
+      .select(col(groupKey), col("n"), col("m.__t").as("cusum_stat"),
+        (-col("m.ni")).as("cusum_at"))
+  }
 }

@@ -48,4 +48,30 @@ class CountMinMadSpec extends SparkSpec {
     val df = Seq(("g", 7L), ("g", 7L), ("g", 7L)).toDF("grp", "x")
     assert(RelOps.withMadFlag(df, "grp", col("x")).filter(col("is_out")).count() === 0L)
   }
+
+  test("olsTrendPair: exact slope on a planted line; zero on a flat series") {
+    val df = ((1L to 10L).map(x => ("up", x, 2 * x + 5)) ++
+      (1L to 10L).map(x => ("flat", x, 42L))).toDF("grp", "x", "y")
+    val out = RelOps.olsTrendPair(df, "grp", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (nU, numU, denU) = out("up")
+    assert(nU === 10L && denU > 0L && numU === 2L * denU) // slope exactly 2
+    assert(out("flat")._2 === 0L) // zero covariance
+  }
+
+  test("cusumMax locates a planted mean shift at its exact index") {
+    // ten zeros then ten hundreds: max |n*S_i - i*S_n| lands at i = 10
+    val df = ((1 to 10).map(i => ("u", i.toLong, 0L)) ++
+      (11 to 20).map(i => ("u", i.toLong, 100L))).toDF("grp", "t", "x")
+    val r = RelOps.cusumMax(df, "grp", col("t"), col("t"), col("x")).collect().head
+    assert(r.getLong(1) === 20L)
+    assert(r.getLong(2) === 10000L) // |20*0 - 10*1000|
+    assert(r.getLong(3) === 10L)    // the change point
+  }
+
+  test("cusumMax: a flat series has zero statistic at the earliest index") {
+    val df = (1 to 5).map(i => ("u", i.toLong, 7L)).toDF("grp", "t", "x")
+    val r = RelOps.cusumMax(df, "grp", col("t"), col("t"), col("x")).collect().head
+    assert(r.getLong(2) === 0L && r.getLong(3) === 1L)
+  }
 }

@@ -41,6 +41,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("bfsLayers: hop minima on a path with one seed; the far tail is unreached") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq(1L).toDF("s")
+    val out = Graphs.bfsLayers(g, seeds, "s", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5 is 4 hops away
+  }
+
+  test("bfsLayers: multi-source takes the nearer seed") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq(1L, 5L).toDF("s")
+    val out = Graphs.bfsLayers(g, seeds, "s", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("labelPropagate tie-break: most frequent wins, then smallest label") {
     // star: center 5 with leaves 1..4; round 1 gives every leaf label 5 and
     // the center label 1 (4-way tie → min); round 2: leaves see only the
