@@ -3996,6 +3996,68 @@ object SparkEntry {
         (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("v")),
       "user_id", col("ts"), col("event_id"), col("v"))
 
+  /** TOP-2 PCA by integer deflation ([[graft.sim.LinAlg
+    * .pca2ProjectQuantized]], 3 power rounds per component, shift 24):
+    * component 1 as q229, then the exact integer rejection
+    * r = q·‖v₁‖² − v₁·(qᵀv₁) (downshifted to re-fit int64), and the same
+    * power iteration on the residual Gram — the 2-D embedding map of a
+    * corpus with BOTH directions and projections hash-proven. */
+  private def q242_pca2_project(s: SparkSession, dir: String): DataFrame =
+    graft.sim.LinAlg.pca2ProjectQuantized(par(s, Tables.embeddings(s, dir)),
+      "vec_id", "embedding", iters = 3)
+
+  /** JOIN-SIZE ESTIMATION by count-min inner product ([[graft.sketch
+    * .CountMin.joinSizeEstimate]], AGMS '96 / Cormode-Muthukrishnan '05;
+    * depth 4 × width 64): sketch lineitem and orders on the order key,
+    * estimate |lineitem ⋈ orders| as the min-over-rows inner product,
+    * and report it next to the exact size — the one-sided (est ≥ true)
+    * cardinality primitive a distributed optimizer consults before
+    * choosing broadcast vs shuffle. Deterministic md5-affine cells ⇒ the
+    * estimate itself is hash-exact. */
+  private def q243_joinsize_sketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.sketch.CountMin
+    val a = CountMin.sketch(Tables.lineitem(s, dir).select(col("l_orderkey").as("k")),
+      "k", depth = 4, width = 64)
+    val b = CountMin.sketch(Tables.orders(s, dir).select(col("o_orderkey").as("k")),
+      "k", depth = 4, width = 64)
+    val exact = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("true_join_size"))
+    CountMin.joinSizeEstimate(a, b).crossJoin(exact)
+      .select(col("est_join_size"), col("true_join_size"),
+        (col("est_join_size") - col("true_join_size")).as("overestimate"))
+  }
+
+  /** PER-SHARD LABEL IMPURITY ([[Similarity.centroidShardQuantized]]'s
+    * assignment + integer Gini): for each q214 centroid shard,
+    * gini_num = n² − Σ_label c² (the Gini impurity times n², exact
+    * integer) and the majority label with min-label ties — the cluster-
+    * purity diagnostic that tells a semi-supervised curation pass which
+    * shards are label-coherent enough to propagate from. */
+  private def q244_shard_purity(s: SparkSession, dir: String): DataFrame = {
+    val emb = par(s, Tables.embeddings(s, dir))
+    val q = emb.select(col("vec_id").cast("long").as("__vid"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1024) as bigint))").as("__qv"))
+    val cents = q.orderBy(col("__vid").asc).limit(8)
+      .select(col("__vid").as("centroid_id"), col("__qv").as("__cv"))
+    val assign = q.crossJoin(broadcast(cents))
+      .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("__qv"), col("__cv")))
+      .groupBy(col("__vid"))
+      .agg(min(struct(col("__d"), col("centroid_id"))).as("m"))
+      .select(col("__vid"), col("m.centroid_id").as("centroid_id"))
+    val counts = assign
+      .join(emb.select(col("vec_id").as("__vid"), col("label").cast("long").as("label")), "__vid")
+      .groupBy(col("centroid_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("centroid_id"))
+      .agg(sum(col("c")).as("n"),
+        (sum(col("c")) * sum(col("c")) - sum(col("c") * col("c"))).as("gini_num"),
+        max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+      .select(col("centroid_id"), col("n"), col("gini_num"),
+        (-col("m.neg")).as("majority_label"), col("m.c").as("majority_n"))
+  }
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4250,6 +4312,9 @@ object SparkEntry {
     "q239_bfs_layers" -> (q239_bfs_layers _),
     "q240_trend_ols" -> (q240_trend_ols _),
     "q241_cusum" -> (q241_cusum _),
+    "q242_pca2_project" -> (q242_pca2_project _),
+    "q243_joinsize_sketch" -> (q243_joinsize_sketch _),
+    "q244_shard_purity" -> (q244_shard_purity _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6648,6 +6713,64 @@ object SparkEntry {
     // q229: Gram rebuild + all 3 integer power rounds + reprojection —
     // the eigenvector itself is replayed, not just bounded
     "q229_pca_project" -> pcaOracleSql(iters = 3),
+    // q242: both power chains + the integer rejection residual replayed
+    "q242_pca2_project" -> pca2OracleSql(iters = 3, shift = 24),
+    // q243: two md5-affine sketches + the min-over-rows inner product,
+    // next to the exact join size
+    "q243_joinsize_sketch" -> {
+      def cells(tbl: String, key: String) = {
+        val h = detHexHashSql(s"cast($key as varchar)", 7)
+        s"""SELECT r.row AS row,
+             ((r.row * 2 + 1) * 65537 * h + r.row * 40503 + 7) % 268435399 % 64 AS col,
+             cast(count(*) as bigint) AS cnt
+           FROM (SELECT $h AS h FROM $tbl) t
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS row) r
+           GROUP BY 1, 2"""
+      }
+      s"""WITH ca AS (${cells("lineitem", "l_orderkey")}),
+         cb AS (${cells("orders", "o_orderkey")}),
+         ip AS (SELECT ca.row, cast(sum(ca.cnt * cb.cnt) as bigint) AS ip
+                FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+                GROUP BY 1),
+         est AS (SELECT min(ip) AS est_join_size FROM ip),
+         ex AS (SELECT cast(count(*) as bigint) AS true_join_size
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         SELECT est.est_join_size, ex.true_join_size,
+           est.est_join_size - ex.true_join_size AS overestimate
+         FROM est CROSS JOIN ex"""
+    },
+    // q244: q214's shard assignment + integer Gini n² − Σc² and the
+    // (count DESC, label ASC) majority
+    "q244_shard_purity" ->
+      """WITH q AS (
+           SELECT vec_id, label, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT q.vec_id, q.label, c.centroid_id,
+             cast(list_sum(list_transform(range(0, len(q.qv)),
+               j -> (q.qv[j+1] - c.cv[j+1]) * (q.qv[j+1] - c.cv[j+1]))) as bigint) AS sqd
+           FROM q CROSS JOIN c),
+         a AS (
+           SELECT vec_id, cast(label as bigint) AS label, centroid_id
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, centroid_id) AS rn
+                 FROM d)
+           WHERE rn = 1),
+         counts AS (
+           SELECT centroid_id, label, cast(count(*) as bigint) AS c
+           FROM a GROUP BY 1, 2),
+         mj AS (
+           SELECT centroid_id, label AS majority_label, c AS majority_n
+           FROM (SELECT *, row_number() OVER (PARTITION BY centroid_id
+                   ORDER BY c DESC, label ASC) AS rn
+                 FROM counts)
+           WHERE rn = 1)
+         SELECT g.centroid_id, g.n, g.gini_num, mj.majority_label, mj.majority_n
+         FROM (SELECT centroid_id, cast(sum(c) as bigint) AS n,
+                 cast(sum(c) * sum(c) - sum(c * c) as bigint) AS gini_num
+               FROM counts GROUP BY 1) g
+         JOIN mj ON mj.centroid_id = g.centroid_id""",
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),
@@ -6960,36 +7083,70 @@ object SparkEntry {
   /** q222's oracle: the symmetrized distinct co-purchase edge set, then
     * `iters` unrolled message-passing rounds of the integer-mass PageRank
     * recurrence (floor-div damping/teleport, positive args throughout). */
-  /** q229's oracle: integer Gram, `iters` unrolled power rounds
+  /** A Gram + integer power-iteration CTE chain over `qvCte` (which must
+    * expose a bigint-list column `qv`), all CTEs prefixed `p`. The final
+    * eigenvector table is `{p}v{iters}`(i, v) — the q229 recurrence
     * (w = G·v; v ← (w·1024) // max|w|, `//` = truncation-toward-zero like
-    * Spark's `div` and Java's `/`; a zero max keeps the previous vector,
-    * mirroring the operator), then the corpus reprojection. */
-  private def pcaOracleSql(iters: Int): String = {
+    * Spark's `div`; a zero max keeps the previous vector). */
+  private def powerChainSql(qvCte: String, p: String, iters: Int): String = {
     val rounds = (1 to iters).map { t =>
-      s"""w$t AS (SELECT g.i, cast(sum(g.s * v.v) as bigint) AS w
-             FROM gsym g JOIN v${t - 1} v ON v.i = g.j GROUP BY 1),
-         m$t AS (SELECT max(abs(w)) AS m FROM w$t),
-         v$t AS (SELECT w.i,
-             cast(CASE WHEN m.m = 0 THEN p.v ELSE (w.w * 1024) // m.m END as bigint) AS v
-           FROM w$t w CROSS JOIN m$t m JOIN v${t - 1} p ON p.i = w.i)"""
+      s"""${p}w$t AS (SELECT g.i, cast(sum(g.s * v.v) as bigint) AS w
+             FROM ${p}gsym g JOIN ${p}v${t - 1} v ON v.i = g.j GROUP BY 1),
+         ${p}m$t AS (SELECT max(abs(w)) AS m FROM ${p}w$t),
+         ${p}v$t AS (SELECT w.i,
+             cast(CASE WHEN m.m = 0 THEN pv.v ELSE (w.w * 1024) // m.m END as bigint) AS v
+           FROM ${p}w$t w CROSS JOIN ${p}m$t m JOIN ${p}v${t - 1} pv ON pv.i = w.i)"""
     }.mkString(",\n         ")
+    s"""${p}dims AS (SELECT unnest(range(0, (SELECT max(len(qv)) FROM $qvCte))) AS d),
+         ${p}gram AS MATERIALIZED (
+           SELECT cast(di.d as bigint) AS i, cast(dj.d as bigint) AS j,
+             cast(sum(q.qv[di.d + 1] * q.qv[dj.d + 1]) as bigint) AS s
+           FROM $qvCte q CROSS JOIN ${p}dims di CROSS JOIN ${p}dims dj
+           WHERE dj.d >= di.d
+           GROUP BY 1, 2),
+         ${p}gsym AS MATERIALIZED (SELECT i, j, s FROM ${p}gram
+                  UNION ALL SELECT j, i, s FROM ${p}gram WHERE i != j),
+         ${p}v0 AS (SELECT cast(d as bigint) AS i, cast(1024 as bigint) AS v FROM ${p}dims),
+         $rounds"""
+  }
+
+  /** q229's oracle: integer Gram, `iters` unrolled power rounds, then the
+    * corpus reprojection. */
+  private def pcaOracleSql(iters: Int): String =
     s"""WITH qz AS (SELECT vec_id, list_transform(embedding,
              x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
            FROM embeddings),
-         dims AS (SELECT unnest(range(0, (SELECT max(len(qv)) FROM qz))) AS d),
-         gram AS (
-           SELECT cast(di.d as bigint) AS i, cast(dj.d as bigint) AS j,
-             cast(sum(qz.qv[di.d + 1] * qz.qv[dj.d + 1]) as bigint) AS s
-           FROM qz CROSS JOIN dims di CROSS JOIN dims dj
-           WHERE dj.d >= di.d
-           GROUP BY 1, 2),
-         gsym AS (SELECT i, j, s FROM gram
-                  UNION ALL SELECT j, i, s FROM gram WHERE i != j),
-         v0 AS (SELECT cast(d as bigint) AS i, cast(1024 as bigint) AS v FROM dims),
-         $rounds
+         ${powerChainSql("qz", "a", iters)}
          SELECT qz.vec_id, cast(sum(qz.qv[v.i + 1] * v.v) as bigint) AS proj
-         FROM qz CROSS JOIN v$iters v GROUP BY 1"""
-  }
+         FROM qz CROSS JOIN av$iters v GROUP BY 1"""
+
+  /** q242's oracle: first power chain → v₁; integer rejection residual
+    * r_d = q_d·‖v₁‖² − v₁_d·(qᵀv₁) downshifted by `// 2^shift`; second
+    * power chain over the residual corpus → v₂; both projections.
+    * MATERIALIZED: without it DuckDB inlines qz into every chain CTE and
+    * re-opens the parquet per reference — the doubled chain exhausts file
+    * handles. */
+  private def pca2OracleSql(iters: Int, shift: Int): String =
+    s"""WITH qz AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1024) as bigint)) AS qv
+           FROM embeddings),
+         ${powerChainSql("qz", "a", iters)},
+         avl AS MATERIALIZED (SELECT list(v ORDER BY i) AS vl FROM av$iters),
+         nv AS (SELECT cast(sum(v * v) as bigint) AS s FROM av$iters),
+         dz AS MATERIALIZED (SELECT q.vec_id, q.qv,
+             cast(list_sum(list_transform(range(0, len(q.qv)),
+               d -> q.qv[d + 1] * avl.vl[d + 1])) as bigint) AS d1
+           FROM qz q CROSS JOIN avl),
+         rz AS MATERIALIZED (SELECT vec_id, d1,
+             list_transform(range(0, len(qv)),
+               d -> (qv[d + 1] * nv.s - avl.vl[d + 1] * d1) // ${1L << shift}) AS qv
+           FROM dz CROSS JOIN nv CROSS JOIN avl),
+         ${powerChainSql("rz", "b", iters)},
+         bvl AS MATERIALIZED (SELECT list(v ORDER BY i) AS vl FROM bv$iters)
+         SELECT r.vec_id, r.d1 AS proj1,
+           cast(list_sum(list_transform(range(0, len(r.qv)),
+             d -> r.qv[d + 1] * bvl.vl[d + 1])) as bigint) AS proj2
+         FROM rz r CROSS JOIN bvl"""
 
   /** q234's oracle: the same unrolled Hilbert xy2d bit walk — one CTE per
     * level carrying (x, y, hx, hy, hd) through rotate-and-accumulate. */

@@ -28,19 +28,22 @@ object LinAlg {
   private def quantize1024(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1024).cast("long"))
 
+  /** Gram cells of an integer-vector column `__qv` (the shared core). */
+  private def gramOfQv(q: DataFrame): DataFrame =
+    q.select(col("__qv"), posexplode(col("__qv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("__qv")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("s"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("s"))
+
   /** Upper-triangular integer GRAM MATRIX G = XᵀX over the quantized
     * corpus: G(i, j) = Σ_rows q_i·q_j for 0 ≤ i ≤ j < dim. One scan, one
     * dim²-cell shuffle (map-side partial sums), hash-exact output
     * (i, j, s).
     */
   def gramUpperQuantized(vecs: DataFrame, vecCol: String): DataFrame =
-    vecs.select(quantize1024(col(vecCol)).as("__qv"))
-      .select(col("__qv"), posexplode(col("__qv")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("__qv")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj")).as("s"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("s"))
+    gramOfQv(vecs.select(quantize1024(col(vecCol)).as("__qv")))
 
   /** Exact integer COVARIANCE NUMERATORS: cov_num(i, j) =
     * n·Σ(q_i·q_j) − Σq_i·Σq_j — the population covariance times n², kept
@@ -87,16 +90,14 @@ object LinAlg {
     * qmax bound. For corpora beyond it, pre-scale G (one integer shift)
     * before iterating; the iteration logic is unchanged.
     */
-  def pcaProjectQuantized(vecs: DataFrame, idCol: String, vecCol: String,
-                          iters: Int, nRows: Long = -1L, qMax: Long = 4096L): DataFrame = {
-    require(iters >= 1 && iters <= 16, s"pcaProjectQuantized: iters=$iters")
-    val cells = gramUpperQuantized(vecs, vecCol).collect()
-    require(cells.nonEmpty, "pcaProjectQuantized: empty corpus")
+  /** Driver-side integer power iteration over collected Gram cells:
+    * w = G·v; v ← (w·1024) div max|w| (Java /: truncation toward zero =
+    * SQL `div`); a zero max keeps the previous vector. Returns (dim, v)
+    * with ‖v‖∞ = 1024. */
+  private def powerVec(cells: Array[org.apache.spark.sql.Row], iters: Int): (Int, Array[Long]) = {
+    require(cells.nonEmpty, "powerVec: empty Gram matrix")
     val dim = cells.map(_.getLong(1)).max.toInt + 1
-    require(dim <= 512, s"pcaProjectQuantized: dim=$dim — the Gram collect is bounded at 512")
-    val n = if (nRows >= 0L) nRows else vecs.count()
-    require(qMax * qMax * n <= Long.MaxValue / (1024L * dim),
-      s"pcaProjectQuantized: qmax²·n·1024·dim overflows Long for n=$n dim=$dim — pre-scale the Gram matrix")
+    require(dim <= 512, s"powerVec: dim=$dim — the Gram collect is bounded at 512")
     val g = Array.ofDim[Long](dim, dim)
     cells.foreach { r =>
       val i = r.getLong(0).toInt; val j = r.getLong(1).toInt; val s = r.getLong(2)
@@ -110,8 +111,19 @@ object LinAlg {
         acc
       }
       val m = w.map(math.abs).max
-      v = if (m == 0L) v else w.map(x => x * 1024L / m) // Java /: truncation toward zero = SQL `div`
+      v = if (m == 0L) v else w.map(x => x * 1024L / m)
     }
+    (dim, v)
+  }
+
+  def pcaProjectQuantized(vecs: DataFrame, idCol: String, vecCol: String,
+                          iters: Int, nRows: Long = -1L, qMax: Long = 4096L): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"pcaProjectQuantized: iters=$iters")
+    val cells = gramUpperQuantized(vecs, vecCol).collect()
+    val n = if (nRows >= 0L) nRows else vecs.count()
+    val (dim, v) = powerVec(cells, iters)
+    require(qMax * qMax * n <= Long.MaxValue / (1024L * dim),
+      s"pcaProjectQuantized: qmax²·n·1024·dim overflows Long for n=$n dim=$dim — pre-scale the Gram matrix")
     val vlit = v
     // materialize the quantized array once so the 64-term projection sum
     // reads a bound column instead of re-evaluating the transform per term
@@ -120,6 +132,42 @@ object LinAlg {
       .reduce(_ + _)
     vecs.select(col(idCol), quantize1024(col(vecCol)).as("__qv"))
       .select(col(idCol), proj.as("proj"))
+  }
+
+  /** TOP-2 PCA by integer DEFLATION: learn the first component exactly as
+    * [[pcaProjectQuantized]], then remove it from every vector WITHOUT
+    * leaving integer arithmetic — the residual
+    * r_d = q_d·(v₁ᵀv₁) − v₁_d·(qᵀv₁) is the orthogonal rejection scaled
+    * by ‖v₁‖² (exact: no division), downshifted by `div 2^shift`
+    * (truncation toward zero, identical in SQL) to re-fit the overflow
+    * envelope — and run the same power iteration on the residual Gram.
+    * The second direction and both projections stay hash-exact; shift=24
+    * holds the residual-Gram matvec inside int64 to n ≈ 10⁵ per the
+    * bound |r'|²·n·1024·dim < 2⁶³ (coarsen further for bigger corpora —
+    * direction finding is insensitive to the low bits).
+    *
+    * Output: (id, proj1 = qᵀv₁, proj2 = r'ᵀv₂) — the 2-D embedding map a
+    * curation pipeline plots/buckets corpora by.
+    */
+  def pca2ProjectQuantized(vecs: DataFrame, idCol: String, vecCol: String,
+                           iters: Int, shift: Int = 24): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"pca2ProjectQuantized: iters=$iters")
+    require(shift >= 0 && shift <= 40, s"pca2ProjectQuantized: shift=$shift")
+    val q = vecs.select(col(idCol), quantize1024(col(vecCol)).as("__qv"))
+    val (dim, v1) = powerVec(gramOfQv(q).collect(), iters)
+    val nv = v1.map(x => x * x).sum // ≤ dim·1024²
+    val dot1 = (0 until dim).map(d => element_at(col("__qv"), d + 1) * lit(v1(d))).reduce(_ + _)
+    val resid = array((0 until dim).map(d => call_function("div",
+      element_at(col("__qv"), d + 1) * lit(nv) - lit(v1(d)) * col("__d1"),
+      lit(1L << shift))): _*)
+    // persisted: the residual frame feeds the second Gram job AND the
+    // final projection — uncached, each consumer replays the scan plus
+    // the 64-term rejection arithmetic (measured ~3× the wall at sf0.1)
+    val qr = q.withColumn("__d1", dot1).withColumn("__rv", resid)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, v2) = powerVec(gramOfQv(qr.select(col("__rv").as("__qv"))).collect(), iters)
+    val proj2 = (0 until dim).map(d => element_at(col("__rv"), d + 1) * lit(v2(d))).reduce(_ + _)
+    qr.select(col(idCol), col("__d1").as("proj1"), proj2.as("proj2"))
   }
 
   /** EMBEDDING DRIFT MONITOR — per-dimension two-sample mean shift between

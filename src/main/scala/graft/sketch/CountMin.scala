@@ -51,4 +51,21 @@ object CountMin {
       .join(broadcast(cells), Seq("row", "col"))
       .groupBy(col(keyCol))
       .agg(min(col("cnt")).as("est"))
+
+  /** EQUI-JOIN SIZE ESTIMATE from two sketches over the SAME key domain
+    * (the AGMS/count-min inner-product bound, Alon-Matias-Szegedy '96 /
+    * Cormode-Muthukrishnan '05): |A ⋈ B| = Σ_k a_k·b_k ≤ per-row
+    * Σ_col cntA·cntB, and the MIN over depth rows is the estimate —
+    * always ≥ the true size, tightening with width. The cardinality-
+    * estimation primitive a distributed optimizer consults before
+    * choosing broadcast vs shuffle — two depth·width grids stand in for
+    * two 100 TB scan statistics. One row out.
+    */
+  def joinSizeEstimate(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA.select(col("row"), col("col"), col("cnt").as("ca"))
+      .join(cellsB.select(col("row"), col("col"), col("cnt").as("cb")),
+        Seq("row", "col"))
+      .groupBy(col("row"))
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_size"))
 }

@@ -32,6 +32,21 @@ class CountMinMadSpec extends SparkSpec {
     assert(CountMin.sketch(df, "k", depth = 4, width = 16).count() <= 4L * 16)
   }
 
+  test("joinSizeEstimate never underestimates and is exact when collision-free") {
+    val a = (Seq.fill(4)("k1") ++ Seq.fill(2)("k2") ++ Seq("k3")).toDF("k")
+    val b = (Seq.fill(3)("k1") ++ Seq.fill(5)("k2") ++ Seq("k9")).toDF("k")
+    // true join size = 4*3 + 2*5 = 22; width 1024 → no collisions → exact
+    val wide = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, "k", 4, 1024), CountMin.sketch(b, "k", 4, 1024))
+      .collect().head.getLong(0)
+    assert(wide === 22L)
+    // width 2 → heavy collisions → still an upper bound
+    val tight = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, "k", 4, 2), CountMin.sketch(b, "k", 4, 2))
+      .collect().head.getLong(0)
+    assert(tight >= 22L)
+  }
+
   test("withMadFlag: the median shrugs at the wild value a z-score masks") {
     // group g: nine values near 100 and one at 100000 — MAD flags exactly
     // the wild row; med/mad are untouched by it

@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "q221_mmr_rerank" -> "|Q|-bounded query sample broadcast against the corpus (q38's brute-candidate regime); every MMR selection step is a window + equi-join",
     "q224_ann_ivf_det" -> "nlist-bounded centroid dim broadcast for cell assignment and query probing (q43's regime); the cell search itself is a cluster equi-join",
     "q226_semdedup_far" -> "q218's shard shape - k-bounded seed-centroid dim broadcast; the dedup pair search is a shard equi-join",
-    "q232_split_leakage" -> "q218's shard shape - k-bounded seed-centroid dim broadcast; the cross-split pair search is a shard equi-join + two id equi-joins")
+    "q232_split_leakage" -> "q218's shard shape - k-bounded seed-centroid dim broadcast; the cross-split pair search is a shard equi-join + two id equi-joins",
+    "q244_shard_purity" -> "q214's shard shape - k-bounded seed-centroid dim broadcast for assignment; the purity rollup is label-keyed aggregation")
 
   /** Queries allowed a single-partition (unpartitioned ORDER BY) window and
     * the domain bound that justifies it. */

@@ -43,6 +43,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("Partial"), p)
   }
 
+  test("q227: the Gram matrix reduces map-side — the shuffle carries dim² cells, not dim²·n products") {
+    val p = planOf("q227_gram_matrix")
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q44/q45: existence joins broadcast the filter side and push its predicate to the scan") {
     val semi = planOf("q44_join_semi")
     assert(semi.contains("LeftSemi") && semi.contains("BroadcastHashJoin"), semi)

@@ -86,6 +86,49 @@ class LinAlgSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getLong(1) === 0L)
   }
 
+  test("pca2ProjectQuantized replays the full integer deflation exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val rows = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dim = rows.head._2.length
+    val qs = rows.map { case (id, v) => id -> v.map(x => math.round(x.toDouble * 1024)) }
+    def power(vs: Array[Array[Long]]): Array[Long] = {
+      val g = Array.ofDim[Long](dim, dim)
+      vs.foreach(q => for (i <- 0 until dim; j <- 0 until dim) g(i)(j) += q(i) * q(j))
+      var v = Array.fill(dim)(1024L)
+      for (_ <- 1 to 3) {
+        val w = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+        val m = w.map(math.abs).max
+        if (m != 0L) v = w.map(x => x * 1024L / m)
+      }
+      v
+    }
+    val v1 = power(qs.map(_._2))
+    val nv = v1.map(x => x * x).sum
+    val resid = qs.map { case (id, q) =>
+      val d1 = (0 until dim).map(d => q(d) * v1(d)).sum
+      (id, d1, Array.tabulate(dim)(d => (q(d) * nv - v1(d) * d1) / (1L << 24)))
+    }
+    val v2 = power(resid.map(_._3))
+    val ref = resid.map { case (id, d1, r) =>
+      id -> ((d1, (0 until dim).map(d => r(d) * v2(d)).sum)) }.toMap
+    val got = LinAlg.pca2ProjectQuantized(emb, "vec_id", "embedding", iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === ref)
+  }
+
+  test("pca2ProjectQuantized recovers a planted second direction") {
+    // axis 0 dominates variance; axis 1 carries a smaller planted signal —
+    // after deflation, proj2 must order by the axis-1 coordinate
+    val planted = (1 to 30).map(i =>
+      (i.toLong, Array(i * 10.0f, (i % 5 - 2) * 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = LinAlg.pca2ProjectQuantized(planted, "vec_id", "embedding", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byP2 = out.sortBy(p => math.abs(p._2)).reverse.head._1
+    // ids with i%5==0 or 4 carry the extreme axis-1 values (±2)
+    assert((byP2 % 5 == 0) || (byP2 % 5 == 4), s"extreme proj2 at id $byP2")
+  }
+
   test("meanShiftQuantized: hand-computed two-sample shift numerators") {
     // A = {id 1}: q = [1024, 0]; B = {ids 2, 3}: q = [0, 1024], [2048, 1024]
     val df = Seq(
