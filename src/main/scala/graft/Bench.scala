@@ -56,7 +56,7 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val failCounts = scala.collection.mutable.Map.empty[String, Int]
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
-    for (r <- 1 to rounds; name <- selected) {
+    def timeOne(r: String, name: String): Unit = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
@@ -73,28 +73,52 @@ object Bench {
       } else failCounts(name) = failCounts.getOrElse(name, 0) + 1
       System.err.println(f"[bench] round $r $name%-28s $sec%8.2fs  rows=$n")
     }
+    for (r <- 1 to rounds; name <- selected) timeOne(r.toString, name)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
     }
+    // CONTENTION GUARD (r7 verdict #1): on a shared box, median-of-3 cannot
+    // absorb TWO contended rounds — BENCH_r07 reported 24.6 s for a query
+    // whose samples were [24.6, 27.0, 1.02] (steady state 1.0 s), a 12% lie
+    // in the headline. A query whose median exceeds twice its own best
+    // sample has contaminated samples, not a slow plan; give each such query
+    // up to SPARK_GRAFT_BENCH_EXTRA (default 2) extra interleaved rounds so
+    // the median is taken over enough samples that a contended window can't
+    // hold it. The absolute floor (0.5 s) keeps sub-second queries — where
+    // 2× spread is scheduler noise, not contention — out of the retry set.
+    val extraRounds = sys.env.get("SPARK_GRAFT_BENCH_EXTRA").map(_.toInt).getOrElse(2)
+    val unstable = selected.filter { n =>
+      samples.get(n).exists(ss =>
+        ss.size >= 2 && median(ss) > 0.5 && median(ss) > 2.0 * ss.min)
+    }
+    if (unstable.nonEmpty)
+      System.err.println(s"[bench] re-rounding ${unstable.size} unstable: ${unstable.mkString(", ")}")
+    for (r <- 1 to extraRounds; name <- unstable) timeOne(s"x$r", name)
     // a query with zero successful rounds has no honest time: sec=null
     val results = selected.map(n => n -> samples.get(n).map(median))
     val total = results.flatMap(_._2).sum
+    // best-of-N beside the median: the spread between the two is the
+    // measurement-noise budget — a clean run has them within ~10%
+    val bestTotal = selected.flatMap(n => samples.get(n).map(_.min)).sum
     val nFailed = failCounts.values.sum
     def fmt(d: Double): String = f"$d%.3f"
     def fmtOpt(v: Option[Double]): String = v.map(fmt).getOrElse("null")
     // full artifact: per-query median plus the raw samples for transparency
     val detail = results.map { case (k, v) =>
       val raw = samples.getOrElse(k, Nil).reverse.map(fmt).mkString("[", ",", "]")
-      s""""$k":{"sec":${fmtOpt(v)},"samples":$raw,"rows":${rowCounts.getOrElse(k, -1L)},""" +
+      val best = samples.get(k).map(ss => fmt(ss.min)).getOrElse("null")
+      s""""$k":{"sec":${fmtOpt(v)},"best":$best,"samples":$raw,"rows":${rowCounts.getOrElse(k, -1L)},""" +
         s""""failed_rounds":${failCounts.getOrElse(k, 0)}}"""
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtOpt(v) }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""best_total":${fmt(bestTotal)},""" +
       s""""rounds":$rounds,"failed_rounds":$nFailed,"queries":$qs,"detail":$detail}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
     val slowest = results.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""best_total":${fmt(bestTotal)},""" +
       s""""n_queries":${results.size},"rounds":$rounds,"failed_rounds":$nFailed,""" +
       s""""slowest":$slowest,"queries_file":"$outPath"}""")
     spark.stop()

@@ -337,6 +337,26 @@ object SparkEntry {
   private def par(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Materialize a deterministic synthetic FIXTURE to a per-JVM temp parquet
+    * once, then read it back on every subsequent call. Fixture synthesis
+    * (e.g. q187's per-id MJPEG-AVI encode UDF) is test-data generation, not
+    * the operator under test — every other query reads pre-generated parquet
+    * from the testdata dir, and regenerating the payload per bench round
+    * made q187's samples hostage to ambient machine load (BENCH_r07 reported
+    * a 24.6 s median over [24.6, 27.0, 1.02] for a query whose steady state
+    * is 1.0 s). Keyed by (label, dir) so different scale factors never share
+    * a fixture; safe across SparkSessions in one JVM (the path outlives the
+    * session that wrote it). */
+  private val fixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedFixture(s: SparkSession, key: String, build: => DataFrame): DataFrame = {
+    val path = fixtureCache.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_fixture").toString
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** MinHash+LSH near-dup pairs (the 100 TB-scale dedup path; no SQL oracle —
     * hash-family specific). */
   private def q36_minhash_lsh(s: SparkSession, dir: String): DataFrame =
@@ -2316,7 +2336,11 @@ object SparkEntry {
     * inter-frame-compressed video (H.264). */
   private def q187_video_frames(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
-    val media = Multimodal.syntheticAviFromIds(par(s, Tables.documents(s, dir)), "doc_id")
+    // fixture (the synthetic AVI payloads) materialized once per JVM — the
+    // timed path is the operator under test: parquet scan + RIFF walk +
+    // per-frame baseline-JPEG decode (see cachedFixture)
+    val media = cachedFixture(s, s"avi:$dir",
+      Multimodal.syntheticAviFromIds(par(s, Tables.documents(s, dir)), "doc_id"))
     Multimodal.videoFrameStats(media)
       .select(col("media_id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("frame_ts_ms"), col("n_pixels"),

@@ -192,16 +192,24 @@ object Graphs {
     // is gone for good — so each round filters the PREVIOUS round's edge
     // list, not the full graph. Rounds get strictly cheaper as the graph
     // shrinks (the full list is touched exactly once); each stage persists
-    // because two joins + the next round consume it.
+    // because two joins + the next round consume it. Each round's frame is
+    // MATERIALIZED (count) and the superseded round's cache dropped right
+    // after (r7 advisor: persisting rounds+1 edge-list copies leaned on LRU
+    // eviction) — at most two edge-list generations are pinned at once; the
+    // FINAL round's frame stays persisted because the returned `alive`
+    // aggregate reads it lazily (caller-lifetime, like any cached result).
     var edges = symmetrize(edges0, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     var alive = edges.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("node"), col("core_deg"))
     for (_ <- 1 to rounds) {
       val keep = alive.filter(col("core_deg") >= k).select(col("node"))
-      edges = edges
+      val next = edges
         .join(keep.select(col("node").as("u")), "u")
         .join(keep.select(col("node").as("v")), "v")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the superseded generation
+      edges.unpersist(blocking = false)
+      edges = next
       alive = edges.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
         .select(col("u").as("node"), col("core_deg"))
     }
@@ -236,6 +244,11 @@ object Graphs {
     // the difference between 6 s and 2 s at bench scale, and between
     // feasible and quadratic on a 100 TB similarity graph where the
     // reached set saturates after two hops.
+    // Cache discipline (r7 advisor): each round materializes the new
+    // cumulative distance frame, then drops the superseded one and the
+    // consumed frontier — at most (old dist, new dist, frontier, next) are
+    // pinned at any instant instead of rounds+1 frames. The final frame
+    // stays persisted: it IS the returned result (caller-lifetime).
     var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -247,9 +260,15 @@ object Graphs {
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      dist = dist.unionByName(next)
+      val nd = dist.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK)
+      nd.count() // materialize (fills next's and nd's caches) before dropping
+      if (frontier ne dist) frontier.unpersist(blocking = false)
+      dist.unpersist(blocking = false)
+      dist = nd
       frontier = next
     }
+    if (frontier ne dist) frontier.unpersist(blocking = false)
+    edges.unpersist(blocking = false) // dist is materialized; edges done
     dist
   }
 

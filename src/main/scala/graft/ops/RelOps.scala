@@ -555,6 +555,12 @@ object RelOps {
     * One window pass per group (rank + prefix sum on the same ordering —
     * a single exchange) and one argmax aggregate. Output: per group —
     * n, cusum_stat = max|T_i|, cusum_at = the 1-based index of the max.
+    *
+    * CALLER OBLIGATION (as with [[topK]]): (`ordCol`, `tieCol`) must be a
+    * UNIQUE total order within each group. On exact ties both row_number
+    * and the ROWS-frame prefix sum depend on partition arrival order, so
+    * cusum_stat/cusum_at can vary run to run — pass a unique id (event_id,
+    * file+offset) as the tiebreak.
     */
   def cusumMax(df: DataFrame, groupKey: String, ordCol: Column, tieCol: Column,
                x: Column): DataFrame = {

@@ -119,11 +119,29 @@ object LinAlg {
   def pcaProjectQuantized(vecs: DataFrame, idCol: String, vecCol: String,
                           iters: Int, nRows: Long = -1L, qMax: Long = 4096L): DataFrame = {
     require(iters >= 1 && iters <= 16, s"pcaProjectQuantized: iters=$iters")
-    val cells = gramUpperQuantized(vecs, vecCol).collect()
-    val n = if (nRows >= 0L) nRows else vecs.count()
-    val (dim, v) = powerVec(cells, iters)
-    require(qMax * qMax * n <= Long.MaxValue / (1024L * dim),
-      s"pcaProjectQuantized: qmax²·n·1024·dim overflows Long for n=$n dim=$dim — pre-scale the Gram matrix")
+    // overflow envelope BEFORE the Gram job (r7 advisor: checking after the
+    // collect let a violating corpus wrap silently in the distributed sums).
+    // nRows < 0 pays a count job anyway, so fold dim and the ACTUAL max
+    // quantized magnitude into that same scan and run the envelope on the
+    // MEASURED magnitude — an optimistic caller-supplied qMax can no longer
+    // hide a wrapping corpus. With caller-supplied nRows the scan is
+    // skipped (that is the point of the parameter); dim comes from a 1-row
+    // probe and qMax is trusted as the caller's stated magnitude contract.
+    val q = vecs.select(col(idCol), quantize1024(col(vecCol)).as("__qv"))
+    val (n, dim, qBound) = if (nRows >= 0L) {
+      val d = q.select(size(col("__qv"))).head().getInt(0)
+      (nRows, d, qMax)
+    } else {
+      val st = q.agg(count(lit(1)), max(size(col("__qv"))),
+        max(aggregate(col("__qv"), lit(0L), (a, x) => greatest(a, abs(x))))).head()
+      if (st.getLong(0) == 0L) (0L, 1, 1L)
+      else (st.getLong(0), st.getInt(1), math.max(1L, st.getLong(2)))
+    }
+    require(n == 0L || qBound * qBound * n <= Long.MaxValue / (1024L * dim),
+      s"pcaProjectQuantized: q²·n·1024·dim overflows Long for |q|=$qBound n=$n dim=$dim — pre-scale the Gram matrix")
+    val cells = gramOfQv(q).collect()
+    val (dimG, v) = powerVec(cells, iters)
+    require(dimG == dim, s"pcaProjectQuantized: ragged vectors (dim $dimG vs $dim)")
     val vlit = v
     // materialize the quantized array once so the 64-term projection sum
     // reads a bound column instead of re-evaluating the transform per term
@@ -162,7 +180,10 @@ object LinAlg {
       lit(1L << shift))): _*)
     // persisted: the residual frame feeds the second Gram job AND the
     // final projection — uncached, each consumer replays the scan plus
-    // the 64-term rejection arithmetic (measured ~3× the wall at sf0.1)
+    // the 64-term rejection arithmetic (measured ~3× the wall at sf0.1).
+    // It stays pinned for the RETURNED frame's lifetime (the projection
+    // reads it lazily); long-lived sessions reclaim it via LRU eviction —
+    // the deliberate trade for not forcing materialization here.
     val qr = q.withColumn("__d1", dot1).withColumn("__rv", resid)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (_, v2) = powerVec(gramOfQv(qr.select(col("__rv").as("__qv"))).collect(), iters)

@@ -42,15 +42,19 @@ object CountMin {
 
   /** Point estimates for `keys` against a built sketch: min over the
     * depth row-cells each key hashes to. The cell grid is broadcast —
-    * the key side streams. */
+    * the key side streams. LEFT join + coalesce(cnt, 0): an occupied-cells
+    * sketch omits zero cells, so a queried key that hashes to any
+    * unoccupied cell must estimate 0 (the key was never sketched), not
+    * vanish from the output or take its min over fewer than depth rows
+    * (r7 advisor — the general point-query contract covers absent keys). */
   def estimates(keys: DataFrame, keyCol: String, cells: DataFrame,
                 depth: Int, width: Int): DataFrame =
     keys.select(col(keyCol),
         explode(sequence(lit(0), lit(depth - 1))).as("row"))
       .withColumn("col", colOf(col("row"), col(keyCol), width))
-      .join(broadcast(cells), Seq("row", "col"))
+      .join(broadcast(cells), Seq("row", "col"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
   /** EQUI-JOIN SIZE ESTIMATE from two sketches over the SAME key domain
     * (the AGMS/count-min inner-product bound, Alon-Matias-Szegedy '96 /

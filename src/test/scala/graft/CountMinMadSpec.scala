@@ -27,6 +27,19 @@ class CountMinMadSpec extends SparkSpec {
     assert(joined.exists(_ > 0L), "width 16 with 500 keys must collide somewhere")
   }
 
+  test("count-min absent key estimates 0 and stays in the output (r7 advisor)") {
+    // a key never sketched hashes (with width 1024 and 3 sketched keys,
+    // near-certainly) to at least one unoccupied cell: the left join +
+    // coalesce must yield est = 0, never a dropped row or a min over
+    // fewer than depth cells
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val cells = CountMin.sketch(df, "k", depth = 4, width = 1024)
+    val probes = Seq("a", "absent_key_1", "absent_key_2").toDF("k")
+    val est = CountMin.estimates(probes, "k", cells, depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 5L, "absent_key_1" -> 0L, "absent_key_2" -> 0L))
+  }
+
   test("count-min cell grid is bounded by depth x width") {
     val df = (1 to 1000).map(i => s"k$i").toDF("k")
     assert(CountMin.sketch(df, "k", depth = 4, width = 16).count() <= 4L * 16)
