@@ -284,11 +284,18 @@ object SparkEntry {
       .select(col("l_orderkey"), col("line_no"), col("qty"), col("band"))
   }
 
-  /** §2.4 headroom — distinct-count sketches (exact + HLL++ + mergeable
-    * Datasketches HLL). Approximate values are engine-specific → rows-only
-    * check; the exact twin is oracle-checked in q23. */
+  /** §2.4 headroom — distinct-count sketch beside the exact count, ENGINE-
+    * EXACT (r7 verdict #5): [[RelOps.distinctCountsDet]] pairs the exact
+    * distinct with the deterministic md5-HLL estimate (DetHll, q70's
+    * machinery), so the sketch VALUE itself is hash-proven — converting
+    * this slot from rows-only to oracle-checked. The library-sketch forms
+    * (HLL++ `approx_count_distinct`, mergeable Datasketches
+    * `hll_sketch_agg`) remain first-class in [[RelOps.distinctCounts]],
+    * differentially pinned against the exact count in SketchPropertySpec —
+    * their values are engine-specific by construction, which is exactly
+    * why the oracle-checked slot now runs the deterministic form. */
   private def q26_sketch_distinct(s: SparkSession, dir: String): DataFrame =
-    RelOps.distinctCounts(Tables.lineitem(s, dir), Seq("l_returnflag"), "l_partkey")
+    RelOps.distinctCountsDet(Tables.lineitem(s, dir), Seq("l_returnflag"), "l_partkey")
 
   /** Per-day per-type event counts (A3 generalized to grouped pivot). */
   private def q25_pivot_counts(s: SparkSession, dir: String): DataFrame =
@@ -410,9 +417,15 @@ object SparkEntry {
     Similarity.pqTopK(queries, emb.select("vec_id", "embedding"), k = 5)
   }
 
-  /** Order-sensitive rolling fingerprint (xxhash64 fold; no SQL oracle). */
+  /** Order-sensitive rolling fingerprint at CHARACTER granularity
+    * ([[TextOps.fingerprintRollingChars]], Rabin-Karp Horner fold) —
+    * hash-exact (r7 verdict #5): the oracle replays the polynomial over a
+    * recursive power table, so the order-sensitivity contract is proven,
+    * not just spot-checked. The xxhash64 token fold stays the 100 TB fast
+    * path (TextOpsSpec pins the two differentially); q215 covers the
+    * token-level md5-polynomial granularity. */
   private def q40_fingerprint_rolling(s: SparkSession, dir: String): DataFrame =
-    par(s, Tables.documents(s, dir)).select(col("doc_id"), TextOps.fingerprintRolling(col("text")).as("fp"))
+    par(s, Tables.documents(s, dir)).select(col("doc_id"), TextOps.fingerprintRollingChars(col("text")).as("fp"))
 
   /** Embedding-cosine near-duplicate pairs. ID pairs only in the output (same
     * float32-vs-double rationale as q38); 0.45 sits ≥2e-3 from any pair's
@@ -4441,15 +4454,19 @@ object SparkEntry {
     * oracle rather than leaving a null row.
     */
   def rowsOnlyByDesign: Map[String, String] = Map(
-    "q26_sketch_distinct" -> "exact twin q23_count_distinct; Round3Spec bounds HLL error",
     "q36_minhash_lsh" -> "exact twin q35_jaccard_pairs (oracle-checked); hash-PROVEN det twin q212; DedupSpec differential",
     "q37_simhash_neardup" -> "hash-PROVEN det twin q213; DedupSpec differential vs exact Hamming over simhash64",
     "q39_ann_lsh" -> "exact twin q38_ann_brute (oracle-checked); hash-PROVEN det twin q223 (candidate generation itself oracle-checked); SimilaritySpec recall bound",
-    "q40_fingerprint_rolling" -> "xxhash64 fold is hash-family-specific; hash-PROVEN det twin q215; TextOpsSpec pins order sensitivity",
     "q43_ann_ivf" -> "exact twin q38_ann_brute; hash-PROVEN det twin q224 (whole IVF pipeline oracle-checked); SimilaritySpec recall bound",
     "q199_ann_ivfpq" -> "exact twin q38_ann_brute; hash-PROVEN det twin q225 (train/encode/ADC oracle-checked); PqSpec exhaustive-regime identity + planted recall bound")
   // r7: q50 (md5 stub → closed-form oracle), q69 (histogram-exact
   // percentiles) and q70 (deterministic md5-HLL) left this set — 10 → 7.
+  // r8: q26 (DetHll estimate beside the exact count — builtin sketches stay
+  // spec-pinned in RelOps.distinctCounts) and q40 (character Rabin-Karp
+  // closed form — xxhash64 fold stays the spec-pinned fast path) — 7 → 5.
+  // The five that remain are exactly the hash-family-specific fast kernels
+  // (xxhash64 MinHash/SimHash, random-hyperplane LSH, sampled-centroid
+  // IVF/PQ), each with its hash-proven deterministic twin listed above.
 
   /** Closed-form oracle for q50: recompute the md5 stub features
     * (Multimodal.stubDecodeFeatures) in pure SQL. hex16 parses the first 4
@@ -4636,6 +4653,53 @@ object SparkEntry {
     "q25_pivot_counts" ->
       """SELECT cast(ts as date) AS day, event_type, cast(count(*) as bigint) AS cnt
          FROM events GROUP BY 1, 2""",
+    // q26: exact distinct beside the deterministic md5-HLL estimate — the
+    // q70 register/rho/harmonic-mean closed form over DISTINCT
+    // (flag, partkey) pairs (register max is duplicate-invariant)
+    "q26_sketch_distinct" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+         rr AS (
+           SELECT l_returnflag,
+             strpos('0123456789abcdef', substr(md5(cast(l_partkey as varchar)), 1, 1)) - 1 AS reg,
+             (15 - length(regexp_replace(substr(md5(cast(l_partkey as varchar)), 2, 15), '^0*', ''))) * 4
+               + CASE substr(regexp_replace(substr(md5(cast(l_partkey as varchar)), 2, 15), '^0*', ''), 1, 1)
+                   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                   ELSE 0 END
+               + 1 AS rho
+           FROM d),
+         regs AS (SELECT l_returnflag, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+         n AS (
+           SELECT l_returnflag,
+             sum((cast(1 as bigint) << (59 - max_rho))) + (16 - count(*)) * (cast(1 as bigint) << 59) AS nn
+           FROM regs GROUP BY 1),
+         ex AS (SELECT l_returnflag, cast(count(*) as bigint) AS exact_distinct FROM d GROUP BY 1)
+         SELECT ex.l_returnflag, ex.exact_distinct,
+           cast(floor(0.673 * 256.0 * 576460752303423488.0 / cast(nn as double)) as bigint) AS approx_distinct
+         FROM ex JOIN n USING (l_returnflag)""",
+    // q40: character-level Rabin-Karp — the Horner fold replayed as
+    // Σ ascii(cᵢ)·B^(n−1−i) mod M over a recursive power table (equal by
+    // ring homomorphism; q215's token-level oracle is the template)
+    "q40_fingerprint_rolling" ->
+      """WITH RECURSIVE ch AS (
+           SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),
+         mx AS (SELECT max(len(cs)) AS m FROM ch),
+         powers AS (
+           SELECT 0 AS k, CAST(1 AS BIGINT) AS p
+           UNION ALL
+           SELECT k + 1, (p * 1000003) % 2147483647 FROM powers
+           WHERE k < (SELECT m FROM mx)),
+         pos AS (
+           SELECT doc_id, len(cs) AS n, g.i AS i, cs[g.i + 1] AS c
+           FROM ch, (SELECT unnest(range(0, (SELECT m FROM mx))) AS i) g
+           WHERE g.i < len(cs)),
+         agg AS (
+           SELECT pos.doc_id,
+             cast(sum((ascii(c) * pw.p) % 2147483647) % 2147483647 as bigint) AS fp
+           FROM pos JOIN powers pw ON pw.k = pos.n - 1 - pos.i
+           GROUP BY 1)
+         SELECT t.doc_id, coalesce(a.fp, 0) AS fp
+         FROM ch t LEFT JOIN agg a ON t.doc_id = a.doc_id""",
     "q30_text_stats" ->
       """SELECT doc_id, cast(length(text) as bigint) AS char_len,
            cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) as bigint) AS token_count,

@@ -396,6 +396,24 @@ object RelOps {
       approx_count_distinct(col(target), 0.02).as("approx_distinct"),
       hll_sketch_estimate(hll_sketch_agg(col(target))).as("hll_estimate"))
 
+  /** [[distinctCounts]]' ENGINE-EXACT form (q26): exact distinct beside the
+    * deterministic md5-HLL estimate ([[graft.sketch.DetHll]]) — every value
+    * a closed-form integer/md5 function plus one mirrored double division,
+    * so the sketch ESTIMATE itself is oracle-checkable where the library
+    * sketches above are bound only by their error guarantees (those stay
+    * spec-pinned differentially, SketchPropertySpec). One fact scan into a
+    * (keys, value)-distinct shuffle; both outputs then aggregate the
+    * distinct pairs — register max is duplicate-invariant, so sketching
+    * after distinct is identical to sketching the raw stream. */
+  def distinctCountsDet(df: DataFrame, groupKeys: Seq[String], target: String): DataFrame = {
+    import graft.sketch.DetHll
+    val d = df.select((groupKeys.map(col) :+ col(target).as("__t")): _*).distinct()
+    val exact = d.groupBy(groupKeys.map(col): _*).agg(count(lit(1)).as("exact_distinct"))
+    val est = DetHll.estimate(DetHll.registers(d, groupKeys, col("__t")),
+      groupKeys, outCol = "approx_distinct")
+    exact.join(est, groupKeys)
+  }
+
   /** DETERMINISTIC Bernoulli sampling keyed on a stable column — the
     * reproducible alternative to `df.sample()` (whose output depends on
     * partitioning and row order, so it can't be oracle-checked or re-run

@@ -107,10 +107,29 @@ object TextOps {
 
   /** 64-bit rolling-ish document fingerprint: xxhash64 over the token stream
     * folded left-to-right, so token order matters (unlike a bag-of-words
-    * hash). Pure HOF `aggregate` — codegen'd, shuffle-free.
+    * hash). Pure HOF `aggregate` — codegen'd, shuffle-free. The 100 TB fast
+    * path; [[fingerprintRollingChars]] is the engine-portable form (TextOpsSpec
+    * pins the two differentially: identical dup-group structure, both
+    * order-sensitive).
     */
   def fingerprintRolling(text: Column): Column =
     aggregate(tokens(text), lit(1125899906842597L), (acc, t) => xxhash64(acc, t))
+
+  /** CHARACTER-level Rabin-Karp document digest (the classic rolling
+    * polynomial hash, Karp & Rabin, IBM JRD 1987): Horner's fold
+    * fp = (…((0·B + c₁)·B + c₂)…) mod M over the raw codepoint sequence,
+    * B = 1000003, M = 2³¹−1. Order-sensitive at CHARACTER granularity —
+    * catches intra-token edits and whitespace changes that token-level
+    * digests (q215's md5-polynomial, [[fingerprintRolling]]) collapse —
+    * and every step is integer arithmetic on ascii codepoints, so an
+    * external SQL engine replays it bit-for-bit (q40's hash-exact oracle
+    * mirrors the fold as Σ cᵢ·B^(n−1−i) mod M over a recursive power
+    * table — equal by ring homomorphism). Codegen'd HOF fold, zero
+    * shuffle; acc < 2³¹ and B < 2²⁰ keep the product under 2⁵¹.
+    */
+  def fingerprintRollingChars(text: Column): Column =
+    aggregate(regexp_extract_all(text, lit("."), lit(0)), lit(0L),
+      (acc, c) => (acc * lit(1000003L) + ascii(c)) % lit(2147483647L))
 
   /** Word n-gram shingles (n consecutive tokens joined by space) — input to
     * MinHash / Jaccard dedup. Empty array when the doc has fewer than n

@@ -56,6 +56,32 @@ class TextOpsSpec extends SparkSpec {
     assert(h === "900150983cd24fb0d6963f7d28e17f72")
   }
 
+  test("fingerprintRollingChars: Horner closed form, char-order-sensitive, agrees with xxhash64 fold on dup structure") {
+    // closed form pinned by hand: "ab" -> (0·B + 97)·B + 98 mod M
+    val b = 1000003L; val m = 2147483647L
+    val ab = Seq("ab").toDF("t")
+      .select(TextOps.fingerprintRollingChars($"t")).head().getLong(0)
+    assert(ab === (97L * b + 98L) % m)
+    // order-sensitive at CHARACTER granularity: token-level folds can't
+    // see an intra-token transposition of identical token multisets
+    val fps = Seq("ab c", "ba c", "ab c").toDF("t")
+      .select(TextOps.fingerprintRollingChars($"t")).collect().map(_.getLong(0))
+    assert(fps(0) != fps(1) && fps(0) === fps(2))
+    assert(Seq("").toDF("t")
+      .select(TextOps.fingerprintRollingChars($"t")).head().getLong(0) === 0L)
+    // differential vs the xxhash64 fast path: identical duplicate-group
+    // structure over a corpus with planted exact dups
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val both = docs.select($"doc_id",
+      TextOps.fingerprintRolling($"text").as("fast"),
+      TextOps.fingerprintRollingChars($"text").as("det")).collect()
+    def groups(key: Array[(Long, Long)]): Set[Set[Long]] =
+      key.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(groups(both.map(r => (r.getLong(0), r.getLong(1)))) ===
+      groups(both.map(r => (r.getLong(0), r.getLong(2)))))
+  }
+
   test("cleanText: zero-width strip + NFC composition; strip order unblocks composition") {
     def clean(s: String): String =
       Seq(s).toDF("t").select(TextOps.cleanText($"t")).head().getString(0)
