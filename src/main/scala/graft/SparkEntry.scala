@@ -3688,14 +3688,16 @@ object SparkEntry {
     Similarity.semDedupQuantized(par(s, Tables.embeddings(s, dir)),
       "vec_id", "embedding", k = 8)
 
-  /** BPE MERGE LEARNING ([[graft.text.Bpe.learnMerges]], 8 merges) — the
-    * tokenizer-training loop (Sennrich et al. ACL 2016): weighted adjacent-
-    * pair counts over the VOCAB (the only corpus-scale job is the word
-    * count), deterministic (count DESC, pair ASC) argmax, boundary-padded
-    * fixpoint replace. The oracle unrolls all 8 iterations, so the learned
-    * merge TABLE itself — order, pairs, weights — is hash-proven. */
+  /** BPE MERGE LEARNING ([[graft.text.Bpe.learnMerges]], nMerges = 256 —
+    * r7 verdict #2) — the tokenizer-training loop (Sennrich et al. ACL
+    * 2016) at TOKENIZER scale: ONE corpus-scale Spark job (the word count),
+    * then the delta-maintained driver loop — jobs ≪ merges, where r7 ran
+    * one aggregation + argmax job per merge (capped at 64). The oracle
+    * unrolls all 256 iterations, so the learned merge TABLE — order, pairs,
+    * weights, AND the early-stop point where this corpus's 31-word vocab
+    * exhausts its adjacent pairs — is hash-proven cross-engine. */
   private def q219_bpe_learn(s: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.learnMerges(par(s, Tables.documents(s, dir)), "text", nMerges = 8)
+    graft.text.Bpe.learnMerges(par(s, Tables.documents(s, dir)), "text", nMerges = 256)
 
   /** BPE TOKENIZATION end-to-end ([[graft.text.Bpe.applyMerges]]): train 8
     * merges on the corpus, then segment every document's words by replaying
@@ -6706,9 +6708,11 @@ object SparkEntry {
     // ties to the smaller cluster), M-step (floor-div centroid update,
     // empty clusters keep the old centroid), final stats + centroid digest
     "q217_kmeans_quantized" -> kmeansOracleSql(k = 8, iters = 2),
-    // q219: all 8 BPE iterations unrolled — vocab pair counts, argmax,
-    // padded-replace merge rewrite; the merge table is the checked output
-    "q219_bpe_learn" -> bpeOracleSql(nMerges = 8),
+    // q219: all 256 BPE iterations unrolled — vocab pair counts, argmax,
+    // padded-replace merge rewrite; the merge table INCLUDING the
+    // early-stop point is the checked output (iterations past exhaustion
+    // produce empty b/v CTEs in both engines)
+    "q219_bpe_learn" -> bpeOracleSql(nMerges = 256),
     // q220: train (shared CTEs) + segment every doc with the learned
     // merges in rank order; per-doc subword token/type counts
     "q220_bpe_segment" -> bpeSegmentOracleSql(nMerges = 8),
@@ -7105,6 +7109,9 @@ object SparkEntry {
   /** The shared BPE-training CTE chain (v0, then p/b/v per iteration) —
     * b$t is iteration t's chosen merge as a 1-row (pair, mrg, c). */
   private def bpeTrainCtes(nMerges: Int): String = {
+    // b/v MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    // iteration references the previous twice (pair count + rewrite) — at
+    // 256 unrolled rounds un-materialized inlining blows up exponentially
     val iters = (1 to nMerges).map { t =>
       s"""p$t AS (
            SELECT s[i] || ' ' || s[i+1] AS pair, cnt FROM (
@@ -7112,10 +7119,10 @@ object SparkEntry {
                SELECT string_split(substr(wstr, 2, len(wstr) - 2), chr(2) || chr(1)) AS s, cnt
                FROM v${t - 1})
              WHERE len(s) >= 2)),
-         b$t AS (
+         b$t AS MATERIALIZED (
            SELECT pair, replace(pair, ' ', '') AS mrg, cast(sum(cnt) as bigint) AS c
            FROM p$t GROUP BY 1, 2 ORDER BY c DESC, pair ASC LIMIT 1),
-         v$t AS (
+         v$t AS MATERIALIZED (
            SELECT replace(v.wstr,
                chr(1) || replace(b.pair, ' ', chr(2) || chr(1)) || chr(2),
                chr(1) || b.mrg || chr(2)) AS wstr, cnt

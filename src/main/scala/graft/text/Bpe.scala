@@ -55,8 +55,145 @@ object Bpe {
       .otherwise(split(call_function("substring",
         wstr, lit(2), length(wstr) - 2), E + B))
 
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64, s"learnMerges: nMerges=$nMerges")
+  /** TRAIN at tokenizer scale (r7 verdict #2): ONE corpus-scale Spark job
+    * (the distinct-word weight count — the same first step every real BPE
+    * trainer runs; HuggingFace tokenizers and SentencePiece both train from
+    * exactly this in-memory word-count table), then the classic
+    * delta-maintained merge loop driver-side — per merge, only the words
+    * CONTAINING the chosen pair are rewritten and only their adjacent-pair
+    * counts are adjusted, via a pair→words occurrence index. Jobs are O(1)
+    * in nMerges (vs one aggregation + argmax job per merge in
+    * [[learnMergesDistributed]]), so a 32k-vocab training run is a driver
+    * loop over a Heaps-bounded table, not 32,000 Spark jobs.
+    *
+    * The driver loop replays the distributed semantics EXACTLY (BpeSpec
+    * pins row-identical output, and q219's oracle hash-checks 256 rounds
+    * against DuckDB): weighted adjacent-pair counts with overlap (a run of
+    * k+1 equal symbols contributes k), argmax by (count DESC, "L R" ASC in
+    * UTF-8 BYTE order — `byteLess`, matching Spark's UTF8String and any
+    * engine's binary collation), leftmost non-overlapping rewrite.
+    *
+    * `maxVocab` bounds the driver collect (distinct words, NOT corpus
+    * rows — Heaps' law puts a 100 TB web corpus in the tens of millions;
+    * the default 2²⁰ is conservative). Beyond it, fall back to
+    * [[learnMergesDistributed]] (vocab never leaves the cluster) or
+    * pre-prune the tail (frequency floor) as production tokenizers do.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  maxVocab: Int = 1 << 20): DataFrame = {
+    require(nMerges >= 1 && nMerges <= (1 << 16), s"learnMerges: nMerges=$nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
+    require(vocab.length <= maxVocab,
+      s"learnMerges: ${vocab.length} distinct words exceeds maxVocab=$maxVocab — " +
+        "use learnMergesDistributed or apply a frequency floor first")
+    trainInMemory(vocab, nMerges).toSeq.toDF("rank", "pair", "merged", "weight")
+  }
+
+  /** UTF-8 unsigned-byte string order — Spark's UTF8String comparison and
+    * the binary collation every engine gives the (count DESC, pair ASC)
+    * tie-break. Differs from Java's String.compareTo only beyond the BMP;
+    * matching bytes is what keeps the argmax engine-exact. */
+  private def byteLess(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The classic trainer loop on a collected (word, weight) table: pair
+    * counts and a pair→words occurrence index maintained INCREMENTALLY —
+    * each merge touches only the words that contain its pair. */
+  private[text] def trainInMemory(vocab: Array[(String, Long)],
+                                  nMerges: Int): IndexedSeq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    // word → symbol sequence (one symbol per code point, like wrapChars's
+    // regexp '.' which matches a full code point)
+    val words: Array[mutable.ArrayBuffer[String]] = vocab.map { case (w, _) =>
+      val b = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b
+    }
+    val weight = vocab.map(_._2)
+    def pairsOf(s: collection.Seq[String]): Seq[(String, String)] =
+      (0 until s.length - 1).map(i => (s(i), s(i + 1)))
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    for (wi <- words.indices; p <- pairsOf(words(wi))) {
+      pairCount(p) = pairCount.getOrElse(p, 0L) + weight(wi)
+      pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var t = 1
+    while (t <= nMerges && pairCount.nonEmpty) {
+      // argmax by (count DESC, "L R" ASC byte order) — linear scan keeps
+      // the tie-break obviously identical to the engines' ORDER BY
+      var bestP: (String, String) = null
+      var bestC = Long.MinValue
+      for ((p, c) <- pairCount) {
+        if (c > bestC ||
+          (c == bestC && byteLess(p._1 + " " + p._2, bestP._1 + " " + bestP._2)))
+          { bestP = p; bestC = c }
+      }
+      val (l, r) = bestP
+      val merged = l + r
+      out += ((t.toLong, l + " " + r, merged, bestC))
+      for (wi <- pairWords.getOrElse(bestP, mutable.Set.empty).toArray) {
+        val old = words(wi)
+        val oldPairs = pairsOf(old)
+        // leftmost non-overlapping rewrite — exactly the wrapped-string
+        // literal replace of the distributed form
+        val nw = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < old.length) {
+          if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+            nw += merged; i += 2
+          } else { nw += old(i); i += 1 }
+        }
+        words(wi) = nw
+        val newPairs = pairsOf(nw)
+        // net delta per pair (oldPairs/newPairs are multisets — overlapping
+        // runs repeat a pair), applied once so a zeroed count is removed
+        // exactly when its occurrences truly hit zero
+        val delta = mutable.HashMap.empty[(String, String), Long]
+        for (p <- oldPairs) delta(p) = delta.getOrElse(p, 0L) - weight(wi)
+        for (p <- newPairs) delta(p) = delta.getOrElse(p, 0L) + weight(wi)
+        for ((p, d) <- delta if d != 0L) {
+          val c = pairCount.getOrElse(p, 0L) + d
+          if (c <= 0L) { pairCount.remove(p); () } else pairCount(p) = c
+        }
+        val oldSet = oldPairs.toSet; val newSet = newPairs.toSet
+        for (p <- oldSet if !newSet.contains(p))
+          pairWords.get(p).foreach { s => s -= wi; if (s.isEmpty) pairWords.remove(p) }
+        for (p <- newSet if !oldSet.contains(p))
+          pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+      }
+      t += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** The fully-distributed loop (one vocab aggregation + 1-row argmax per
+    * merge): the vocab never leaves the cluster, so it has no maxVocab
+    * bound — the fallback for corpora whose DISTINCT-WORD table itself
+    * outgrows driver memory. Costs one Spark job per merge (nMerges ≤ 64
+    * by contract); [[learnMerges]] is the tokenizer-scale path. */
+  def learnMergesDistributed(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, s"learnMergesDistributed: nMerges=$nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
     // the one corpus-scale job: word → weight, then wrap each char. CACHED:

@@ -52,6 +52,34 @@ class BpeSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("fast trainer == distributed trainer, row-identical, through exhaustion") {
+    // the delta-maintained driver loop and the one-job-per-merge
+    // distributed loop must produce the SAME merge table — including where
+    // they stop when the vocab runs out of adjacent pairs (nMerges past
+    // exhaustion)
+    val docs = (Seq.fill(5)("lowest lowest newest") ++ Seq.fill(4)("lower newer") ++
+      Seq("aaaa aaaa baaa", "wide wide ride")).toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val fast = rows(Bpe.learnMerges(docs, "text", nMerges = 64))
+    val dist = rows(Bpe.learnMergesDistributed(docs, "text", nMerges = 64))
+    assert(fast === dist)
+    assert(fast.nonEmpty && fast.size < 64, "fixture must exhaust before 64 merges")
+    // jobs <= a handful regardless of nMerges: 256 merges on the corpus
+    // completes in driver time (would be 256 Spark jobs distributed)
+    val big = Bpe.learnMerges(spark.read.parquet(s"$sfDir/documents.parquet"),
+      "text", nMerges = 256).collect()
+    assert(big.length < 256, "tiny-vocab corpus must exhaust before 256")
+    assert(big.map(_.getLong(0)).toSeq === (1 to big.length).map(_.toLong))
+  }
+
+  test("learnMerges maxVocab bound fails loudly with the fallback named") {
+    val docs = Seq("a b c d e f").toDF("text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.learnMerges(docs, "text", nMerges = 2, maxVocab = 3))
+    assert(e.getMessage.contains("learnMergesDistributed"))
+  }
+
   test("applyMerges replays training: segmenting a training word yields its final symbols") {
     val docs = Seq.fill(3)("banana bandana").toDF("text")
     val merges = Bpe.learnMerges(docs, "text", nMerges = 4)
