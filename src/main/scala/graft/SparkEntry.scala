@@ -399,7 +399,8 @@ object SparkEntry {
     val emb = par(s, Tables.embeddings(s, dir))
     val queries = emb.filter(col("label") === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"), k = 5)
+    Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"), k = 5,
+      knownCount = Tables.rowCount(s, dir, "embeddings"))
   }
 
   /** IVF-PQ quantized ANN ([[graft.sim.Similarity.pqTopK]]) — the
@@ -414,7 +415,8 @@ object SparkEntry {
     val emb = par(s, Tables.embeddings(s, dir))
     val queries = emb.filter(col("label") === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    Similarity.pqTopK(queries, emb.select("vec_id", "embedding"), k = 5)
+    Similarity.pqTopK(queries, emb.select("vec_id", "embedding"), k = 5,
+      knownCount = Tables.rowCount(s, dir, "embeddings"))
   }
 
   /** Order-sensitive rolling fingerprint at CHARACTER granularity
@@ -448,7 +450,7 @@ object SparkEntry {
     * the answers are identical — brute q41 stays on oracle-duty. */
   private def q161_embed_neardup_banded(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairsBanded(par(s, Tables.embeddings(s, dir)), "vec_id", "embedding",
-        thresh = 0.45)
+        thresh = 0.45, knownCount = Tables.rowCount(s, dir, "embeddings"))
       .select(col("id_a"), col("id_b"))
 
   /** EXACT shingle-set Jaccard pairs via prefix filtering — scalable exact
@@ -1980,7 +1982,8 @@ object SparkEntry {
   private def q162_semantic_dedup_banded(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Clusters
     val vecs = par(s, Tables.embeddings(s, dir))
-    val pairs = Similarity.cosineNearDupPairsBanded(vecs, "vec_id", "embedding", thresh = 0.45)
+    val pairs = Similarity.cosineNearDupPairsBanded(vecs, "vec_id", "embedding", thresh = 0.45,
+      knownCount = Tables.rowCount(s, dir, "embeddings"))
     Clusters.connectedComponents(vecs, "vec_id", pairs, "id_a", "id_b")
       .select(col("vec_id"), col("cluster_id"),
         when(col("vec_id") === col("cluster_id"), lit("keep")).otherwise(lit("drop")).as("verdict"))
@@ -2977,7 +2980,8 @@ object SparkEntry {
       col("embedding").as("query_vec"), col("label").cast("long").as("qlab"))
     val nn = Similarity.lshBucketTopK(
         queries.select("query_id", "query_vec"), emb.select("vec_id", "embedding"), k = 5,
-        tables = 0, nbits = 0, broadcastQueries = false, designCosine = 0.45)
+        tables = 0, nbits = 0, broadcastQueries = false, designCosine = 0.45,
+        knownCount = Tables.rowCount(s, dir, "embeddings"))
       .join(emb.select(col("vec_id").as("neighbor_id"),
         col("label").cast("long").as("nlab")), "neighbor_id")
       .join(queries.select("query_id", "qlab"), "query_id")

@@ -117,4 +117,36 @@ object Tables {
     }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** EXACT row count from parquet FOOTER metadata — zero Spark jobs (r7
+    * verdict #6): every parquet footer records per-row-group row counts,
+    * so the count an ANN/banding auto-sizer needs is a metadata read, not
+    * a cluster scan. Cached per path for the JVM lifetime (the testdata
+    * tables are immutable); at 100 TB this is the same O(files) metadata
+    * walk the manifest/catalog layer already does per query — never a data
+    * pass. Use for `knownCount` parameters wherever the frame is a
+    * straight table load (any filter/sample invalidates it — pass -1 and
+    * let the operator count in that case).
+    */
+  private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def footerRowCount(spark: SparkSession, path: String): Long =
+    rowCountCache.computeIfAbsent(path, _ => {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+            && !s.getPath.getName.startsWith(".")).map(_.getPath)
+        else Array(p)
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
+  /** [[footerRowCount]] for a named testdata table. */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    footerRowCount(spark, s"$sfDir/$name.parquet")
 }

@@ -669,13 +669,14 @@ object Similarity {
                     cId: String = "vec_id", cVec: String = "embedding",
                     broadcastQueries: Boolean = true,
                     designCosine: Double = Double.NaN,
-                    recallTarget: Double = 0.98, maxTables: Int = 256): DataFrame = {
+                    recallTarget: Double = 0.98, maxTables: Int = 256,
+                    knownCount: Long = -1L): DataFrame = {
     require((tables > 0) == (nbits > 0),
       s"lshBucketTopK: tables=$tables nbits=$nbits — set both explicitly or both 0 (auto)")
     if (tables == 0) {
       require(!designCosine.isNaN,
         "lshBucketTopK: auto sizing (tables=0) needs designCosine — the cosine regime to target recall at")
-      val cn = corpus.count()
+      val cn = if (knownCount >= 0L) knownCount else corpus.count()
       return planBanding(cn, designCosine, recallTarget, maxTables) match {
         case Some((t, b)) =>
           log.info(s"lsh top-k: auto banding (tables=$t, nbits=$b) for n=$cn at designCosine=$designCosine")

@@ -139,4 +139,16 @@ class TablesEventsSpec extends SparkSpec {
     assert(sMin === bMin && sMax === bMax,
       s"streaming decode [$sMin, $sMax] != batch [$bMin, $bMax] — the r5 regression shape")
   }
+
+  test("footerRowCount: exact from parquet metadata, no Spark job, cached") {
+    for (t <- Seq("documents", "embeddings", "lineitem"))
+      assert(Tables.rowCount(spark, sfDir, t) === Tables.load(spark, sfDir, t).count(),
+        s"footer count mismatch for $t")
+    // a multi-file DIRECTORY sums per-file footers (the lake layout)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_frc").toString
+    Tables.load(spark, sfDir, "documents").repartition(3)
+      .write.mode("overwrite").parquet(tmp)
+    assert(Tables.footerRowCount(spark, tmp) ===
+      Tables.rowCount(spark, sfDir, "documents"))
+  }
 }
