@@ -84,6 +84,63 @@ class EventIngestSpec extends SparkSpec {
     BusSource.clear(topic)
   }
 
+  test("bus crash recovery: a drain killed mid-batch restarts to exactly-once table contents") {
+    // The guarantee the reference's ack-after-buffer path lacks
+    // (receiver.py:19-21 acks BEFORE the buffer is durable — a crash there
+    // LOSES messages): Structured Streaming writes the planned offsets to
+    // the checkpoint WAL before executing, and the parquet streaming sink
+    // commits files transactionally in _spark_metadata — so a query killed
+    // MID-BATCH (tasks failed after source reads, before sink commit)
+    // restarts, replays the same offset range, and the table holds every
+    // message exactly once. Deterministic kill: an armed UDF throws on a
+    // marked payload during the first attempt; disarmed before restart.
+    val topic = "crash-recovery"
+    BusSource.clear(topic)
+    BusSource.publish(topic, events :+
+      """{"extract_type":"poison","bucket":"lake","object":"p/k.parquet","uploaded_at":"2024-06-01T04:02:00"}""",
+      timestampMicros = 1717214400000000L)
+    val out = tmp("bus_crash_") + "/meta"
+    EventIngestSpec.armed.set(true)
+    val boom = udf { (et: String) =>
+      if (EventIngestSpec.armed.get() && et == "poison")
+        throw new RuntimeException("injected mid-batch failure")
+      et
+    }
+    def drain(): Unit = {
+      val q = EventIngest.eventSource(spark, topic,
+          sourceFormat = BusSource.ShortName,
+          sourceOptions = Map("subscribe" -> topic, "startingOffsets" -> "earliest"))
+        .withColumn("extract_type", boom(col("extract_type")))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", s"${out}__chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    assert(e.getMessage.contains("injected") ||
+      Option(e.getCause).exists(_.getMessage.contains("injected")) ||
+      e.toString.contains("injected"))
+    // the failed attempt must not have surfaced ANY rows — the sink never
+    // committed (an unreadable/absent dir counts as zero)
+    assert(scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L) === 0L)
+    // restart: same checkpoint, failure disarmed — the WAL'd batch replays
+    EventIngestSpec.armed.set(false)
+    drain()
+    val meta = spark.read.parquet(out)
+    assert(meta.count() === 3, "every published message exactly once after recovery")
+    assert(meta.select(col("object")).collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("hts/y.parquet", "mmd/x.parquet", "p/k.parquet"))
+    // and the recovered checkpoint keeps advancing: one more publish, one
+    // more drain, exactly one new row
+    BusSource.publish(topic,
+      Seq("""{"extract_type":"vls","bucket":"lake","object":"vls/q.parquet","uploaded_at":"2024-06-01T05:00:00"}"""),
+      timestampMicros = 1717218000000000L)
+    drain()
+    assert(spark.read.parquet(out).count() === 4)
+    BusSource.clear(topic)
+  }
+
   test("streaming upsert: drains merge by key, idempotent across re-runs") {
     import org.apache.spark.sql.types._
     val in = tmp("merge_in_"); val cp = tmp("merge_cp_")
@@ -149,4 +206,11 @@ class EventIngestSpec extends SparkSpec {
     val rows = out.select($"event_type", $"n").as[(String, Long)].collect().toSet
     assert(rows === Set(("click", 2L), ("view", 1L)))
   }
+}
+
+/** Static kill switch for the crash-recovery test: executor tasks (same JVM
+  * in local mode) read it at row-evaluation time, so the first drain fails
+  * mid-batch and the restarted drain — after disarm — replays cleanly. */
+object EventIngestSpec {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
