@@ -74,11 +74,12 @@ object Multimodal {
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
-  /** True iff `bytes` is a format [[Codecs]]/[[Jpeg]]/[[Gif]]/[[Avi]] really decodes. */
+  /** True iff `bytes` is a format [[Codecs]]/[[Jpeg]]/[[Gif]]/[[Avi]]/
+    * [[H264]] really decodes. */
   def isRealFormat(bytes: Array[Byte]): Boolean =
     (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') ||
       Codecs.isPng(bytes) || Jpeg.isJpeg(bytes) || Gif.isGif(bytes) ||
-      Avi.isAvi(bytes) || isWav(bytes)
+      Avi.isAvi(bytes) || isWav(bytes) || H264.isAnnexB(bytes)
 
   /** Real features for really-decodable payloads: PPM/PNG → [w, h,
     * n_pixels, meanR, meanG, meanB, 0…]; WAV → [sampleRate, n, rms,
@@ -344,6 +345,7 @@ object Multimodal {
         val stats =
           if (Gif.isGif(bytes)) Gif.frameStats(bytes)
           else if (Avi.isAvi(bytes)) Avi.frameStats(bytes)
+          else if (H264.isAnnexB(bytes)) H264.frameStats(bytes)
           else Nil
         stats.collect {
           case (fi, ts, n, sr, sg, sb, wr) if fi % sampleEvery == 0 =>
@@ -540,6 +542,37 @@ object Multimodal {
       struct(lit("avi").as("format"), lit(16).as("width"), lit(16).as("height"),
         (lit(nFrames * 1000L) / element_at(lit(rates), (pmod(col(idCol), lit(4)) + 1).cast("int")))
           .cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+
+  /** REAL H.264 media table (q245): 3 IDR frames of 32×32 (4 macroblocks)
+    * per id as a baseline-profile Annex B I_PCM stream ([[H264.encodePcm]]
+    * — genuine NAL framing, emulation prevention, Exp-Golomb headers).
+    * Macroblock mb (raster, my·2+mx) of frame f is UNIFORM gray
+    * ((id·31 + f·13 + mb·7) mod 256) with flat chroma, so R=G=B=Y exactly
+    * and DuckDB recomputes per-frame channel sums AND the position-weighted
+    * red sum (which pins MB raster placement) from the closed form without
+    * seeing a byte — the q184/q187 exactness contract on the third real
+    * video container. Values of 0..3 occur (id mod 256 cycles), so the
+    * emulation-prevention path is exercised for real. */
+  def syntheticH264FromIds(df: DataFrame, idCol: String, nFrames: Int = 3): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val frames = (0 until nFrames).map { f =>
+        val y = new Array[Byte](1024)
+        var i = 0
+        while (i < 1024) {
+          val mb = (i / 32 / 16) * 2 + (i % 32 / 16)
+          y(i) = ((id * 31 + f * 13 + mb * 7) % 256).toByte
+          i += 1
+        }
+        y
+      }
+      H264.encodeGrayPcm(32, 32, frames)
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("video").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("h264").as("format"), lit(32).as("width"), lit(32).as("height"),
+        lit(nFrames * 40L).as("duration_ms"),
         lit(null).cast("int").as("sample_rate")).as("meta"))
   }
 
