@@ -4123,6 +4123,25 @@ object SparkEntry {
         col("sum_r"), col("sum_g"), col("sum_b"), col("wsum_r"))
   }
 
+  /** DATA-MIXTURE SAMPLING to a token budget ([[RelOps.mixtureSample]]) —
+    * the source-mixing recipe step (Pile weights / DoReMi mixtures): five
+    * targeted sources at weights 50:8:4:2:1 against a 3000-token budget, so
+    * src0's target EXCEEDS its supply (rate clamps at 1 — kept whole) while
+    * the tail sources down-sample to single-digit percentages and the 15
+    * untargeted sources drop entirely. Membership is the all-integer
+    * md5-threshold h16·avail·Σw < budget·w·65536 — no float anywhere — so
+    * the per-source rollup (kept docs and tokens) is hash-exact. */
+  private def q246_mixture_sample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val targets = Seq("src0" -> 50L, "src1" -> 8L, "src2" -> 4L, "src3" -> 2L, "src4" -> 1L)
+    RelOps.mixtureSample(docs, "source", TextOps.tokenCount(col("text")),
+        col("doc_id"), targets, totalBudget = 3000L)
+      .groupBy(col("source"))
+      .agg(max(col("__avail")).as("avail_tokens"),
+        count(lit(1)).as("kept_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("kept_tokens"))
+  }
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4381,6 +4400,7 @@ object SparkEntry {
     "q243_joinsize_sketch" -> (q243_joinsize_sketch _),
     "q244_shard_purity" -> (q244_shard_purity _),
     "q245_h264_frames" -> (q245_h264_frames _),
+    "q246_mixture_sample" -> (q246_mixture_sample _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6911,6 +6931,26 @@ object SparkEntry {
            cast((v0 + v1 + v2 + v3) * 256 as bigint) AS sum_b,
            cast(v0 * 63360 + v1 * 67456 + v2 * 194432 + v3 * 198528 as bigint) AS wsum_r
          FROM v""",
+    // q246: mixture sampling — per-source rollup of the all-integer
+    // md5-threshold membership (h16*avail*sum_w < budget*w*65536)
+    "q246_mixture_sample" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) as bigint) AS t
+           FROM documents),
+         avail AS (SELECT source, cast(sum(t) as bigint) AS avail FROM toks GROUP BY 1),
+         tgt(source, w) AS (VALUES ('src0', 50), ('src1', 8), ('src2', 4), ('src3', 2), ('src4', 1)),
+         kept AS (
+           SELECT k.doc_id, k.source, k.t, a.avail
+           FROM toks k JOIN avail a ON k.source = a.source JOIN tgt g ON k.source = g.source
+           WHERE (((strpos('0123456789abcdef', substr(md5(cast(k.doc_id as varchar)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(cast(k.doc_id as varchar)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(cast(k.doc_id as varchar)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(cast(k.doc_id as varchar)), 4, 1)) - 1) * 1)) * a.avail * 65 < cast(3000 as bigint) * g.w * 65536)
+         SELECT source, max(avail) AS avail_tokens,
+           cast(count(*) as bigint) AS kept_docs,
+           cast(sum(t) as bigint) AS kept_tokens
+         FROM kept GROUP BY 1""",
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),

@@ -437,6 +437,47 @@ object RelOps {
     }
   }
 
+  /** DATA-MIXTURE SAMPLING to a TOKEN BUDGET — the source-mixing step of
+    * a training-data recipe (the Pile's per-source weights, DoReMi's
+    * learned mixture): given target WEIGHTS per source and a total token
+    * budget, down-sample each source deterministically so its expected
+    * token contribution is budget·wₛ/Σw, never migrating rows across
+    * re-ingests (membership is a pure function of the key, like
+    * [[hashSampleFilter]]).
+    *
+    * All-integer membership: keep a row of source s iff
+    *   h16(key) · availₛ · Σw < budget · wₛ · 65536
+    * where availₛ = Σ tokens in s (ONE tiny aggregate, broadcast back) and
+    * h16 = first 16 md5 bits — the exact rational threshold
+    * min(1, budget·wₛ/(Σw·availₛ)) with no float anywhere, so the kept set
+    * is engine-exact and a source whose target exceeds its supply is kept
+    * whole (rate clamps at 1: h16 < 65536 always). Envelope:
+    * 2¹⁶·avail·Σw < 2⁶³ holds to 10¹⁴ tokens per source at Σw ≤ 10³.
+    *
+    * Scale shape: one source-keyed aggregate (output = #sources rows),
+    * one broadcast join, one codegen'd filter fused into the scan — the
+    * corpus never shuffles. Returns the kept rows with `__avail`/`__w`
+    * attached for downstream accounting.
+    */
+  def mixtureSample(docs: DataFrame, sourceCol: String, tokens: Column,
+                    keyCol: Column, targets: Seq[(String, Long)],
+                    totalBudget: Long): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 >= 0) && totalBudget >= 0,
+      s"mixtureSample: targets=$targets budget=$totalBudget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wSum = targets.map(_._2).sum
+    require(wSum > 0, "mixtureSample: zero total weight")
+    val tgt = targets.toDF(sourceCol, "__w")
+    val avail = docs.groupBy(col(sourceCol)).agg(sum(tokens).as("__avail"))
+    val h16 = conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long")
+    docs
+      .join(broadcast(avail.join(tgt, sourceCol)), sourceCol)
+      .filter(h16 * col("__avail") * lit(wSum) <
+        lit(totalBudget) * col("__w") * lit(65536L))
+  }
+
   /** PER-GROUP QUOTA CAP — the C4/RefinedWeb "at most N documents per
     * domain" curation step: keep up to `n` rows per group, chosen
     * DETERMINISTICALLY by md5(key) order (a seedless pseudo-random draw,

@@ -32,6 +32,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("hll_estimate") - exact) / exact < 0.1)
   }
 
+  test("mixtureSample: clamps oversubscribed sources, drops untargeted ones, deterministic") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"src${i % 3}", 10L)).toDF("doc_id", "source", "t")
+    // src0 rate 1300·10/(11·1000) ≈ 1.18 → kept WHOLE; src1 ≈ 0.118; src2 untargeted → gone
+    val kept = RelOps.mixtureSample(docs, "source", col("t"), col("doc_id"),
+      Seq("src0" -> 10L, "src1" -> 1L), totalBudget = 1300L)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === 100L, "rate > 1 must clamp to keep-all")
+    assert(bySrc.get("src2").isEmpty, "untargeted source must drop entirely")
+    // src1: rate = 1300·1/(11·1000) ≈ 0.118 → expected ~12 of 100 docs
+    assert(bySrc("src1") > 0L && bySrc("src1") < 40L)
+    // deterministic: a second evaluation keeps the identical id set
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = RelOps.mixtureSample(docs, "source", col("t"), col("doc_id"),
+        Seq("src0" -> 10L, "src1" -> 1L), totalBudget = 1300L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 === ids2)
+  }
+
   test("partitioned write: dynamic overwrite touches only the written partitions; reads prune") {
     val root = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val wh = new Warehouse(spark, root)
