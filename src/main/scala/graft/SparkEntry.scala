@@ -3798,8 +3798,15 @@ object SparkEntry {
     * integer-exact and replayed by the oracle. */
   private def q225_ann_pq_det(s: SparkSession, dir: String): DataFrame = {
     val emb = par(s, Tables.embeddings(s, dir))
+    // |Q| bounded to a FIXED id range (vec_id < 3000), not a fraction of
+    // the corpus: PQ-without-IVF is by definition an exhaustive ADC scan —
+    // Θ(|Q|·n) — so a corpus-proportional query set grows the work
+    // quadratically (measured 332 s at sf1 in the r8 sweep when |Q| scaled
+    // with n). The det twin pins the TRAIN/ENCODE/ADC algebra, which a
+    // fixed query set does just as well; the cell-gated deployment path is
+    // q199. Same |Q|-bounded contract as q221's c ≤ 1024.
     Similarity.pqDetTopK(
-      emb.filter(col("label") === 0)
+      emb.filter(col("label") === 0 && col("vec_id") < 3000)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
       emb.select("vec_id", "embedding"), k = 5, m = 4, ksub = 8, iters = 1)
   }
@@ -7710,7 +7717,7 @@ object SparkEntry {
          qsub AS (
            SELECT s.vec_id AS qid, s.mi, s.sv AS qsv
            FROM subq s JOIN embeddings e ON s.vec_id = e.vec_id
-           WHERE e.label = 0),
+           WHERE e.label = 0 AND e.vec_id < 3000),
          adc AS (
            SELECT qs.qid, qs.mi, c.code, ${sqd("qs.qsv", "c.cv")} AS d
            FROM qsub qs JOIN pc$iters c ON qs.mi = c.mi),
