@@ -4149,6 +4149,31 @@ object SparkEntry {
         sum(TextOps.tokenCount(col("text"))).as("kept_tokens"))
   }
 
+  /** STREAMING NEAR-DUP INGEST GATE ([[graft.streaming.NearDupGate]]):
+    * every drained document tagged against the incrementally-maintained
+    * MinHash band index — one long of RocksDB state per occupied bucket,
+    * min-id keeper semantics (order-free, so the bounded drain is
+    * engine-exact: the oracle recomputes keepers as GROUP BY min over the
+    * q212 md5-affine banding). Output: per doc, how many of its 8 bands
+    * already held a smaller-id near-dup, and the candidate verdict. The
+    * cross-batch property — batch N gated against batches 1..N−1's index
+    * via a stable checkpoint — is NearDupGateSpec's two-drain test. */
+  private def q247_stream_neardup_gate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // single-file fixture: one micro-batch, so the drained output equals
+    // the batch closed form regardless of file-source batching
+    val fixture = fixtureCache.computeIfAbsent(s"docs1f:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_docs1f").toString
+      Tables.documents(s, dir).select("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    graft.streaming.NearDupGate.gateOverParquet(s, fixture, schema,
+      name = s"q247_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4408,6 +4433,7 @@ object SparkEntry {
     "q244_shard_purity" -> (q244_shard_purity _),
     "q245_h264_frames" -> (q245_h264_frames _),
     "q246_mixture_sample" -> (q246_mixture_sample _),
+    "q247_stream_neardup_gate" -> (q247_stream_neardup_gate _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -6958,6 +6984,32 @@ object SparkEntry {
            cast(count(*) as bigint) AS kept_docs,
            cast(sum(t) as bigint) AS kept_tokens
          FROM kept GROUP BY 1""",
+    // q247: streaming gate's drained output == the batch closed form —
+    // q212's md5-affine banding, keeper = min doc_id per (band, bucket)
+    "q247_stream_neardup_gate" ->
+      s"""WITH ne AS ($detShingleSetsSql),
+       hs AS (
+         SELECT doc_id,
+           ${detHexHashSql("w", 7)} AS h
+         FROM (SELECT doc_id, unnest(ws) AS w FROM ne)),
+       mins AS (
+         SELECT doc_id, i,
+           min(((i * 2 + 1) * 65537 * h + i * 40503 + 7) % 268435399) AS m
+         FROM hs CROSS JOIN (SELECT unnest(range(0, 32)) AS i) seeds
+         GROUP BY doc_id, i),
+       sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, bnum,
+           array_to_string(list_transform(sig[bnum*4+1 : bnum*4+4],
+             v -> cast(v as varchar)), ',') AS bucket
+         FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS bnum) gb),
+       keep AS (SELECT bnum, bucket, min(doc_id) AS keeper FROM bands GROUP BY 1, 2),
+       per AS (
+         SELECT b.doc_id,
+           cast(sum(CASE WHEN k.keeper < b.doc_id THEN 1 ELSE 0 END) as bigint) AS n_dup_bands
+         FROM bands b JOIN keep k ON b.bnum = k.bnum AND b.bucket = k.bucket
+         GROUP BY 1)
+       SELECT doc_id, n_dup_bands, n_dup_bands > 0 AS is_candidate FROM per""",
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),

@@ -332,8 +332,14 @@ object Dedup {
     *
     * Output: (id_a, id_b, n_bands shared, inter, uni) for verified pairs.
     */
-  def minhashDetNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                             thresh10: Int, bands: Int = 8, rows: Int = 4): DataFrame = {
+  /** The deterministic MinHash BAND/BUCKET table — (id, band, bucket), one
+    * row per band per doc with a non-empty shingle set. Shared by
+    * [[minhashDetNearDupPairs]] (batch candidate join, q212) and the
+    * STREAMING near-dup ingest gate ([[graft.streaming.NearDupGate]], q247):
+    * the bucket string is a pure function of the text, so batch and stream
+    * index the same key space. */
+  def detMinhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 8, rows: Int = 4): DataFrame = {
     val k = bands * rows
     val base = docs
       .select(col(idCol).as("id"), detShingleSet(col(textCol)).as("ws"))
@@ -344,10 +350,18 @@ object Dedup {
     val sigs = base.withColumn("sig",
       transform(sequence(lit(0L), lit((k - 1).toLong)),
         i => array_min(transform(col("hs"), h => detPerm(i, h)))))
-    val buckets = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
           x => x.cast("string"))))).as(Seq("band", "bucket")))
+  }
+
+  def minhashDetNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                             thresh10: Int, bands: Int = 8, rows: Int = 4): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), detShingleSet(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val buckets = detMinhashBuckets(docs, idCol, textCol, bands, rows)
     val bl = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
     val br = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cands = bl.join(br, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
