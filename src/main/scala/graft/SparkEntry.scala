@@ -4174,6 +4174,20 @@ object SparkEntry {
       name = s"q247_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
 
+  /** EXACT quantiles over an unbounded integer domain WITHOUT a global
+    * sort ([[graft.sketch.RefineSelect]]): iterative bucket-refinement
+    * selection — O(log_B range) passes, each ONE narrow scan combined
+    * map-side into ≤ B bucket counts, vs q58's full row sort and q119's
+    * bounded-domain histogram. Measure: extended price in integer cents
+    * (floor(x*100) — floor of an IEEE product is engine-exact, where a
+    * bare double→int cast rounds in some engines and truncates in
+    * others). The oracle replays rank = ceil(p·n), value = rank-th
+    * smallest via one window. */
+  private def q248_refine_quantiles(s: SparkSession, dir: String): DataFrame =
+    graft.sketch.RefineSelect.quantilesDF(s, Tables.lineitem(s, dir),
+      floor(col("l_extendedprice") * lit(100)).cast("long"),
+      Seq("p50_cents" -> 0.5, "p90_cents" -> 0.9, "p99_cents" -> 0.99))
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4434,6 +4448,7 @@ object SparkEntry {
     "q245_h264_frames" -> (q245_h264_frames _),
     "q246_mixture_sample" -> (q246_mixture_sample _),
     "q247_stream_neardup_gate" -> (q247_stream_neardup_gate _),
+    "q248_refine_quantiles" -> (q248_refine_quantiles _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -7010,6 +7025,19 @@ object SparkEntry {
          FROM bands b JOIN keep k ON b.bnum = k.bnum AND b.bucket = k.bucket
          GROUP BY 1)
        SELECT doc_id, n_dup_bands, n_dup_bands > 0 AS is_candidate FROM per""",
+    // q248: refinement selection == the rank-th smallest; rank is the
+    // same IEEE ceil(p*n) the Scala side computes
+    "q248_refine_quantiles" ->
+      """WITH t AS (
+           SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+         r AS (
+           SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+           FROM t)
+       SELECT
+         min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS p50_cents,
+         min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90_cents,
+         min(CASE WHEN rn >= ceil(0.99 * n) THEN v END) AS p99_cents
+       FROM r""",
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sketch.RefineSelect
+
+/** Bucket-refinement exact selection: agrees with the sort-based order
+  * statistic on arbitrary data (duplicates, negatives, full-Long-range
+  * wraparound), resolves in the promised pass bound, and stays exact at
+  * the degenerate corners a selection algorithm gets wrong first. */
+class RefineSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val probs =
+    Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0)
+
+  /** sort-based ground truth with the same rank = ceil(p·n) semantics */
+  private def truth(xs: Seq[Long]): Map[String, Long] = {
+    val sorted = xs.sorted
+    probs.map { case (nm, p) =>
+      nm -> sorted((math.ceil(p * xs.size).toLong.max(1L) - 1).toInt)
+    }.toMap
+  }
+
+  test("matches the sorted order statistic on mixed-sign data with heavy duplicates") {
+    val rnd = new scala.util.Random(42)
+    val xs = Seq.fill(5000)(rnd.nextInt(2000).toLong - 1000L) ++
+      Seq.fill(500)(-17L) // a heavy tie straddling several ranks
+    val sel = RefineSelect.selectRanks(xs.toDF("x"), col("x"), probs)
+    assert(sel.values === truth(xs))
+    assert(sel.n === xs.size)
+    // span < 2^12, buckets = 1024 = 2^10 ⇒ at most 2 refinement passes
+    assert(sel.passes <= 2, s"passes=${sel.passes}")
+  }
+
+  test("tiny buckets force the deep recursion and stay exact within the pass bound") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(2000)(rnd.nextLong() % 1000000007L)
+    val sel = RefineSelect.selectRanks(xs.toDF("x"), col("x"), probs, buckets = 2)
+    assert(sel.values === truth(xs))
+    // buckets=2 halves the interval per pass: ≤ bitlength(span) passes ≤ 64
+    assert(sel.passes <= 64, s"passes=${sel.passes}")
+  }
+
+  test("full-Long-range span (width overflows Long) selects correctly") {
+    val xs = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue)
+    val sel = RefineSelect.selectRanks(xs.toDF("x"), col("x"), probs)
+    assert(sel.values === truth(xs))
+    assert(sel.values("p100") === Long.MaxValue)
+    assert(sel.values("p01") === Long.MinValue)
+  }
+
+  test("degenerate corners: all-equal, single row, nulls dropped") {
+    val allEq = RefineSelect.selectRanks(
+      Seq.fill(100)(5L).toDF("x"), col("x"), probs)
+    assert(allEq.values.values.toSet === Set(5L))
+    assert(allEq.passes === 1) // min==max collapses without a bucket scan
+
+    val one = RefineSelect.selectRanks(Seq(9L).toDF("x"), col("x"), probs)
+    assert(one.values.values.toSet === Set(9L))
+
+    val withNulls = RefineSelect.selectRanks(
+      Seq[Option[Long]](Some(1L), None, Some(2L), Some(3L), None)
+        .toDF("x"), col("x"), Seq("p50" -> 0.5))
+    assert(withNulls.n === 3)
+    assert(withNulls.values("p50") === 2L)
+  }
+
+  test("rank arithmetic matches the SQL oracle's double ceil on fp-wobbly products") {
+    // 0.28*25 = 7.000000000000001 in IEEE double ⇒ rank 8, NOT the
+    // exact-rational 7; the implementation must agree with the oracle's
+    // double ceil(0.28*n), since both engines compute the same product
+    val xs = (1L to 25L)
+    val sel = RefineSelect.selectRanks(xs.toDF("x"), col("x"), Seq("p28" -> 0.28))
+    assert(sel.values("p28") === 8L)
+  }
+
+  test("the refinement histogram never exceeds the bucket budget (shuffle payload bound)") {
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(3000)(rnd.nextLong())
+    for (b <- Seq(2, 16, 1024)) {
+      val sel = RefineSelect.selectRanks(xs.toDF("x"), col("x"),
+        Seq("p50" -> 0.5), buckets = b)
+      assert(sel.values("p50") === xs.sorted.apply(1499))
+      // pass bound: ceil(64 / log2(b)) refinement scans for a full-range span
+      val log2b = java.lang.Integer.numberOfTrailingZeros(b)
+      assert(sel.passes <= math.ceil(64.0 / log2b) + 1, s"b=$b passes=${sel.passes}")
+    }
+  }
+}
