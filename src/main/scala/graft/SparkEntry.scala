@@ -4188,6 +4188,20 @@ object SparkEntry {
       floor(col("l_extendedprice") * lit(100)).cast("long"),
       Seq("p50_cents" -> 0.5, "p90_cents" -> 0.9, "p99_cents" -> 0.99))
 
+  /** PER-GROUP exact quantiles over an unbounded value domain
+    * (RefineSelect.selectRanksByGroup) — the fourth quadrant of the
+    * family: q58 sorts, q119 histograms a bounded domain with unbounded
+    * groups, q248 refines one global domain, THIS refines per group with
+    * a bounded group count. All groups advance in the same passes: each
+    * pass is one broadcast-joined, map-side-combined scan regardless of
+    * how many groups remain unresolved. */
+  private def q249_group_quantiles(s: SparkSession, dir: String): DataFrame =
+    graft.sketch.RefineSelect.groupQuantilesDF(s, Tables.lineitem(s, dir),
+      "l_returnflag",
+      floor(col("l_extendedprice") * lit(100)).cast("long"),
+      Seq("p25_cents" -> 0.25, "p50_cents" -> 0.5, "p90_cents" -> 0.9))
+      .withColumnRenamed("l_returnflag", "returnflag")
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4449,6 +4463,7 @@ object SparkEntry {
     "q246_mixture_sample" -> (q246_mixture_sample _),
     "q247_stream_neardup_gate" -> (q247_stream_neardup_gate _),
     "q248_refine_quantiles" -> (q248_refine_quantiles _),
+    "q249_group_quantiles" -> (q249_group_quantiles _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -7038,6 +7053,22 @@ object SparkEntry {
          min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90_cents,
          min(CASE WHEN rn >= ceil(0.99 * n) THEN v END) AS p99_cents
        FROM r""",
+    // q249: per-group rank-th smallest, same IEEE ceil(p*n) ranks
+    "q249_group_quantiles" ->
+      """WITH t AS (
+           SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+         r AS (
+           SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+           FROM t)
+       SELECT g AS returnflag,
+         min(CASE WHEN rn >= ceil(0.25 * n) THEN v END) AS p25_cents,
+         min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS p50_cents,
+         min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90_cents
+       FROM r GROUP BY g""",
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),

@@ -132,4 +132,145 @@ object RefineSelect {
     val cols = ps.map { case (name, _) => lit(sel.values(name)).as(name) }
     spark.range(1).select(cols: _*)
   }
+
+  /** PER-GROUP exact selection — the fourth quadrant of the quantile
+    * family: [[HistogramQuantiles.discPercentiles]] handles bounded VALUE
+    * domains with unbounded groups; this handles unbounded value domains
+    * with a BOUNDED group count (`maxGroups`, dashboards/segments/labels —
+    * the regime where every group's domain is too wide to histogram).
+    *
+    * All groups refine in the SAME passes: the per-group surviving
+    * intervals form a tiny (group, lo, hi, shift) frame that broadcast-
+    * joins onto the scan, so each pass is still ONE job — a broadcast hash
+    * join, a map-side-combined groupBy((group, cell)), and a collect
+    * bounded by groups·buckets. Groups whose interval has resolved drop
+    * out of the frame, so late passes scan only the unresolved groups'
+    * ranges. Pass count is driven by the WIDEST group's span: ≤
+    * ⌈64/log2(buckets)⌉ + 1 scans total regardless of group count — vs
+    * one sort partition per group for the window-function form.
+    */
+  def selectRanksByGroup(df: DataFrame, groupCol: String, value: Column,
+                         ps: Seq[(String, Double)], buckets: Int = 256,
+                         maxGroups: Int = 4096): GroupedSelection = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
+      s"selectRanksByGroup: probabilities must be in (0,1], got $ps")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"selectRanksByGroup: buckets must be a power of two >= 2, got $buckets")
+    val log2B = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val spark = df.sparkSession
+
+    val vals = df.select(col(groupCol).as("__g"), value.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val stats = vals.groupBy("__g")
+      .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
+      .limit(maxGroups + 1).collect()
+    require(stats.length <= maxGroups,
+      s"selectRanksByGroup: more than $maxGroups groups — this operator's " +
+        "collect is groups-bounded by contract; for unbounded groups use " +
+        "HistogramQuantiles (bounded domain) or a sort (q58)")
+    val groupType = df.schema(groupCol).dataType
+
+    val HALF = BigInt(1) << 63
+    def ub(v: Long): BigInt = BigInt(v) + HALF
+    def signedOf(u: BigInt): Long = (u - HALF).toLong
+    def cellKeyToU(x: Long): BigInt =
+      if (x >= 0) BigInt(x) else BigInt(x) + (BigInt(1) << 64)
+
+    // per (group, probe): unsigned interval + remaining rank
+    var states: Map[(Any, String), (BigInt, BigInt, Long)] =
+      (for {
+        row <- stats
+        g = row.get(0); n = row.getLong(1)
+        (nm, p) <- ps
+      } yield (g, nm) ->
+        (ub(row.getLong(2)), ub(row.getLong(3)),
+          math.ceil(p * n).toLong.max(1L).min(n))).toMap
+    var resolved = Map.empty[(Any, String), Long]
+    var passes = 0
+
+    while (states.nonEmpty) {
+      passes += 1
+      // one spec row per DISTINCT (group, interval): same-group probes
+      // sharing an interval share it; diverged probes' intervals are
+      // disjoint (cell-aligned siblings), so each value row matches at
+      // most one spec row and the join replicates nothing
+      states.foreach { case (key, (ulo, uhi, _)) =>
+        if (ulo == uhi) resolved += key -> signedOf(ulo) }
+      val live = states.filter { case (_, (ulo, uhi, _)) => ulo != uhi }
+      if (live.isEmpty) { states = Map.empty }
+      else {
+        val specs = live.toSeq.groupBy { case (key, (ulo, uhi, _)) =>
+          (key._1, ulo, uhi) }
+        val shiftOf = specs.keys.map { case (g, ulo, uhi) =>
+          var shift = 0
+          while ((uhi >> shift) - (ulo >> shift) + 1 > buckets) shift += log2B
+          (g, ulo, uhi) -> shift
+        }.toMap
+        val specRows = specs.keys.toSeq.map { case sk @ (g, ulo, uhi) =>
+          org.apache.spark.sql.Row(g, signedOf(ulo), signedOf(uhi), shiftOf(sk)) }
+        val specSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__g", groupType),
+          org.apache.spark.sql.types.StructField("__lo", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__hi", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__shift", org.apache.spark.sql.types.IntegerType)))
+        val spec = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(specRows).asJava), specSchema)
+        // ONE job for every live interval of every group: broadcast hash
+        // join on the group key, range filter, map-side-combined count per
+        // (group, interval, cell); collect ≤ specRows·buckets rows
+        val hist = vals
+          .join(broadcast(spec), "__g")
+          .where(col("__v").between(col("__lo"), col("__hi")))
+          .groupBy(col("__g"), col("__lo"), call_function("shiftrightunsigned",
+            col("__v").bitwiseXOR(lit(Long.MinValue)), col("__shift")).as("__cell"))
+          .agg(count(lit(1)).as("__c"))
+          .collect()
+          .groupBy(r => (r.get(0), r.getLong(1)))
+          .map { case (k, rows) =>
+            k -> rows.map(r => cellKeyToU(r.getLong(2)) -> r.getLong(3)).sortBy(_._1) }
+        val next = Map.newBuilder[(Any, String), (BigInt, BigInt, Long)]
+        for ((sk @ (g, ulo, uhi), probes) <- specs) {
+          val cells = hist((g, signedOf(ulo)))
+          val shift = shiftOf(sk)
+          for ((key, (_, _, k)) <- probes) {
+            var cum = 0L
+            var i = 0
+            while (cum + cells(i)._2 < k) { cum += cells(i)._2; i += 1 }
+            val cell = cells(i)._1
+            if (shift == 0) resolved += key -> signedOf(cell)
+            else {
+              val newLo = (cell << shift).max(ulo)
+              val newHi = ((cell << shift) + (BigInt(1) << shift) - 1).min(uhi)
+              next += key -> (newLo, newHi, k - cum)
+            }
+          }
+        }
+        states = next.result()
+      }
+    }
+    GroupedSelection(resolved, passes,
+      stats.map(r => r.get(0) -> r.getLong(1)).toMap)
+  }
+
+  final case class GroupedSelection(values: Map[(Any, String), Long],
+                                    passes: Int, groupCounts: Map[Any, Long])
+
+  /** One row per group with a long column per named rank — the
+    * oracle-comparable surface of [[selectRanksByGroup]]. */
+  def groupQuantilesDF(spark: SparkSession, df: DataFrame, groupCol: String,
+                       value: Column, ps: Seq[(String, Double)],
+                       buckets: Int = 256, maxGroups: Int = 4096): DataFrame = {
+    val sel = selectRanksByGroup(df, groupCol, value, ps, buckets, maxGroups)
+    val groupType = df.schema(groupCol).dataType
+    val rows = sel.groupCounts.keys.toSeq.map { g =>
+      org.apache.spark.sql.Row.fromSeq(
+        g +: ps.map { case (nm, _) => sel.values((g, nm)) }) }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(groupCol, groupType) +:
+        ps.map { case (nm, _) =>
+          org.apache.spark.sql.types.StructField(nm, org.apache.spark.sql.types.LongType) })
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
 }

@@ -76,6 +76,37 @@ class RefineSelectSpec extends SparkSpec {
     assert(sel.values("p28") === 8L)
   }
 
+  test("grouped selection matches per-group sorted truth with skewed sizes and diverged probes") {
+    val rnd = new scala.util.Random(3)
+    // wildly skewed groups: 4000 / 300 / 7 / 1 rows, disjoint wide ranges
+    val data =
+      Seq.fill(4000)(("a", rnd.nextLong() % 1000000007L)) ++
+      Seq.fill(300)(("b", rnd.nextInt(50).toLong - 25L)) ++
+      Seq.fill(7)(("c", rnd.nextLong())) ++
+      Seq(("d", 42L))
+    val df = data.toDF("g", "x")
+    val sel = graft.sketch.RefineSelect.selectRanksByGroup(
+      df, "g", col("x"), probs, buckets = 16)
+    for ((g, xs) <- data.groupBy(_._1)) {
+      val t = truth(xs.map(_._2))
+      for ((nm, want) <- t)
+        assert(sel.values((g, nm)) === want, s"group=$g rank=$nm")
+    }
+    assert(sel.groupCounts === Map("a" -> 4000L, "b" -> 300L, "c" -> 7L, "d" -> 1L))
+    // pass count tracks the WIDEST group's span, not the group count:
+    // full-Long span at buckets=16 ⇒ ≤ ceil(64/4)+1 passes
+    assert(sel.passes <= 17, s"passes=${sel.passes}")
+  }
+
+  test("grouped selection refuses unbounded group counts by contract") {
+    val df = (1L to 200L).map(i => (i, i)).toDF("g", "x")
+    val e = intercept[IllegalArgumentException] {
+      graft.sketch.RefineSelect.selectRanksByGroup(
+        df, "g", col("x"), Seq("p50" -> 0.5), maxGroups = 100)
+    }
+    assert(e.getMessage.contains("groups"))
+  }
+
   test("the refinement histogram never exceeds the bucket budget (shuffle payload bound)") {
     val rnd = new scala.util.Random(11)
     val xs = Seq.fill(3000)(rnd.nextLong())
