@@ -4202,6 +4202,23 @@ object SparkEntry {
       Seq("p25_cents" -> 0.25, "p50_cents" -> 0.5, "p90_cents" -> 0.9))
       .withColumnRenamed("l_returnflag", "returnflag")
 
+  /** EXACT equi-depth range binning (RefineSelect.exactRangeBounds +
+    * binOf): the skew-proof alternative to repartitionByRange's reservoir
+    * sample for balanced 100 TB writes — cut points are true order
+    * statistics, so per-bin counts deviate from n/k only by ties AT a
+    * bound. Output: per-bin row count and value range, the balance
+    * evidence itself. */
+  private def q250_balanced_range_bins(s: SparkSession, dir: String): DataFrame = {
+    import graft.sketch.RefineSelect
+    val cents = floor(col("l_extendedprice") * lit(100)).cast("long")
+    val li = Tables.lineitem(s, dir)
+    val bounds = RefineSelect.exactRangeBounds(li, cents, numBins = 8)
+    li.select(cents.as("v"))
+      .groupBy(RefineSelect.binOf(col("v"), bounds).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("v").as("min_cents"), max("v").as("max_cents"))
+  }
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4464,6 +4481,7 @@ object SparkEntry {
     "q247_stream_neardup_gate" -> (q247_stream_neardup_gate _),
     "q248_refine_quantiles" -> (q248_refine_quantiles _),
     "q249_group_quantiles" -> (q249_group_quantiles _),
+    "q250_balanced_range_bins" -> (q250_balanced_range_bins _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -7069,6 +7087,23 @@ object SparkEntry {
          min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS p50_cents,
          min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90_cents
        FROM r GROUP BY g""",
+    // q250: bounds_i = ceil((i/8)*n)-th smallest; bin = #{bounds < v}
+    "q250_balanced_range_bins" ->
+      """WITH t AS (
+           SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+         r AS (
+           SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+           FROM t),
+         b AS (
+           SELECT i, min(CASE WHEN rn >= ceil((i / 8.0) * n) THEN v END) AS bound
+           FROM r CROSS JOIN (SELECT unnest(range(1, 8)) AS i) ii
+           GROUP BY i),
+         binned AS (
+           SELECT t.v, (SELECT count(*) FROM b WHERE t.v > b.bound) AS bin
+           FROM t)
+       SELECT bin, count(*) AS n_rows,
+         min(v) AS min_cents, max(v) AS max_cents
+       FROM binned GROUP BY bin""",
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),

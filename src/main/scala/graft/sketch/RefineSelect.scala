@@ -88,28 +88,48 @@ object RefineSelect {
 
     while (states.nonEmpty) {
       passes += 1
-      // probes sharing an interval share one scan (pass 1: all of them)
-      val byInterval = states.groupBy { case (_, (ulo, uhi, _)) => (ulo, uhi) }
-      val next = Map.newBuilder[String, (BigInt, BigInt, Long)]
-      for (((ulo, uhi), probes) <- byInterval) {
-        if (ulo == uhi) { // interval collapsed without a final scan
-          probes.keys.foreach(nm => resolved += nm -> signedOf(ulo))
-        } else {
+      // probes sharing an interval share a spec row (pass 1: all of them);
+      // diverged probes' intervals are DISJOINT (cell-aligned siblings),
+      // so ONE scan serves every live interval: a codegen'd CASE chain
+      // tags each row with its interval id and that interval's cell —
+      // no join, no per-interval job, one map-side-combined aggregate
+      states.foreach { case (nm, (ulo, uhi, _)) =>
+        if (ulo == uhi) resolved += nm -> signedOf(ulo) } // collapsed: free
+      val live = states.filter { case (_, (ulo, uhi, _)) => ulo != uhi }
+      if (live.isEmpty) { states = Map.empty }
+      else {
+        val byInterval = live.groupBy { case (_, (ulo, uhi, _)) => (ulo, uhi) }
+        val specs = byInterval.keys.toSeq.map { case (ulo, uhi) =>
           // smallest granularity covering the interval with ≤ B cells
           var shift = 0
           while ((uhi >> shift) - (ulo >> shift) + 1 > buckets) shift += log2B
-          val (sLo, sHi) = (signedOf(ulo), signedOf(uhi))
-          val hist = vals.where(col("__v").between(sLo, sHi))
-            .groupBy(shiftrightunsigned(
-              col("__v").bitwiseXOR(lit(Long.MinValue)), shift).as("__cell"))
-            .agg(count(lit(1)).as("__c"))
-            .collect() // ≤ `buckets` rows by construction
-            .map(r => cellKeyToU(r.getLong(0)) -> r.getLong(1)).sortBy(_._1)
-          for ((nm, (_, _, k)) <- probes) {
+          (ulo, uhi, shift)
+        }
+        val u = col("__v").bitwiseXOR(lit(Long.MinValue))
+        val iid = coalesce(specs.zipWithIndex.map { case ((ulo, uhi, _), idx) =>
+          when(col("__v").between(signedOf(ulo), signedOf(uhi)), lit(idx)) }: _*)
+        val cellOf = coalesce(specs.map { case (ulo, uhi, shift) =>
+          when(col("__v").between(signedOf(ulo), signedOf(uhi)),
+            shiftrightunsigned(u, shift)) }: _*)
+        // enclosing range predicate for columnar row-group skipping
+        val encLo = signedOf(specs.map(_._1).min)
+        val encHi = signedOf(specs.map(_._2).max)
+        val hist = vals
+          .where(col("__v").between(encLo, encHi) && iid.isNotNull)
+          .groupBy(iid.as("__i"), cellOf.as("__cell"))
+          .agg(count(lit(1)).as("__c"))
+          .collect() // ≤ intervals·buckets rows, intervals ≤ |ps|
+          .groupBy(_.getInt(0))
+          .map { case (i, rows) =>
+            i -> rows.map(r => cellKeyToU(r.getLong(1)) -> r.getLong(2)).sortBy(_._1) }
+        val next = Map.newBuilder[String, (BigInt, BigInt, Long)]
+        for (((ulo, uhi, shift), idx) <- specs.zipWithIndex) {
+          val cells = hist(idx)
+          for ((nm, (_, _, k)) <- byInterval((ulo, uhi))) {
             var cum = 0L
             var i = 0
-            while (cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
-            val cell = hist(i)._1
+            while (cum + cells(i)._2 < k) { cum += cells(i)._2; i += 1 }
+            val cell = cells(i)._1
             if (shift == 0) resolved += nm -> signedOf(cell)
             else {
               val newLo = (cell << shift).max(ulo)
@@ -118,8 +138,8 @@ object RefineSelect {
             }
           }
         }
+        states = next.result()
       }
-      states = next.result()
     }
     Selection(resolved, passes, n)
   }
@@ -255,6 +275,30 @@ object RefineSelect {
 
   final case class GroupedSelection(values: Map[(Any, String), Long],
                                     passes: Int, groupCounts: Map[Any, Long])
+
+  /** EXACT equi-depth cut points: bound_i = the ceil(i/k·n)-th smallest,
+    * i ∈ [1, k). Spark's own `repartitionByRange` draws these from a
+    * reservoir SAMPLE — fine until a heavy key or a lumpy distribution
+    * lands 10× the average in one output file; these bounds are exact, so
+    * imbalance can only come from ties AT a bound (all equal values land
+    * in one bin by definition — that residual skew is the data's, not the
+    * sampler's). Cost: the same O(log_B range) refinement passes, all k−1
+    * bounds resolved together sharing every scan. */
+  def exactRangeBounds(df: DataFrame, value: Column, numBins: Int,
+                       buckets: Int = 1024): Seq[Long] = {
+    require(numBins >= 2, s"exactRangeBounds: numBins=$numBins")
+    val ps = (1 until numBins).map(i => s"b$i" -> i.toDouble / numBins)
+    val sel = selectRanks(df, value, ps, buckets)
+    (1 until numBins).map(i => sel.values(s"b$i"))
+  }
+
+  /** Bin index for [[exactRangeBounds]] cut points: #{bounds < v}, a
+    * codegen'd higher-order function over the literal bounds array —
+    * values equal to a bound fall in the LOWER bin (rank semantics).
+    * Feed this to `write.partitionBy` / `repartition` for balanced
+    * output. */
+  def binOf(value: Column, bounds: Seq[Long]): Column =
+    size(filter(array(bounds.map(lit): _*), b => value > b))
 
   /** One row per group with a long column per named rank — the
     * oracle-comparable surface of [[selectRanksByGroup]]. */

@@ -107,6 +107,33 @@ class RefineSelectSpec extends SparkSpec {
     assert(e.getMessage.contains("groups"))
   }
 
+  test("exact range bounds yield balanced bins and a balanced partitioned write") {
+    import graft.sketch.RefineSelect
+    val rnd = new scala.util.Random(5)
+    // lumpy distribution: a sampler's failure mode, exact bounds' bread
+    val xs = Seq.fill(4000)(rnd.nextGaussian() * 1000).map(_.toLong) ++
+      Seq.fill(4000)(rnd.nextLong() % 100L)
+    val df = xs.toDF("x")
+    val k = 8
+    val bounds = RefineSelect.exactRangeBounds(df, col("x"), k)
+    assert(bounds.length === k - 1 && bounds === bounds.sorted)
+    val counts = df.groupBy(RefineSelect.binOf(col("x"), bounds).as("bin"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === (0 until k).toSet)
+    // exact bounds: each bin holds ceil(i/k*n)-ceil((i-1)/k*n) rows ± ties
+    // at the bound; this data's max tie run is tiny, so ±15% of n/k
+    val ideal = xs.size.toDouble / k
+    counts.values.foreach(c => assert(math.abs(c - ideal) < 0.15 * ideal,
+      s"bin sizes $counts vs ideal $ideal"))
+
+    // the write-side contract: partitionBy(bin) → k balanced directories
+    val out = java.nio.file.Files.createTempDirectory("graft_bins").toString
+    df.withColumn("bin", RefineSelect.binOf(col("x"), bounds))
+      .write.mode("overwrite").partitionBy("bin").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("bin="))
+    assert(dirs.length === k)
+  }
+
   test("the refinement histogram never exceeds the bucket budget (shuffle payload bound)") {
     val rnd = new scala.util.Random(11)
     val xs = Seq.fill(3000)(rnd.nextLong())
