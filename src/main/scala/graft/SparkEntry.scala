@@ -4219,6 +4219,19 @@ object SparkEntry {
         min("v").as("min_cents"), max("v").as("max_cents"))
   }
 
+  /** TOKEN-MASS corpus percentiles (RefineSelect weighted): the smallest
+    * document length L such that ceil(p·totalTokens) of the corpus's
+    * TOKENS live in documents of ≤ L tokens — the statistic sequence-
+    * packing and shard-sizing decisions actually need (a row-count median
+    * says where the documents are; the token-mass median says where the
+    * DATA is). Same refinement passes, bucket counts become bucket token
+    * sums. */
+  private def q251_tokenmass_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokenCount(col("text"))
+    graft.sketch.RefineSelect.quantilesDF(s, Tables.documents(s, dir),
+      toks, Seq("p50_len" -> 0.5, "p90_len" -> 0.9), weight = toks)
+  }
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4482,6 +4495,7 @@ object SparkEntry {
     "q248_refine_quantiles" -> (q248_refine_quantiles _),
     "q249_group_quantiles" -> (q249_group_quantiles _),
     "q250_balanced_range_bins" -> (q250_balanced_range_bins _),
+    "q251_tokenmass_quantiles" -> (q251_tokenmass_quantiles _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -7104,6 +7118,21 @@ object SparkEntry {
        SELECT bin, count(*) AS n_rows,
          min(v) AS min_cents, max(v) AS max_cents
        FROM binned GROUP BY bin""",
+    // q251: weighted rank = smallest v whose tie-inclusive cumulative
+    // token mass reaches ceil(p*totalTokens); RANGE window frame gives
+    // exactly the tie-group-inclusive cumsum
+    "q251_tokenmass_quantiles" ->
+      """WITH toks AS (
+           SELECT cast(len(list_filter(string_split_regex(text, '\s+'),
+             x -> len(x) > 0)) as bigint) AS v
+           FROM documents),
+         r AS (
+           SELECT v, sum(v) OVER (ORDER BY v) AS cw, sum(v) OVER () AS tw
+           FROM toks)
+       SELECT
+         min(CASE WHEN cw >= ceil(0.5 * tw) THEN v END) AS p50_len,
+         min(CASE WHEN cw >= ceil(0.9 * tw) THEN v END) AS p90_len
+       FROM r""",
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),

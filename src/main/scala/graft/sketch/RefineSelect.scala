@@ -44,25 +44,37 @@ import org.apache.spark.sql.functions._
 object RefineSelect {
 
   /** Resolved order statistics plus audit facts: `passes` is the number of
-    * refinement scans after the one min/max/count pass, `n` the non-null
-    * row count. `passes ≤ ceil(bitlength(span) / log2(buckets))`. */
+    * refinement scans after the one min/max/count pass, `n` the total
+    * MASS — row count unweighted, sum of weights weighted.
+    * `passes ≤ ceil(bitlength(span) / log2(buckets))`. */
   final case class Selection(values: Map[String, Long], passes: Int, n: Long)
 
   /** Seek each named rank `ceil(p·n)`-th smallest of `value` (cast to
-    * long; nulls dropped). `buckets` must be a power of two ≥ 2. */
+    * long; nulls dropped). `buckets` must be a power of two ≥ 2.
+    *
+    * `weight` generalizes every rank to MASS: the result for p is the
+    * smallest v whose cumulative weight (over values ≤ v) reaches
+    * ceil(p·totalWeight) — token-mass document-length percentiles
+    * ("half the corpus's tokens live in docs of ≤ L tokens"), byte-mass
+    * medians, etc. Weights cast to long; rows with null or non-positive
+    * weight are dropped (they cannot carry mass). The refinement
+    * machinery is unchanged — bucket counts become bucket weight sums,
+    * still one map-side-combined aggregate per pass. */
   def selectRanks(df: DataFrame, value: Column, ps: Seq[(String, Double)],
-                  buckets: Int = 1024): Selection = {
+                  buckets: Int = 1024, weight: Column = lit(1L)): Selection = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
       s"selectRanks: probabilities must be in (0,1], got $ps")
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"selectRanks: buckets must be a power of two >= 2, got $buckets")
     val log2B = java.lang.Integer.numberOfTrailingZeros(buckets)
 
-    val vals = df.select(value.cast("long").as("__v")).where(col("__v").isNotNull)
-    val head = vals.agg(count(lit(1)).as("n"), min("__v").as("lo"),
+    val vals = df.select(value.cast("long").as("__v"),
+        weight.cast("long").as("__w"))
+      .where(col("__v").isNotNull && col("__w") > 0)
+    val head = vals.agg(sum("__w").as("n"), min("__v").as("lo"),
       max("__v").as("hi")).head()
+    require(!head.isNullAt(0), "selectRanks: no rows with positive weight")
     val n = head.getLong(0)
-    require(n > 0, "selectRanks: no non-null values")
     val gLo = head.getLong(1)
     val gHi = head.getLong(2)
 
@@ -117,7 +129,7 @@ object RefineSelect {
         val hist = vals
           .where(col("__v").between(encLo, encHi) && iid.isNotNull)
           .groupBy(iid.as("__i"), cellOf.as("__cell"))
-          .agg(count(lit(1)).as("__c"))
+          .agg(sum("__w").as("__c"))
           .collect() // ≤ intervals·buckets rows, intervals ≤ |ps|
           .groupBy(_.getInt(0))
           .map { case (i, rows) =>
@@ -147,8 +159,9 @@ object RefineSelect {
   /** One-row DataFrame with a long column per named rank — the
     * oracle-comparable surface of [[selectRanks]]. */
   def quantilesDF(spark: SparkSession, df: DataFrame, value: Column,
-                  ps: Seq[(String, Double)], buckets: Int = 1024): DataFrame = {
-    val sel = selectRanks(df, value, ps, buckets)
+                  ps: Seq[(String, Double)], buckets: Int = 1024,
+                  weight: Column = lit(1L)): DataFrame = {
+    val sel = selectRanks(df, value, ps, buckets, weight)
     val cols = ps.map { case (name, _) => lit(sel.values(name)).as(name) }
     spark.range(1).select(cols: _*)
   }
@@ -283,12 +296,16 @@ object RefineSelect {
     * imbalance can only come from ties AT a bound (all equal values land
     * in one bin by definition — that residual skew is the data's, not the
     * sampler's). Cost: the same O(log_B range) refinement passes, all k−1
-    * bounds resolved together sharing every scan. */
+    * bounds resolved together sharing every scan.
+    *
+    * `weight` makes the bins equal-MASS instead of equal-count: pass the
+    * payload byte length to get equal-BYTE output files (the thing file
+    * sizing actually wants), a token count for equal-token shards. */
   def exactRangeBounds(df: DataFrame, value: Column, numBins: Int,
-                       buckets: Int = 1024): Seq[Long] = {
+                       buckets: Int = 1024, weight: Column = lit(1L)): Seq[Long] = {
     require(numBins >= 2, s"exactRangeBounds: numBins=$numBins")
     val ps = (1 until numBins).map(i => s"b$i" -> i.toDouble / numBins)
-    val sel = selectRanks(df, value, ps, buckets)
+    val sel = selectRanks(df, value, ps, buckets, weight)
     (1 until numBins).map(i => sel.values(s"b$i"))
   }
 

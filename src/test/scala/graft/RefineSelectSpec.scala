@@ -107,6 +107,31 @@ class RefineSelectSpec extends SparkSpec {
     assert(e.getMessage.contains("groups"))
   }
 
+  test("weighted selection: mass-cumulative truth, zero/negative weights carry no mass") {
+    import graft.sketch.RefineSelect
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(3000)((rnd.nextInt(500).toLong - 250L, rnd.nextInt(20).toLong + 1L)) ++
+      Seq((-999L, 0L), (999L, -5L)) // must be inert: no mass
+    val df = rows.toDF("v", "w")
+    val sel = RefineSelect.selectRanks(df, col("v"),
+      Seq("p50" -> 0.5, "p90" -> 0.9), weight = col("w"))
+    // ground truth: smallest v whose tie-inclusive cumulative weight
+    // reaches ceil(p * totalWeight)
+    val live = rows.filter(_._2 > 0).sortBy(_._1)
+    val tw = live.map(_._2).sum
+    def wtruth(p: Double): Long = {
+      val k = math.ceil(p * tw).toLong
+      var cum = 0L
+      live.find { case (_, w) => cum += w; cum >= k }.get._1
+    }
+    assert(sel.n === tw)
+    assert(sel.values("p50") === wtruth(0.5))
+    assert(sel.values("p90") === wtruth(0.9))
+    // unweighted call unchanged: n is the row count
+    val unw = RefineSelect.selectRanks(df, col("v"), Seq("p50" -> 0.5))
+    assert(unw.n === rows.size)
+  }
+
   test("exact range bounds yield balanced bins and a balanced partitioned write") {
     import graft.sketch.RefineSelect
     val rnd = new scala.util.Random(5)
