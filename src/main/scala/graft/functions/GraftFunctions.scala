@@ -43,6 +43,14 @@ object GraftFunctions {
       case Seq(hashes, k) => HashExprs.MinHashSignature(hashes, intArg(k, "k"))
       case args => throw new IllegalArgumentException(s"minhash_signature(hashes, k): got ${args.length} args")
     }),
+    ("det_shingle_hashes", "det_shingle_hashes(text, n) - 28-bit md5 prefix of each word n-gram (engine-portable family)", {
+      case Seq(text, n) => HashExprs.DetShingleHashes(text, intArg(n, "shingle n"))
+      case args => throw new IllegalArgumentException(s"det_shingle_hashes(text, n): got ${args.length} args")
+    }),
+    ("det_minhash_signature", "det_minhash_signature(hashes, k) - k-entry deterministic affine MinHash signature (md5 family)", {
+      case Seq(hashes, k) => HashExprs.DetMinHashSignature(hashes, intArg(k, "k"))
+      case args => throw new IllegalArgumentException(s"det_minhash_signature(hashes, k): got ${args.length} args")
+    }),
     ("simhash64", "simhash64(text) - 64-bit SimHash fingerprint", {
       case Seq(text) => HashExprs.SimHash64(text)
       case args => throw new IllegalArgumentException(s"simhash64(text): got ${args.length} args")

@@ -87,6 +87,55 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** md5-family deterministic shingle hashes
+    * ([[HashAlgs.detShingleHashes]]): 28-bit md5 prefix per word n-gram —
+    * the engine-portable sibling of [[ShingleHashes]], same tokenizer,
+    * md5 instead of xxhash64. */
+  case class DetShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "det_shingle_hashes"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashAlgs.detShingleHashes(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashAlgs.detShingleHashes($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Deterministic affine MinHash signature (engine-portable md5 family,
+    * [[HashAlgs.detMinhashSignature]]) — the codegen'd twin of the
+    * Dedup.detPerm HOF pipeline: same values, one tight k·n loop instead
+    * of k·n interpreted lambda evaluations. */
+  case class DetMinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<BIGINT>, got $t")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "det_minhash_signature"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashAlgs.detMinhashSignature(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+         ${ev.value} = graft.functions.HashAlgs.detMinhashSignature($c, $k);
+         ${ev.isNull} = (${ev.value} == null);
+         """)
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Intersection size of two ASCENDING-sorted long arrays — single merge
     * scan (O(n+m)) instead of array_intersect's per-call hash set. Used by
     * the exact similarity joins' verify step, where it runs once per
@@ -123,6 +172,12 @@ object HashExprs {
 
   def minhash_signature(shingleHashes: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingleHashes), k))
+
+  def det_minhash_signature(detHashes: Column, k: Int): Column =
+    toCol(DetMinHashSignature(toExpr(detHashes), k))
+
+  def det_shingle_hashes(text: Column, n: Int): Column =
+    toCol(DetShingleHashes(toExpr(text), n))
 
   def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
 

@@ -74,7 +74,13 @@ object NearDupGate {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // a single-file source is a single input split: without this
+      // round-robin exchange the md5-affine banding (the CPU-heavy part,
+      // ~dozens of md5s per doc) runs on ONE core regardless of cluster
+      // width. Min-id keeper semantics are order-free, so the exchange
+      // cannot change the drained result — measured 276 s → 9 s at sf0.1
       val docs = spark.readStream.schema(schema).parquet(parquetGlob)
+        .repartition(spark.sparkContext.defaultParallelism)
       val buckets = graft.dedup.Dedup.detMinhashBuckets(docs, "doc_id", "text", bands, rows)
         .select(concat_ws(":", col("band"), col("bucket")).as("bucket_key"),
           col("band"), col("id").as("doc_id"))

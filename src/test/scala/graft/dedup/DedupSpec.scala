@@ -202,6 +202,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.winnowFingerprintsDet(short, "doc_id", "text").count() === 0L)
   }
 
+  test("native det shingle+minhash expressions are bit-identical to the HOF string pipeline") {
+    import graft.functions.HashExprs.{det_minhash_signature, det_shingle_hashes}
+    val k = 32
+    // hash-set equality: the native kernel skips array_distinct (inert
+    // under the min fold), so compare SETS of shingle hashes
+    val hofSets = docs
+      .select($"doc_id", Dedup.detShingleSet($"text").as("ws"))
+      .withColumn("hs", transform($"ws", w => Dedup.detTokenHash(w)))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet)
+    val natSets = docs
+      .select($"doc_id", det_shingle_hashes($"text", 3).as("hs"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    assert(natSets.toSeq === hofSets.toSeq)
+
+    // end-to-end signature equality against the fully-interpreted form
+    val viaExpr = docs
+      .select($"doc_id", det_shingle_hashes($"text", 3).as("hs"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id", det_minhash_signature($"hs", k).as("sig"))
+    val viaHof = docs
+      .select($"doc_id", Dedup.detShingleSet($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .withColumn("hs", transform($"ws", w => Dedup.detTokenHash(w)))
+      .select($"doc_id", transform(sequence(lit(0L), lit((k - 1).toLong)),
+        i => array_min(transform($"hs", h => Dedup.detPerm(i, h)))).as("sig"))
+    val a = viaExpr.orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val b = viaHof.orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("det MinHash bands and the xxhash64 kernel path agree on planted dup clusters") {
     // same corpus through both hash families: the verified pair sets must
     // agree on the planted relations (exact + near dups), the det form
