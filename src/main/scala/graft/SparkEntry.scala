@@ -4232,6 +4232,17 @@ object SparkEntry {
       toks, Seq("p50_len" -> 0.5, "p90_len" -> 0.9), weight = toks)
   }
 
+  /** DISTRIBUTION DRIFT MONITOR ([[graft.sketch.Drift.binnedDrift]]):
+    * token-length drift of the odd-id half of the corpus against the
+    * even-id half — exact equi-depth bins from the REFERENCE side
+    * (RefineSelect bounds), per-bin counts both sides, and the
+    * integer-scaled total-variation term |n_ref·N_cur − n_cur·N_ref| —
+    * all-integer, so the monitor a PSI would approximate is hash-exact
+    * here. */
+  private def q252_dist_drift(s: SparkSession, dir: String): DataFrame =
+    graft.sketch.Drift.binnedDrift(Tables.documents(s, dir),
+      col("doc_id") % 2 === 0, TextOps.tokenCount(col("text")), numBins = 8)
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4496,6 +4507,7 @@ object SparkEntry {
     "q249_group_quantiles" -> (q249_group_quantiles _),
     "q250_balanced_range_bins" -> (q250_balanced_range_bins _),
     "q251_tokenmass_quantiles" -> (q251_tokenmass_quantiles _),
+    "q252_dist_drift" -> (q252_dist_drift _),
   )
 
   /** q154's oracle, shared with q160's temporal lookup. */
@@ -7133,6 +7145,30 @@ object SparkEntry {
          min(CASE WHEN cw >= ceil(0.5 * tw) THEN v END) AS p50_len,
          min(CASE WHEN cw >= ceil(0.9 * tw) THEN v END) AS p90_len
        FROM r""",
+    // q252: reference-side equi-depth bounds (q250's rule), per-bin
+    // counts both sides, integer TV term |n_ref*Nc - n_cur*Nr|
+    "q252_dist_drift" ->
+      """WITH t AS (
+           SELECT doc_id % 2 = 0 AS is_ref,
+             cast(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) as bigint) AS v
+           FROM documents),
+         r AS (
+           SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+           FROM t WHERE is_ref),
+         b AS (
+           SELECT i, min(CASE WHEN rn >= ceil((i / 8.0) * n) THEN v END) AS bound
+           FROM r CROSS JOIN (SELECT unnest(range(1, 8)) AS i) ii
+           GROUP BY i),
+         binned AS (
+           SELECT (SELECT count(*) FROM b WHERE t.v > b.bound) AS bin,
+             cast(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) as bigint) AS n_ref,
+             cast(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) as bigint) AS n_cur
+           FROM t GROUP BY 1),
+         tot AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc FROM binned)
+       SELECT bin, n_ref, n_cur,
+         cast(abs(n_ref * nc - n_cur * nr) as bigint) AS tv_term
+       FROM binned, tot""",
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),

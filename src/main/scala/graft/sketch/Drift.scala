@@ -1,0 +1,55 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINING-DATA DISTRIBUTION DRIFT between a reference slice and a
+  * current slice of the same corpus — the monitor a continuously-ingesting
+  * pipeline runs per batch ("has the token-length / quality / score
+  * distribution moved since the snapshot we trained on?").
+  *
+  * Mechanics built for hash-exactness AND scale:
+  * - Bin edges are EXACT equi-depth cut points of the REFERENCE slice
+  *   ([[RefineSelect.exactRangeBounds]] — O(log_B range) narrow scans, no
+  *   sort), so every reference bin holds ~n_ref/k mass by construction
+  *   and drift reads directly as current-side imbalance.
+  * - The per-bin statistic is the INTEGER-scaled total-variation term
+  *   |n_ref(b)·N_cur − n_cur(b)·N_ref|; total-variation distance is
+  *   Σ terms / (2·N_ref·N_cur). All-integer ⇒ bit-identical in any
+  *   engine — no ln/division, which is what keeps a PSI-style monitor
+  *   out of oracle reach (IEEE `ln` is not cross-engine stable).
+  * - One pass over the corpus after the bounds (a single
+  *   map-side-combined groupBy on the codegen'd bin expression); the
+  *   only collect is the k-row binned frame itself (bounded by `numBins`).
+  */
+object Drift {
+
+  /** One row per occupied bin: (bin, n_ref, n_cur, tv_term). Rows where
+    * `value` is null are dropped; `isRef` must be a boolean column
+    * partitioning the remainder. TV distance = Σ tv_term / (2·Nr·Nc). */
+  def binnedDrift(df: DataFrame, isRef: Column, value: Column, numBins: Int,
+                  buckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    val tagged = df.select(isRef.as("__ref"), value.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val bounds = RefineSelect.exactRangeBounds(
+      tagged.where(col("__ref")), col("__v"), numBins, buckets)
+    val binned = tagged
+      .groupBy(RefineSelect.binOf(col("__v"), bounds).cast("long").as("bin"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("n_cur"))
+      .collect() // ≤ numBins rows by construction (binOf range is [0, k))
+    val nr = binned.map(_.getLong(1)).sum
+    val nc = binned.map(_.getLong(2)).sum
+    // worst term is nr·nc — representable iff the product fits a long
+    // (each side < ~3e9 rows). Beyond that, drift should be computed on
+    // a per-shard slice or the counts pre-scaled; fail loudly, not wrap.
+    require(nr == 0 || nc == 0 || nr <= Long.MaxValue / nc,
+      s"binnedDrift: N_ref*N_cur = $nr*$nc overflows the integer TV scale")
+    import spark.implicits._
+    binned.toSeq.map { r =>
+      val (b, cr, cc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      (b, cr, cc, math.abs(cr * nc - cc * nr))
+    }.toDF("bin", "n_ref", "n_cur", "tv_term")
+  }
+}

@@ -159,6 +159,40 @@ class RefineSelectSpec extends SparkSpec {
     assert(dirs.length === k)
   }
 
+  test("drift monitor: identical slices give zero TV everywhere; a planted shift concentrates mass") {
+    import graft.sketch.Drift
+    val rnd = new scala.util.Random(21)
+    val base = Seq.fill(2000)(rnd.nextInt(1000).toLong)
+    // current = exact copy of reference → every tv_term must be 0
+    val same = base.map(v => (true, v)) ++ base.map(v => (false, v))
+    val zero = Drift.binnedDrift(same.toDF("is_ref", "v"),
+      col("is_ref"), col("v"), numBins = 8).collect()
+    assert(zero.nonEmpty && zero.forall(_.getLong(3) === 0L))
+    // counts per bin agree with a direct computation
+    assert(zero.map(r => r.getLong(1)).sum === 2000L)
+    assert(zero.forall(r => r.getLong(1) === r.getLong(2)))
+
+    // planted drift: current shifted up by 500 → low bins starve, TV > 0
+    val shifted = base.map(v => (true, v)) ++ base.map(v => (false, v + 500L))
+    val drifted = Drift.binnedDrift(shifted.toDF("is_ref", "v"),
+      col("is_ref"), col("v"), numBins = 8).collect()
+    val tv = drifted.map(_.getLong(3)).sum
+    // TV distance = Σ/(2·Nr·Nc); the +500 shift moves about half the mass
+    assert(tv > 0L)
+    assert(tv.toDouble / (2.0 * 2000 * 2000) > 0.2)
+    // ground truth cross-check against a direct per-bin count
+    val bounds = graft.sketch.RefineSelect.exactRangeBounds(
+      base.map(v => v).toDF("v"), col("v"), 8)
+    def binIdx(v: Long) = bounds.count(_ < v)
+    val refC = base.groupBy(binIdx).view.mapValues(_.size.toLong).toMap
+    val curC = base.map(_ + 500L).groupBy(binIdx).view.mapValues(_.size.toLong).toMap
+    drifted.foreach { r =>
+      val b = r.getLong(0).toInt
+      assert(r.getLong(1) === refC.getOrElse(b, 0L), s"bin $b ref")
+      assert(r.getLong(2) === curC.getOrElse(b, 0L), s"bin $b cur")
+    }
+  }
+
   test("the refinement histogram never exceeds the bucket budget (shuffle payload bound)") {
     val rnd = new scala.util.Random(11)
     val xs = Seq.fill(3000)(rnd.nextLong())
