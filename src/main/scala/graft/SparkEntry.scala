@@ -7088,7 +7088,8 @@ object SparkEntry {
     // same IEEE ceil(p*n) the Scala side computes
     "q248_refine_quantiles" ->
       """WITH t AS (
-           SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+           SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
          r AS (
            SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
            FROM t)
@@ -7102,7 +7103,8 @@ object SparkEntry {
       """WITH t AS (
            SELECT l_returnflag AS g,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
-           FROM lineitem),
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
          r AS (
            SELECT g, v,
              row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
@@ -7116,7 +7118,8 @@ object SparkEntry {
     // q250: bounds_i = ceil((i/8)*n)-th smallest; bin = #{bounds < v}
     "q250_balanced_range_bins" ->
       """WITH t AS (
-           SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+           SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
          r AS (
            SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
            FROM t),
@@ -7137,7 +7140,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT cast(len(list_filter(string_split_regex(text, '\s+'),
              x -> len(x) > 0)) as bigint) AS v
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          r AS (
            SELECT v, sum(v) OVER (ORDER BY v) AS cw, sum(v) OVER () AS tw
            FROM toks)
@@ -7152,7 +7155,7 @@ object SparkEntry {
            SELECT doc_id % 2 = 0 AS is_ref,
              cast(len(list_filter(string_split_regex(text, '\s+'),
                x -> len(x) > 0)) as bigint) AS v
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          r AS (
            SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
            FROM t WHERE is_ref),

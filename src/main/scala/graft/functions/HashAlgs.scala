@@ -169,6 +169,11 @@ object HashAlgs {
       if (hashes.isNullAt(i))
         throw new IllegalArgumentException("det_minhash_signature: null element in hash array")
       h(i) = hashes.getLong(i)
+      // the affine family's no-overflow guarantee (a·h ≤ 2^50) holds only
+      // on the 28-bit domain — out-of-range input would wrap silently
+      if (h(i) < 0L || h(i) >= 268435456L)
+        throw new IllegalArgumentException(
+          s"det_minhash_signature: hash ${h(i)} outside the 28-bit domain [0, 2^28)")
       i += 1
     }
     val out = new Array[Long](k)

@@ -26,6 +26,8 @@ object HashExprs {
   /** array<long> of xxhash64 hashes of word n-gram shingles of `text`. */
   case class ShingleHashes(child: Expression, n: Int, seed: Long = 42L)
       extends UnaryExpression {
+    require(n >= 1, s"shingle_hashes: n must be >= 1, got $n " +
+      "(n <= 0 would hash nTok+1 empty shingles to one constant)")
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
@@ -93,6 +95,8 @@ object HashExprs {
     * md5 instead of xxhash64. */
   case class DetShingleHashes(child: Expression, n: Int)
       extends UnaryExpression {
+    require(n >= 1, s"det_shingle_hashes: n must be >= 1, got $n " +
+      "(n <= 0 would hash nTok+1 empty shingles to one constant)")
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")

@@ -43,6 +43,26 @@ import org.apache.spark.sql.functions._
   */
 object RefineSelect {
 
+  // ---- unsigned order space, shared by the global and grouped paths ----
+  // ub(v) = v XOR Long.MinValue reinterpreted unsigned, i.e. BigInt(v) +
+  // 2^63 — a monotone bijection signed → [0, 2^64). signedOf inverts it.
+  // cellKeyToU reinterprets a collected signed long as its unsigned value.
+  private val HALF = BigInt(1) << 63
+  private def ub(v: Long): BigInt = BigInt(v) + HALF
+  private def signedOf(u: BigInt): Long = (u - HALF).toLong
+  private def cellKeyToU(x: Long): BigInt =
+    if (x >= 0) BigInt(x) else BigInt(x) + (BigInt(1) << 64)
+
+  /** Walk a bucket histogram (ascending unsigned cells) to the cell where
+    * cumulative mass reaches k; returns (cell, massBefore). The k ≤ total
+    * mass invariant is maintained by both callers. */
+  private def walkCells(cells: Array[(BigInt, Long)], k: Long): (BigInt, Long) = {
+    var cum = 0L
+    var i = 0
+    while (cum + cells(i)._2 < k) { cum += cells(i)._2; i += 1 }
+    (cells(i)._1, cum)
+  }
+
   /** Resolved order statistics plus audit facts: `passes` is the number of
     * refinement scans after the one min/max/count pass, `n` the total
     * MASS — row count unweighted, sum of weights weighted.
@@ -82,14 +102,6 @@ object RefineSelect {
     // oracle can say ceil(p*n) too (BigDecimal here would DISAGREE with a
     // SQL oracle's double ceil on fp-wobbly products like 0.1*30)
     def rank(p: Double): Long = math.ceil(p * n).toLong.max(1L).min(n)
-
-    // unsigned order space: ub(v) = v XOR Long.MinValue as unsigned,
-    // i.e. BigInt(v) + 2^63 — a monotone bijection signed → [0, 2^64)
-    val HALF = BigInt(1) << 63
-    def ub(v: Long): BigInt = BigInt(v) + HALF
-    def signedOf(u: BigInt): Long = (u - HALF).toLong
-    // the signed long whose unsigned-space cell is c at granularity s
-    def cellKeyToU(x: Long): BigInt = if (x >= 0) BigInt(x) else BigInt(x) + (BigInt(1) << 64)
 
     // state: seek the k-th smallest among values in the unsigned-space
     // interval [ulo, uhi] — always a whole run of 2^shift-aligned cells
@@ -138,10 +150,7 @@ object RefineSelect {
         for (((ulo, uhi, shift), idx) <- specs.zipWithIndex) {
           val cells = hist(idx)
           for ((nm, (_, _, k)) <- byInterval((ulo, uhi))) {
-            var cum = 0L
-            var i = 0
-            while (cum + cells(i)._2 < k) { cum += cells(i)._2; i += 1 }
-            val cell = cells(i)._1
+            val (cell, cum) = walkCells(cells, k)
             if (shift == 0) resolved += nm -> signedOf(cell)
             else {
               val newLo = (cell << shift).max(ulo)
@@ -180,7 +189,9 @@ object RefineSelect {
     * out of the frame, so late passes scan only the unresolved groups'
     * ranges. Pass count is driven by the WIDEST group's span: ≤
     * ⌈64/log2(buckets)⌉ + 1 scans total regardless of group count — vs
-    * one sort partition per group for the window-function form.
+    * one sort partition per group for the window-function form. Rows
+    * with a NULL group key are dropped (the per-pass equi-join is
+    * null-unsafe by design).
     */
   def selectRanksByGroup(df: DataFrame, groupCol: String, value: Column,
                          ps: Seq[(String, Double)], buckets: Int = 256,
@@ -192,8 +203,12 @@ object RefineSelect {
     val log2B = java.lang.Integer.numberOfTrailingZeros(buckets)
     val spark = df.sparkSession
 
+    // null group keys are DROPPED (documented contract): the per-pass
+    // broadcast equi-join on __g is null-unsafe, so a null group would
+    // seed a live interval whose histogram never materializes and crash
+    // the walk — excluding it up front keeps stats and scans consistent
     val vals = df.select(col(groupCol).as("__g"), value.cast("long").as("__v"))
-      .where(col("__v").isNotNull)
+      .where(col("__v").isNotNull && col("__g").isNotNull)
     val stats = vals.groupBy("__g")
       .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
       .limit(maxGroups + 1).collect()
@@ -202,12 +217,6 @@ object RefineSelect {
         "collect is groups-bounded by contract; for unbounded groups use " +
         "HistogramQuantiles (bounded domain) or a sort (q58)")
     val groupType = df.schema(groupCol).dataType
-
-    val HALF = BigInt(1) << 63
-    def ub(v: Long): BigInt = BigInt(v) + HALF
-    def signedOf(u: BigInt): Long = (u - HALF).toLong
-    def cellKeyToU(x: Long): BigInt =
-      if (x >= 0) BigInt(x) else BigInt(x) + (BigInt(1) << 64)
 
     // per (group, probe): unsigned interval + remaining rank
     var states: Map[(Any, String), (BigInt, BigInt, Long)] =
@@ -267,10 +276,7 @@ object RefineSelect {
           val cells = hist((g, signedOf(ulo)))
           val shift = shiftOf(sk)
           for ((key, (_, _, k)) <- probes) {
-            var cum = 0L
-            var i = 0
-            while (cum + cells(i)._2 < k) { cum += cells(i)._2; i += 1 }
-            val cell = cells(i)._1
+            val (cell, cum) = walkCells(cells, k)
             if (shift == 0) resolved += key -> signedOf(cell)
             else {
               val newLo = (cell << shift).max(ulo)
