@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * pipeline runs per batch ("has the token-length / quality / score
   * distribution moved since the snapshot we trained on?").
   *
+  * The statistic is total-variation distance over reference-quantile bins —
+  * the same binning scheme as the population-stability-index (PSI) monitors
+  * standard in production ML (equi-depth bins from the reference slice),
+  * with TV in place of PSI's Σ(p−q)·ln(p/q) because TV is exactly
+  * representable in integers while ln is not cross-engine stable.
+  *
   * Mechanics built for hash-exactness AND scale:
   * - Bin edges are EXACT equi-depth cut points of the REFERENCE slice
   *   ([[RefineSelect.exactRangeBounds]] — O(log_B range) narrow scans, no

@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** EXACT order statistics over an UNBOUNDED integer domain WITHOUT a global
-  * sort: iterative bucket-refinement selection (distributed k-th smallest,
-  * the multi-pass generalization of median-of-medians to a cluster).
+  * sort: iterative bucket-refinement selection (distributed k-th smallest —
+  * the classic multi-pass selection idea of Munro & Paterson, "Selection and
+  * Sorting with Limited Storage", TCS 1980, realized as histogram passes the
+  * way BigQuery/Presto-style engines compute APPROX quantiles, except the
+  * refinement runs to exactness).
   *
   * This closes the regime [[HistogramQuantiles]] explicitly punts on: a
   * continuous/high-cardinality measure where the value histogram would be

@@ -193,6 +193,37 @@ class RefineSelectSpec extends SparkSpec {
     }
   }
 
+  test("randomized trials: arbitrary distributions, buckets, probs and weights match sorted truth") {
+    import graft.sketch.RefineSelect
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 8) {
+      val n = 200 + rnd.nextInt(1500)
+      // rotate through qualitatively different shapes
+      val xs = (trial % 4) match {
+        case 0 => Seq.fill(n)(rnd.nextLong()) // full range
+        case 1 => Seq.fill(n)(rnd.nextInt(30).toLong - 15) // heavy ties
+        case 2 => Seq.fill(n)((rnd.nextGaussian() * 1e6).toLong) // clumped
+        case _ => Seq.fill(n)(if (rnd.nextBoolean()) 0L else rnd.nextLong()) // bimodal
+      }
+      val b = 1 << (1 + rnd.nextInt(7)) // 2..128
+      val p = 0.01 + rnd.nextDouble() * 0.99
+      val sel = RefineSelect.selectRanks(xs.toDF("x"), col("x"),
+        Seq("q" -> p), buckets = b)
+      val want = xs.sorted.apply((math.ceil(p * n).toLong.max(1L) - 1).toInt)
+      assert(sel.values("q") === want, s"trial=$trial n=$n b=$b p=$p")
+
+      // weighted twin on the same data
+      val ws = xs.map(_ => rnd.nextInt(9).toLong + 1L)
+      val selW = RefineSelect.selectRanks(xs.zip(ws).toDF("x", "w"), col("x"),
+        Seq("q" -> p), buckets = b, weight = col("w"))
+      val tw = ws.sum
+      val k = math.ceil(p * tw).toLong
+      var cum = 0L
+      val wantW = xs.zip(ws).sortBy(_._1).find { case (_, w) => cum += w; cum >= k }.get._1
+      assert(selW.values("q") === wantW, s"weighted trial=$trial n=$n b=$b p=$p")
+    }
+  }
+
   test("the refinement histogram never exceeds the bucket budget (shuffle payload bound)") {
     val rnd = new scala.util.Random(11)
     val xs = Seq.fill(3000)(rnd.nextLong())

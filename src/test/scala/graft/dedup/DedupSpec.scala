@@ -234,6 +234,23 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("det kernels fail loudly on bad input: out-of-domain hash, n<1 shingles, empty array null") {
+    import graft.functions.HashExprs.{det_minhash_signature, det_shingle_hashes}
+    // 28-bit domain is validated, not assumed (silent wrap would corrupt)
+    val bad = Seq(Seq(1L << 40)).toDF("hs")
+    val e = intercept[Exception] {
+      bad.select(det_minhash_signature($"hs", 4)).collect()
+    }
+    assert(e.getMessage.contains("28-bit") || e.getCause != null)
+    // n < 1 rejected at construction
+    intercept[IllegalArgumentException] {
+      det_shingle_hashes(lit("a b c"), 0)
+    }
+    // no shingles → null signature (mirrors array_min-on-empty semantics)
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+    assert(empty.select(det_minhash_signature($"hs", 4)).head().isNullAt(0))
+  }
+
   test("det MinHash bands and the xxhash64 kernel path agree on planted dup clusters") {
     // same corpus through both hash families: the verified pair sets must
     // agree on the planted relations (exact + near dups), the det form
