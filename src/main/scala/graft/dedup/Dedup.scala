@@ -442,23 +442,17 @@ object Dedup {
   def winnowFingerprintsDet(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 2, s"winnowFingerprintsDet: k=$k w=$w")
+    // det_shingle_hashes IS the ordered, undeduped k-gram hash array this
+    // needed (positions implicit by index, 1-based via element_at
+    // convention); winnow_select replaces the O(n·w) interpreted
+    // min/tie/dedup lambdas with one O(n) monotone-deque kernel pass —
+    // DedupSpec pins bit-equality of pos AND fp against the HOF form
+    import graft.functions.HashExprs.{det_shingle_hashes, winnow_select}
     docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
-      // need at least one full window of k-grams: n ≥ k + w − 1
-      .filter(size(col("ts")) >= k + w - 1)
-      // stage the k-gram hash array as an attribute (lambda bodies
-      // re-evaluate nested subexpressions per element)
-      .withColumn("hs", transform(sequence(lit(1), size(col("ts")) - (k - 1)),
-        i => detTokenHash(concat_ws(" ",
-          (0 until k).map(d => element_at(col("ts"), i + d)): _*))))
-      .select(col("id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("hs")) - (w - 1)), i => {
-          val mh = array_min(slice(col("hs"), i, lit(w)))
-          struct(
-            array_max(filter(sequence(i, i + (w - 1)),
-              j => element_at(col("hs"), j) === mh)).cast("long").as("pos"),
-            mh.as("fp"))
-        }))).as("sel"))
+      .select(col(idCol).as("id"), det_shingle_hashes(col(textCol), k).as("hs"))
+      // need at least one full window of k-grams: |hs| = n−k+1 ≥ w
+      .filter(size(col("hs")) >= w)
+      .select(col("id"), explode(winnow_select(col("hs"), w)).as("sel"))
       .select(col("id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
   }
 }

@@ -51,6 +51,10 @@ object GraftFunctions {
       case Seq(hashes, k) => HashExprs.DetMinHashSignature(hashes, intArg(k, "k"))
       case args => throw new IllegalArgumentException(s"det_minhash_signature(hashes, k): got ${args.length} args")
     }),
+    ("winnow_select", "winnow_select(hashes, w) - robust-winnowing window minima (rightmost ties, deduped)", {
+      case Seq(hashes, w) => HashExprs.WinnowSelect(hashes, intArg(w, "window w"))
+      case args => throw new IllegalArgumentException(s"winnow_select(hashes, w): got ${args.length} args")
+    }),
     ("simhash64", "simhash64(text) - 64-bit SimHash fingerprint", {
       case Seq(text) => HashExprs.SimHash64(text)
       case args => throw new IllegalArgumentException(s"simhash64(text): got ${args.length} args")

@@ -194,6 +194,52 @@ object HashAlgs {
     new GenericArrayData(out)
   }
 
+  /** Robust-winnowing window selection (Schleimer et al., SIGMOD 2003)
+    * over a k-gram hash array: for each length-`w` window emit the
+    * window minimum with the RIGHTMOST position among ties, deduplicated
+    * on (pos, fp) in first-occurrence order — bit-identical to the HOF
+    * form (array_min + array_max-of-tied-positions per window) but a
+    * single O(n) monotone-deque pass instead of O(n·w) interpreted
+    * lambdas. Positions are 1-based (element_at convention), matching
+    * the SQL oracle. Returns array<struct<pos:bigint, fp:bigint>>. */
+  def winnowSelect(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    val nWin = n - w + 1
+    if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (hashes.isNullAt(i))
+        throw new IllegalArgumentException("winnow_select: null element in hash array")
+      h(i) = hashes.getLong(i)
+      i += 1
+    }
+    // monotone deque of indices, values strictly increasing front→back;
+    // popping `>=` on push makes the front the rightmost minimum of ties
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    // fp is a function of the selected index, so (pos, fp) dedup = pos dedup
+    val emitted = new Array[Boolean](n)
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow](nWin)
+    i = 0
+    while (i < n) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val minIdx = dq(head)
+        if (!emitted(minIdx)) {
+          emitted(minIdx) = true
+          rows += org.apache.spark.sql.catalyst.InternalRow(
+            (minIdx + 1).toLong, h(minIdx)) // 1-based position
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
   /** Intersection size of two ascending-sorted long arrays (merge scan).
     * Duplicates are counted pairwise (inputs here are distinct sets).
     * Null elements are rejected loudly (getLong on a null slot is undefined). */

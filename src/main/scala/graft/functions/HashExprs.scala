@@ -140,6 +140,31 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Robust-winnowing window selection ([[HashAlgs.winnowSelect]]):
+    * array<struct<pos,fp>> of deduped window minima with rightmost
+    * tie-break — one O(n) deque pass vs the O(n·w) HOF form. */
+  case class WinnowSelect(child: Expression, w: Int)
+      extends UnaryExpression {
+    require(w >= 2, s"winnow_select: window must be >= 2, got $w")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<BIGINT>, got $t")
+    }
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "winnow_select"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashAlgs.winnowSelect(input.asInstanceOf[ArrayData], w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashAlgs.winnowSelect($c, $w);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Intersection size of two ASCENDING-sorted long arrays — single merge
     * scan (O(n+m)) instead of array_intersect's per-call hash set. Used by
     * the exact similarity joins' verify step, where it runs once per
@@ -182,6 +207,9 @@ object HashExprs {
 
   def det_shingle_hashes(text: Column, n: Int): Column =
     toCol(DetShingleHashes(toExpr(text), n))
+
+  def winnow_select(hashes: Column, w: Int): Column =
+    toCol(WinnowSelect(toExpr(hashes), w))
 
   def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
 

@@ -234,6 +234,35 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("winnow_select kernel is bit-identical to the HOF window-min form (pos AND fp)") {
+    import graft.functions.HashExprs.{det_shingle_hashes, winnow_select}
+    val (k, w) = (3, 4)
+    // the HOF form winnowFingerprintsDet used before the kernel rewrite
+    val hof = docs
+      .select($"doc_id".as("id"), graft.text.TextOps.tokens($"text").as("ts"))
+      .filter(size($"ts") >= k + w - 1)
+      .withColumn("hs", transform(sequence(lit(1), size($"ts") - (k - 1)),
+        i => Dedup.detTokenHash(concat_ws(" ",
+          (0 until k).map(d => element_at($"ts", i + d)): _*))))
+      .select($"id", explode(array_distinct(
+        transform(sequence(lit(1), size($"hs") - (w - 1)), i => {
+          val mh = array_min(slice($"hs", i, lit(w)))
+          struct(
+            array_max(filter(sequence(i, i + (w - 1)),
+              j => element_at($"hs", j) === mh)).cast("long").as("pos"),
+            mh.as("fp"))
+        }))).as("sel"))
+      .select($"id", $"sel.pos".as("pos"), $"sel.fp".as("fp"))
+    val kernel = docs
+      .select($"doc_id".as("id"), det_shingle_hashes($"text", k).as("hs"))
+      .filter(size($"hs") >= w)
+      .select($"id", explode(winnow_select($"hs", w)).as("sel"))
+      .select($"id", $"sel.pos".as("pos"), $"sel.fp".as("fp"))
+    val a = kernel.orderBy("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = hof.orderBy("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
+
   test("det kernels fail loudly on bad input: out-of-domain hash, n<1 shingles, empty array null") {
     import graft.functions.HashExprs.{det_minhash_signature, det_shingle_hashes}
     // 28-bit domain is validated, not assumed (silent wrap would corrupt)
