@@ -4243,6 +4243,34 @@ object SparkEntry {
     graft.sketch.Drift.binnedDrift(Tables.documents(s, dir),
       col("doc_id") % 2 === 0, TextOps.tokenCount(col("text")), numBins = 8)
 
+  /** The drift monitor IN the ingest stream
+    * ([[graft.sketch.Drift.driftOverParquet]]): reference bins and counts
+    * frozen from the even-id snapshot, the odd-id half arrives as a
+    * parquet stream, and each micro-batch maintains only k bin counts of
+    * streaming state (complete mode = "distribution so far"). A bounded
+    * drain over the same rows is row-identical to the batch monitor, so
+    * q253's oracle IS q252's — the q51/q60 streaming-equals-batch
+    * pattern applied to data-quality gating. */
+  private def q253_stream_drift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fixture = fixtureCache.computeIfAbsent(s"docs1f:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_docs1f").toString
+      Tables.documents(s, dir).select("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    graft.sketch.Drift.driftOverParquet(s,
+      refDf = Tables.documents(s, dir).where(col("doc_id") % 2 === 0),
+      refValue = TextOps.tokenCount(col("text")),
+      parquetGlob = fixture, schema = schema,
+      streamValue = TextOps.tokenCount(col("text")),
+      streamFilter = col("doc_id") % 2 === 1,
+      numBins = 8,
+      name = s"q253_drift_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4508,7 +4536,33 @@ object SparkEntry {
     "q250_balanced_range_bins" -> (q250_balanced_range_bins _),
     "q251_tokenmass_quantiles" -> (q251_tokenmass_quantiles _),
     "q252_dist_drift" -> (q252_dist_drift _),
+    "q253_stream_drift" -> (q253_stream_drift _),
   )
+
+  /** q252's oracle, shared with q253's streaming drain (row-identical by
+    * construction): even-id half = reference, odd-id half = current. */
+  private val distDriftOracleSql: String =
+    """WITH t AS (
+           SELECT doc_id % 2 = 0 AS is_ref,
+             cast(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) as bigint) AS v
+           FROM documents WHERE text IS NOT NULL),
+         r AS (
+           SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+           FROM t WHERE is_ref),
+         b AS (
+           SELECT i, min(CASE WHEN rn >= ceil((i / 8.0) * n) THEN v END) AS bound
+           FROM r CROSS JOIN (SELECT unnest(range(1, 8)) AS i) ii
+           GROUP BY i),
+         binned AS (
+           SELECT (SELECT count(*) FROM b WHERE t.v > b.bound) AS bin,
+             cast(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) as bigint) AS n_ref,
+             cast(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) as bigint) AS n_cur
+           FROM t GROUP BY 1),
+         tot AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc FROM binned)
+       SELECT bin, n_ref, n_cur,
+         cast(abs(n_ref * nc - n_cur * nr) as bigint) AS tv_term
+       FROM binned, tot"""
 
   /** q154's oracle, shared with q160's temporal lookup. */
   private val scd2OracleSql: String =
@@ -7150,28 +7204,11 @@ object SparkEntry {
        FROM r""",
     // q252: reference-side equi-depth bounds (q250's rule), per-bin
     // counts both sides, integer TV term |n_ref*Nc - n_cur*Nr|
-    "q252_dist_drift" ->
-      """WITH t AS (
-           SELECT doc_id % 2 = 0 AS is_ref,
-             cast(len(list_filter(string_split_regex(text, '\s+'),
-               x -> len(x) > 0)) as bigint) AS v
-           FROM documents WHERE text IS NOT NULL),
-         r AS (
-           SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
-           FROM t WHERE is_ref),
-         b AS (
-           SELECT i, min(CASE WHEN rn >= ceil((i / 8.0) * n) THEN v END) AS bound
-           FROM r CROSS JOIN (SELECT unnest(range(1, 8)) AS i) ii
-           GROUP BY i),
-         binned AS (
-           SELECT (SELECT count(*) FROM b WHERE t.v > b.bound) AS bin,
-             cast(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) as bigint) AS n_ref,
-             cast(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) as bigint) AS n_cur
-           FROM t GROUP BY 1),
-         tot AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc FROM binned)
-       SELECT bin, n_ref, n_cur,
-         cast(abs(n_ref * nc - n_cur * nr) as bigint) AS tv_term
-       FROM binned, tot""",
+    "q252_dist_drift" -> distDriftOracleSql,
+    // q253: the STREAMING monitor's bounded drain over the same rows is
+    // row-identical to the batch monitor — shared oracle (q51/q60
+    // streaming-equals-batch pattern)
+    "q253_stream_drift" -> distDriftOracleSql,
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),

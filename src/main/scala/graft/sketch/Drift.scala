@@ -1,7 +1,9 @@
 package graft.sketch
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 /** TRAINING-DATA DISTRIBUTION DRIFT between a reference slice and a
   * current slice of the same corpus — the monitor a continuously-ingesting
@@ -55,6 +57,54 @@ object Drift {
     import spark.implicits._
     binned.toSeq.map { r =>
       val (b, cr, cc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      (b, cr, cc, math.abs(cr * nc - cc * nr))
+    }.toDF("bin", "n_ref", "n_cur", "tv_term")
+  }
+
+  /** The drift monitor IN the ingest stream — the production shape: bins
+    * and reference counts are FROZEN from a static snapshot (one bounds
+    * computation + one k-row collect, before the stream starts), then
+    * every arriving micro-batch aggregates only `groupBy(bin).count` —
+    * a k-row streaming state, no raw rows retained. The drained snapshot
+    * is compared against the frozen reference exactly like
+    * [[binnedDrift]], so a bounded drain over the same rows is
+    * row-identical to the batch form (q253's oracle IS q252's). Complete
+    * output mode: each trigger emits the cumulative per-bin counts —
+    * the monitor's natural "distribution so far" semantics. */
+  def driftOverParquet(spark: SparkSession, refDf: DataFrame, refValue: Column,
+                       parquetGlob: String, schema: StructType,
+                       streamValue: Column, streamFilter: Column,
+                       numBins: Int, name: String,
+                       buckets: Int = 1024): DataFrame = {
+    val ref = refDf.select(refValue.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val bounds = RefineSelect.exactRangeBounds(ref, col("__v"), numBins, buckets)
+    val refCounts = ref
+      .groupBy(RefineSelect.binOf(col("__v"), bounds).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_ref"))
+      .collect() // ≤ numBins rows
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nr = refCounts.values.sum
+
+    val counts = spark.readStream.schema(schema).parquet(parquetGlob)
+      .where(streamFilter)
+      .select(streamValue.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(RefineSelect.binOf(col("__v"), bounds).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+    val q = counts.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val cur = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nc = cur.values.sum
+    require(nr == 0 || nc == 0 || nr <= Long.MaxValue / nc,
+      s"driftOverParquet: N_ref*N_cur = $nr*$nc overflows the integer TV scale")
+    import spark.implicits._
+    (refCounts.keySet ++ cur.keySet).toSeq.sorted.map { b =>
+      val (cr, cc) = (refCounts.getOrElse(b, 0L), cur.getOrElse(b, 0L))
       (b, cr, cc, math.abs(cr * nc - cc * nr))
     }.toDF("bin", "n_ref", "n_cur", "tv_term")
   }

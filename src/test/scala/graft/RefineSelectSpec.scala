@@ -224,6 +224,33 @@ class RefineSelectSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift monitor drains to the batch monitor's exact rows (multi-file stream)") {
+    import graft.sketch.Drift
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 3000L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(40))("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    // stream side written as FOUR files: the drained complete-mode
+    // snapshot must be file-layout-independent
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_stream").toString
+    df.repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tok = graft.text.TextOps.tokenCount(col("text"))
+    val streamed = Drift.driftOverParquet(spark,
+      refDf = df.where(col("doc_id") % 2 === 0), refValue = tok,
+      parquetGlob = dir, schema = schema,
+      streamValue = tok, streamFilter = col("doc_id") % 2 === 1,
+      numBins = 8, name = "drift_spec_drain").collect().toSeq
+    val batch = Drift.binnedDrift(
+      df.withColumn("is_ref", col("doc_id") % 2 === 0),
+      col("is_ref"), tok, numBins = 8).collect().toSeq
+    def key(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(key(streamed) === key(batch))
+  }
+
   test("the refinement histogram never exceeds the bucket budget (shuffle payload bound)") {
     val rnd = new scala.util.Random(11)
     val xs = Seq.fill(3000)(rnd.nextLong())
