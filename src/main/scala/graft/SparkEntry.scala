@@ -364,6 +364,20 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Shared (doc_id, text) parquet fixture for the streaming queries,
+    * written once per (dir, file count) per JVM. q247 uses files = 1
+    * (guarantees its drain is ONE micro-batch, the property its min-id
+    * oracle form needs); q253 uses files = 8 (its complete-mode count is
+    * batching-independent by spec, and a single file would pin the
+    * in-stream tokenCount to one input split — the q247 lesson). */
+  private def docsStreamFixture(s: SparkSession, dir: String, files: Int): String =
+    fixtureCache.computeIfAbsent(s"docs${files}f:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_docs${files}f").toString
+      Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(files).write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** MinHash+LSH near-dup pairs (the 100 TB-scale dedup path; no SQL oracle —
     * hash-family specific). */
   private def q36_minhash_lsh(s: SparkSession, dir: String): DataFrame =
@@ -4162,12 +4176,7 @@ object SparkEntry {
     import org.apache.spark.sql.types._
     // single-file fixture: one micro-batch, so the drained output equals
     // the batch closed form regardless of file-source batching
-    val fixture = fixtureCache.computeIfAbsent(s"docs1f:$dir", _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_docs1f").toString
-      Tables.documents(s, dir).select("doc_id", "text")
-        .coalesce(1).write.mode("overwrite").parquet(p)
-      p
-    })
+    val fixture = docsStreamFixture(s, dir, files = 1)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     graft.streaming.NearDupGate.gateOverParquet(s, fixture, schema,
@@ -4253,12 +4262,9 @@ object SparkEntry {
     * pattern applied to data-quality gating. */
   private def q253_stream_drift(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val fixture = fixtureCache.computeIfAbsent(s"docs1f:$dir", _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_docs1f").toString
-      Tables.documents(s, dir).select("doc_id", "text")
-        .coalesce(1).write.mode("overwrite").parquet(p)
-      p
-    })
+    // 8 files: the in-stream tokenCount parallelizes across input splits
+    // (complete-mode counting is batching-independent, spec-proven)
+    val fixture = docsStreamFixture(s, dir, files = 8)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     graft.sketch.Drift.driftOverParquet(s,

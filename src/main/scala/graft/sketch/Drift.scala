@@ -47,16 +47,25 @@ object Drift {
       .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("__ref"), 1L).otherwise(0L)).as("n_cur"))
       .collect() // ≤ numBins rows by construction (binOf range is [0, k))
-    val nr = binned.map(_.getLong(1)).sum
-    val nc = binned.map(_.getLong(2)).sum
-    // worst term is nr·nc — representable iff the product fits a long
-    // (each side < ~3e9 rows). Beyond that, drift should be computed on
-    // a per-shard slice or the counts pre-scaled; fail loudly, not wrap.
+    compare(spark,
+      binned.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      binned.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+  }
+
+  /** The shared comparison tail: overflow-guarded integer TV terms over
+    * the union of occupied bins. Worst term is Nr·Nc — representable iff
+    * the product fits a long (each side < ~3e9 rows); beyond that, drift
+    * should be computed per shard or the counts pre-scaled — fail
+    * loudly, not wrap. */
+  private def compare(spark: SparkSession, refCounts: Map[Long, Long],
+                      curCounts: Map[Long, Long]): DataFrame = {
+    val nr = refCounts.values.sum
+    val nc = curCounts.values.sum
     require(nr == 0 || nc == 0 || nr <= Long.MaxValue / nc,
-      s"binnedDrift: N_ref*N_cur = $nr*$nc overflows the integer TV scale")
+      s"drift: N_ref*N_cur = $nr*$nc overflows the integer TV scale")
     import spark.implicits._
-    binned.toSeq.map { r =>
-      val (b, cr, cc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    (refCounts.keySet ++ curCounts.keySet).toSeq.sorted.map { b =>
+      val (cr, cc) = (refCounts.getOrElse(b, 0L), curCounts.getOrElse(b, 0L))
       (b, cr, cc, math.abs(cr * nc - cc * nr))
     }.toDF("bin", "n_ref", "n_cur", "tv_term")
   }
@@ -84,7 +93,6 @@ object Drift {
       .agg(count(lit(1)).as("n_ref"))
       .collect() // ≤ numBins rows
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val nr = refCounts.values.sum
 
     val counts = spark.readStream.schema(schema).parquet(parquetGlob)
       .where(streamFilter)
@@ -99,13 +107,8 @@ object Drift {
 
     val cur = spark.table(name).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val nc = cur.values.sum
-    require(nr == 0 || nc == 0 || nr <= Long.MaxValue / nc,
-      s"driftOverParquet: N_ref*N_cur = $nr*$nc overflows the integer TV scale")
-    import spark.implicits._
-    (refCounts.keySet ++ cur.keySet).toSeq.sorted.map { b =>
-      val (cr, cc) = (refCounts.getOrElse(b, 0L), cur.getOrElse(b, 0L))
-      (b, cr, cc, math.abs(cr * nc - cc * nr))
-    }.toDF("bin", "n_ref", "n_cur", "tv_term")
+    // rows are fully collected — the memory-sink view has no further use
+    spark.catalog.dropTempView(name)
+    compare(spark, refCounts, cur)
   }
 }

@@ -270,7 +270,11 @@ class DedupSpec extends SparkSpec {
     val e = intercept[Exception] {
       bad.select(det_minhash_signature($"hs", 4)).collect()
     }
-    assert(e.getMessage.contains("28-bit") || e.getCause != null)
+    // the 28-bit validation specifically must have fired somewhere in the
+    // wrapped cause chain — any other failure mode should FAIL this test
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("28-bit")), s"cause chain: $messages")
     // n < 1 rejected at construction
     intercept[IllegalArgumentException] {
       det_shingle_hashes(lit("a b c"), 0)
