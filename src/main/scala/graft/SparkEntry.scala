@@ -6857,7 +6857,7 @@ object SparkEntry {
          d AS (SELECT unnest(range(0, 16)) AS dim)
          SELECT q.vec_id, cast(d.dim as bigint) AS dim,
            cast(list_sum(list_transform(range(0, len(qv)),
-             i -> qv[i+1] * ((i * 131 + d.dim * 37) % 101 % 3 - 1))) as bigint) AS val
+             i -> qv[i+1] * ((i * 131 + d.dim * 37) * (i * 131 + d.dim * 37 + 1) % 4099 % 3 - 1))) as bigint) AS val
          FROM q, d""",
     // q211: integer cents, exact integer numerator, one mirrored double
     // division + addition (the q92 deterministic-IEEE convention)
@@ -7842,7 +7842,7 @@ object SparkEntry {
   private def lshDetOracleSql(tables: Int, nbits: Int, k: Int): String = {
     def planeSum(r: Int): String =
       s"""cast(list_sum(list_transform(range(0, len(qv)),
-               j -> qv[j+1] * (((j * 131 + ${r * 37}) % 101 % 3) - 1))) as bigint)"""
+               j -> qv[j+1] * (((j * 131 + ${r * 37}) * (j * 131 + ${r * 37} + 1) % 4099 % 3) - 1))) as bigint)"""
     def bucketSql(t: Int): String =
       (0 until nbits).map(b =>
         s"(CASE WHEN ${planeSum(t * nbits + b)} >= 0 THEN ${1L << b} ELSE 0 END)")

@@ -63,25 +63,39 @@ object Similarity {
     */
   def knnClassify(neighbors: DataFrame, labels: DataFrame,
                   qId: String = "query_id", nId: String = "neighbor_id",
-                  labelCol: String = "label"): DataFrame =
+                  labelCol: String = "label"): DataFrame = {
+    // the smallest-label tie-break negates the label, which silently
+    // yields NULL pred_label for every row on a string label column —
+    // refuse loudly instead (map string labels to codes upstream)
+    require(labels.schema(labelCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"knnClassify: label column '$labelCol' must be numeric " +
+        s"(got ${labels.schema(labelCol).dataType}) — the smallest-label " +
+        "tie-break negates it; encode categorical labels first")
     neighbors.select(qId, nId).join(labels, nId)
       .groupBy(col(qId), col(labelCol))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col(qId))
       .agg(max(struct(col("votes"), (-col(labelCol)).cast("long").as("neg"))).as("m"))
       .select(col(qId), (-col("m.neg")).as("pred_label"), col("m.votes").as("votes"))
+  }
 
   /** QUANTIZED SPARSE RANDOM PROJECTION — the Achlioptas {−1, 0, +1} flavor
     * of the Johnson–Lindenstrauss transform over integer-quantized
     * embeddings: x → round(x·2¹⁰) (float→double is exact and ·2¹⁰ is a pure
     * exponent shift, so the only rounding is the final round itself), then
     * out_j = Σ_i q_i · R(i, j) with the matrix entry R(i, j) =
-    * (((i·131 + j·37) mod 101) mod 3) − 1 from a closed-form integer
-    * formula — no stored matrix, no RNG state, bit-exact in ANY engine and
-    * under ANY partitioning. (The inner mod must exceed both dimensions
-    * and be coprime to the multipliers: anything linear taken mod 3
-    * directly is periodic with period 3 in BOTH indexes — every third
-    * output column identical — which the 101 detour breaks.) This is the dimensionality-reduction pass a 100 TB ANN
+    * ((x·(x+1) mod 4099) mod 3) − 1 where x = i·131 + j·37 — a closed-form
+    * integer formula: no stored matrix, no RNG state, bit-exact in ANY
+    * engine and under ANY partitioning. (Both the quadratic and the prime
+    * 4099 > 4096 are load-bearing: an AFFINE x mod P mod 3 is
+    * translation-structured — columns j and j+d alias wherever d·37 mod P
+    * lands on a multiple of 3 and no wrap intervenes, which duplicated
+    * output dimensions under the r6-era mod 101 AND under a plain
+    * mod-4099 swap; squaring breaks the translation symmetry, measured
+    * 256/256 distinct columns × 64/64 distinct rows in Round6Spec.)
+    * This is the
+    * dimensionality-reduction pass a 100 TB ANN
     * pipeline runs before indexing; the all-integer formulation means it
     * gets a hash-exact DuckDB oracle rather than a rows-only waiver.
     * Long output shape (id, dim, val) keeps the comparison scalar. Pure
@@ -91,12 +105,13 @@ object Similarity {
                          outDims: Int): DataFrame = {
     require(outDims >= 1 && outDims <= 4096, s"jlProjectQuantized: outDims=$outDims")
     df.select(col(idCol),
-        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1024) as bigint))").as("qv"))
+        quantize1024(col(vecCol)).as("qv"))
       .withColumn("dim", explode(expr(s"sequence(0, ${outDims - 1})")))
       .withColumn("val", expr(
         """aggregate(sequence(0, size(qv) - 1), 0L,
           |  (acc, i) -> acc + element_at(qv, i + 1) *
-          |    (cast((i * 131 + dim * 37) % 101 % 3 as bigint) - 1))""".stripMargin))
+          |    (cast(cast(i * 131 + dim * 37 as bigint) *
+          |          cast(i * 131 + dim * 37 + 1 as bigint) % 4099 % 3 as bigint) - 1))""".stripMargin))
       .select(col(idCol), col("dim").cast("long").as("dim"), col("val"))
   }
 
@@ -123,7 +138,7 @@ object Similarity {
                              k: Int): DataFrame = {
     require(k >= 1 && k <= 4096, s"centroidShardQuantized: k=$k")
     val q = vecs.select(col(idCol).as("__vid"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1024) as bigint))").as("__qv"))
+      quantize1024(col(vecCol)).as("__qv"))
     val cents = q.orderBy(col("__vid").asc).limit(k)
       .select(col("__vid").as("centroid_id"), col("__qv").as("__cv"))
     q.crossJoin(broadcast(cents))
@@ -269,8 +284,15 @@ object Similarity {
                                       k: Int, tau2Num: Long, tau2Den: Long): (DataFrame, DataFrame) = {
     require(k >= 1 && k <= 4096, s"semanticShardPairs: k=$k")
     require(tau2Num > 0 && tau2Den > 0, "semanticShardPairs: τ² must be a positive rational")
+    // overflow envelope: by Cauchy-Schwarz dot² ≤ na·nb, so both predicate
+    // sides are ≤ na·nb·max(τ² terms); na ≤ dim·qmax² is data-dependent,
+    // so the per-row guard below (raise_error) backstops what this static
+    // bound cannot see. A silent wrap would corrupt the kept/dup verdicts.
+    require(tau2Num <= (1L << 20) && tau2Den <= (1L << 20),
+      s"semanticShardPairs: τ² terms must be ≤ 2^20 (got $tau2Num/$tau2Den) — " +
+        "larger denominators push the integer predicate past the long envelope")
     val q = vecs.select(col(idCol).cast("long").as("__vid"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1024) as bigint))").as("__qv"))
+      quantize1024(col(vecCol)).as("__qv"))
     val cents = q.orderBy(col("__vid").asc).limit(k)
       .select(col("__vid").as("centroid_id"), col("__qv").as("__cv"))
     val assign = q.crossJoin(broadcast(cents))
@@ -279,7 +301,7 @@ object Similarity {
       .agg(min(struct(col("__d"), col("centroid_id"), col("__qv"))).as("m"))
       .select(col("__vid"), col("m.centroid_id").as("centroid_id"),
         col("m.__qv").as("__qv"), col("m.__d").as("__cd"))
-      .withColumn("__nr", expr("aggregate(__qv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("__nr", qnorm(col("__qv")))
     val l = assign.select(col("centroid_id"), col("__vid").as("id_a"),
       col("__qv").as("__qa"), col("__nr").as("na"))
     val r = assign.select(col("centroid_id"), col("__vid").as("id_b"),
@@ -287,7 +309,15 @@ object Similarity {
     val edges = l.join(r, Seq("centroid_id")).filter(col("id_a") < col("id_b"))
       .withColumn("__sqd", graft.functions.VectorExprs.quantized_sqdist(col("__qa"), col("__qb")))
       .withColumn("__dot", expr("(na + nb - __sqd) div 2"))
-      .filter(col("__dot") > 0 &&
+      // per-row overflow backstop (see the require above): dot² ≤ na·nb,
+      // so if na·nb·max(τ²) fits, both sides fit — checked in double
+      .withColumn("__envOk", when(
+        col("na").cast("double") * col("nb").cast("double") *
+          lit(math.max(tau2Num, tau2Den).toDouble) > lit(9.2e18),
+        raise_error(lit("semanticShardPairs: |a|^2*|b|^2*tau2 exceeds the " +
+          "long envelope — reduce dim, magnitude, or the tau2 denominator")))
+        .otherwise(lit(true)))
+      .filter(col("__envOk") && col("__dot") > 0 &&
         col("__dot") * col("__dot") * tau2Den >= col("na") * col("nb") * tau2Num)
       .select(col("id_a"), col("id_b"))
     (assign, edges)
@@ -348,7 +378,8 @@ object Similarity {
   /** DETERMINISTIC HYPERPLANE-LSH ANN — the hash-PROVEN twin of
     * [[lshBucketTopK]], the q212/q213 oracle-bridge discipline applied to
     * vector search: hyperplanes are the q210 closed-form integer ±1/0
-    * matrix w(r, j) = ((j·131 + r·37) mod 101 mod 3) − 1 with plane index
+    * matrix w(r, j) = ((x·(x+1) mod 4099) mod 3) − 1, x = j·131 + r·37
+    * (the q210 quadratic mixer — see jlProjectQuantized), with plane index
     * r = table·nbits + bit, sign buckets are integer sums over quantized
     * vectors, and the re-rank is the exact sign·cos²·2¹⁰ integer score —
     * so bucket assignment, WHICH candidates each table surfaces, and the
@@ -371,8 +402,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     def planeSum(qv: Column, r: Int): Column =
       aggregate(sequence(lit(0), size(qv) - 1), lit(0L),
-        (acc, i) => acc + element_at(qv, i + 1) *
-          (((i * 131 + lit(r * 37)) % 101 % 3).cast("long") - 1))
+        (acc, i) => acc + element_at(qv, i + 1) * {
+          val x = (i * 131 + lit(r * 37)).cast("long")
+          ((x * (x + 1)) % 4099 % 3) - 1
+        })
     def bucket(qv: Column, t: Int): Column =
       (0 until nbits).map(b =>
         when(planeSum(qv, t * nbits + b) >= 0, lit(1L << b)).otherwise(lit(0L)))
@@ -381,6 +414,10 @@ object Similarity {
       val q = df.select(col(id).cast("long").as(s"${pfx}id"),
           quantize1024(col(vec)).as(s"${pfx}v"))
         .withColumn(s"${pfx}n", qnorm(col(s"${pfx}v")))
+        // zero-norm quantized vectors have no cosine — qrel would be an
+        // integer div-by-zero in any engine (mmrRerankQuantized's rule,
+        // applied here too); excluded by contract on both sides
+        .where(col(s"${pfx}n") > 0)
       q.select(col(s"${pfx}id"), col(s"${pfx}v"), col(s"${pfx}n"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), bucket(col(s"${pfx}v"), t).as("bkt"))): _*)).as("tb"))
@@ -421,12 +458,17 @@ object Similarity {
       s"ivfDetTopK: k=$k nprobe=$nprobe nlist=$nlist")
     import org.apache.spark.sql.expressions.Window
     val cents = kmeansCentroidsQuantized(corpus, cId, cVec, nlist, iters)
+    // zero-norm quantized vectors have no cosine — qrel would be an
+    // integer div-by-zero in any engine; excluded by contract (the
+    // mmrRerankQuantized / lshDetTopK rule)
     val cells = kmeansAssign(quantizedCorpus(corpus, cId, cVec), cents)
       .select(col("__vid").as("cid"), col("cluster"), col("__qv").as("cv"))
       .withColumn("cn", qnorm(col("cv")))
+      .where(col("cn") > 0)
     val qq = quantizedCorpus(queries, qId, qVec)
       .select(col("__vid").as("qid"), col("__qv").as("qv"))
       .withColumn("qn", qnorm(col("qv")))
+      .where(col("qn") > 0)
     val probes = qq.crossJoin(broadcast(cents))
       .withColumn("__d", graft.functions.VectorExprs.quantized_sqdist(col("qv"), col("__cv")))
       .withColumn("rn", row_number().over(
@@ -557,7 +599,18 @@ object Similarity {
     * transform of cosine, pure integer ops (dot²·2¹⁰ ≤ 2⁶² for dim ≤ 64
     * quantized embeddings), identical in any engine. */
   private[sim] def qrel(dot: Column, na: Column, nb: Column): Column = {
-    val fd = call_function("div", dot * dot * lit(1024L), na * nb)
+    // overflow envelope via Cauchy-Schwarz: dot² ≤ na·nb, so dot²·1024
+    // fits a long iff na·nb ≤ 2⁶³/1024 ≈ 9.0e15 — checked in DOUBLE so
+    // the check itself cannot overflow; raise loudly instead of wrapping
+    // (a wrapped product silently mis-ranks). Zero norms are the
+    // CALLERS' contract: they must filter them (a zero-norm vector has
+    // no cosine — integer div-by-zero here, as in any engine).
+    val guarded = when(na.cast("double") * nb.cast("double") > lit(9.0e15),
+      raise_error(concat(lit("qrel: |a|^2*|b|^2 = "),
+        (na.cast("double") * nb.cast("double")).cast("string"),
+        lit(" exceeds the 2^63/1024 integer envelope (reduce dim or magnitude)"))))
+      .otherwise(dot * dot * lit(1024L))
+    val fd = call_function("div", guarded, na * nb)
     when(dot >= 0, fd).otherwise(-fd)
   }
 
@@ -732,7 +785,10 @@ object Similarity {
     val scored = centroids.map { case (id, cv) =>
       struct(cosine(vec, typedLit(cv)).as("cs"), lit(-id).as("negId"))
     }
-    -greatest(scored: _*).getField("negId")
+    // greatest() requires ≥ 2 args — a 1-centroid set (nlist=1, or a
+    // 1-row training sample) trivially assigns everything to it
+    if (scored.size == 1) -scored.head.getField("negId")
+    else -greatest(scored: _*).getField("negId")
   }
 
   /** Lloyd (k-means) refinement of an IVF centroid set: assign every corpus
@@ -839,7 +895,9 @@ object Similarity {
     // (a tiny dim table, not distributed data pulled to the driver)
     val spark = corpus.sparkSession
     val centroidRows = corpus
-      .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
+      // cast: getLong below would CCE on an Integer/String id schema —
+      // every other sampler here (quantizedCorpus, topKBlocked) casts too
+      .select(col(cId).cast("long").as("cent_id"), col(cVec).as("cent_vec"))
       .withColumn("__h", xxhash64(col("cent_id")))
       .orderBy(col("__h")).limit(nlistEff).drop("__h")
       .collect()
@@ -947,7 +1005,11 @@ object Similarity {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    // normalize -0.0 → 0.0 so Double.compare agrees with Spark SQL's
+    // ordering (which collapses signed zeros); NaN (zero-norm input)
+    // stays NaN and is ordered GREATEST by the callers, matching Spark
+    if (c == 0.0) 0.0 else c
   }
 
   /** EXACT all-pairs cosine-threshold join, blocked: the dense-regime
@@ -999,7 +1061,11 @@ object Similarity {
             while (j < lefts.length) {
               val (idJ, vJ) = lefts(j)
               val c = cosJvm(vI, vJ)
-              if (c >= thresh)
+              // !(c < thresh), not (c >= thresh): NaN (zero-norm input)
+              // must PASS, because Spark SQL's `cos_sim >= thresh` in the
+              // baseline kernel orders NaN greatest — a plain >= drops
+              // the pair here and forks the bit-identical contract
+              if (!(c < thresh))
                 out += (if (idI < idJ) (idI, idJ, c) else (idJ, idI, c))
               j += 1
             }
@@ -1013,7 +1079,11 @@ object Similarity {
             while (j < rights.length) {
               val (idJ, vJ) = rights(j)
               val c = cosJvm(vI, vJ)
-              if (c >= thresh)
+              // !(c < thresh), not (c >= thresh): NaN (zero-norm input)
+              // must PASS, because Spark SQL's `cos_sim >= thresh` in the
+              // baseline kernel orders NaN greatest — a plain >= drops
+              // the pair here and forks the bit-identical contract
+              if (!(c < thresh))
                 out += (if (idI < idJ) (idI, idJ, c) else (idJ, idI, c))
               j += 1
             }
@@ -1071,15 +1141,24 @@ object Similarity {
         it.foreach(t => (if (t._2) qs else cs) += ((t._3, t._4)))
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         qs.foreach { case (qid, qv) =>
-          // insertion top-k under (cos desc, id asc) — k is small
+          // insertion top-k under (cos desc, id asc) — k is small.
+          // Double.compare (NOT </>) so NaN cosines (zero-norm vectors)
+          // order GREATEST exactly as Spark SQL sorts them — a plain
+          // `c > buf` test is always false against NaN, which would let
+          // one NaN poison the buffer tail and silently drop true
+          // neighbors, diverging from bruteForceTopK
           val bc = new Array[Double](k); val bi = new Array[Long](k)
           var m = 0
           cs.foreach { case (cid, cv) =>
             if (cid != qid) {
               val c = cosJvm(qv, cv)
-              if (m < k || c > bc(m - 1) || (c == bc(m - 1) && cid < bi(m - 1))) {
+              val cmpLast = if (m == 0) 1 else java.lang.Double.compare(c, bc(m - 1))
+              if (m < k || cmpLast > 0 || (cmpLast == 0 && cid < bi(m - 1))) {
                 var pos = if (m < k) m else m - 1
-                while (pos > 0 && (c > bc(pos - 1) || (c == bc(pos - 1) && cid < bi(pos - 1)))) {
+                while (pos > 0 && {
+                  val cp = java.lang.Double.compare(c, bc(pos - 1))
+                  cp > 0 || (cp == 0 && cid < bi(pos - 1))
+                }) {
                   bc(pos) = bc(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
                 }
                 bc(pos) = c; bi(pos) = cid
@@ -1184,7 +1263,10 @@ object Similarity {
       val halfNorm = cv.map(x => x.toDouble * x).sum / 2.0
       struct((dot(sub, typedLit(cv)) - lit(halfNorm)).as("s"), lit(-code).as("negId"))
     }
-    -greatest(scored: _*).getField("negId")
+    // greatest() requires ≥ 2 args — a 1-centroid codebook (1-row
+    // training sample) encodes everything as its only code
+    if (scored.size == 1) -scored.head.getField("negId")
+    else -greatest(scored: _*).getField("negId")
   }
 
   /** Train the PQ codebooks: one L2 k-means per subspace, seeded AND
@@ -1338,7 +1420,8 @@ object Similarity {
       s"pqTopK: nprobe=$nprobeEff outside [1, nlist=$nlistEff]")
     val spark = corpus.sparkSession
     val sampled: Seq[(Long, Array[Float])] = corpus
-      .select(col(cId).as("__id"), col(cVec).as("__v"))
+      // cast: getLong below would CCE on an Integer/String id schema
+      .select(col(cId).cast("long").as("__id"), col(cVec).as("__v"))
       .withColumn("__h", xxhash64(col("__id")))
       .orderBy(col("__h")).limit(nlistEff)
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)

@@ -71,13 +71,27 @@ class Round6Spec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val got = Similarity.jlProjectQuantized(oneHot, "vec_id", "embedding", outDims = 4)
       .orderBy("dim").select("val").as[Long].collect().toSeq
-    val want = (0 until 4).map(j => 1024L * ((2 * 131 + j * 37) % 101 % 3 - 1))
+    val want = (0 until 4).map { j =>
+      val x = 2L * 131 + j * 37
+      1024L * (x * (x + 1) % 4099 % 3 - 1)
+    }
     assert(got === want)
-    // the mod-101 detour must yield non-degenerate columns (the naive
-    // linear-mod-3 formula collapses every third column to the same vector)
-    val cols = (0 until 16).map(j =>
-      (0 until 64).map(i => (i * 131 + j * 37) % 101 % 3 - 1))
-    assert(cols.distinct.size === 16)
+    // the mod-4099 detour must yield non-degenerate columns (the naive
+    // linear-mod-3 formula collapses every third column to the same
+    // vector, and the r6-era mod 101 aliased columns j and j+101)
+    val cols = (0 until 256).map(j =>
+      (0 until 64).map { i =>
+        val x = i.toLong * 131 + j * 37
+        x * (x + 1) % 4099 % 3 - 1
+      })
+    assert(cols.distinct.size === 256)
+    // ...and ROWS must not alias either (input-dim side of the matrix)
+    val rows = (0 until 64).map(i =>
+      (0 until 256).map { j =>
+        val x = i.toLong * 131 + j * 37
+        x * (x + 1) % 4099 % 3 - 1
+      })
+    assert(rows.distinct.size === 64)
     // output shape: outDims rows per input row, dims 0..outDims-1
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
     val out = Similarity.jlProjectQuantized(emb, "vec_id", "embedding", outDims = 16)
