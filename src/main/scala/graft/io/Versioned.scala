@@ -218,6 +218,31 @@ class Versioned(val spark: SparkSession, val root: String,
   private def abs(table: String, rel: String): String =
     new Path(dataDir(table), rel).toString
 
+  /** Fresh unique commit id — ONE format for every staging path (data,
+    * dv sidecars, update staging) so a change to the scheme cannot
+    * silently diverge between them. */
+  private def newCommitId(prefix: String): String =
+    f"$prefix${System.nanoTime()}%x-${(math.abs(scala.util.Random.nextLong()) % 0xffffff)}%06x"
+
+  /** The data files a writer left in a commit dir (ONE filter for every
+    * staging site). */
+  private def commitDirFiles(dir: Path): Seq[String] =
+    fs(dir).listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") || n.startsWith("part-"))
+
+  /** Canonical two-segment file identity (commitDir/fileName) of a manifest
+    * entry rel. Entries may carry ABSOLUTE paths (cloneTable writes them so
+    * the clone reads the source's immutable files), while DV `__dv_file`
+    * values are always two-segment (relOfPath of the scan path) — so every
+    * entry↔DV comparison must go through this key, or a cloned table's
+    * dirty-file matching silently comes up empty (which once let
+    * purgeDeletes drop `#dv` lines without rewriting, RESURRECTING deleted
+    * rows — VersionedSpec pins the clone/purge path). */
+  private def relKey(rel: String): String = {
+    val parts = rel.split("/")
+    if (parts.length <= 2) rel else parts.takeRight(2).mkString("/")
+  }
+
   /** The files of one immutable snapshot (absolute paths). */
   def snapshotFiles(table: String, v: Long): Seq[String] =
     resolve(table, v).entries.map(e => abs(table, e.rel))
@@ -280,7 +305,7 @@ class Versioned(val spark: SparkSession, val root: String,
     val newDvs = toSnap.dvs.filterNot(fromDvs)
     if (strict && newDvs.nonEmpty) {
       import org.apache.spark.sql.functions.col
-      val addedSet = added.toSet
+      val addedSet = added.map(relKey).toSet // entry rels may be absolute (clones)
       val hitsOld = spark.read.parquet(newDvs.map(abs(table, _)): _*)
         .select("__dv_file").distinct().collect()
         .exists(r => !addedSet.contains(r.getString(0)))
@@ -403,15 +428,17 @@ class Versioned(val spark: SparkSession, val root: String,
     var v = from + 1
     while (v <= latest) {
       process(readDelta(table, v - 1, v), v)
-      // tmp + overwrite-rename: the marker is a single tiny file; a torn
-      // write is impossible to observe (rename is atomic per file)
+      // tmp + OVERWRITE-rename in one step: the marker is a single tiny
+      // file and the rename is atomic per file, so a torn write is
+      // impossible to observe. (A delete-then-rename pair here once left
+      // a crash window with NO marker at all — the restarted drain would
+      // replay every version from 0 into a possibly non-idempotent sink.)
       val tmp = new Path(dir, s".progress.tmp")
       val out = f.create(tmp, true)
       try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      f.delete(marker, false)
-      if (!f.rename(tmp, marker))
-        throw new java.io.IOException(s"drainDeltas: checkpoint rename failed at v$v")
+      FileContext.getFileContext(marker.toUri, conf)
+        .rename(tmp, marker, Options.Rename.OVERWRITE)
       processed += 1
       v += 1
     }
@@ -424,15 +451,8 @@ class Versioned(val spark: SparkSession, val root: String,
     * is re-applied, so the result equals `read(table).filter(...)` exactly;
     * what changes is the number of files opened — the manifest IS the
     * file-level index, no footer ever touched for a skipped file. */
-  def readPruned(table: String, statsCol: String, lo: Long, hi: Long): DataFrame = {
-    val v = latestVersion(table).getOrElse(
-      throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
-    val files = prunedFiles(table, v, statsCol, lo, hi)
-    val df =
-      if (files.isEmpty) readVersion(table, v).limit(0) // schema-only, no rows
-      else readWithDvs(table, files, resolve(table, v).dvs, mergeSchema = false)
-    df.filter(org.apache.spark.sql.functions.col(statsCol).between(lo, hi))
-  }
+  def readPruned(table: String, statsCol: String, lo: Long, hi: Long): DataFrame =
+    readPrunedBox(table, Seq((statsCol, lo, hi)))
 
   /** MULTI-COLUMN box read: keep rows where every (col, lo, hi) predicate
     * holds, skipping files whose manifest stats put ANY predicate column
@@ -445,10 +465,16 @@ class Versioned(val spark: SparkSession, val root: String,
     require(preds.nonEmpty, "readPrunedBox: at least one predicate")
     val v = latestVersion(table).getOrElse(
       throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
-    val files = prunedFilesBox(table, v, preds)
+    // resolve ONCE: files, dvs, and the empty-case schema all derive from
+    // the same snapshot (the old per-helper resolves re-read up to
+    // checkpointInterval manifests per query — 2-3x the metadata IO)
+    val snap = resolve(table, v)
+    val files = prunedEntries(snap, preds).map(e => abs(table, e.rel))
     val df =
-      if (files.isEmpty) readVersion(table, v).limit(0) // schema-only, no rows
-      else readWithDvs(table, files, resolve(table, v).dvs, mergeSchema = false)
+      if (files.isEmpty)
+        readWithDvs(table, snap.entries.map(e => abs(table, e.rel)),
+          snap.dvs, mergeSchema = false).limit(0) // schema-only, no rows
+      else readWithDvs(table, files, snap.dvs, mergeSchema = false)
     import org.apache.spark.sql.functions.col
     df.filter(preds.map { case (c, lo, hi) => col(c).between(lo, hi) }.reduce(_ && _))
   }
@@ -461,14 +487,18 @@ class Versioned(val spark: SparkSession, val root: String,
 
   private[io] def prunedFilesBox(table: String, v: Long,
                                  preds: Seq[(String, Long, Long)]): Seq[String] =
-    resolve(table, v).entries.filter { e =>
+    prunedEntries(resolve(table, v), preds).map(e => abs(table, e.rel))
+
+  private def prunedEntries(snap: Snap,
+                            preds: Seq[(String, Long, Long)]): Seq[FileEntry] =
+    snap.entries.filter { e =>
       preds.forall { case (c, lo, hi) =>
         e.statsFor(c) match {
           case Some((fLo, fHi)) => fLo <= hi && fHi >= lo
           case None => true // foreign/absent stats: cannot skip safely
         }
       }
-    }.map(e => abs(table, e.rel))
+    }
 
   /** POINT-LOOKUP READ with parquet-bloom file skipping: first the manifest
     * min/max prune, then each surviving file's footer BLOOM pages (written
@@ -583,13 +613,10 @@ class Versioned(val spark: SparkSession, val root: String,
     * `__dv_pos` long) under a fresh commit dir; returns its manifest
     * `#dv` lines. */
   private def stageDv(table: String, dv: DataFrame): Seq[String] = {
-    val commitId = f"d${System.nanoTime()}%x-${(math.abs(scala.util.Random.nextLong()) % 0xffffff)}%06x"
+    val commitId = newCommitId("d")
     val dir = new Path(dataDir(table), commitId)
     dv.write.parquet(dir.toString)
-    val f = fs(dir)
-    f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") || n.startsWith("part-"))
-      .map(n => s"$DvPrefix$commitId/$n")
+    commitDirFiles(dir).map(n => s"$DvPrefix$commitId/$n")
   }
 
   /** MERGE-ON-READ DELETE: remove the rows matching `pred` from the latest
@@ -673,11 +700,15 @@ class Versioned(val spark: SparkSession, val root: String,
         throw new java.util.NoSuchElementException(s"versioned table $table does not exist"))
       val snap = resolve(table, base)
       if (snap.entries.isEmpty) return None
-      val dataCols = spark.read.parquet(abs(table, snap.entries.head.rel)).columns.toSeq
+      // mergeSchema, like mergeByKey/compact: the first file is the OLDEST —
+      // taking its columns (or one sampled footer) would silently drop
+      // schema-evolved columns from the rewritten rows, nulling them out
+      val full = spark.read.option("mergeSchema", "true")
+        .parquet(snap.entries.map(e => abs(table, e.rel)): _*)
+      val dataCols = full.columns.toSeq
       set.keys.foreach(k => require(dataCols.contains(k),
         s"updateWhere: SET column '$k' is not in the table schema"))
-      val matchedRaw = spark.read
-        .parquet(snap.entries.map(e => abs(table, e.rel)): _*)
+      val matchedRaw = full
         .filter(pred)
         .select(col("*"),
           relOfPath(col("_metadata.file_path")).as("__dv_file"),
@@ -689,7 +720,7 @@ class Versioned(val spark: SparkSession, val root: String,
       // one scan lands (old position + updated values) together in a
       // staging dir; sidecar and data files derive from THAT, not from a
       // second scan that might not see the same rows
-      val stagingId = f"u${System.nanoTime()}%x-${(math.abs(scala.util.Random.nextLong()) % 0xffffff)}%06x.staging"
+      val stagingId = newCommitId("u") + ".staging"
       val stagingDir = new Path(dataDir(table), stagingId)
       val updated = set.foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
       // a SET expression must not retype its column — the appended files
@@ -736,7 +767,7 @@ class Versioned(val spark: SparkSession, val root: String,
       if (snap.dvs.isEmpty) return None
       val dirty = spark.read.parquet(snap.dvs.map(abs(table, _)): _*)
         .select("__dv_file").distinct().collect().map(_.getString(0)).toSet
-      val (affected, untouched) = snap.entries.partition(e => dirty.contains(e.rel))
+      val (affected, untouched) = snap.entries.partition(e => dirty.contains(relKey(e.rel)))
       val fresh =
         if (affected.isEmpty) Nil // vectors dangle on already-rewritten files
         else stage(table,
@@ -761,7 +792,7 @@ class Versioned(val spark: SparkSession, val root: String,
     * spec can pin the stage→vacuum→publish interleaving. */
   private[io] def stage(table: String, df: DataFrame,
                         statsCols: Seq[String] = Nil): Seq[String] = {
-    val commitId = f"c${System.nanoTime()}%x-${(math.abs(scala.util.Random.nextLong()) % 0xffffff)}%06x"
+    val commitId = newCommitId("c")
     val dir = new Path(dataDir(table), commitId)
     // when a stats column is declared, also write parquet BLOOM pages for it
     // (native parquet-mr feature) — [[readPoint]] consults them for
@@ -770,10 +801,7 @@ class Versioned(val spark: SparkSession, val root: String,
     statsCols.foldLeft(df.write)((w, c) =>
         w.option(s"parquet.bloom.filter.enabled#$c", "true"))
       .parquet(dir.toString)
-    val f = fs(dir)
-    f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") || n.startsWith("part-"))
-      .map { n =>
+    commitDirFiles(dir).map { n =>
         val stats = statsCols.flatMap(c => footerMinMax(new Path(dir, n), c).map(mm => (c, mm._1, mm._2)))
         FileEntry(s"$commitId/$n", stats).line
       }
@@ -853,11 +881,29 @@ class Versioned(val spark: SparkSession, val root: String,
             if e.getMessage != null && e.getMessage.contains("already exists") => false
         }
       if (!renamed) { f.delete(tmp, false); return false }
-      val won =
-        try readManifest(table, v).headOption.contains(s"$CommitPrefix$commitId")
-        catch { case _: java.io.IOException => false }
-      if (won) writeHint(table, v)
-      won
+      // renamed under Rename.NONE means OUR payload became the manifest;
+      // the read-back only guards against rename impls that lie about
+      // exclusivity. A TRANSIENT read failure here must NOT report a
+      // loss: the commit landed, and a non-idempotent caller (updateWhere
+      // re-applying x = x+1 against its own committed version, deleteWhere
+      // answering None after deleting) would corrupt or misreport. Retry
+      // the read, then fail LOUDLY — ambiguous is not the same as lost.
+      var lastErr: java.io.IOException = null
+      var tries = 0
+      while (tries < 3) {
+        try {
+          val won = readManifest(table, v).headOption.contains(s"$CommitPrefix$commitId")
+          if (won) writeHint(table, v)
+          return won
+        } catch {
+          case e: java.io.IOException =>
+            lastErr = e; tries += 1; Thread.sleep(5L << tries)
+        }
+      }
+      throw new java.io.IOException(
+        s"publish($table, $v): rename succeeded but the manifest read-back " +
+          "failed 3 times — commit state ambiguous, refusing to report a loss",
+        lastErr)
     }
 
   /** OVERWRITE commit: the new snapshot is exactly `df`. Returns the

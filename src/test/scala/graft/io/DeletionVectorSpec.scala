@@ -37,6 +37,46 @@ class DeletionVectorSpec extends SparkSpec {
     assert(keys(vt, "t") === Set(1L, 3L))
   }
 
+  test("purge on a CLONE rewrites the dirty source files — deleted rows stay deleted") {
+    // clones carry ABSOLUTE entry paths while DV __dv_file values are
+    // two-segment rels; the dirty-file match must go through the canonical
+    // relKey or it comes up empty and the purge drops the #dv lines
+    // WITHOUT rewriting anything — resurrecting the deleted rows
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("src", (1L to 8L).map(k => (k, s"v$k")).toDF("k", "v"))
+    vt.deleteWhere("src", col("k") <= 3L)
+    vt.cloneTable("src", "dst")
+    assert(keys(vt, "dst") === (4L to 8L).toSet)
+    val Some((_, rewritten)) = vt.purgeDeletes("dst"): @unchecked
+    assert(rewritten >= 1, "the dirty cloned file must actually be rewritten")
+    assert(keys(vt, "dst") === (4L to 8L).toSet,
+      "purge of a clone must NOT resurrect source-deleted rows")
+    // (clean cloned entries still zero-copy-reference SOURCE files — the
+    // standard shallow-clone caveat: vacuuming the source invalidates
+    // clones; only the dirty files were localized by the rewrite)
+
+    // a DV landed on the clone's OWN timeline purges the same way
+    vt.deleteWhere("dst", col("k") === 4L)
+    val Some((_, r2)) = vt.purgeDeletes("dst"): @unchecked
+    assert(r2 >= 1 && keys(vt, "dst") === (5L to 8L).toSet)
+  }
+
+  test("readDelta strict boundary on a clone: in-window DVs are accepted, not spuriously refused") {
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("src", (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v"))
+    vt.cloneTable("src", "dst") // dst v1: absolute entries
+    // window (1, 3]: append (new rel entries) then delete within them only
+    vt.commitAppend("dst", Seq((10L, "n"), (11L, "n")).toDF("k", "v")) // v2
+    vt.deleteWhere("dst", col("k") === 10L)                            // v3
+    // the new DV hits only a file ADDED in the window → strict must pass
+    val delta = vt.readDelta("dst", 1L, 3L)
+    assert(delta.select("k").as[Long].collect().toSet === Set(11L))
+    // a DV on the PRE-window (cloned, absolute-entry) files must still
+    // refuse strictly — the rel/abs mismatch must not mask a real breach
+    vt.deleteWhere("dst", col("k") === 1L) // v4: hits a cloned file
+    intercept[IllegalStateException](vt.readDelta("dst", 3L, 4L))
+  }
+
   test("deletes compose with appends; pruned and point reads subtract vectors") {
     val vt = new Versioned(spark, tmpRoot())
     vt.commit("t", (1L to 100L).map(k => (k, k * 10L)).toDF("k", "p"),
@@ -164,6 +204,26 @@ class DeletionVectorSpec extends SparkSpec {
       vt.updateWhere("t", col("k") === 1L, Map("p" -> lit("oops")))
     }
     assert(e.getMessage.contains("retypes"))
+  }
+
+  test("updateWhere preserves schema-evolved columns of the rewritten rows") {
+    // the rewritten rows must carry EVERY merged column: deriving the
+    // column list from the oldest file (or one sampled footer) silently
+    // nulls out columns that arrived via mergeSchema appends
+    val vt = new Versioned(spark, tmpRoot())
+    vt.commit("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "p"))
+    vt.commitAppend("t", Seq((3L, 30L, "x3"), (4L, 40L, "x4")).toDF("k", "p", "extra"))
+    assert(vt.updateWhere("t", col("k") === 3L, Map("p" -> (col("p") + 1L))).isDefined)
+    val rows = vt.read("t", mergeSchema = true)
+      .select("k", "p", "extra").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(rows(3L) === ((31L, Some("x3"))),
+      "the updated row must keep its schema-evolved column")
+    assert(rows(4L) === ((40L, Some("x4"))) && rows(1L) === ((10L, None)))
+    // SET on an evolved column works too (requires the merged column list)
+    assert(vt.updateWhere("t", col("k") === 4L, Map("extra" -> lit("x4b"))).isDefined)
+    assert(vt.read("t", mergeSchema = true).filter(col("k") === 4L)
+      .select("extra").as[String].head() === "x4b")
   }
 
   test("updateWhere skips deleted rows; purge folds updates into a clean layout") {
