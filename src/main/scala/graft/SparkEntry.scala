@@ -1569,8 +1569,7 @@ object SparkEntry {
     * RE2-safe patterns so the oracle is bit-identical.
     */
   private def q115_normalize(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val norm = TextOps.normalizeAscii(col("text"))
     par(s, Tables.documents(s, dir))
       .select(col("doc_id"), norm.as("norm_text"),
         (length(col("text")) - length(norm)).cast("long").as("n_chars_removed"))

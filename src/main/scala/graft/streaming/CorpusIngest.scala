@@ -46,14 +46,13 @@ import graft.text.TextOps
   */
 object CorpusIngest {
 
-  /** Normalized text + content fingerprint, the dedup identity. */
-  private def withDerived(df: Dataset[Row]): Dataset[Row] = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    df.withColumn("norm_text", norm)
+  /** Normalized text + content fingerprint, the dedup identity —
+    * [[TextOps.normalizeAscii]], the ONE definition q115's oracle also
+    * pins (a drifted copy would fork the fingerprint space). */
+  private def withDerived(df: Dataset[Row]): Dataset[Row] =
+    df.withColumn("norm_text", TextOps.normalizeAscii(col("text")))
       .withColumn("fp", md5(col("norm_text")))
       .withColumn("quality", TextOps.qualityBucket(col("norm_text")))
-  }
 
   /** (band, bucket, fp) keys for the near-dup side table. Rows too short to
     * shingle produce no keys (withMinhashSignature drops null signatures). */
@@ -96,7 +95,14 @@ object CorpusIngest {
               Seq("band", "bucket"))
             .select(col("fp"), col("corpus_fp")).distinct()
           val newSets = fresh.select(col("fp"), Dedup.tokenSet(col("norm_text")).as("ws_new"))
+          // semi-join the corpus to the candidate fps BEFORE tokenizing:
+          // Catalyst won't push a join below the tokenSet projection, so
+          // without this the verify step tokenizes the ENTIRE corpus every
+          // micro-batch; with it only the matched rows (usually a handful,
+          // broadcastable) pay the token-set cost
           val oldSets = wh.read(corpusTable)
+            .join(broadcast(cands.select(col("corpus_fp").as("fp")).distinct()),
+              Seq("fp"), "left_semi")
             .select(col("fp").as("corpus_fp"), Dedup.tokenSet(col("norm_text")).as("ws_old"))
           val dupFps = cands.join(newSets, "fp").join(oldSets, "corpus_fp")
             .filter(Dedup.setIntersectionSize(col("ws_new"), col("ws_old")) * 10 >=
@@ -125,13 +131,28 @@ object CorpusIngest {
               .select(col("doc_id"), col("fp"), lit("near_dup_in_batch").as("reject_reason")))
         } else (kept, null)
       val keptMat = finalKept.localCheckpoint(true)
-      wh.append(corpusTable, keptMat)
+      // BANDS BEFORE CORPUS: the corpus append is the idempotence pivot
+      // (the fp anti-join filters replays against it). A crash between
+      // the two appends therefore replays the batch with the rows still
+      // absent from the corpus — they re-enter kept and both appends
+      // rerun; duplicate (band,bucket,fp) keys are harmless (the gate's
+      // candidate join is .distinct()). The OLD order (corpus first) had
+      // the fatal version: rows in the corpus with NO band keys, blinding
+      // the near-dup gate for them permanently.
       if (nearDupThresh10 > 0)
         wh.append(bandsTable, bandKeys(keptMat, shingleN, bands, rows)
           .select("band", "bucket", "fp"))
+      wh.append(corpusTable, keptMat)
       val rejects = (Seq(bad) ++ Option(nearDups) ++ Option(batchDups))
         .reduce(_ unionByName _)
-      val rejectsMat = rejects.localCheckpoint(true)
+      // replay-idempotent quarantine: a retried batch must not duplicate
+      // reject rows (the corpus side gets this from the fp anti-join)
+      val rejectsFresh =
+        if (wh.exists(rejectTable))
+          rejects.join(wh.read(rejectTable).select("fp", "reject_reason"),
+            Seq("fp", "reject_reason"), "left_anti")
+        else rejects
+      val rejectsMat = rejectsFresh.localCheckpoint(true)
       wh.append(rejectTable, rejectsMat)
       accepted.add(keptMat.count())
       rejected.add(rejectsMat.count())

@@ -55,7 +55,14 @@ object EventIngest {
                   sourceFormat: String = "json",
                   sourceOptions: Map[String, String] = Map.empty): DataFrame =
     if (busFormats(sourceFormat)) {
-      spark.readStream.format(sourceFormat).options(sourceOptions).load()
+      // pathOrTopic IS the topic in bus mode — default it into the
+      // connector's `subscribe` option so the documented no-code-change
+      // swap (same call site, different format) actually holds; an
+      // explicit sourceOptions("subscribe") still wins
+      val opts =
+        if (sourceOptions.contains("subscribe")) sourceOptions
+        else sourceOptions + ("subscribe" -> pathOrTopic)
+      spark.readStream.format(sourceFormat).options(opts).load()
         .select(from_json(col("value").cast("string"), schema).as("__e"))
         .select(col("__e.*"))
     } else {
@@ -95,20 +102,29 @@ object EventIngest {
                          sourceFormat: String = "json",
                          sourceOptions: Map[String, String] = Map.empty,
                          sinkFormat: String = "json",
-                         sinkOptions: Map[String, String] = Map.empty): Unit = {
+                         sinkOptions: Map[String, String] = Map.empty,
+                         checkpoint: Option[String] = None): Unit = {
     val src = eventSource(spark, eventsDir, schema, sourceFormat, sourceOptions)
     val packed = if (busFormats(sinkFormat))
       src.select(to_json(struct(col("*"))).cast("binary").as("value"))
     else src
-    val q = packed
-      .writeStream
-      .outputMode("append")
-      .format(sinkFormat)
-      .option("path", topicDir)
-      .options(sinkOptions)
-      .option("checkpointLocation", s"${topicDir}__chk")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // bus sinks: `topicDir` is a TOPIC, not a path — a `path` option is
+    // spurious, and deriving the checkpoint from the topic string yields a
+    // RELATIVE cwd path that loses the offset log on a cwd change; require
+    // an explicit checkpoint instead. File sinks keep the co-located
+    // `<dir>__chk` default.
+    val base = packed.writeStream.outputMode("append").format(sinkFormat)
+    val sunk =
+      if (busFormats(sinkFormat)) {
+        val chk = checkpoint.getOrElse(throw new IllegalArgumentException(
+          s"republishAvailable: a bus sink ($sinkFormat) needs an explicit " +
+            "checkpoint location — the topic name is not a filesystem path"))
+        base.option("topic", topicDir).options(sinkOptions)
+          .option("checkpointLocation", chk)
+      } else
+        base.option("path", topicDir).options(sinkOptions)
+          .option("checkpointLocation", checkpoint.getOrElse(s"${topicDir}__chk"))
+    val q = sunk.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
 
@@ -178,9 +194,7 @@ object EventIngest {
                                       name: String,
                                       statePartitions: Int = 8,
                                       slide: Option[String] = None): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    StreamConf.withStreamConf(spark, statePartitions) {
       val q = spark.readStream.schema(schema).parquet(parquetGlob)
         .withColumn("__ts", expr(tsExpr))
         .withWatermark("__ts", watermark)
@@ -200,7 +214,7 @@ object EventIngest {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(name)
   }
 
@@ -221,9 +235,7 @@ object EventIngest {
                                    watermark: String, idCols: Seq[String],
                                    name: String,
                                    statePartitions: Int = 8): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    StreamConf.withStreamConf(spark, statePartitions) {
       val q = spark.readStream.schema(schema).parquet(parquetGlob)
         .withColumn("__ts", expr(tsExpr))
         .withWatermark("__ts", watermark)
@@ -235,23 +247,12 @@ object EventIngest {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
   }
 
-  /** Bounded streaming aggregation to an in-memory sink, returned as a
-    * DataFrame — used by the driver-contract query q51: proves the streaming
-    * path computes the same answer as the batch oracle.
-    *
-    * `statePartitions` sizes the stateful shuffle: a streaming agg opens one
-    * state-store instance per shuffle partition and pays its load/commit on
-    * every micro-batch, so the partition count should track the expected
-    * DISTINCT-KEY cardinality, not the session default (here: a handful of
-    * event types — 32 stores would be 4× pure overhead). Fixed at the first
-    * checkpoint, so it is set for this query only and restored after.
-    */
   /** Continuous UPSERT ingest: each drained micro-batch is MERGEd into a
     * warehouse table by key (`foreachBatch` → Warehouse.merge) — the
     * streaming form of the O(delta) incremental load (vs the reference's
@@ -297,9 +298,7 @@ object EventIngest {
                                   leftType: String, rightType: String,
                                   maxDelay: String, name: String,
                                   statePartitions: Int = 8): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    StreamConf.withStreamConf(spark, statePartitions) {
       val src = spark.readStream.schema(schema).parquet(parquetGlob)
         .withColumn("__ts", expr(tsExpr))
       val left = src.filter(col("event_type") === leftType)
@@ -320,7 +319,7 @@ object EventIngest {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -354,12 +353,21 @@ object EventIngest {
     spark.table(name)
   }
 
+  /** Bounded streaming aggregation to an in-memory sink, returned as a
+    * DataFrame — used by the driver-contract query q51: proves the streaming
+    * path computes the same answer as the batch oracle.
+    *
+    * `statePartitions` sizes the stateful shuffle: a streaming agg opens one
+    * state-store instance per shuffle partition and pays its load/commit on
+    * every micro-batch, so the partition count should track the expected
+    * DISTINCT-KEY cardinality, not the session default (here: a handful of
+    * event types — 32 stores would be 4× pure overhead). Fixed at the first
+    * checkpoint, so it is set for this query only and restored after.
+    */
   def streamCountsOverParquet(spark: SparkSession, parquetGlob: String,
                               schema: StructType, name: String,
                               statePartitions: Int = 8): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    StreamConf.withStreamConf(spark, statePartitions) {
       val q = spark.readStream.schema(schema).parquet(parquetGlob)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"))
@@ -370,7 +378,7 @@ object EventIngest {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(name)
   }
 }

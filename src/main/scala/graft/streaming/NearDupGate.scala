@@ -68,12 +68,7 @@ object NearDupGate {
                       bands: Int = 8, rows: Int = 4,
                       statePartitions: Int = 8,
                       checkpoint: Option[String] = None): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StreamConf.withStreamConf(spark, statePartitions, rocksdb = true) {
       // a single-file source is a single input split: without this
       // round-robin exchange the md5-affine banding (the CPU-heavy part,
       // ~dozens of md5s per doc) runs on ONE core regardless of cluster
@@ -109,12 +104,13 @@ object NearDupGate {
             }
             .trigger(Trigger.AvailableNow()).start()
       }
-      q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      if (prevProvider.nonEmpty)
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
-      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // a FAILED drain must not pin its buffer in the static map for the
+      // JVM lifetime (the success path consumes-and-removes it below)
+      try q.awaitTermination()
+      catch { case e: Throwable =>
+        if (checkpoint.isDefined) drainBuffers.remove(name)
+        throw e
+      }
     }
     val drained = checkpoint match {
       case None => spark.table(name)
@@ -124,6 +120,12 @@ object NearDupGate {
         spark.createDataFrame(rows)
     }
     drained
+      // at-least-once foreachBatch can replay a batch after the buffer
+      // already absorbed it: collapse to one row per (doc, band) keeping
+      // the smallest keeper (keepers only ever decrease), so n_dup_bands
+      // cannot double-count a replayed band
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(col("keeper_id")).as("keeper_id"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("keeper_id") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_bands"))
       .select(col("doc_id"), col("n_dup_bands"), (col("n_dup_bands") > 0L).as("is_candidate"))

@@ -84,7 +84,12 @@ object Stateful {
           out += SessionOut(key, cur.start_us, cur.last_us, cur.n_events)
           cur = OpenSession(t, t, 1L)
         } else {
-          val start = if (cur.n_events == 0L) t else cur.start_us
+          // math.min: a LATE (within-watermark) cross-batch event can
+          // precede the restored session's start — the same rule
+          // Sessionize.sessionize applies, without which session_start is
+          // wrong (batch rows arrive sorted, so only restored state can
+          // make t < start)
+          val start = if (cur.n_events == 0L) t else math.min(cur.start_us, t)
           cur = OpenSession(start, math.max(cur.last_us, t), cur.n_events + 1L)
         }
       }
@@ -142,12 +147,7 @@ object Stateful {
   def typeCountsOverParquet(spark: SparkSession, parquetGlob: String,
                             schema: StructType, name: String,
                             statePartitions: Int = 8): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StreamConf.withStreamConf(spark, statePartitions, rocksdb = true) {
       val evs = spark.readStream.schema(schema).parquet(parquetGlob)
         .select(col("user_id"), col("event_type"))
         .as[TypedEv](Encoders.product[TypedEv])
@@ -161,11 +161,6 @@ object Stateful {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      if (prevProvider.nonEmpty)
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
-      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     spark.table(name)
       .groupBy("user_id", "event_type")
@@ -182,14 +177,13 @@ object Stateful {
   def timerSessionsOverParquet(spark: SparkSession, parquetGlob: String,
                                schema: StructType, tsUsExpr: String,
                                gapUs: Long, delay: String, name: String,
-                               statePartitions: Int = 8): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val evs = spark.readStream.schema(schema).parquet(parquetGlob)
+                               statePartitions: Int = 8,
+                               maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    StreamConf.withStreamConf(spark, statePartitions, rocksdb = true) {
+      val reader = spark.readStream.schema(schema)
+      val evs = maxFilesPerTrigger
+        .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+        .parquet(parquetGlob)
         .select(col("user_id"), expr(tsUsExpr).cast("long").as("ts_us"))
         .withColumn("__ts", timestamp_micros(col("ts_us")))
         .withWatermark("__ts", delay)
@@ -205,11 +199,6 @@ object Stateful {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      if (prevProvider.nonEmpty)
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
-      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     spark.table(name)
   }
@@ -224,14 +213,9 @@ object Stateful {
                                 schema: StructType, centsExpr: String,
                                 name: String,
                                 statePartitions: Int = 8): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // transformWithState requires the RocksDB provider (TWS state schema is
     // not supported by the default HDFS-backed store)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StreamConf.withStreamConf(spark, statePartitions, rocksdb = true) {
       val evs: Dataset[Ev] = spark.readStream.schema(schema).parquet(parquetGlob)
         .select(col("user_id"), expr(centsExpr).cast("long").as("cents"))
         .as[Ev](Encoders.product[Ev])
@@ -245,11 +229,6 @@ object Stateful {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      if (prevProvider.nonEmpty)
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
-      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     spark.table(name)
       .groupBy("user_id")

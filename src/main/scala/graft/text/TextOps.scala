@@ -83,6 +83,16 @@ object TextOps {
       .otherwise("und")
   }
 
+  /** ASCII content normalization (lowercase → strip non-alphanumerics →
+    * collapse runs of spaces → trim) — THE canonical pre-fingerprint form:
+    * md5(normalizeAscii(text)) is the corpus dedup identity, so the
+    * streaming ingest (CorpusIngest) and the batch oracle (q115) must use
+    * this one definition — a drifted copy would silently fork the
+    * fingerprint space and break the anti-join idempotence layer. */
+  def normalizeAscii(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Quality classification on cheap surface statistics — the classic
     * pretraining-corpus filter (length bounds, punctuation ratio, mean word
     * length). Returns a label so comparisons stay exact (no float thresholds

@@ -49,6 +49,39 @@ class StatefulSpec extends SparkSpec {
     assert(!out.exists(_._1 == 1L), s"user 1 session must stay open: $out")
   }
 
+  test("a late within-watermark event in a LATER batch lowers the restored session's start") {
+    // two micro-batches (maxFilesPerTrigger=1): batch A opens user 1's
+    // session at t=100s; batch B delivers a LATE event t=95s (watermark
+    // after A is 80s, so it is admitted) that merges INTO the restored
+    // session — session_start must become 95s, the math.min rule the
+    // batch sessionizer applies (without it the start stays 100s)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("timer_late").toString
+    def writeFile(sub: String, rows: Seq[(Long, Long)], mtime: Long): Unit = {
+      val p = s"$dir/$sub"
+      rows.toDF("user_id", "ts_us")
+        .select(col("user_id"), col("ts_us"), timestamp_micros(col("ts_us")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      // file-source batch order follows modification time: pin it
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(mtime))
+    }
+    writeFile("a", Seq((1L, 100_000_000L)), mtime = 1000000L)
+    writeFile("b", Seq((1L, 95_000_000L), (2L, 200_000_000L)), mtime = 2000000L)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("ts", TimestampType)))
+    val out = Stateful.timerSessionsOverParquet(
+      spark, s"$dir/*/*.parquet", schema, tsUsExpr = "ts_us",
+      gapUs = 10_000_000L, delay = "20 seconds", name = "timer_late_sink",
+      maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // final watermark = 200s − 20s = 180s > deadline 110s → session closed
+    assert(out.contains((1L, 95_000_000L, 100_000_000L, 2L)),
+      s"late event must LOWER session start to 95s; got $out")
+    assert(!out.exists(_._1 == 2L), s"user 2 session must stay open: $out")
+  }
+
   test("state is cumulative across batches: a second drain of the same files is a no-op") {
     // AvailableNow + checkpoint-free memory sink: the helper builds a fresh
     // query each call, so this just re-derives the same converged answer —
