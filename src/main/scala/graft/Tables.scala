@@ -127,24 +127,36 @@ object Tables {
     * pass. Use for `knownCount` parameters wherever the frame is a
     * straight table load (any filter/sample invalidates it — pass -1 and
     * let the operator count in that case).
+    *
+    * The walk is RECURSIVE (a hive-partitioned layout nests data files
+    * under key=value directories; a flat listStatus would silently
+    * undercount), skipping hidden (`_`/`.`) files and directories as
+    * Spark's own file index does. The cache key includes the root's
+    * modification time, so rewriting a table in place (new files under the
+    * same path) invalidates the cached count instead of serving a stale
+    * one — one extra metadata call per lookup, never a data pass.
     */
   private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  def footerRowCount(spark: SparkSession, path: String): Long =
-    rowCountCache.computeIfAbsent(path, _ => {
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-            && !s.getPath.getName.startsWith(".")).map(_.getPath)
-        else Array(p)
+  def footerRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val root = fs.getFileStatus(p)
+    rowCountCache.computeIfAbsent(s"$path@${root.getModificationTime}", _ => {
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.Path] = {
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+        else Seq(st.getPath)
+      }
+      val files = if (root.isDirectory) fs.listStatus(p).toSeq.flatMap(walk) else Seq(p)
       files.map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
         try r.getRecordCount finally r.close()
       }.sum
     })
+  }
 
   /** [[footerRowCount]] for a named testdata table. */
   def rowCount(spark: SparkSession, sfDir: String, name: String): Long =

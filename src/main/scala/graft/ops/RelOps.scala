@@ -451,8 +451,15 @@ object RelOps {
     * h16 = first 16 md5 bits — the exact rational threshold
     * min(1, budget·wₛ/(Σw·availₛ)) with no float anywhere, so the kept set
     * is engine-exact and a source whose target exceeds its supply is kept
-    * whole (rate clamps at 1: h16 < 65536 always). Envelope:
-    * 2¹⁶·avail·Σw < 2⁶³ holds to 10¹⁴ tokens per source at Σw ≤ 10³.
+    * whole (rate clamps at 1: h16 < 65536 always). Envelope: both predicate
+    * sides must fit in int64 — availₛ·Σw ≤ 2⁶³/2¹⁶ ≈ 1.4·10¹⁴ (so ~10¹¹
+    * tokens per source at Σw ≤ 10³) and budget·wₛ ≤ 2⁶³/2¹⁶ — and both are
+    * GUARDED, not assumed: the budget side is a driver-side require (all
+    * terms known), the avail side a raise_error on the #sources-row
+    * aggregate (data-dependent), so a violating corpus fails loudly instead
+    * of wrapping the non-ANSI long multiply into silent verdict corruption.
+    * Past the envelope, rescale the weights (only ratios matter) or split
+    * the source.
     *
     * Scale shape: one source-keyed aggregate (output = #sources rows),
     * one broadcast join, one codegen'd filter fused into the scan — the
@@ -468,8 +475,24 @@ object RelOps {
     import spark.implicits._
     val wSum = targets.map(_._2).sum
     require(wSum > 0, "mixtureSample: zero total weight")
+    // overflow envelope (see doc): RHS terms are all driver-known — check
+    // exactly here; LHS's avail is data-dependent — raise_error below.
+    val envBound = Long.MaxValue / 65536L
+    val wMax = targets.map(_._2).max
+    require(totalBudget == 0L || wMax <= envBound / totalBudget,
+      s"mixtureSample: budget·w = ${totalBudget}·${wMax} exceeds the long envelope " +
+        s"(budget·w must be ≤ $envBound) — rescale the weights (only ratios matter)")
+    val availBound = envBound / wSum
     val tgt = targets.toDF(sourceCol, "__w")
     val avail = docs.groupBy(col(sourceCol)).agg(sum(tokens).as("__avail"))
+      // per-source guard on the #sources-row aggregate (not the corpus):
+      // h16 < 2¹⁶, so h16·avail·Σw fits iff avail·Σw ≤ 2⁶³/2¹⁶
+      .filter(when(col("__avail") > lit(availBound),
+        raise_error(concat(lit("mixtureSample: source token supply "),
+          col("__avail").cast("string"),
+          lit(s" exceeds the long envelope (max $availBound at sum-of-weights=" +
+            s"$wSum) — rescale weights or split the source"))))
+        .otherwise(lit(true)))
     val h16 = conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 4), 16, 10)
       .cast("long")
     docs

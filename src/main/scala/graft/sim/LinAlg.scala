@@ -129,8 +129,14 @@ object LinAlg {
     // probe and qMax is trusted as the caller's stated magnitude contract.
     val q = vecs.select(col(idCol), quantize1024(col(vecCol)).as("__qv"))
     val (n, dim, qBound) = if (nRows >= 0L) {
-      val d = q.select(size(col("__qv"))).head().getInt(0)
-      (nRows, d, qMax)
+      // head(1) not head(): an empty frame (e.g. a stale knownCount for a
+      // path that no longer has rows) must fail with a named error, not a
+      // bare NoSuchElementException from the probe
+      val probe = q.select(size(col("__qv"))).head(1)
+      require(probe.nonEmpty,
+        s"pcaProjectQuantized: empty input (caller passed nRows=$nRows) — " +
+          "nothing to project; check the knownCount source")
+      (nRows, probe(0).getInt(0), qMax)
     } else {
       val st = q.agg(count(lit(1)), max(size(col("__qv"))),
         max(aggregate(col("__qv"), lit(0L), (a, x) => greatest(a, abs(x))))).head()

@@ -146,11 +146,17 @@ object CorpusIngest {
       val rejects = (Seq(bad) ++ Option(nearDups) ++ Option(batchDups))
         .reduce(_ unionByName _)
       // replay-idempotent quarantine: a retried batch must not duplicate
-      // reject rows (the corpus side gets this from the fp anti-join)
+      // reject rows (the corpus side gets this from the fp anti-join).
+      // Keyed on (doc_id, fp, reject_reason) — doc_id is stable across
+      // replays (same source files ⇒ same rows), so a replay is still
+      // fully suppressed, while a genuinely NEW document that happens to
+      // share fp+reason with an earlier reject (a verbatim copy of a
+      // quality-rejected doc in a later batch) still lands in quarantine
+      // instead of vanishing from both tables and undercounting.
       val rejectsFresh =
         if (wh.exists(rejectTable))
-          rejects.join(wh.read(rejectTable).select("fp", "reject_reason"),
-            Seq("fp", "reject_reason"), "left_anti")
+          rejects.join(wh.read(rejectTable).select("doc_id", "fp", "reject_reason"),
+            Seq("doc_id", "fp", "reject_reason"), "left_anti")
         else rejects
       val rejectsMat = rejectsFresh.localCheckpoint(true)
       wh.append(rejectTable, rejectsMat)

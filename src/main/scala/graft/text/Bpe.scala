@@ -84,12 +84,18 @@ object Bpe {
     require(nMerges >= 1 && nMerges <= (1 << 16), s"learnMerges: nMerges=$nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
+    // limit(maxVocab+1) bounds the DRIVER collect itself (not just a
+    // post-hoc require): an over-vocab corpus pulls at most maxVocab+1
+    // rows before the guard fires, instead of OOMing the driver first.
+    // The aggregate still runs cluster-side either way; when the vocab
+    // fits, limit(maxVocab+1) returns it whole, so the result is identical.
     val vocab = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .limit(maxVocab + 1)
       .as[(String, Long)].collect()
     require(vocab.length <= maxVocab,
-      s"learnMerges: ${vocab.length} distinct words exceeds maxVocab=$maxVocab — " +
+      s"learnMerges: distinct words exceed maxVocab=$maxVocab — " +
         "use learnMergesDistributed or apply a frequency floor first")
     trainInMemory(vocab, nMerges).toSeq.toDF("rank", "pair", "merged", "weight")
   }

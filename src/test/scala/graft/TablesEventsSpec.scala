@@ -151,4 +151,21 @@ class TablesEventsSpec extends SparkSpec {
     assert(Tables.footerRowCount(spark, tmp) ===
       Tables.rowCount(spark, sfDir, "documents"))
   }
+
+  test("footerRowCount: hive-partitioned (nested) layout counts fully; rewrite invalidates the cache") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_frc_part").toString
+    (1 to 100).map(i => (i.toLong, s"p${i % 4}")).toDF("id", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    // data files live under part=*/ subdirectories — a flat listing sees zero
+    assert(Tables.footerRowCount(spark, tmp) === 100L,
+      "nested partition dirs must be walked, not skipped")
+    // rewrite in place with a different count: the mtime-keyed cache must
+    // not serve the stale 100
+    Thread.sleep(20) // local-fs mtime granularity
+    (1 to 37).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    assert(Tables.footerRowCount(spark, tmp) === 37L,
+      "a rewritten path must re-count, not hit the stale cache entry")
+  }
 }

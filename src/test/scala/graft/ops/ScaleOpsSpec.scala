@@ -52,6 +52,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("mixtureSample: overflow envelope fails loudly on both predicate sides") {
+    val docs = Seq((1L, "src0", 10L)).toDF("doc_id", "source", "t")
+    // RHS (driver-known): budget·w past 2^63/2^16 → require at call time
+    intercept[IllegalArgumentException] {
+      RelOps.mixtureSample(docs, "source", col("t"), col("doc_id"),
+        Seq("src0" -> (1L << 40)), totalBudget = 1L << 40)
+    }
+    // LHS (data-dependent): a source whose token supply pushes
+    // avail·Σw past 2^63/2^16 → raise_error at evaluation, not a wrap
+    val huge = Seq((1L, "src0", Long.MaxValue / 65536L / 2L + 1L),
+      (2L, "src1", 10L)).toDF("doc_id", "source", "t")
+    val ex = intercept[Exception] {
+      RelOps.mixtureSample(huge, "source", col("t"), col("doc_id"),
+        Seq("src0" -> 1L, "src1" -> 1L), totalBudget = 100L).count()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("exceeds the long envelope"), msgs)
+    // in-envelope inputs are untouched by the guard
+    assert(RelOps.mixtureSample(docs, "source", col("t"), col("doc_id"),
+      Seq("src0" -> 1L), totalBudget = 100L).count() === 1L)
+  }
+
   test("partitioned write: dynamic overwrite touches only the written partitions; reads prune") {
     val root = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val wh = new Warehouse(spark, root)

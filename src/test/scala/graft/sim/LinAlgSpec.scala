@@ -80,6 +80,14 @@ class LinAlgSpec extends SparkSpec {
     assert(math.abs(proj.head.getLong(0)) === 20L) // largest |x| wins
   }
 
+  test("empty input with caller-supplied nRows fails with a named error, not a bare probe crash") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      LinAlg.pcaProjectQuantized(empty, "vec_id", "embedding", iters = 2, nRows = 100L)
+    }
+    assert(ex.getMessage.contains("empty input"), ex.getMessage)
+  }
+
   test("all-zero corpus keeps the seed vector (m = 0 guard)") {
     val zeros = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
     val out = LinAlg.pcaProjectQuantized(zeros, "vec_id", "embedding", iters = 2).collect()

@@ -126,4 +126,36 @@ class CorpusIngestSpec extends SparkSpec {
       wh, "corpus3", "rejects3", s"$root/ck2", nearDupThresh10 = 8)
     assert(r2 === 1L, "paraphrase of the surviving twin must quarantine against the corpus")
   }
+
+  test("quarantine: a NEW doc sharing fp+reason with an earlier reject still lands; replays don't") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("corpus_rejkey").toString
+    val wh = new Warehouse(spark, s"$root/wh")
+    def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(dir)
+
+    val junk = "xx" // fails the quality gate, deterministically
+    writeDocs(s"$root/in/batch1", Seq((1L, junk)))
+    val (a1, r1) = CorpusIngest.run(spark, s"$root/in/batch1", docSchema,
+      wh, "corpus4", "rejects4", s"$root/ck1")
+    assert(a1 === 0L && r1 === 1L)
+
+    // a VERBATIM COPY with a new doc_id in a later batch: same fp, same
+    // reject_reason — the (fp, reason)-keyed anti-join used to swallow it
+    // (in neither corpus nor quarantine); the doc_id-keyed join must not
+    writeDocs(s"$root/in/batch2", Seq((2L, junk)))
+    val (_, r2) = CorpusIngest.run(spark, s"$root/in/batch2", docSchema,
+      wh, "corpus4", "rejects4", s"$root/ck2")
+    assert(r2 === 1L, "a genuinely new document must be accounted, not vanish")
+    assert(wh.read("rejects4").select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+
+    // replay of batch2 (fresh checkpoint = simulated re-delivery): the same
+    // doc_id+fp+reason row is suppressed — quarantine stays duplicate-free
+    val (_, r3) = CorpusIngest.run(spark, s"$root/in/batch2", docSchema,
+      wh, "corpus4", "rejects4", s"$root/ck3")
+    assert(r3 === 0L, "a replayed reject must not duplicate")
+    assert(wh.read("rejects4").count() === 2L)
+  }
 }
