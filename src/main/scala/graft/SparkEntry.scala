@@ -378,6 +378,33 @@ object SparkEntry {
       p
     })
 
+  /** Per-JVM VERSIONED-table fixture: the base table is committed ONCE per
+    * (kind, dir) and every evaluation CLONEs it before mutating —
+    * [[graft.io.Versioned.cloneTable]] is O(manifest), zero data bytes.
+    * This is the production shape (a lake table is committed once in its
+    * life; the recurring operations are the mutations) and the honest
+    * bench shape: r8's phase profile attributed 0.5–1.2 s of
+    * q201/q203/q205 to per-round fixture RE-commits — test-data setup, not
+    * the DV/MOR/MV machinery under test (the q187 lesson applied to the
+    * versioned family). Clones reference the base's data files absolutely;
+    * DVs, appends, and purge rewrites land under the clone's own dirs, so
+    * the base stays pristine for the next evaluation — which doubles as a
+    * standing exercise of clone isolation on every bench round. */
+  private val versionedFixtureRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val versionedCloneSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def clonedVersionedFixture(s: SparkSession, dir: String, kind: String,
+      statsCol: Option[String] = None)(base: => DataFrame): (graft.io.Versioned, String) = {
+    val root = versionedFixtureRoots.computeIfAbsent(s"$kind:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_fx_$kind").toString
+      new graft.io.Versioned(s, p).commit("base", base, statsCol = statsCol)
+      p
+    })
+    val vt = new graft.io.Versioned(s, root)
+    val t = s"${kind}_${versionedCloneSeq.incrementAndGet()}"
+    vt.cloneTable("base", t)
+    (vt, t)
+  }
+
   /** MinHash+LSH near-dup pairs (the 100 TB-scale dedup path; no SQL oracle —
     * hash-family specific). */
   private def q36_minhash_lsh(s: SparkSession, dir: String): DataFrame =
@@ -3369,13 +3396,10 @@ object SparkEntry {
     * oracle recomputes all three relationally, so a vector that drops the
     * wrong position, resurrects on purge, or leaks into v1 breaks the hash. */
   private def q201_delete_vectors(s: SparkSession, dir: String): DataFrame = {
-    val vt = new graft.io.Versioned(
-      s, java.nio.file.Files.createTempDirectory("graft_dv").toString)
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
-    vt.commit("li_dv", li)
-    vt.deleteWhere("li_dv", col("l_returnflag") === "R")
-    vt.deleteWhere("li_dv", col("l_quantity") >= 45)
+    val (vt, t) = clonedVersionedFixture(s, dir, "li4")(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_linestatus")))
+    vt.deleteWhere(t, col("l_returnflag") === "R")
+    vt.deleteWhere(t, col("l_quantity") >= 45)
     def snap(df: DataFrame, name: String): DataFrame =
       df.groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
@@ -3383,10 +3407,10 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("n_orders"))
         .select(lit(name).as("snapshot"), col("l_linestatus"),
           col("n_rows"), col("sum_qty"), col("n_orders"))
-    val v1 = snap(vt.readVersion("li_dv", 1L), "v1")
-    val mor = snap(vt.read("li_dv"), "mor")
-    vt.purgeDeletes("li_dv")
-    v1.unionAll(mor).unionAll(snap(vt.read("li_dv"), "purged"))
+    val v1 = snap(vt.readVersion(t, 1L), "v1")
+    val mor = snap(vt.read(t), "mor")
+    vt.purgeDeletes(t)
+    v1.unionAll(mor).unionAll(snap(vt.read(t), "purged"))
   }
 
   /** HASHED LINEAR QUALITY CLASSIFIER ([[graft.text.HashedClassifier]]):
@@ -3415,15 +3439,12 @@ object SparkEntry {
     * position pair that drifts between the vector and the append, or an
     * update leaking onto deleted rows, breaks the hash. */
   private def q203_mor_update(s: SparkSession, dir: String): DataFrame = {
-    val vt = new graft.io.Versioned(
-      s, java.nio.file.Files.createTempDirectory("graft_up").toString)
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
-    vt.commit("li_up", li)
-    vt.updateWhere("li_up", col("l_quantity") >= 45,
+    val (vt, t) = clonedVersionedFixture(s, dir, "li4")(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_linestatus")))
+    vt.updateWhere(t, col("l_quantity") >= 45,
       Map("l_quantity" -> (col("l_quantity") - 40)))
-    vt.deleteWhere("li_up", col("l_returnflag") === "R")
-    vt.read("li_up")
+    vt.deleteWhere(t, col("l_returnflag") === "R")
+    vt.read(t)
       .groupBy(col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -3481,16 +3502,14 @@ object SparkEntry {
   private def q205_mv_incremental_rewrite(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.MvRewriteRule
     import graft.ops.Incremental
-    val vt = new graft.io.Versioned(
-      s, java.nio.file.Files.createTempDirectory("graft_mvi").toString)
     val mvDir1 = java.nio.file.Files.createTempDirectory("graft_mvi_v1").toString
     val mvDir2 = java.nio.file.Files.createTempDirectory("graft_mvi_v2").toString
     val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
     val base = Tables.orders(s, dir)
       .select(col("o_orderkey").as("k"), col("o_orderpriority").as("grp"), cents.as("v"))
-    vt.commit("t", base, statsCol = Some("k"))
+    val (vt, t) = clonedVersionedFixture(s, dir, "ordkv", statsCol = Some("k"))(base)
     MvRewriteRule.install(s)
-    MvRewriteRule.create(s, "q205_rollup", vt.readVersion("t", 1L), mvDir1,
+    MvRewriteRule.create(s, "q205_rollup", vt.readVersion(t, 1L), mvDir1,
       groupCols = Seq("grp"), aggCols = Seq("v"))
 
     def scansOf(df: DataFrame): Seq[String] = df.queryExecution.optimizedPlan.collect {
@@ -3501,17 +3520,17 @@ object SparkEntry {
           case _ => Seq.empty[String]
         }
     }.flatten
-    def query(): DataFrame = vt.read("t").groupBy(col("grp"))
+    def query(): DataFrame = vt.read(t).groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"))
 
     require(scansOf(query()).exists(_.endsWith(mvDir1)), "q205: v1 rewrite must fire")
     // evolve: append late rows, then a key-pruned copy-on-write merge
-    vt.commitAppend("t",
+    vt.commitAppend(t,
       base.filter(col("k") % 10 === 7)
         .select((col("k") + 10000000L).as("k"), col("grp"), (col("v") + 5L).as("v")),
       statsCol = Some("k"))
-    val v3 = vt.mergeByKey("t",
-      vt.read("t").filter(col("k") % 10 === 3)
+    val v3 = vt.mergeByKey(t,
+      vt.read(t).filter(col("k") % 10 === 3)
         .withColumn("v", col("v") + 1000L), "k")
     // staleness guard: the old registration matches v1's files only
     require(!scansOf(query()).exists(_.endsWith(mvDir1)),
@@ -3519,10 +3538,10 @@ object SparkEntry {
     // incremental refresh: old rollup + change feed → new rollup
     val old = s.read.parquet(mvDir1)
       .select(col("grp"), col("__cnt").as("n_rows"), col("__sum_v").as("sum_val"))
-    Incremental.applyCountSumDeltas(old, vt.changesWithImages("t", 1L, v3, "k"), "grp", "v")
+    Incremental.applyCountSumDeltas(old, vt.changesWithImages(t, 1L, v3, "k"), "grp", "v")
       .select(col("grp"), col("n_rows").as("__cnt"), col("sum_val").as("__sum_v"))
       .write.mode("overwrite").parquet(mvDir2)
-    MvRewriteRule.registerExisting(s, "q205_rollup", vt.read("t"), mvDir2,
+    MvRewriteRule.registerExisting(s, "q205_rollup", vt.read(t), mvDir2,
       groupCols = Seq("grp"), countStar = "__cnt", sums = Map("v" -> "__sum_v"))
     val q = query()
     require(scansOf(q).exists(_.endsWith(mvDir2)),
@@ -4276,6 +4295,38 @@ object SparkEntry {
       name = s"q253_drift_${java.util.UUID.randomUUID().toString.replace("-", "")}")
   }
 
+  /** ASYMMETRIC CONTAINMENT dedup, exact baseline
+    * ([[Dedup.containmentPairsExact]], C(A,B) = |A∩B|/|A| ≥ 0.8 over
+    * 3-gram shingle sets): the boilerplate/quotation relation Jaccard
+    * can't see — a short doc fully quoted inside a long one scores J ≈
+    * |A|/|B| (arbitrarily low) but C = 1. O(n²) size-prefiltered pairs:
+    * CORRECTNESS BASELINE, bench-excluded like q35; the benched scale
+    * path is q255 (identical output, indexed candidates). */
+  private def q254_containment_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairsExact(Tables.documents(s, dir), "doc_id", "text", thresh10 = 8)
+
+  /** [[Dedup.containmentPairsIndexed]] — same exact containment relation
+    * as q254, candidates from the rare-shingle inverted-index join (df
+    * pass → df-ascending prefix → equi-join; no cross join). SAME ORACLE
+    * as q254: the scale path must reproduce the baseline bit-for-bit,
+    * which is the whole claim of exact prefix filtering. */
+  private def q255_containment_indexed(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairsIndexed(par(s, Tables.documents(s, dir)), "doc_id", "text", thresh10 = 8)
+
+  /** The GOPHER RULE BATTERY ([[graft.text.TextOps.gopherFlags]], Rae et
+    * al. 2021 §A1.1): seven named integer/rational quality rules + the
+    * composite verdict, one codegen'd projection, zero shuffles. Stop
+    * list localized to the synthetic corpus's function words {the, a}
+    * (the paper's English eight is the default; the corpus vocabulary
+    * contains only these two of them, which would pin the stopword rule
+    * false everywhere — the lexicon is deployment config, the rule shape
+    * is what the oracle checks). */
+  private def q256_gopher_rules(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherFlags(Tables.documents(s, dir), "text", stopWords = Seq("the", "a"))
+      .select(col("doc_id"), col("ok_word_count"), col("ok_mean_word_len"),
+        col("ok_symbol_ratio"), col("ok_bullet_lines"), col("ok_ellipsis_lines"),
+        col("ok_alpha_words"), col("ok_stopwords"), col("gopher_pass"))
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4542,10 +4593,30 @@ object SparkEntry {
     "q251_tokenmass_quantiles" -> (q251_tokenmass_quantiles _),
     "q252_dist_drift" -> (q252_dist_drift _),
     "q253_stream_drift" -> (q253_stream_drift _),
+    "q254_containment_pairs" -> (q254_containment_pairs _),
+    "q255_containment_indexed" -> (q255_containment_indexed _),
+    "q256_gopher_rules" -> (q256_gopher_rules _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
     * construction): even-id half = reference, odd-id half = current. */
+  /** Shared oracle for q254 (exact baseline) and q255 (indexed scale
+    * path): directed 3-gram shingle-set containment at τ = 0.8. The size
+    * prefilters are implied by the final predicate (inter ≤ min(n_a, n_b)),
+    * so the oracle states only the containment condition itself. */
+  private val containmentOracleSql: String =
+    """WITH s AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+               FROM documents)
+         WHERE len(toks) >= 3)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         cast(len(list_intersect(a.sh, b.sh)) as bigint) AS inter,
+         cast(len(a.sh) as bigint) AS n_a
+       FROM s a JOIN s b ON a.doc_id <> b.doc_id
+       WHERE len(list_intersect(a.sh, b.sh)) * 10 >= len(a.sh) * 8"""
+
   private val distDriftOracleSql: String =
     """WITH t AS (
            SELECT doc_id % 2 = 0 AS is_ref,
@@ -4659,7 +4730,8 @@ object SparkEntry {
   def headlineQueries: Seq[String] =
     (queries.keySet -- Set("q35_jaccard_pairs", "q41_embed_neardup",
       "q137_semantic_dedup", "q153_label_agreement",
-      "q140_record_linkage", "q212_minhash_det", "q213_simhash_det")).toSeq.sorted
+      "q140_record_linkage", "q212_minhash_det", "q213_simhash_det",
+      "q254_containment_pairs")).toSeq.sorted
 
   /** Queries that are DELIBERATELY un-oracled (approximate / hash-family /
     * stub semantics no ANSI engine reproduces), each mapped to the
@@ -7214,6 +7286,41 @@ object SparkEntry {
     // row-identical to the batch monitor — shared oracle (q51/q60
     // streaming-equals-batch pattern)
     "q253_stream_drift" -> distDriftOracleSql,
+    // q254/q255: directed shingle-set containment C(A,B) = |A∩B|/|A| ≥ 0.8
+    // — the same oracle text for the O(n²) baseline and the indexed scale
+    // path (exact prefix filtering must reproduce the baseline verbatim)
+    "q254_containment_pairs" -> containmentOracleSql,
+    "q255_containment_indexed" -> containmentOracleSql,
+    // q256: each Gopher rule restated relationally (integer/rational
+    // comparisons only), composite = conjunction
+    "q256_gopher_rules" ->
+      """WITH g AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws,
+             len(regexp_replace(text, '\s', '', 'g')) AS wc,
+             len(text) - len(replace(text, '#', '')) AS hashes,
+             len(regexp_extract_all(text, '\.\.\.|…')) AS ellipses,
+             list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             len(ws) BETWEEN 50 AND 100000 AS ok_word_count,
+             len(ws) > 0 AND wc >= 3 * len(ws) AND wc <= 10 * len(ws) AS ok_mean_word_len,
+             (hashes + ellipses) * 10 <= len(ws) AS ok_symbol_ratio,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 10
+               <= len(lines) * 9 AS ok_bullet_lines,
+             len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) * 10
+               <= len(lines) * 3 AS ok_ellipsis_lines,
+             len(list_filter(ws, w -> regexp_matches(w, '\p{L}'))) * 10
+               >= len(ws) * 8 AS ok_alpha_words,
+             (CASE WHEN regexp_matches(text, '(?i)\bthe\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(text, '(?i)\ba\b') THEN 1 ELSE 0 END) >= 2 AS ok_stopwords
+           FROM g)
+         SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+           ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+           (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_lines
+            AND ok_ellipsis_lines AND ok_alpha_words AND ok_stopwords) AS gopher_pass
+         FROM f""",
     // q230: 3 unrolled peels of the degree-<80 drop over the symmetrized
     // co-purchase edges
     "q230_kcore" -> kcoreOracleSql(k = 80, rounds = 3),

@@ -74,6 +74,98 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** The distinct n-gram (shingle) set of a text — the containment
+    * domain: word-window shingles carry local ORDER (a bag-of-words subset
+    * is meaningless when the vocabulary is small; a shingle subset means
+    * the same phrases occur), the same unit the MinHash pipeline hashes. */
+  def shingleSet(text: Column, n: Int): Column = {
+    val ts = TextOps.tokens(text)
+    array_distinct(filter(
+      transform(ts, (_, i) => when(i + n <= size(ts), array_join(slice(ts, i + lit(1), lit(n)), " "))),
+      s => s.isNotNull))
+  }
+
+  /** EXACT shingle-set CONTAINMENT pairs — the ASYMMETRIC dup relation
+    * C(A,B) = |A∩B|/|A| ≥ τ ("A's phrases are inside B"): catches
+    * templated pages, quote-plus-commentary, and boilerplate-wrapped
+    * copies that symmetric Jaccard structurally misses (J ≤ |A|/|B| → 0 as
+    * the containing doc grows, while C stays 1 — a fully quoted short doc
+    * inside a long commentary is invisible to q35/q42 at any threshold).
+    * Directed output (id_a contained in id_b; both directions possible for
+    * mutual near-copies) with integer-exact evidence columns (inter, n_a).
+    *
+    * CORRECTNESS BASELINE — O(n²) candidate pairs pruned by the size
+    * prefilter (|A∩B| ≤ min(|A|,|B|) ⟹ (C ≥ τ ⟹ 10·|B| ≥ τ10·|A|)), which
+    * loses no true pair. The scale path is [[containmentPairsIndexed]]
+    * (identical output, candidates from a rare-shingle index join).
+    */
+  def containmentPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                            thresh10: Int, shingleN: Int = 3): DataFrame = {
+    require(thresh10 >= 1 && thresh10 <= 10, s"containment: thresh10=$thresh10")
+    val sets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long")).filter(col("n") > 0)
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    a.join(b,
+        col("id_a") =!= col("id_b") &&
+        col("n_b") * 10 >= col("n_a") * thresh10)
+      .withColumn("inter", setIntersectionSize(col("sh_a"), col("sh_b")))
+      .filter(col("inter") * 10 >= col("n_a") * thresh10)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"))
+  }
+
+  /** [[containmentPairsExact]] AT SCALE — identical output (exact, not
+    * approximate), candidates from a RARE-SHINGLE INVERTED-INDEX join
+    * instead of the n² size-filtered cross product.
+    *
+    * Pigeonhole: if C(A,B) ≥ τ then B misses ≤ (1−τ)·|A| of A's shingles,
+    * so among ANY ⌊(1−τ)·|A|⌋+1 shingles of A at least one is in B. Order
+    * every set by ascending corpus document frequency (ties by shingle)
+    * and take A's first ⌊(1−τ)|A|⌋+1 — its RAREST shingles — as the probe
+    * prefix; join it against the full inverted index on the shingle. Rare
+    * shingles keep candidate lists short (a df-1 shingle finds only its
+    * own document), which is the entire trick: the index is O(corpus
+    * tokens) rows — the same cost class as [[graft.dedup.SpanDedup]]'s
+    * gram table — but the JOIN fan-out follows the prefix shingles'
+    * document frequencies, never a hot token's corpus-wide posting list.
+    * Exact verification (one equi-join back to the two shingle sets)
+    * re-checks every candidate, so the prefix filter loses no true pair
+    * and admits no false one.
+    *
+    * 100 TB shape: df pass = one partial-agg groupBy on shingles; index +
+    * prefixes = two exploded projections; candidates = equi-join on
+    * (shingle); verify = equi-join on ids against the set table. No cross
+    * join anywhere; document text never shuffles — only (shingle, id)
+    * pairs and the sparse candidate ids do.
+    */
+  def containmentPairsIndexed(docs: DataFrame, idCol: String, textCol: String,
+                              thresh10: Int, shingleN: Int = 3): DataFrame = {
+    require(thresh10 >= 1 && thresh10 <= 10, s"containment: thresh10=$thresh10")
+    val sets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long")).filter(col("n") > 0)
+    val occ = sets.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    val df = occ.groupBy("g").agg(count(lit(1)).as("df"))
+    // A-side probe prefix: the ⌊(1−τ)n⌋+1 rarest shingles of each set,
+    // df-ascending with the shingle string as the deterministic tiebreak
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("g").asc)
+    val prefix = occ.join(df, "g")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= (col("n") * (10 - thresh10)).cast("long") / 10 + 1)
+      .select(col("id").as("id_a"), col("g"))
+    val index = occ.select(col("id").as("id_b"), col("g"))
+    val cands = prefix.join(index, "g")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .filter(col("n_b") * 10 >= col("n_a") * thresh10)
+      .withColumn("inter", setIntersectionSize(col("sh_a"), col("sh_b")))
+      .filter(col("inter") * 10 >= col("n_a") * thresh10)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"))
+  }
+
   /** EXACT n-gram(shingle)-set Jaccard near-dup pairs at scale, via prefix
     * filtering (AllPairs / Chaudhuri et al.): under any global total order
     * (here: the shingle hash value), two sets with J ≥ τ must share their

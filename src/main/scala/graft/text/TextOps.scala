@@ -109,6 +109,66 @@ object TextOps {
       .otherwise("ok")
   }
 
+  /** The GOPHER RULE BATTERY (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", public arXiv
+    * 2112.11446 §A1.1) — the named document-quality filter set production
+    * pretraining pipelines actually run, each rule a PURE integer/rational
+    * column comparison (no floats) so every flag and the composite verdict
+    * are hash-exact and oracle-checkable:
+    *
+    *  - `ok_word_count`     50 ≤ words ≤ 100,000
+    *  - `ok_mean_word_len`  3 ≤ mean word length ≤ 10, as
+    *                        3·words ≤ Σ word chars ≤ 10·words (the char sum
+    *                        is non-whitespace length — exact, no division)
+    *  - `ok_symbol_ratio`   (# of '#' + # of '...') ≤ 0.1·words
+    *  - `ok_bullet_lines`   lines starting with a bullet (-, *, •) ≤ 90%
+    *  - `ok_ellipsis_lines` lines ending with '...' or '…' ≤ 30%
+    *  - `ok_alpha_words`    ≥ 80% of words contain ≥1 letter
+    *  - `ok_stopwords`      ≥ 2 DISTINCT members of the stop list occur
+    *                        (the paper's English eight by default; pass the
+    *                        corpus's function words for other languages or
+    *                        synthetic vocabularies — a deployment localizes
+    *                        this lexicon, the rule shape never changes)
+    *
+    * One projection over the text — zero shuffles, fully codegen'd; at
+    * 100 TB this is scan-speed. Returns the input plus the seven flags and
+    * `gopher_pass` (their conjunction). Thresholds follow the paper;
+    * whitespace tokenization stands in for its word segmenter (the
+    * documented engine-wide tokenizer, [[tokens]]).
+    */
+  def gopherFlags(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  stopWords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with")): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val nWords = tokenCount(t)
+    // Σ word lengths = non-whitespace char count (whitespace tokenizer ⇒ exact)
+    val wordChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ellipses = size(regexp_extract_all(t, lit("\\.\\.\\.|…"), lit(0))).cast("long")
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val alphaWords = size(filter(tokens(t), w => w.rlike("\\p{L}"))).cast("long")
+    require(stopWords.nonEmpty && stopWords.forall(_.matches("[A-Za-z]+")),
+      s"gopherFlags: stop words must be plain alphabetic tokens, got $stopWords")
+    val stopHits = stopWords
+      .map(sw => when(t.rlike(s"(?i)\\b$sw\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn("ok_word_count", nWords >= 50L && nWords <= 100000L)
+      .withColumn("ok_mean_word_len",
+        nWords > 0L && wordChars >= nWords * 3L && wordChars <= nWords * 10L)
+      .withColumn("ok_symbol_ratio", (hashes + ellipses) * 10L <= nWords)
+      .withColumn("ok_bullet_lines", bulletLines * 10L <= nLines * 9L)
+      .withColumn("ok_ellipsis_lines", ellipsisLines * 10L <= nLines * 3L)
+      .withColumn("ok_alpha_words", alphaWords * 10L >= nWords * 8L)
+      .withColumn("ok_stopwords", stopHits >= 2L)
+      .withColumn("gopher_pass",
+        col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
+        col("ok_bullet_lines") && col("ok_ellipsis_lines") && col("ok_alpha_words") &&
+        col("ok_stopwords"))
+  }
+
   /** Content fingerprint (md5 hex) for exact dedup — portable across engines
     * (DuckDB md5() computes the identical digest, which is what makes the
     * exact-dedup oracle checkable).

@@ -12,7 +12,8 @@ class EntrySpec extends SparkSpec {
   // non-empty at sf0.01/sf0.1 where the driver's gates run)
   private val mayBeEmptyAtTinySf =
     Set("q35_jaccard_pairs", "q36_minhash_lsh", "q37_simhash_neardup", "q41_embed_neardup",
-      "q42_ngram_jaccard", "q230_kcore")
+      "q42_ngram_jaccard", "q230_kcore",
+      "q254_containment_pairs", "q255_containment_indexed")
 
   test("every declared query runs on sf0.001; non-pair queries return rows") {
     val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "q29_range_join" -> "band predicate over binned keys; NLJ only inside a bin pair",
     "q174_sorted_neighborhood" -> "lead() band generates candidates; no join at all - flagged for the 1-row guard only",
     "q35_jaccard_pairs" -> "RETIRED brute-force oracle twin (not benched); exact all-pairs is its definition",
+    "q254_containment_pairs" -> "RETIRED brute-force oracle twin of q255 (not benched); exact all-pairs is its definition",
     "q41_embed_neardup" -> "RETIRED brute-force oracle twin of q161",
     "q137_semantic_dedup" -> "RETIRED brute-force oracle twin of q162",
     "q153_label_agreement" -> "RETIRED brute-force oracle twin of q163",

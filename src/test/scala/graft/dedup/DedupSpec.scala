@@ -294,4 +294,40 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(det === fast)
   }
+
+  test("containment: a quoted short doc inside a long one is found, and Jaccard misses it") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // the short doc
+      // 10's full text quoted inside a much longer commentary
+      (11L, "intro words here alpha beta gamma delta epsilon zeta plus a very long " +
+        "tail of commentary spanning many additional tokens about unrelated things " +
+        "that keep growing the containing document far beyond the quoted span"),
+      (12L, "totally unrelated content mentioning shuffles joins and aggregates only")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairsExact(corpus, "doc_id", "text", thresh10 = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cont.contains((10L, 11L)), "short-inside-long must be a containment pair")
+    assert(!cont.contains((11L, 10L)), "containment is DIRECTED — the long doc is not inside the short one")
+    assert(!cont.exists { case (a, b) => a == 12L || b == 12L })
+    // the same relation is invisible to symmetric Jaccard at the same threshold
+    val jac = Dedup.jaccardPairsExact(corpus, "doc_id", "text", thresh10 = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((10L, 11L)), "Jaccard must NOT see the asymmetric pair (that's the point)")
+  }
+
+  test("containment: indexed scale path reproduces the exact baseline bit-for-bit") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    for (t <- Seq(5, 8, 10)) {
+      val exact = Dedup.containmentPairsExact(docs, "doc_id", "text", thresh10 = t)
+        .collect().map(key).toSet
+      val idx = Dedup.containmentPairsIndexed(docs, "doc_id", "text", thresh10 = t)
+        .collect().map(key).toSet
+      assert(idx === exact, s"thresh10=$t: prefix filtering must lose/add nothing")
+    }
+    // mutual near-copies appear in BOTH directions
+    val both = Dedup.containmentPairsExact(docs, "doc_id", "text", thresh10 = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(both.contains((0L, 3L)) && both.contains((3L, 0L)), "exact dups contain each other")
+  }
 }

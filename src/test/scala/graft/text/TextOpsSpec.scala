@@ -96,4 +96,34 @@ class TextOpsSpec extends SparkSpec {
     // already-NFC text with real non-ASCII passes through unchanged
     assert(clean("caf\u00e9 na\u00efve") === "caf\u00e9 na\u00efve")
   }
+
+  test("gopherFlags: each rule trips on its planted violation and only that rule") {
+    val good = ("the cat sat on a mat and then walked to the door of the house " +
+      "with a friend that must have been waiting there for quite some time now ") * 3
+    val docs = Seq(
+      (1L, good),                                            // passes everything
+      (2L, "too few words here"),                            // word count < 50
+      (3L, ("supercalifragilisticexpialidocious " * 60) + good), // mean word len > 10
+      (4L, ("# # # # # # # # # # # # # # # # # # # # # # # # # # # # " * 2) + good), // symbols
+      (5L, (1 to 60).map(i => s"- bullet item $i").mkString("\n")), // all lines bulleted
+      (6L, (1 to 60).map(i => s"trailing line $i...").mkString("\n")), // all lines ellipsis-ended
+      (7L, ("12345 67890 11111 22222 33333 44444 " * 12) + "the a"), // <80% alpha words
+      (8L, good.replace("the", "xx").replace(" a ", " yy ").replace("and", "zz")
+        .replace("that", "qq").replace("with", "ww")) // every stop-list word scrubbed
+    ).toDF("doc_id", "text")
+    val f = TextOps.gopherFlags(docs, "text", stopWords = Seq("the", "a", "and", "that", "with"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(1L).getAs[Boolean]("gopher_pass"), "the clean doc must pass all seven rules")
+    assert(!f(2L).getAs[Boolean]("ok_word_count") && f(1L).getAs[Boolean]("ok_word_count"))
+    assert(!f(3L).getAs[Boolean]("ok_mean_word_len"))
+    assert(!f(4L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(!f(5L).getAs[Boolean]("ok_bullet_lines"))
+    assert(!f(6L).getAs[Boolean]("ok_ellipsis_lines"))
+    assert(!f(7L).getAs[Boolean]("ok_alpha_words"))
+    assert(!f(8L).getAs[Boolean]("ok_stopwords"))
+    for (id <- 2L to 8L)
+      assert(!f(id).getAs[Boolean]("gopher_pass"), s"doc $id must fail the composite")
+    // the violations are independent: doc 5's words pass the count rule
+    assert(f(5L).getAs[Boolean]("ok_word_count"))
+  }
 }
