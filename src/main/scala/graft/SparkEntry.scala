@@ -390,15 +390,25 @@ object SparkEntry {
     * DVs, appends, and purge rewrites land under the clone's own dirs, so
     * the base stays pristine for the next evaluation — which doubles as a
     * standing exercise of clone isolation on every bench round. */
-  private val versionedFixtureRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val versionedFixtureRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
   private val versionedCloneSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def clonedVersionedFixture(s: SparkSession, dir: String, kind: String,
+  private[graft] def clonedVersionedFixture(s: SparkSession, dir: String, kind: String,
       statsCol: Option[String] = None)(base: => DataFrame): (graft.io.Versioned, String) = {
-    val root = versionedFixtureRoots.computeIfAbsent(s"$kind:$dir", _ => {
+    val b = base
+    val (root, cachedSchema) = versionedFixtureRoots.computeIfAbsent(s"$kind:$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory(s"graft_fx_$kind").toString
-      new graft.io.Versioned(s, p).commit("base", base, statsCol = statsCol)
-      p
+      new graft.io.Versioned(s, p).commit("base", b, statsCol = statsCol)
+      (p, b.schema)
     })
+    // `kind` is a registry key, not a namespace: a second caller reusing an
+    // existing kind with a DIFFERENT base frame would silently clone the
+    // first caller's data (r9 advisor). Schema equality is the cheap
+    // invariant that catches the projection-drift case without a data pass.
+    require(cachedSchema == b.schema,
+      s"clonedVersionedFixture: kind '$kind' is cached with schema " +
+        s"${cachedSchema.simpleString} but this caller's base has " +
+        s"${b.schema.simpleString} — pick a distinct kind per base projection")
     val vt = new graft.io.Versioned(s, root)
     val t = s"${kind}_${versionedCloneSeq.incrementAndGet()}"
     vt.cloneTable("base", t)
@@ -7306,7 +7316,7 @@ object SparkEntry {
            SELECT doc_id,
              len(ws) BETWEEN 50 AND 100000 AS ok_word_count,
              len(ws) > 0 AND wc >= 3 * len(ws) AND wc <= 10 * len(ws) AS ok_mean_word_len,
-             (hashes + ellipses) * 10 <= len(ws) AS ok_symbol_ratio,
+             hashes * 10 <= len(ws) AND ellipses * 10 <= len(ws) AS ok_symbol_ratio,
              len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 10
                <= len(lines) * 9 AS ok_bullet_lines,
              len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) * 10

@@ -131,10 +131,15 @@ object Tables {
     * The walk is RECURSIVE (a hive-partitioned layout nests data files
     * under key=value directories; a flat listStatus would silently
     * undercount), skipping hidden (`_`/`.`) files and directories as
-    * Spark's own file index does. The cache key includes the root's
-    * modification time, so rewriting a table in place (new files under the
-    * same path) invalidates the cached count instead of serving a stale
-    * one — one extra metadata call per lookup, never a data pass.
+    * Spark's own file index does. The cache key is a digest of the whole
+    * listing — every visible file's (path, mtime, length) plus the max
+    * directory mtime observed — so a rewrite confined to nested partition
+    * subdirectories (which leaves the ROOT mtime untouched) still
+    * invalidates, as does a same-mtime-granularity rewrite that changes
+    * file names or sizes. Stale keys for the same root are evicted on
+    * insert, so repeated rewrites don't grow the cache without bound.
+    * The walk itself is the same O(files) metadata listing a cache miss
+    * needs anyway — the cache only ever saves the FOOTER reads.
     */
   private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def footerRowCount(spark: SparkSession, path: String): Long = {
@@ -142,20 +147,42 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val root = fs.getFileStatus(p)
-    rowCountCache.computeIfAbsent(s"$path@${root.getModificationTime}", _ => {
-      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.Path] = {
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
-        else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
-        else Seq(st.getPath)
-      }
-      val files = if (root.isDirectory) fs.listStatus(p).toSeq.flatMap(walk) else Seq(p)
-      files.map { f =>
+    var maxDirM = root.getModificationTime
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (st.isDirectory) {
+        maxDirM = math.max(maxDirM, st.getModificationTime)
+        fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      } else Seq(st)
+    }
+    val files = if (root.isDirectory) fs.listStatus(p).toSeq.flatMap(walk)
+                else Seq(root)
+    val sig = files.sortBy(_.getPath.toString)
+      .map(f => s"${f.getPath}:${f.getModificationTime}:${f.getLen}")
+      .mkString("|")
+    val key = s"$path@$maxDirM#${java.util.UUID.nameUUIDFromBytes(sig.getBytes("UTF-8"))}"
+    val cached = rowCountCache.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      val cnt = files.map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
         try r.getRecordCount finally r.close()
       }.sum
-    })
+      // evict superseded keys for this root OUTSIDE any map callback
+      // (ConcurrentHashMap forbids mutating other mappings inside compute*)
+      rowCountCache.keySet.removeIf(k => k.startsWith(s"$path@") && k != key)
+      rowCountCache.put(key, cnt)
+      cnt
+    }
+  }
+
+  /** Test hook: number of live cache entries for a root path (eviction proof). */
+  private[graft] def rowCountCacheKeysForTest(path: String): Int = {
+    var n = 0
+    rowCountCache.keySet.forEach(k => if (k.startsWith(s"$path@")) n += 1)
+    n
   }
 
   /** [[footerRowCount]] for a named testdata table. */

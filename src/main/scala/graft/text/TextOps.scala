@@ -120,7 +120,12 @@ object TextOps {
     *  - `ok_mean_word_len`  3 ≤ mean word length ≤ 10, as
     *                        3·words ≤ Σ word chars ≤ 10·words (the char sum
     *                        is non-whitespace length — exact, no division)
-    *  - `ok_symbol_ratio`   (# of '#' + # of '...') ≤ 0.1·words
+    *  - `ok_symbol_ratio`   # of '#' ≤ 0.1·words AND # of '...' ≤ 0.1·words
+    *                        — the paper's TWO independent symbol-to-word
+    *                        tests ("greater than 0.1 for either the hash
+    *                        symbol or the ellipsis" ⇒ reject), not a
+    *                        combined (hashes+ellipses) bound, which would
+    *                        be strictly tighter (r9 advisor)
     *  - `ok_bullet_lines`   lines starting with a bullet (-, *, •) ≤ 90%
     *  - `ok_ellipsis_lines` lines ending with '...' or '…' ≤ 30%
     *  - `ok_alpha_words`    ≥ 80% of words contain ≥1 letter
@@ -158,7 +163,7 @@ object TextOps {
     df.withColumn("ok_word_count", nWords >= 50L && nWords <= 100000L)
       .withColumn("ok_mean_word_len",
         nWords > 0L && wordChars >= nWords * 3L && wordChars <= nWords * 10L)
-      .withColumn("ok_symbol_ratio", (hashes + ellipses) * 10L <= nWords)
+      .withColumn("ok_symbol_ratio", hashes * 10L <= nWords && ellipses * 10L <= nWords)
       .withColumn("ok_bullet_lines", bulletLines * 10L <= nLines * 9L)
       .withColumn("ok_ellipsis_lines", ellipsisLines * 10L <= nLines * 3L)
       .withColumn("ok_alpha_words", alphaWords * 10L >= nWords * 8L)

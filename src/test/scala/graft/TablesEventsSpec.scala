@@ -160,12 +160,26 @@ class TablesEventsSpec extends SparkSpec {
     // data files live under part=*/ subdirectories — a flat listing sees zero
     assert(Tables.footerRowCount(spark, tmp) === 100L,
       "nested partition dirs must be walked, not skipped")
-    // rewrite in place with a different count: the mtime-keyed cache must
-    // not serve the stale 100
-    Thread.sleep(20) // local-fs mtime granularity
+    // rewrite in place with a different count: the listing-signature cache
+    // key must not serve the stale 100. No sleep — the key digests every
+    // file's (path, mtime, length), so it changes even when the rewrite
+    // lands within the filesystem's mtime granularity (r9 advisor: the old
+    // root-mtime key + Thread.sleep(20) flaked on coarse-mtime fs).
     (1 to 37).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part")
       .write.mode("overwrite").partitionBy("part").parquet(tmp)
     assert(Tables.footerRowCount(spark, tmp) === 37L,
       "a rewritten path must re-count, not hit the stale cache entry")
+    // rewrite confined to ONE nested partition dir (root untouched): the
+    // r9 advisor's stale-root-mtime scenario — must still invalidate
+    val subRows = (1 to 11).map(i => Tuple1(i.toLong)).toDF("id")
+    subRows.write.mode("overwrite").parquet(s"$tmp/part=p0")
+    val expected = 11L + spark.read.parquet(s"$tmp/part=p1").count()
+    assert(Tables.footerRowCount(spark, tmp) === expected,
+      "a rewrite inside a nested subdir (root mtime unchanged) must re-count")
+    // repeated lookups stay cached (idempotent) and stale keys are evicted,
+    // not accumulated across the three rewrites above
+    assert(Tables.footerRowCount(spark, tmp) === expected)
+    assert(Tables.rowCountCacheKeysForTest(tmp) === 1,
+      "rewrites must evict superseded cache keys for the same root")
   }
 }

@@ -473,4 +473,22 @@ class VersionedSpec extends SparkSpec {
     // clone never overwrites
     intercept[IllegalArgumentException](vt.cloneTable("src", "dst"))
   }
+
+  test("clonedVersionedFixture: reusing a kind with a different base schema is refused") {
+    // r9 advisor: the fixture registry keys on (kind, dir) only — a second
+    // caller with a different projection must fail loudly, not silently
+    // clone the first caller's data
+    val kind = s"fxguard_${System.nanoTime()}"
+    val base1 = Seq((1L, "a")).toDF("k", "v")
+    val (_, t1) = graft.SparkEntry.clonedVersionedFixture(spark, sfDir, kind)(base1)
+    assert(t1.startsWith(kind))
+    // same schema → cache hit, fine
+    val (_, t2) = graft.SparkEntry.clonedVersionedFixture(spark, sfDir, kind)(base1)
+    assert(t2 !== t1, "each evaluation gets its own clone")
+    // different projection under the SAME kind → refused
+    val drifted = Seq((1L, "a", 9L)).toDF("k", "v", "extra")
+    val e = intercept[IllegalArgumentException](
+      graft.SparkEntry.clonedVersionedFixture(spark, sfDir, kind)(drifted))
+    assert(e.getMessage.contains(kind) && e.getMessage.contains("distinct kind"))
+  }
 }

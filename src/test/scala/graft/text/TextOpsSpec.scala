@@ -126,4 +126,21 @@ class TextOpsSpec extends SparkSpec {
     // the violations are independent: doc 5's words pass the count rule
     assert(f(5L).getAs[Boolean]("ok_word_count"))
   }
+
+  test("gopherFlags ok_symbol_ratio: hash and ellipsis ratios are judged SEPARATELY (Rae et al. A1.1)") {
+    // 116 words, 8 hashes, 8 ellipses: each ratio is 8/116 ≈ 0.069 ≤ 0.1 so
+    // the paper's rule passes — the r9 combined bound ((8+8)·10 > 116)
+    // wrongly failed this doc. 13 of either alone (13/113 ≈ 0.115) fails.
+    val w100 = ("the cat sat on a mat and then walked to " * 10).trim
+    val docs = Seq(
+      (1L, w100 + (" #" * 8) + (" word..." * 8)),   // 0.069 + 0.069 → pass
+      (2L, w100 + (" #" * 13)),                     // hash ratio 13/113 > 0.1 → fail
+      (3L, w100 + (" word..." * 13))                // ellipsis ratio 13/113 → fail
+    ).toDF("doc_id", "text")
+    val f = TextOps.gopherFlags(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("ok_symbol_ratio")).toMap
+    assert(f(1L), "0.08 hash + 0.08 ellipsis must pass: the two tests are independent")
+    assert(!f(2L), "hash ratio alone over 0.1 must fail")
+    assert(!f(3L), "ellipsis ratio alone over 0.1 must fail")
+  }
 }
