@@ -4337,6 +4337,19 @@ object SparkEntry {
         col("ok_symbol_ratio"), col("ok_bullet_lines"), col("ok_ellipsis_lines"),
         col("ok_alpha_words"), col("ok_stopwords"), col("gopher_pass"))
 
+  /** BATCHED DISTRIBUTED BPE ([[graft.text.Bpe.learnMergesDistributed]],
+    * nMerges = 256 — r9 verdict "what's missing" #1): the cluster-resident
+    * trainer, whose r9 contract capped at 64 merges (one aggregation +
+    * argmax job PER merge), now accepts per round a greedy prefix of the
+    * top pair counts that is PROVABLY sequential BPE's next run of choices
+    * (symbol-disjointness + a minted-pair count cap — see the trainer's
+    * scaladoc for the argument), so a tokenizer-range merge budget costs
+    * O(rounds) jobs. SAME ORACLE TEXT as q219: the batched path must
+    * reproduce the sequential merge table — order, pairs, weights, and
+    * this corpus's early-exhaustion point — bit-for-bit. */
+  private def q257_bpe_distributed(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.learnMergesDistributed(par(s, Tables.documents(s, dir)), "text", nMerges = 256)
+
   /** The part co-purchase edge list (parts sharing an order), the shared
     * input of q171/q222/q230/q231. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -4606,6 +4619,7 @@ object SparkEntry {
     "q254_containment_pairs" -> (q254_containment_pairs _),
     "q255_containment_indexed" -> (q255_containment_indexed _),
     "q256_gopher_rules" -> (q256_gopher_rules _),
+    "q257_bpe_distributed" -> (q257_bpe_distributed _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7301,6 +7315,9 @@ object SparkEntry {
     // path (exact prefix filtering must reproduce the baseline verbatim)
     "q254_containment_pairs" -> containmentOracleSql,
     "q255_containment_indexed" -> containmentOracleSql,
+    // q257: the batched distributed trainer must reproduce sequential BPE
+    // verbatim — q219's 256-round unrolled oracle, reused textually
+    "q257_bpe_distributed" -> bpeOracleSql(nMerges = 256),
     // q256: each Gopher rule restated relationally (integer/rational
     // comparisons only), composite = conjunction
     "q256_gopher_rules" ->

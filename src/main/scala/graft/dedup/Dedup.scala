@@ -77,8 +77,18 @@ object Dedup {
   /** The distinct n-gram (shingle) set of a text — the containment
     * domain: word-window shingles carry local ORDER (a bag-of-words subset
     * is meaningless when the vocabulary is small; a shingle subset means
-    * the same phrases occur), the same unit the MinHash pipeline hashes. */
-  def shingleSet(text: Column, n: Int): Column = {
+    * the same phrases occur), the same unit the MinHash pipeline hashes.
+    * Backed by the codegen'd [[graft.functions.HashExprs.ShingleSet]]
+    * kernel: the HOF form below evaluates its slice+array_join lambda
+    * INTERPRETED per token (~10 µs/element — it was most of q255's 9.4 s,
+    * recomputed once per reference to the shingle table in the plan).
+    * DedupSpec pins the two bit-identical. */
+  def shingleSet(text: Column, n: Int): Column =
+    graft.functions.HashExprs.shingle_set(text, n)
+
+  /** The retired HOF form of [[shingleSet]] — kept as the kernel's
+    * differential oracle (pure builtins, engine-independent semantics). */
+  private[graft] def shingleSetHof(text: Column, n: Int): Column = {
     val ts = TextOps.tokens(text)
     array_distinct(filter(
       transform(ts, (_, i) => when(i + n <= size(ts), array_join(slice(ts, i + lit(1), lit(n)), " "))),
@@ -128,40 +138,66 @@ object Dedup {
     * tokens) rows — the same cost class as [[graft.dedup.SpanDedup]]'s
     * gram table — but the JOIN fan-out follows the prefix shingles'
     * document frequencies, never a hot token's corpus-wide posting list.
-    * Exact verification (one equi-join back to the two shingle sets)
-    * re-checks every candidate, so the prefix filter loses no true pair
-    * and admits no false one.
+    * Exact verification re-checks every candidate, so the prefix filter
+    * loses no true pair and admits no false one.
     *
     * 100 TB shape: df pass = one partial-agg groupBy on shingles; index +
     * prefixes = two exploded projections; candidates = equi-join on
-    * (shingle); verify = equi-join on ids against the set table. No cross
-    * join anywhere; document text never shuffles — only (shingle, id)
-    * pairs and the sparse candidate ids do.
+    * (shingle), SIZE-FILTERED before the dedup shuffle; verify counts
+    * |A∩B| from a (shingle, id) equi-join with a map-side-combined
+    * groupBy — after candidate generation only fixed-width (id, id,
+    * count) rows and single shingles ever shuffle. The r9 plan re-joined
+    * both FULL shingle arrays per candidate pair (≈5 KB/row through two
+    * shuffles — measured 9.4 s at sf0.1, the slowest query on the board);
+    * this plan carries no arrays past the explode, which is what survives
+    * a low-entropy corpus where candidates are dense. No cross join
+    * anywhere; document text never shuffles.
     */
   def containmentPairsIndexed(docs: DataFrame, idCol: String, textCol: String,
-                              thresh10: Int, shingleN: Int = 3): DataFrame = {
+                              thresh10: Int, shingleN: Int = 3,
+                              prefixSlack: Int = 4): DataFrame = {
     require(thresh10 >= 1 && thresh10 <= 10, s"containment: thresh10=$thresh10")
+    require(prefixSlack >= 1, s"containment: prefixSlack=$prefixSlack")
     val sets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .withColumn("n", size(col("sh")).cast("long")).filter(col("n") > 0)
     val occ = sets.select(col("id"), col("n"), explode(col("sh")).as("g"))
     val df = occ.groupBy("g").agg(count(lit(1)).as("df"))
-    // A-side probe prefix: the ⌊(1−τ)n⌋+1 rarest shingles of each set,
-    // df-ascending with the shingle string as the deterministic tiebreak
+    // A-side probe prefix, GENERALIZED pigeonhole (slack t = prefixSlack):
+    // B missing ≤ ⌊(1−τ)|A|⌋ =: d of A's shingles means any
+    // min(|A|, d + t) of them contain ≥ (len − d) ≥ t members of B — so
+    // probing the (d + t) RAREST (df-ascending, shingle tiebreak) and
+    // demanding ≥ (len − d) index matches cuts the one-common-rare-shingle
+    // false candidates t=1 admits (measured: 216 756 candidates for 512
+    // true pairs at sf0.1) for a ~t/d-proportional bump in probe fan-out.
+    // t=1 degenerates to the classic prefix filter; both are EXACT.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("g").asc)
+    val dec = (col("n") * (10 - thresh10)).cast("long") / 10
     val prefix = occ.join(df, "g")
       .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= (col("n") * (10 - thresh10)).cast("long") / 10 + 1)
-      .select(col("id").as("id_a"), col("g"))
-    val index = occ.select(col("id").as("id_b"), col("g"))
+      .filter(col("__r") <= least(col("n"), dec + prefixSlack))
+      .select(col("id").as("id_a"), col("n").as("n_a"), dec.as("dec_a"), col("g"))
+    val index = occ.select(col("id").as("id_b"), col("n").as("n_b"), col("g"))
+    // the size prefilter (10·|B| ≥ τ10·|A|) applies AT candidate birth —
+    // before the match-count shuffle, not after two array joins (r9
+    // advisor); the groupBy count IS the old distinct's shuffle, with the
+    // pigeonhole match floor applied map-side-combined on top of it
     val cands = prefix.join(index, "g")
-      .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(col("id_a") =!= col("id_b") &&
+        col("n_b") * 10 >= col("n_a") * thresh10)
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("dec_a"))
+      .agg(count(lit(1)).as("pm"))
+      .filter(col("pm") >= least(col("n_a"), col("dec_a") + prefixSlack) - col("dec_a"))
+      .select("id_a", "id_b")
+    // |A∩B| per candidate from the exploded index itself: attach A's
+    // shingles (one row per (pair, shingle-of-A)), keep rows whose shingle
+    // is also in B via the (id_b, g) equi-join, count. Long/short-string
+    // rows only — the arrays from `sets` are never re-shuffled.
     cands
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
-      .filter(col("n_b") * 10 >= col("n_a") * thresh10)
-      .withColumn("inter", setIntersectionSize(col("sh_a"), col("sh_b")))
+      .join(occ.select(col("id").as("id_a"), col("n").as("n_a"), col("g")), "id_a")
+      .join(occ.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"))
+      .agg(count(lit(1)).as("inter"))
       .filter(col("inter") * 10 >= col("n_a") * thresh10)
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"))
   }

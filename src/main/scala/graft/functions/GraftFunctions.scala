@@ -39,6 +39,10 @@ object GraftFunctions {
       case Seq(text, n) => HashExprs.ShingleHashes(text, intArg(n, "shingle n"))
       case args => throw new IllegalArgumentException(s"shingle_hashes(text, n): got ${args.length} args")
     }),
+    ("shingle_set", "shingle_set(text, n) - distinct word n-gram shingle strings, first-occurrence order", {
+      case Seq(text, n) => HashExprs.ShingleSet(text, intArg(n, "shingle n"))
+      case args => throw new IllegalArgumentException(s"shingle_set(text, n): got ${args.length} args")
+    }),
     ("minhash_signature", "minhash_signature(hashes, k) - k-entry MinHash signature", {
       case Seq(hashes, k) => HashExprs.MinHashSignature(hashes, intArg(k, "k"))
       case args => throw new IllegalArgumentException(s"minhash_signature(hashes, k): got ${args.length} args")

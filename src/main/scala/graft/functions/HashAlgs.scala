@@ -72,6 +72,42 @@ object HashAlgs {
     new GenericArrayData(out)
   }
 
+  /** DISTINCT word n-gram shingle STRINGS (tokens joined by one space), in
+    * first-occurrence order — bit-identical to the HOF form
+    * `array_distinct(transform(tokens, slice+array_join))` it replaced
+    * (DedupSpec pins the equality): array_distinct keeps the first
+    * occurrence, so does the HashSet guard here. One pass, one reused
+    * buffer; the containment/Jaccard family calls this per document and
+    * the interpreted-lambda version cost ~10 µs/element (the q255 tax).
+    */
+  def shingleSetStrings(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, nTok) = tokenSpans(bytes)
+    val nSh = nTok - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[UTF8String](nSh * 2)
+    val out = new java.util.ArrayList[AnyRef](nSh)
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i < nSh) {
+      var blen = 0
+      var j = 0
+      while (j < n) {
+        val s = starts(i + j); val e = ends(i + j)
+        val need = blen + (e - s) + 1
+        if (need > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (j > 0) { buf(blen) = 0x20; blen += 1 }
+        System.arraycopy(bytes, s, buf, blen, e - s)
+        blen += e - s
+        j += 1
+      }
+      val sh = UTF8String.fromBytes(java.util.Arrays.copyOf(buf, blen))
+      if (seen.add(sh)) out.add(sh)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** MinHash signature: out(s) = min over h in hashes of the exact value the
     * BUILTIN `xxhash64(h, s)` produces on two BIGINT columns (chain: seed 42 →
     * hashLong(h) → hashLong(s)) — so the HOF form in

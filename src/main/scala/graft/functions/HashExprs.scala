@@ -44,6 +44,31 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** array<string> of DISTINCT word n-gram shingles (first-occurrence
+    * order) — the exact-containment/Jaccard domain, where the hashed form
+    * above can't serve (a 64-bit collision would silently corrupt an
+    * |A∩B| count the family promises is exact). Replaces an interpreted
+    * `array_distinct(transform(slice+array_join))` HOF pipeline.
+    */
+  case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"shingle_set: n must be >= 1, got $n " +
+      "(n <= 0 would emit nTok+1 empty shingles)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingle_set"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashAlgs.shingleSetStrings(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashAlgs.shingleSetStrings($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature (array<long> of k minima) from shingle hashes.
     * Null on an empty shingle array.
     */
@@ -198,6 +223,9 @@ object HashExprs {
 
   def shingle_hashes(text: Column, n: Int): Column =
     toCol(ShingleHashes(toExpr(text), n))
+
+  def shingle_set(text: Column, n: Int): Column =
+    toCol(ShingleSet(toExpr(text), n))
 
   def minhash_signature(shingleHashes: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingleHashes), k))

@@ -193,31 +193,73 @@ object Bpe {
     out.toIndexedSeq
   }
 
-  /** The fully-distributed loop (one vocab aggregation + 1-row argmax per
-    * merge): the vocab never leaves the cluster, so it has no maxVocab
-    * bound — the fallback for corpora whose DISTINCT-WORD table itself
-    * outgrows driver memory. Costs one Spark job per merge (nMerges ≤ 64
-    * by contract); [[learnMerges]] is the tokenizer-scale path. */
-  def learnMergesDistributed(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64, s"learnMergesDistributed: nMerges=$nMerges")
+  /** The fully-distributed trainer (vocab never leaves the cluster — the
+    * fallback for corpora whose DISTINCT-WORD table outgrows driver
+    * memory), now BATCHED: each round collects the bounded top-`topK`
+    * pair-count rows and accepts a maximal greedy PREFIX of them that is
+    * provably the next run of SEQUENTIAL BPE's choices, then applies the
+    * whole batch in one pass. Jobs are O(rounds), rounds ≪ merges on any
+    * corpus with spread pair counts — this lifted the r9 `nMerges ≤ 64`
+    * contract cap (one aggregation + argmax job PER merge) to the full
+    * 2¹⁶ tokenizer range.
+    *
+    * Why the batch equals sequential BPE exactly (BpeSpec pins it
+    * row-identical to [[learnMerges]]; q219's 256-round DuckDB oracle is
+    * the cross-engine proof):
+    *  - candidates are scanned in sequential's own argmax order
+    *    (count DESC, pair ASC in UTF-8 byte order);
+    *  - a candidate is accepted only if its symbols {l, r, l+r} are
+    *    DISJOINT from every symbol of the already-accepted batch — a
+    *    merge never consumes or creates an adjacency of a disjoint pair,
+    *    so the candidate's count is still exact after the prior merges,
+    *    and old pairs can only lose occurrences, never gain;
+    *  - NEW pairs created by an accepted merge (l,r)→m are bounded by the
+    *    OLD table: each (m,x) occurrence was an (r, first-symbol-of-x)
+    *    adjacency, each (x,m) an (last..,l) one — so cap_j = max old count
+    *    over pairs beginning with r_j or ending with l_j (floored at the
+    *    top-`topK` truncation count) bounds every pair merge j can mint.
+    *    A candidate is accepted only while its count exceeds every
+    *    accepted cap STRICTLY, so no minted pair can outrank or tie it;
+    *  - the scan STOPS at the first rejection (a skipped equal-count
+    *    candidate could legitimately be sequential's next pick), so the
+    *    batch is a prefix, never a subsequence.
+    * Degenerate corpora collapse to batch = 1 (= the r9 behavior, still
+    * exact); they never produce a wrong merge, only more rounds.
+    *
+    * WIDTH IS CORPUS-DEPENDENT BY NATURE, not an implementation limit:
+    * when the top counts sit on CHAINS — "p r", then the minted "pr e",
+    * then "pre f" (any small-alphabet corpus early in training) —
+    * sequential BPE is intrinsically serial, the minted pair genuinely is
+    * the next argmax, and the cap correctly refuses to outrun it
+    * (batch 1-2). Where counts are spread across symbol-disjoint pairs
+    * (wide alphabets, the long post-chain stretch of a 32k-merge run)
+    * batches widen and jobs ≈ merges/width (BpeSpec measures ~80 jobs for
+    * 300 exact merges in that regime).
+    */
+  def learnMergesDistributed(docs: DataFrame, textCol: String, nMerges: Int,
+                             topK: Int = 4096): DataFrame = {
+    require(nMerges >= 1 && nMerges <= (1 << 16), s"learnMergesDistributed: nMerges=$nMerges")
+    require(topK >= 2, s"learnMergesDistributed: topK=$topK")
     val spark = docs.sparkSession
     import spark.implicits._
-    // the one corpus-scale job: word → weight, then wrap each char. CACHED:
-    // the result is vocab-sized (Heaps-bounded), and every iteration's
-    // argmax job starts from it — uncached, each of the nMerges rounds
-    // would re-run the corpus-scale word count (measured ~6.5 s → ~2.4 s
-    // steady-state at sf0.1 for 8 merges)
-    val base: DataFrame = docs
+    // the one corpus-scale job: word → weight, then wrap each char. The
+    // vocab table is Heaps-bounded; each round LOCAL-CHECKPOINTS the
+    // rewritten vocab so round t+1 starts from materialized data instead
+    // of replaying t rounds of replace() lineage (the r9 form chained
+    // lazily — O(rounds²) recompute and an unbounded plan).
+    // eager = false: the checkpoint materializes inside the NEXT round's
+    // collect job (1 job per round, not a checkpoint job + a collect job)
+    // and still truncates the replay lineage from then on
+    var vocab: DataFrame = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(wrapChars(col("w")).as("wstr"), col("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var vocab: DataFrame = base
+      .localCheckpoint(eager = false)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
-    for (t <- 1 to nMerges if !exhausted) {
-      val best = vocab
+    while (merges.length < nMerges && !exhausted) {
+      val top = vocab
         .withColumn("s", unwrap(col("wstr")))
         .filter(size(col("s")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
@@ -225,18 +267,43 @@ object Bpe {
           .as("pair"), col("cnt"))
         .groupBy("pair").agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("pair").asc)
-        .limit(1).collect() // bounded: the 1-row argmax
-      if (best.isEmpty) exhausted = true
+        .limit(topK).collect() // bounded driver collect
+      if (top.isEmpty) exhausted = true
       else {
-        val pair = best(0).getString(0)
-        val Array(l, r) = pair.split(" ", 2)
-        val mrg = l + r
-        merges += ((t.toLong, pair, mrg, best(0).getLong(1)))
-        vocab = vocab.withColumn("wstr",
-          call_function("replace", col("wstr"), lit(B + l + E + B + r + E), lit(B + mrg + E)))
+        val cand = top.map(r => {
+          val p = r.getString(0); val Array(l, rr) = p.split(" ", 2)
+          (p, l, rr, r.getLong(1))
+        })
+        // counts below the collected horizon are ≤ floor — caps must
+        // assume an unseen parent pair sits exactly at it
+        val floor = if (top.length == topK) cand.last._4 else 0L
+        def capOf(l: String, r: String): Long =
+          cand.foldLeft(floor) { case (m, (_, ql, qr, qc)) =>
+            if (ql == r || qr == l) math.max(m, qc) else m
+          }
+        val used = scala.collection.mutable.Set.empty[String]
+        var capMax = Long.MinValue
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+        var stop = false
+        var i = 0
+        while (!stop && i < cand.length && merges.length + batch.length < nMerges) {
+          val (p, l, r, c) = cand(i)
+          val m = l + r
+          if (batch.isEmpty || (!used(l) && !used(r) && !used(m) && c > capMax)) {
+            batch += ((p, l, r, c))
+            used ++= Seq(l, r, m)
+            capMax = math.max(capMax, capOf(l, r))
+          } else stop = true
+          i += 1
+        }
+        for ((p, l, r, c) <- batch)
+          merges += ((merges.length + 1L, p, l + r, c))
+        vocab = batch.foldLeft(vocab) { case (v, (_, l, r, _)) =>
+          v.withColumn("wstr",
+            call_function("replace", col("wstr"), lit(B + l + E + B + r + E), lit(B + l + r + E)))
+        }.localCheckpoint(eager = false)
       }
     }
-    base.unpersist(blocking = false) // every argmax job has run by here
     merges.toSeq.toDF("rank", "pair", "merged", "weight")
   }
 

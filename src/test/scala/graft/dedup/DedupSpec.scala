@@ -111,6 +111,25 @@ class DedupSpec extends SparkSpec {
     assert(hof === kernel)
   }
 
+  test("shingle_set kernel is bit-identical to the HOF form on real corpus text") {
+    // order AND content: array_distinct keeps first occurrence, so must the
+    // kernel's HashSet guard. Real sf0.001 documents + planted edge cases
+    // (short doc, repeated shingles, mixed whitespace, empty, unicode).
+    val edge = Seq(
+      (9001L, "a b"), (9002L, ""), (9003L, "  \t\n  "),
+      (9004L, "x y z x y z x y z"), (9005L, "one\ttwo\nthree  four five"),
+      (9006L, "café naïve résumé café naïve résumé extra")
+    ).toDF("doc_id", "text")
+    val corpus = graft.Tables.documents(spark, sfDir).select("doc_id", "text").union(edge)
+    for (n <- Seq(1, 3, 5)) {
+      val hof = corpus.select($"doc_id", Dedup.shingleSetHof($"text", n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val kernel = corpus.select($"doc_id", Dedup.shingleSet($"text", n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(kernel === hof, s"shingle_set(n=$n) must match the HOF pipeline exactly")
+    }
+  }
+
   test("minhash_signature rejects null elements instead of hashing garbage") {
     val ex = intercept[Exception] {
       spark.sql("SELECT 1").select(

@@ -73,6 +73,51 @@ class BpeSpec extends SparkSpec {
     assert(big.map(_.getLong(0)).toSeq === (1 to big.length).map(_.toLong))
   }
 
+  test("batched distributed trainer: 256+ merges, jobs MUCH fewer than merges, row-identical to sequential") {
+    // r9 capped the distributed path at nMerges <= 64 (one agg + argmax job
+    // per merge); the batched trainer must reach tokenizer-range merge
+    // counts with O(rounds) jobs. Corpus: 300 distinct words, spread
+    // weights (spread pair counts => fat, provably-sequential batches).
+    // SPREAD-COUNT regime: two-symbol words over a wide (220-codepoint)
+    // alphabet with Zipf-ish weights — top pair counts are mostly
+    // symbol-disjoint and strictly ordered, which is where exact batching
+    // is allowed to go wide (measured ~80 jobs / 300 merges). The opposite
+    // regime — a chain fixture like "pre<i>fix<i>tail", or any 26-letter
+    // corpus early in training — serializes BPE intrinsically (the minted
+    // pair (pr,e) really is sequential's next argmax after (p,r)), and
+    // there the cap correctly collapses batches to 1-2: more rounds,
+    // never a wrong merge (the `fast == distributed through exhaustion`
+    // test above covers that regime).
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 500).map(_ =>
+      (0 until 2).map(_ => (0x100 + rnd.nextInt(220)).toChar).mkString).distinct
+    val corpus = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(4000 / (i + 3) + 1)(w) }.mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val fast = rows(Bpe.learnMerges(df, "text", nMerges = 300))
+    assert(fast.length === 300, "fixture must sustain 300 merges (no early exhaustion)")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dist =
+      try rows(Bpe.learnMergesDistributed(df, "text", nMerges = 300))
+      finally {
+        // listener bus is async: wait for the count to stabilize before reading
+        var prev = -1
+        while (prev != jobs.get()) { prev = jobs.get(); Thread.sleep(250) }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(dist === fast, "batched distributed merges must replay sequential BPE exactly")
+    assert(jobs.get() < 300 / 2,
+      s"jobs (${jobs.get()}) must be MUCH fewer than merges (300) — batching broke")
+  }
+
   test("learnMerges maxVocab bound fails loudly with the fallback named") {
     val docs = Seq("a b c d e f").toDF("text")
     val e = intercept[IllegalArgumentException](
