@@ -4337,6 +4337,28 @@ object SparkEntry {
         col("ok_symbol_ratio"), col("ok_bullet_lines"), col("ok_ellipsis_lines"),
         col("ok_alpha_words"), col("ok_stopwords"), col("gopher_pass"))
 
+  /** The GOPHER REPETITION BATTERY ([[graft.text.TextOps
+    * .gopherRepetitionFlags]], Rae et al. 2021 §A1.1 second half — r9
+    * verdict next-round #6): the 13 repetition filters (duplicate
+    * line/paragraph occurrence and character fractions, top 2-4-gram
+    * character share, duplicated 5-10-gram positional character coverage)
+    * plus the composite, computed by one codegen'd per-document kernel —
+    * a zero-shuffle projection, scan-speed at 100 TB. The oracle
+    * recomputes every statistic relationally (window counts for duplicate
+    * groups, a (count DESC, chars DESC, gram ASC) window for the top
+    * gram, and a DISTINCT positional-coverage union for duplicated
+    * n-grams), so all 13 flags and the verdict are hash-proven. Completes
+    * q256 into the paper's full production quality gate. */
+  private def q258_gopher_repetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRepetitionFlags(Tables.documents(s, dir), "text")
+      .select((col("doc_id") +: gopherRepetitionFlagCols.map(col)) :+ col("repetition_pass"): _*)
+
+  private val gopherRepetitionFlagCols = Seq(
+    "ok_dup_lines", "ok_dup_paras", "ok_dup_line_chars", "ok_dup_para_chars",
+    "ok_top2_chars", "ok_top3_chars", "ok_top4_chars",
+    "ok_dup5_chars", "ok_dup6_chars", "ok_dup7_chars", "ok_dup8_chars",
+    "ok_dup9_chars", "ok_dup10_chars")
+
   /** BATCHED DISTRIBUTED BPE ([[graft.text.Bpe.learnMergesDistributed]],
     * nMerges = 256 — r9 verdict "what's missing" #1): the cluster-resident
     * trainer, whose r9 contract capped at 64 merges (one aggregation +
@@ -4620,6 +4642,7 @@ object SparkEntry {
     "q255_containment_indexed" -> (q255_containment_indexed _),
     "q256_gopher_rules" -> (q256_gopher_rules _),
     "q257_bpe_distributed" -> (q257_bpe_distributed _),
+    "q258_gopher_repetition" -> (q258_gopher_repetition _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7318,6 +7341,9 @@ object SparkEntry {
     // q257: the batched distributed trainer must reproduce sequential BPE
     // verbatim — q219's 256-round unrolled oracle, reused textually
     "q257_bpe_distributed" -> bpeOracleSql(nMerges = 256),
+    // q258: all 18 repetition statistics recomputed relationally, then the
+    // same integer cross-multiplied thresholds
+    "q258_gopher_repetition" -> gopherRepetitionOracleSql,
     // q256: each Gopher rule restated relationally (integer/rational
     // comparisons only), composite = conjunction
     "q256_gopher_rules" ->
@@ -7621,6 +7647,96 @@ object SparkEntry {
              SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS w
              FROM documents) GROUP BY 1)),
          $iters"""
+  }
+
+  /** q258's oracle: the 18 Gopher repetition statistics recomputed
+    * relationally per document — duplicate line/paragraph groups via
+    * count-over-content windows, top-n-gram coverage via a
+    * (count DESC, chars DESC, gram ASC) window, duplicated-n-gram
+    * character coverage via a DISTINCT position union — then the same
+    * integer cross-multiplied thresholds as the kernel-side flags.
+    * Every stat LEFT-JOINs back to `documents` with coalesce(0) so empty
+    * and degenerate docs keep their row (the kernel emits zeros). */
+  private def gopherRepetitionOracleSql: String = {
+    def topCte(n: Int): String =
+      s"""g$n AS (SELECT doc_id, (u).g g FROM (
+           SELECT doc_id, unnest(list_transform(range(0, greatest(len(w)-$n+1, 0)),
+             j -> struct_pack(i := j+1, g := array_to_string(list_slice(w, j+1, j+$n), ' ')))) u
+           FROM ws)),
+         t$n AS (SELECT doc_id, (cnt * (len(g) - ${n - 1}))::bigint top${n}_chars FROM (
+           SELECT doc_id, g, count(*) cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, len(g) DESC, g) rn
+           FROM g$n GROUP BY doc_id, g) WHERE rn = 1)"""
+    def dupCte(n: Int): String =
+      s"""gd$n AS (SELECT doc_id, (u).i::bigint i, (u).g g FROM (
+           SELECT doc_id, unnest(list_transform(range(0, greatest(len(w)-$n+1, 0)),
+             j -> struct_pack(i := j+1, g := array_to_string(list_slice(w, j+1, j+$n), ' ')))) u
+           FROM ws)),
+         dp$n AS (SELECT DISTINCT doc_id, pos FROM (
+           SELECT doc_id, unnest(range(i, i+$n)) pos FROM (
+             SELECT doc_id, i, g, count(*) OVER (PARTITION BY doc_id, g) c FROM gd$n)
+           WHERE c >= 2)),
+         cov$n AS (SELECT dp$n.doc_id, sum(len(w[pos]))::bigint dup${n}_chars
+           FROM dp$n JOIN ws ON ws.doc_id = dp$n.doc_id GROUP BY 1)"""
+    val joins =
+      (2 to 4).map(n => s"LEFT JOIN t$n ON t$n.doc_id = b.doc_id").mkString(" ") + " " +
+      (5 to 10).map(n => s"LEFT JOIN cov$n ON cov$n.doc_id = b.doc_id").mkString(" ")
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+         lns AS (SELECT doc_id, l FROM (
+             SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM base)
+           WHERE len(trim(l)) > 0),
+         lstat AS (SELECT doc_id, count(*)::bigint n_lines,
+             sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::bigint dup_lines,
+             sum(len(l))::bigint line_chars,
+             sum(CASE WHEN c >= 2 THEN len(l) ELSE 0 END)::bigint dup_line_chars
+           FROM (SELECT doc_id, l, count(*) OVER (PARTITION BY doc_id, l) c FROM lns)
+           GROUP BY 1),
+         prs AS (SELECT doc_id, p FROM (
+             SELECT doc_id, unnest(string_split(text, chr(10)||chr(10))) AS p FROM base)
+           WHERE len(trim(p)) > 0),
+         pstat AS (SELECT doc_id, count(*)::bigint n_paras,
+             sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::bigint dup_paras,
+             sum(len(p))::bigint para_chars,
+             sum(CASE WHEN c >= 2 THEN len(p) ELSE 0 END)::bigint dup_para_chars
+           FROM (SELECT doc_id, p, count(*) OVER (PARTITION BY doc_id, p) c FROM prs)
+           GROUP BY 1),
+         ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) w
+           FROM base),
+         wstat AS (SELECT doc_id,
+             coalesce(list_sum(list_transform(w, x -> len(x))), 0)::bigint word_chars FROM ws),
+         ${(2 to 4).map(topCte).mkString(",\n         ")},
+         ${(5 to 10).map(dupCte).mkString(",\n         ")},
+         stats AS (SELECT b.doc_id,
+             coalesce(n_lines, 0) n_lines, coalesce(dup_lines, 0) dup_lines,
+             coalesce(line_chars, 0) line_chars, coalesce(dup_line_chars, 0) dup_line_chars,
+             coalesce(n_paras, 0) n_paras, coalesce(dup_paras, 0) dup_paras,
+             coalesce(para_chars, 0) para_chars, coalesce(dup_para_chars, 0) dup_para_chars,
+             word_chars,
+             ${(2 to 4).map(n => s"coalesce(top${n}_chars, 0) top${n}_chars").mkString(", ")},
+             ${(5 to 10).map(n => s"coalesce(dup${n}_chars, 0) dup${n}_chars").mkString(", ")}
+           FROM base b
+           LEFT JOIN lstat ON lstat.doc_id = b.doc_id
+           LEFT JOIN pstat ON pstat.doc_id = b.doc_id
+           JOIN wstat ON wstat.doc_id = b.doc_id
+           $joins),
+         flags AS (SELECT doc_id,
+             dup_lines * 10 <= n_lines * 3 AS ok_dup_lines,
+             dup_paras * 10 <= n_paras * 3 AS ok_dup_paras,
+             dup_line_chars * 10 <= line_chars * 2 AS ok_dup_line_chars,
+             dup_para_chars * 10 <= para_chars * 2 AS ok_dup_para_chars,
+             top2_chars * 10 <= word_chars * 2 AS ok_top2_chars,
+             top3_chars * 100 <= word_chars * 18 AS ok_top3_chars,
+             top4_chars * 100 <= word_chars * 16 AS ok_top4_chars,
+             dup5_chars * 100 <= word_chars * 15 AS ok_dup5_chars,
+             dup6_chars * 100 <= word_chars * 14 AS ok_dup6_chars,
+             dup7_chars * 100 <= word_chars * 13 AS ok_dup7_chars,
+             dup8_chars * 100 <= word_chars * 12 AS ok_dup8_chars,
+             dup9_chars * 100 <= word_chars * 11 AS ok_dup9_chars,
+             dup10_chars * 10 <= word_chars AS ok_dup10_chars
+           FROM stats)
+         SELECT doc_id, ${gopherRepetitionFlagCols.mkString(", ")},
+           (${gopherRepetitionFlagCols.mkString(" AND ")}) AS repetition_pass
+         FROM flags"""
   }
 
   private def bpeOracleSql(nMerges: Int): String = {

@@ -39,6 +39,10 @@ object GraftFunctions {
       case Seq(text, n) => HashExprs.ShingleHashes(text, intArg(n, "shingle n"))
       case args => throw new IllegalArgumentException(s"shingle_hashes(text, n): got ${args.length} args")
     }),
+    ("gopher_repetition_stats", "gopher_repetition_stats(text) - struct of the 18 Gopher repetition-rule statistics", {
+      case Seq(text) => RepetitionExprs.GopherRepetitionStats(text)
+      case args => throw new IllegalArgumentException(s"gopher_repetition_stats(text): got ${args.length} args")
+    }),
     ("shingle_set", "shingle_set(text, n) - distinct word n-gram shingle strings, first-occurrence order", {
       case Seq(text, n) => HashExprs.ShingleSet(text, intArg(n, "shingle n"))
       case args => throw new IllegalArgumentException(s"shingle_set(text, n): got ${args.length} args")

@@ -174,6 +174,61 @@ object TextOps {
         col("ok_stopwords"))
   }
 
+  /** The GOPHER REPETITION BATTERY (Rae et al. 2021 §A1.1, second half —
+    * the 13 repetition filters that complete [[gopherFlags]] into the full
+    * production quality gate). Each rule is an exact integer cross-
+    * multiplication over [[graft.functions.RepetitionExprs]]'s one-pass
+    * per-document statistics struct, so the whole battery is a
+    * zero-shuffle codegen'd projection — scan-speed at 100 TB — and every
+    * flag plus the composite is hash-provable cross-engine. Thresholds are
+    * the paper's Table A1 (a document FAILS a rule when its fraction
+    * EXCEEDS the threshold):
+    *
+    *  - `ok_dup_lines`        duplicate line fraction        ≤ 0.30
+    *  - `ok_dup_paras`        duplicate paragraph fraction   ≤ 0.30
+    *  - `ok_dup_line_chars`   duplicate line char fraction   ≤ 0.20
+    *  - `ok_dup_para_chars`   duplicate para char fraction   ≤ 0.20
+    *  - `ok_top2_chars`       top 2-gram char fraction       ≤ 0.20
+    *  - `ok_top3_chars`       top 3-gram char fraction       ≤ 0.18
+    *  - `ok_top4_chars`       top 4-gram char fraction       ≤ 0.16
+    *  - `ok_dup5_chars` … `ok_dup10_chars`
+    *                          duplicated-n-gram char fraction
+    *                          ≤ 0.15/0.14/0.13/0.12/0.11/0.10
+    *
+    * Unit definitions (lines, paragraphs, duplicate-group occurrence
+    * counting, positional n-gram coverage, code-point chars) are the
+    * kernel's — see [[graft.functions.RepetitionAlgs]].
+    * `repetition_pass` is the 13-flag conjunction; AND it with
+    * [[gopherFlags]]' `gopher_pass` for the paper's complete filter.
+    */
+  def gopherRepetitionFlags(df: org.apache.spark.sql.DataFrame,
+                            textCol: String): org.apache.spark.sql.DataFrame = {
+    val st = graft.functions.RepetitionExprs.gopher_repetition_stats(col(textCol))
+    val withStats = df.withColumn("__grs", st)
+    val s = col("__grs")
+    val flagged = withStats
+      .withColumn("ok_dup_lines", s("dup_lines") * 10L <= s("n_lines") * 3L)
+      .withColumn("ok_dup_paras", s("dup_paras") * 10L <= s("n_paras") * 3L)
+      .withColumn("ok_dup_line_chars", s("dup_line_chars") * 10L <= s("line_chars") * 2L)
+      .withColumn("ok_dup_para_chars", s("dup_para_chars") * 10L <= s("para_chars") * 2L)
+      .withColumn("ok_top2_chars", s("top2_chars") * 10L <= s("word_chars") * 2L)
+      .withColumn("ok_top3_chars", s("top3_chars") * 100L <= s("word_chars") * 18L)
+      .withColumn("ok_top4_chars", s("top4_chars") * 100L <= s("word_chars") * 16L)
+      .withColumn("ok_dup5_chars", s("dup5_chars") * 100L <= s("word_chars") * 15L)
+      .withColumn("ok_dup6_chars", s("dup6_chars") * 100L <= s("word_chars") * 14L)
+      .withColumn("ok_dup7_chars", s("dup7_chars") * 100L <= s("word_chars") * 13L)
+      .withColumn("ok_dup8_chars", s("dup8_chars") * 100L <= s("word_chars") * 12L)
+      .withColumn("ok_dup9_chars", s("dup9_chars") * 100L <= s("word_chars") * 11L)
+      .withColumn("ok_dup10_chars", s("dup10_chars") * 10L <= s("word_chars"))
+    val flags = Seq("ok_dup_lines", "ok_dup_paras", "ok_dup_line_chars",
+      "ok_dup_para_chars", "ok_top2_chars", "ok_top3_chars", "ok_top4_chars",
+      "ok_dup5_chars", "ok_dup6_chars", "ok_dup7_chars", "ok_dup8_chars",
+      "ok_dup9_chars", "ok_dup10_chars")
+    flagged
+      .withColumn("repetition_pass", flags.map(col).reduce(_ && _))
+      .drop("__grs")
+  }
+
   /** Content fingerprint (md5 hex) for exact dedup — portable across engines
     * (DuckDB md5() computes the identical digest, which is what makes the
     * exact-dedup oracle checkable).

@@ -127,6 +127,40 @@ class TextOpsSpec extends SparkSpec {
     assert(f(5L).getAs[Boolean]("ok_word_count"))
   }
 
+  test("gopherRepetitionFlags: each repetition rule trips on its planted violation") {
+    val clean = (1 to 40).map(i => s"w${i}word$i").mkString(" ") // all-distinct words, one line
+    val dupLines = "xx yy zz\nxx yy zz\naa bb cc\ndd ee ff\ngg hh ii"  // 2/5 lines dup > 0.30
+    val dupParas = "pp qq rr\n\npp qq rr\n\nss tt uu"                  // 2/3 paras dup > 0.30
+    val topHeavy = ("ab cd " * 10) + (1 to 20).map(i => s"t$i").mkString(" ") // "ab cd" dominates
+    // one repeated FIVE-word run in otherwise-distinct text: 5-gram dup
+    // coverage trips, but every 6-gram spanning it has distinct context
+    val run5 = (1 to 10).map(i => s"a$i").mkString(" ") + " vv ww xx yy zz " +
+      (1 to 10).map(i => s"b$i").mkString(" ") + " vv ww xx yy zz " +
+      (1 to 5).map(i => s"c$i").mkString(" ")
+    val run10 = (1 to 8).map(i => s"d$i").mkString(" ") +
+      " q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 " + (1 to 8).map(i => s"e$i").mkString(" ") +
+      " q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 " + (1 to 4).map(i => s"f$i").mkString(" ")
+    val docs = Seq((1L, clean), (2L, dupLines), (3L, dupParas), (4L, topHeavy),
+      (5L, run5), (6L, run10)).toDF("doc_id", "text")
+    val f = TextOps.gopherRepetitionFlags(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(1L).getAs[Boolean]("repetition_pass"), "the clean doc must pass all 13 rules")
+    assert(!f(2L).getAs[Boolean]("ok_dup_lines") && !f(2L).getAs[Boolean]("ok_dup_line_chars"))
+    assert(!f(3L).getAs[Boolean]("ok_dup_paras") && !f(3L).getAs[Boolean]("ok_dup_para_chars"))
+    assert(!f(4L).getAs[Boolean]("ok_top2_chars"))
+    assert(!f(5L).getAs[Boolean]("ok_dup5_chars"),
+      "a twice-occurring 5-word run must trip the 5-gram coverage rule")
+    assert(f(5L).getAs[Boolean]("ok_dup6_chars"),
+      "no 6-gram repeats (distinct context around the run) — the rules are independent")
+    for (n <- 5 to 10)
+      assert(!f(6L).getAs[Boolean](s"ok_dup${n}_chars"),
+        s"a repeated 10-word run covers repeated $n-grams too")
+    for (id <- 2L to 6L)
+      assert(!f(id).getAs[Boolean]("repetition_pass"), s"doc $id must fail the composite")
+    // line/para rules don't fire on single-line docs
+    assert(f(4L).getAs[Boolean]("ok_dup_lines") && f(4L).getAs[Boolean]("ok_dup_paras"))
+  }
+
   test("gopherFlags ok_symbol_ratio: hash and ellipsis ratios are judged SEPARATELY (Rae et al. A1.1)") {
     // 116 words, 8 hashes, 8 ellipses: each ratio is 8/116 ≈ 0.069 ≤ 0.1 so
     // the paper's rule passes — the r9 combined bound ((8+8)·10 > 116)
