@@ -274,4 +274,30 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("q259: the corpus-prep chain plans FUSED — quality in the scan stage, broadcast probes, no cartesian") {
+    // assert on the un-checkpointed form: the shipped query checkpoints
+    // the dedup boundary, which (by design) hides the upstream fragment
+    // from the final physical plan
+    val st = SparkEntry.corpusPrepStages(spark, sfDir, checkpointDedupBoundary = false)
+    val pq = st.quality.queryExecution.executedPlan.toString
+    val pd = st.decon.queryExecution.executedPlan.toString
+    val pp = st.packed.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      "no stage may go quadratic:\n" + pp)
+    // benchmark-gram membership is a broadcast join in the decon fragment —
+    // the corpus side never shuffles for the membership probe
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    // the quality stage is a codegen'd Filter directly over the parquet
+    // scan (the only Exchange in the fragment is par()'s round-robin
+    // parallelism split ABOVE it): top-down, no Exchange line may sit
+    // between the quality Filter and its FileScan
+    val lines = pq.linesIterator.toVector
+    val fi = lines.indexWhere(l => l.contains("Filter") && l.contains("100000"))
+    assert(fi >= 0, "gopher word-count bound must appear in a Filter:\n" + pq)
+    val si = lines.indexWhere(_.contains("FileScan parquet"), fi)
+    assert(si > fi, "the quality filter must sit directly on the parquet scan:\n" + pq)
+    assert(!lines.slice(fi + 1, si).exists(_.contains("Exchange")),
+      "no shuffle between the documents scan and the quality predicate:\n" + pq)
+  }
 }
