@@ -4478,6 +4478,38 @@ object SparkEntry {
       .select(col("x.pk").as("src"), col("y.pk").as("dst"))
   }
 
+  /** UNIGRAM-LM TOKENIZER TRAINING ([[graft.text.Unigram]] — Kudo 2018,
+    * the SentencePiece-unigram family next to q219's BPE): seed substring
+    * vocabulary (all single code points + top multis by weighted
+    * occurrence count) then 3 hard-EM rounds — Viterbi recount under Q16
+    * fixed-point log-probabilities, add-one smoothed. ONE corpus-scale
+    * job (the distinct-word count), EM on the Heaps-bounded word table.
+    * The oracle replays seeding and every round with BRUTE-FORCE
+    * segmentation — all 2^(n−1) cut masks per word ranked by
+    * (Σ splg DESC, pieces ASC, mask ASC) — so the hash proves the DP
+    * itself, piece by piece, count by count. */
+  private def q260_unigram_vocab(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.text.Unigram.train(par(s, Tables.documents(s, dir)), "text",
+      maxPieceLen = 5, maxVocab = 128, emRounds = 3)
+    graft.text.Unigram.vocabDf(s, model)
+  }
+
+  /** CORPUS TOKENIZATION under the trained unigram model
+    * ([[graft.functions.UnigramExprs.unigram_segment]]): a ZERO-SHUFFLE
+    * projection — the model rides the plan to the executors and each
+    * document segments in place (per-task word memo, Heaps-bounded), so
+    * tokenizing 100 TB is exactly one scan. `seg` pins the full piece
+    * sequence of every document in the hash; `n_pieces` is the token
+    * count a budget/packing stage consumes. */
+  private def q261_unigram_segment(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    val model = graft.text.Unigram.train(docs, "text",
+      maxPieceLen = 5, maxVocab = 128, emRounds = 3)
+    docs.select(col("doc_id"),
+        graft.functions.UnigramExprs.unigram_segment(col("text"), model).as("u"))
+      .select(col("doc_id"), col("u.n_pieces").as("n_pieces"), col("u.seg").as("seg"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4740,6 +4772,8 @@ object SparkEntry {
     "q257_bpe_distributed" -> (q257_bpe_distributed _),
     "q258_gopher_repetition" -> (q258_gopher_repetition _),
     "q259_corpus_prep" -> (q259_corpus_prep _),
+    "q260_unigram_vocab" -> (q260_unigram_vocab _),
+    "q261_unigram_segment" -> (q261_unigram_segment _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7498,6 +7532,29 @@ object SparkEntry {
            cast(coalesce(sum(t) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 as bigint) AS bin
          FROM kept""",
+    // q260/q261: unigram-LM tokenizer — seeding + 3 unrolled hard-EM
+    // rounds with brute-force (all-cut-masks) Viterbi under the Q16
+    // fixed-point log score; q261 re-segments under the final counts
+    // and reassembles per document in word order
+    "q260_unigram_vocab" ->
+      s"""WITH ${unigramTrainCtes(maxPieceLen = 5, maxVocab = 128, rounds = 3, finalSeg = false)}
+         SELECT piece, cnt FROM vocab3""",
+    "q261_unigram_segment" ->
+      s"""WITH ${unigramTrainCtes(maxPieceLen = 5, maxVocab = 128, rounds = 3, finalSeg = true)},
+         wseg AS (SELECT w, array_to_string(pieces, '|') AS ws,
+                         len(pieces)::BIGINT AS np FROM best3),
+         docw AS (SELECT doc_id, u.w, u.ord
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                    x -> len(x) > 0) AS toks FROM documents),
+                LATERAL (SELECT unnest(toks) AS w,
+                                generate_subscripts(toks, 1) AS ord) u),
+         agg AS (SELECT d.doc_id, sum(s.np)::BIGINT AS np,
+                        array_to_string(list(s.ws ORDER BY d.ord), ' ') AS seg
+                 FROM docw d JOIN wseg s ON s.w = d.w
+                 GROUP BY d.doc_id)
+         SELECT doc.doc_id, coalesce(a.np, 0)::BIGINT AS n_pieces,
+                coalesce(a.seg, '') AS seg
+         FROM documents doc LEFT JOIN agg a USING (doc_id)""",
     // q256: each Gopher rule restated relationally (integer/rational
     // comparisons only), composite = conjunction
     "q256_gopher_rules" ->
@@ -7891,6 +7948,101 @@ object SparkEntry {
          SELECT doc_id, ${gopherRepetitionFlagCols.mkString(", ")},
            (${gopherRepetitionFlagCols.mkString(" AND ")}) AS repetition_pass
          FROM flags"""
+  }
+
+  /** [[graft.text.Unigram.fixedLog2Q16]] spelled relationally: floor-log2
+    * from `bin()` digits (no floats), 16 fraction bits by the same
+    * normalize-and-square recurrence, state packed acc·2^18 + m into one
+    * BIGINT threaded through a 16-step list_reduce. `x` must be a
+    * positive BIGINT-able expression. */
+  private def unigramFlogSql(x: String): String =
+    s"""((length(bin($x)) - 1) * 65536 + (
+       list_reduce(
+         list_prepend(
+           CASE WHEN length(bin($x)) - 1 >= 16
+                THEN ($x)::BIGINT >> (length(bin($x)) - 1 - 16)
+                ELSE ($x)::BIGINT << (16 - (length(bin($x)) - 1)) END,
+           list_transform(range(16), z -> 0::BIGINT)),
+         (s, z) -> CASE WHEN ((s & 262143) * (s & 262143)) >> 16 >= 131072
+           THEN ((s >> 18) * 2 + 1) * 262144 + ((((s & 262143) * (s & 262143)) >> 16) >> 1)
+           ELSE ((s >> 18) * 2) * 262144 + (((s & 262143) * (s & 262143)) >> 16) END
+       ) >> 18))"""
+
+  /** q260/q261's oracle: unigram-LM seeding plus `rounds` unrolled hard-EM
+    * rounds with BRUTE-FORCE Viterbi — every cut mask of every distinct
+    * word enumerated (2^(n−1) masks, corpus words are ≤ 8 code points at
+    * the gate sf), each mask's pieces joined to the round's vocabulary,
+    * masks with any non-vocab piece dropped (HAVING count = k; every
+    * single code point is seeded, so words always segment), and the best
+    * ranked by (Σ splg DESC, pieces ASC, mask ASC) — the exact total
+    * order [[graft.text.Unigram.viterbi]] implements as a DP, sharing no
+    * code with it. `finalSeg` adds a segmentation pass under the FINAL
+    * counts (for q261). MATERIALIZED for q219's reason (plain CTEs
+    * re-inline per reference). */
+  private def unigramTrainCtes(maxPieceLen: Int, maxVocab: Int, rounds: Int,
+                               finalSeg: Boolean): String = {
+    def segRound(r: Int): String =
+      s"""tot$r AS (SELECT ${unigramFlogSql("sum(cnt)")} AS lgt FROM vocab$r),
+         lg$r AS MATERIALIZED (
+           SELECT piece, cnt, ${unigramFlogSql("cnt")} - (SELECT lgt FROM tot$r) AS splg
+           FROM vocab$r),
+         pc$r AS (
+           SELECT mk.w, mk.m, mk.freq, mk.n, len(mk.pieces) AS k, u.p, u.pos, v.splg
+           FROM masks mk,
+                LATERAL (SELECT unnest(mk.pieces) AS p,
+                                generate_subscripts(mk.pieces, 1) AS pos) u
+           JOIN lg$r v ON v.piece = u.p),
+         best$r AS MATERIALIZED (
+           SELECT w, freq, pieces FROM (
+             SELECT w, freq, pieces,
+                    row_number() OVER (PARTITION BY w
+                      ORDER BY score DESC, k ASC, m ASC) AS rn
+             FROM (SELECT w, m, freq, n, k, sum(splg) AS score,
+                          list(p ORDER BY pos) AS pieces
+                   FROM pc$r GROUP BY w, m, freq, n, k
+                   HAVING count(*) = k))
+           WHERE rn = 1)"""
+    val ems = (0 until rounds).map { r =>
+      s"""${segRound(r)},
+         vocab${r + 1} AS MATERIALIZED (
+           SELECT v.piece,
+                  (1 + coalesce((SELECT sum(b.freq)
+                     FROM best$r b, LATERAL (SELECT unnest(b.pieces) AS bp)
+                     WHERE bp = v.piece), 0))::BIGINT AS cnt
+           FROM vocab$r v)"""
+    }.mkString(",\n         ")
+    val fin = if (finalSeg) s",\n         ${segRound(rounds)}" else ""
+    s"""words AS MATERIALIZED (
+           SELECT w, count(*)::BIGINT AS freq, len(w)::INT AS n
+           FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                    x -> len(x) > 0)) AS w FROM documents)
+           GROUP BY w),
+         subs AS MATERIALIZED (
+           SELECT substr(w, i, l) AS piece, sum(freq)::BIGINT AS wt
+           FROM words,
+                LATERAL (SELECT unnest(range(1, n + 1))::INT AS i),
+                LATERAL (SELECT unnest(range(1, $maxPieceLen + 1))::INT AS l)
+           WHERE i + l - 1 <= n GROUP BY 1),
+         singles AS (SELECT piece, wt FROM subs WHERE len(piece) = 1),
+         multis AS (
+           SELECT piece, wt FROM subs WHERE len(piece) >= 2
+           ORDER BY wt DESC, piece ASC
+           LIMIT $maxVocab - (SELECT count(*) FROM singles)),
+         vocab0 AS MATERIALIZED (
+           SELECT piece, wt AS cnt FROM singles
+           UNION ALL SELECT piece, wt FROM multis),
+         masks AS MATERIALIZED (
+           SELECT w, freq, n, m,
+                  list_transform(
+                    list_zip(list_slice(cuts, 1, len(cuts) - 1),
+                             list_slice(cuts, 2, len(cuts))),
+                    z -> substr(w, z[1] + 1, z[2] - z[1])) AS pieces
+           FROM (SELECT w, freq, n, m,
+                        list_prepend(0, list_append(
+                          list_filter(range(1, n), i -> (m >> (i - 1)) & 1 = 1), n)) AS cuts
+                 FROM words,
+                      LATERAL (SELECT unnest(range(0, 1 << (n - 1)))::BIGINT AS m))),
+         $ems$fin"""
   }
 
   private def bpeOracleSql(nMerges: Int): String = {

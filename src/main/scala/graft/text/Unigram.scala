@@ -1,0 +1,306 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** UNIGRAM-LANGUAGE-MODEL TOKENIZER (Kudo, "Subword Regularization",
+  * ACL 2018 — the SentencePiece-unigram algorithm behind T5/ALBERT-style
+  * vocabularies; public arXiv 1804.10959), distributed and ENGINE-EXACT.
+  *
+  * The other of the two production tokenizer families next to [[Bpe]]:
+  * instead of growing a vocabulary by greedy merges, unigram-LM starts
+  * from a LARGE seed vocabulary of substrings and lets EM re-estimate
+  * piece probabilities, segmenting each word by the Viterbi-best product
+  * of piece probabilities. This implementation is the deterministic
+  * HARD-EM variant (Viterbi counts, not forward-backward expected counts)
+  * with ADD-ONE smoothing on a FIXED seed piece set:
+  *
+  *  - seed: every single code point of the corpus, plus the top
+  *    (maxVocab − #singles) multi-code-point substrings of length
+  *    ≤ maxPieceLen ranked by weighted occurrence count
+  *    (weight DESC, piece ASC in UTF-8 byte order);
+  *  - E-step: each distinct word is segmented by Viterbi under
+  *    p(piece) = cnt(piece)/T; M-step: cnt'(p) = 1 + Σ_w freq(w) ·
+  *    (occurrences of p on w's best path). The +1 keeps every seeded
+  *    piece alive (no zero-probability lock-in), so the piece set never
+  *    shrinks and every word stays segmentable.
+  *
+  * Determinism contract (what earns the hash-exact oracle): Viterbi
+  * maximizes Σ splg(piece) where splg = fixedLog2Q16(cnt) −
+  * fixedLog2Q16(T) — a Q16 FIXED-POINT log2 computed by an integer
+  * bit-squaring recurrence (see [[fixedLog2Q16]]) that any engine
+  * reproduces bit-for-bit in 64-bit integer arithmetic. No floating
+  * point anywhere, no overflow at any corpus scale (counts < 2^53).
+  * Ties break by fewer pieces, then the smaller cut-position mask
+  * (LSB = cut after the first code point) — the same total order a
+  * brute-force enumeration sorted by (score DESC, k ASC, mask ASC)
+  * yields, which is exactly how the DuckDB oracle recomputes it and how
+  * UnigramSpec's exhaustive-enumeration differential pins the DP.
+  *
+  * Scale shape (the [[Bpe.learnMerges]] precedent): the ONLY corpus-sized
+  * job is the initial distinct-word weight count; seeding and the EM
+  * rounds run on the Heaps-law-bounded word table — driver-side under
+  * `maxWords` (the same in-memory word-count table SentencePiece itself
+  * trains from), or cluster-side via [[emRoundDistributed]] when the
+  * vocabulary outgrows the driver (O(1) jobs per round). Corpus
+  * segmentation ([[graft.functions.UnigramExprs]]) is a ZERO-SHUFFLE
+  * projection with the executor-resident model — the plan a 100 TB
+  * tokenization wants.
+  */
+object Unigram {
+
+  /** Q16 fixed-point log2 of a positive integer: floor(log2 x)·2^16 plus
+    * 16 fraction bits extracted by the classic normalize-and-square
+    * recurrence — mantissa m kept in [2^16, 2^17), each step m ← m²>>16,
+    * emitting a 1 and halving when m² crosses 2 (m² >> 16 ≥ 2^17). All
+    * intermediates fit 64-bit (m² < 2^36), truncation is deterministic,
+    * and the result is within ~1e-4 of true log2 — accuracy only shapes
+    * the quantized objective, never cross-engine agreement. */
+  def fixedLog2Q16(x: Long): Long = {
+    require(x >= 1, s"fixedLog2Q16: need x >= 1, got $x")
+    val fl = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (fl >= 16) x >>> (fl - 16) else x << (16 - fl)
+    var acc = 0L
+    var i = 0
+    while (i < 16) {
+      val m2 = (m * m) >> 16
+      if (m2 >= 131072L) { acc = acc * 2 + 1; m = m2 >> 1 }
+      else { acc = acc * 2; m = m2 }
+      i += 1
+    }
+    fl.toLong * 65536L + acc
+  }
+
+  /** UTF-8 unsigned-byte order — the engine-portable piece tie-break
+    * (Spark UTF8String / any binary collation; [[Bpe]] uses the same). */
+  private[text] def byteLess(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Trained model: parallel (piece, count) arrays, piece set fixed at
+    * seeding. `total` = Σ counts is the probability denominator. */
+  case class Model(pieces: Array[String], counts: Array[Long]) {
+    require(pieces.length == counts.length && pieces.nonEmpty, "Unigram.Model: empty")
+    val total: Long = counts.sum
+    /** piece → Q16 log2 p(piece); the unknown-code-point fallback scores
+      * as count 1 (the add-one floor): splg = 0 − fixedLog2Q16(total). */
+    def splgMap: java.util.HashMap[String, java.lang.Long] = {
+      val lgT = fixedLog2Q16(total)
+      val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+      var i = 0
+      while (i < pieces.length) { m.put(pieces(i), java.lang.Long.valueOf(fixedLog2Q16(counts(i)) - lgT)); i += 1 }
+      m
+    }
+    def unkSplg: Long = -fixedLog2Q16(total)
+    def maxPieceLen: Int = {
+      var mx = 1
+      var i = 0
+      while (i < pieces.length) {
+        val n = pieces(i).codePointCount(0, pieces(i).length)
+        if (n > mx) mx = n
+        i += 1
+      }
+      mx
+    }
+  }
+
+  /** Viterbi-best segmentation of `word` (given as code points) under the
+    * Q16 quantized objective: maximize Σ splg over pieces of length
+    * ≤ maxPieceLen, ties → fewer pieces, then smaller cut mask. Multi-
+    * code-point pieces must be in the vocabulary; an out-of-vocabulary
+    * SINGLE code point falls back to `unkSplg` as its own piece, so every
+    * word segments. Returns piece strings in order.
+    *
+    * The cut-mask tie-break is resolved without materializing masks: on
+    * an exact (score, k) tie the two candidate paths' cut sets are
+    * reconstructed from backpointers and compared highest-position-first
+    * (no cut < cut), which IS integer mask comparison for any word length
+    * — no 63-code-point cap, no big integers on the hot path. */
+  def viterbi(cp: Array[Int], splg: java.util.HashMap[String, java.lang.Long],
+              unkSplg: Long, maxPieceLen: Int): Array[String] = {
+    val n = cp.length
+    if (n == 0) return Array.empty
+    val NEG = Long.MinValue / 4
+    val score = new Array[Long](n + 1)
+    val k = new Array[Int](n + 1)
+    val bp = new Array[Int](n + 1) // start position of the piece ending at j
+    java.util.Arrays.fill(score, NEG)
+    score(0) = 0L; k(0) = 0; bp(0) = -1
+    // cuts of the partial path to position j, highest-first on demand
+    def cutsOf(j: Int): List[Int] = {
+      var cs = List.empty[Int]
+      var p = j
+      while (p > 0) { val s = bp(p); if (s > 0) cs = s :: cs; p = s }
+      cs // ascending cut positions (internal only)
+    }
+    // candidate (via piece [i, j)) beats incumbent at j?
+    def better(j: Int, i: Int, cScore: Long): Boolean = {
+      if (score(j) == NEG) return true
+      if (cScore != score(j)) return cScore > score(j)
+      val cK = k(i) + 1
+      if (cK != k(j)) return cK < k(j)
+      // exact (score, k) tie: compare cut masks, highest bit first
+      val cCuts = (if (i > 0) (cutsOf(i) :+ i) else cutsOf(i)).reverse
+      val iCuts = cutsOf(j).reverse
+      var a = cCuts; var b = iCuts
+      while (a.nonEmpty && b.nonEmpty) {
+        if (a.head != b.head) return a.head < b.head // higher set bit = larger mask
+        a = a.tail; b = b.tail
+      }
+      a.isEmpty && b.nonEmpty // fewer high cuts left = smaller mask; full tie keeps incumbent
+    }
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (score(i) != NEG) {
+          val piece = new String(cp, i, j - i)
+          val w = splg.get(piece)
+          val sp =
+            if (w != null) w.longValue
+            else if (j - i == 1) unkSplg
+            else NEG
+          if (sp != NEG) {
+            val cScore = score(i) + sp
+            if (better(j, i, cScore)) { score(j) = cScore; k(j) = k(i) + 1; bp(j) = i }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    // reconstruct
+    var out = List.empty[String]
+    var p = n
+    while (p > 0) { val s = bp(p); out = new String(cp, s, p - s) :: out; p = s }
+    out.toArray
+  }
+
+  def viterbi(word: String, splg: java.util.HashMap[String, java.lang.Long],
+              unkSplg: Long, maxPieceLen: Int): Array[String] =
+    viterbi(word.codePoints().toArray, splg, unkSplg, maxPieceLen)
+
+  /** Seed vocabulary from a (word, freq) table: all single code points,
+    * plus the top (maxVocab − #singles) longer substrings (length ≤
+    * maxPieceLen) by (Σ freq over occurrence POSITIONS desc, piece asc
+    * byte order). Seed counts are those occurrence weights. */
+  def seedVocab(words: Array[(String, Long)], maxPieceLen: Int,
+                maxVocab: Int): Array[(String, Long)] = {
+    require(maxPieceLen >= 2, s"seedVocab: maxPieceLen=$maxPieceLen")
+    val wt = new java.util.HashMap[String, java.lang.Long]()
+    for ((w, f) <- words) {
+      val cp = w.codePoints().toArray
+      var i = 0
+      while (i < cp.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= cp.length) {
+          val p = new String(cp, i, l)
+          val prev = wt.get(p)
+          wt.put(p, java.lang.Long.valueOf((if (prev == null) 0L else prev.longValue) + f))
+          l += 1
+        }
+        i += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val all = wt.asScala.map { case (k, v) => (k, v.longValue) }.toArray
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+    val singles = all.filter(p => cpLen(p._1) == 1)
+    require(singles.length < maxVocab,
+      s"seedVocab: ${singles.length} single code points fill maxVocab=$maxVocab")
+    val multis = all.filter(p => cpLen(p._1) > 1)
+      .sortWith((a, b) => if (a._2 != b._2) a._2 > b._2 else byteLess(a._1, b._1))
+      .take(maxVocab - singles.length)
+    singles ++ multis
+  }
+
+  /** One hard-EM round on the collected word table: Viterbi-segment every
+    * word under `model`, recount with add-one smoothing. The piece set is
+    * FIXED — only counts move. Shared by [[train]]'s driver loop and the
+    * spec differentials. */
+  def emRound(words: Array[(String, Long)], model: Model): Model = {
+    val splg = model.splgMap
+    val unk = model.unkSplg
+    val maxLen = model.maxPieceLen
+    val idx = new java.util.HashMap[String, Integer](model.pieces.length * 2)
+    var i = 0
+    while (i < model.pieces.length) { idx.put(model.pieces(i), Integer.valueOf(i)); i += 1 }
+    val newCounts = Array.fill(model.pieces.length)(1L)
+    for ((w, f) <- words) {
+      val seg = viterbi(w, splg, unk, maxLen)
+      for (p <- seg) {
+        val j = idx.get(p)
+        if (j != null) newCounts(j.intValue) += f
+        // unk fallback pieces are not in the fixed set — they carry no count
+      }
+    }
+    Model(model.pieces, newCounts)
+  }
+
+  /** One hard-EM round CLUSTER-SIDE — the headroom twin of [[emRound]]
+    * for vocabularies too large to collect (same contract as
+    * [[Bpe.learnMergesDistributed]]): the model broadcasts (a tokenizer
+    * vocabulary is megabytes at 256k pieces), each partition segments its
+    * words and emits (piece, freq), one aggregation sums, and only the
+    * VOCAB-sized count table returns. Integer sums are order-free, so the
+    * result is bit-identical to the driver round (UnigramSpec pins it). */
+  def emRoundDistributed(words: DataFrame, wordCol: String, freqCol: String,
+                         model: Model): Model = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val counted = words.select(col(wordCol).as[String], col(freqCol).as[Long])
+      .mapPartitions { it =>
+        val m = bc.value
+        val splg = m.splgMap
+        val unk = m.unkSplg
+        val maxLen = m.maxPieceLen
+        it.flatMap { case (w, f) => viterbi(w, splg, unk, maxLen).iterator.map(p => (p, f)) }
+      }
+      .toDF("piece", "freq")
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    Model(model.pieces, model.pieces.map(p => 1L + counted.getOrElse(p, 0L)))
+  }
+
+  /** TRAIN: one corpus-scale Spark job (the distinct-word weight count),
+    * then seed + `emRounds` hard-EM rounds driver-side over the
+    * Heaps-bounded word table. `maxWords` bounds the driver collect
+    * exactly like [[Bpe.learnMerges]]'s maxVocab — beyond it, pre-floor
+    * the tail or run [[emRoundDistributed]] rounds cluster-side. */
+  def train(docs: DataFrame, textCol: String, maxPieceLen: Int, maxVocab: Int,
+            emRounds: Int, maxWords: Int = 1 << 20): Model = {
+    require(emRounds >= 0 && emRounds <= 64, s"train: emRounds=$emRounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .limit(maxWords + 1)
+      .as[(String, Long)].collect()
+    require(words.length <= maxWords,
+      s"train: distinct words exceed maxWords=$maxWords — " +
+        "apply a frequency floor or run emRoundDistributed rounds")
+    require(words.nonEmpty, "train: corpus has no words")
+    val seed = seedVocab(words, maxPieceLen, maxVocab)
+    var model = Model(seed.map(_._1), seed.map(_._2))
+    var r = 0
+    while (r < emRounds) { model = emRound(words, model); r += 1 }
+    model
+  }
+
+  /** The trained vocabulary as a DataFrame (piece, cnt) — the query
+    * surface for the hash-exact oracle. */
+  def vocabDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.pieces.zip(model.counts).toSeq.toDF("piece", "cnt")
+  }
+}

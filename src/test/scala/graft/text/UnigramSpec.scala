@@ -1,0 +1,149 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.UnigramExprs
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for [[Unigram]]: the fixed-point log, the Viterbi DP
+  * against exhaustive enumeration (the same brute force the DuckDB oracle
+  * runs), the EM round, the distributed twin, and the kernel expression. */
+class UnigramSpec extends SparkSpec {
+
+  test("fixedLog2Q16: exact on powers of two, within 2^-12 of true log2 elsewhere") {
+    for (e <- 0 to 52) assert(Unigram.fixedLog2Q16(1L << e) === e.toLong * 65536L)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val x = math.abs(rnd.nextLong()) % ((1L << 52) - 1) + 1
+      val got = Unigram.fixedLog2Q16(x) / 65536.0
+      val want = math.log(x.toDouble) / math.log(2.0)
+      assert(math.abs(got - want) < 1.0 / 4096,
+        s"x=$x got=$got want=$want")
+    }
+  }
+
+  /** Brute force: enumerate every cut mask, score by Σ splg, order by
+    * (score DESC, k ASC, mask ASC) — exactly the oracle's shape. */
+  private def bruteBest(word: String, splg: java.util.HashMap[String, java.lang.Long],
+                        unk: Long, maxLen: Int): Seq[String] = {
+    val cp = word.codePoints().toArray
+    val n = cp.length
+    require(n >= 1 && n <= 20, "bruteBest: test-sized words only")
+    def segOf(mask: Long): Seq[String] = {
+      val cuts = (0 until n - 1).filter(i => ((mask >> i) & 1L) == 1L).map(_ + 1)
+      val bounds = 0 +: cuts :+ n
+      bounds.zip(bounds.tail).map { case (a, b) => new String(cp, a, b - a) }
+    }
+    def scoreOf(pieces: Seq[String]): Option[Long] = {
+      var s = 0L
+      for (p <- pieces) {
+        val v = splg.get(p)
+        if (v != null) s += v.longValue
+        else if (p.codePointCount(0, p.length) == 1) s += unk
+        else return None
+        if (p.codePointCount(0, p.length) > maxLen) return None
+      }
+      Some(s)
+    }
+    val ranked = (0L until (1L << (n - 1))).flatMap { m =>
+      val seg = segOf(m)
+      scoreOf(seg).map(s => (s, seg.length, m, seg))
+    }
+    assert(ranked.nonEmpty, s"no valid segmentation for $word")
+    ranked.minBy { case (s, k, m, _) => (-s, k, m) }._4
+  }
+
+  test("viterbi equals exhaustive enumeration on randomized vocab and words (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 200) {
+      val alpha = "abcd".take(2 + rnd.nextInt(3))
+      val maxLen = 2 + rnd.nextInt(3)
+      // random vocab: all singles + random multis with random counts
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for (c <- alpha) counts(c.toString) = 1L + rnd.nextInt(1000)
+      for (_ <- 0 until 10) {
+        val len = 2 + rnd.nextInt(maxLen - 1)
+        val p = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+        counts(p) = 1L + rnd.nextInt(1000)
+      }
+      // duplicate counts on purpose sometimes, to force score ties
+      if (trial % 3 == 0) {
+        val ks = counts.keys.toSeq.sorted
+        for (k <- ks.drop(1)) counts(k) = counts(ks.head)
+      }
+      val total = counts.values.sum
+      val lgT = Unigram.fixedLog2Q16(total)
+      for ((p, c) <- counts) m.put(p, java.lang.Long.valueOf(Unigram.fixedLog2Q16(c) - lgT))
+      val unk = -lgT
+      val word = Seq.fill(1 + rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length))).mkString
+      val got = Unigram.viterbi(word, m, unk, maxLen).toSeq
+      val want = bruteBest(word, m, unk, maxLen)
+      assert(got === want, s"word=$word vocab=$counts maxLen=$maxLen")
+    }
+  }
+
+  test("viterbi: unknown single code points fall back to their own piece") {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    m.put("a", java.lang.Long.valueOf(-1L))
+    val got = Unigram.viterbi("axa", m, -100L, 3)
+    assert(got.toSeq === Seq("a", "x", "a"))
+  }
+
+  test("seedVocab: singles always kept, multis top-K by (weight desc, piece asc)") {
+    val words = Array(("abab", 10L), ("ba", 5L))
+    // substrings: a:20+5? a appears in abab at 1,3 (w 10 each) and ba at 2 (5) = 25
+    val seed = Unigram.seedVocab(words, maxPieceLen = 2, maxVocab = 4).toMap
+    assert(seed("a") === 25L && seed("b") === 25L)
+    // multis: ab w=20, ba w=15 (pos2 in abab=10, + ba=5); top-2 slots → ab, ba
+    assert(seed.size === 4 && seed("ab") === 20L && seed("ba") === 15L)
+    val seed3 = Unigram.seedVocab(words, maxPieceLen = 2, maxVocab = 3).toMap
+    assert(seed3.size === 3 && seed3.contains("ab") && !seed3.contains("ba"))
+  }
+
+  test("emRound: hand-checked toy recount with add-one smoothing") {
+    // vocab {a:4, b:2, ab:6}, T=12; word "ab" freq 3: ['ab'] wins
+    // (splg(ab) > splg(a)+splg(b)); recount: ab=1+3=4, a=1, b=1
+    val model = Unigram.Model(Array("a", "b", "ab"), Array(4L, 2L, 6L))
+    val out = Unigram.emRound(Array(("ab", 3L)), model)
+    assert(out.pieces.toSeq === Seq("a", "b", "ab"))
+    assert(out.counts.toSeq === Seq(1L, 1L, 4L))
+  }
+
+  test("emRoundDistributed is bit-identical to the driver round") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val collected = words.as[(String, Long)].collect()
+    val seed = Unigram.seedVocab(collected, 4, 96)
+    val m0 = Unigram.Model(seed.map(_._1), seed.map(_._2))
+    val driver = Unigram.emRound(collected, m0)
+    val dist = Unigram.emRoundDistributed(words, "w", "freq", m0)
+    assert(driver.pieces.toSeq === dist.pieces.toSeq)
+    assert(driver.counts.toSeq === dist.counts.toSeq)
+  }
+
+  test("train is deterministic and pieces stay fixed across rounds") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val m1 = Unigram.train(docs, "text", maxPieceLen = 4, maxVocab = 96, emRounds = 2)
+    val m2 = Unigram.train(docs, "text", maxPieceLen = 4, maxVocab = 96, emRounds = 2)
+    assert(m1.pieces.toSeq === m2.pieces.toSeq)
+    assert(m1.counts.toSeq === m2.counts.toSeq)
+    val m0 = Unigram.train(docs, "text", maxPieceLen = 4, maxVocab = 96, emRounds = 0)
+    assert(m0.pieces.toSeq === m1.pieces.toSeq)
+  }
+
+  test("unigram_segment kernel matches direct viterbi word-by-word") {
+    import spark.implicits._
+    val model = Unigram.Model(Array("a", "b", "c", "ab"), Array(3L, 2L, 5L, 10L))
+    val df = Seq((1L, "ab c  ab"), (2L, ""), (3L, "  "), (4L, "cab")).toDF("id", "text")
+    val out = df.select(col("id"), UnigramExprs.unigram_segment(col("text"), model).as("u"))
+      .select(col("id"), col("u.n_pieces"), col("u.seg"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 3L, "ab c ab")))
+    assert(out(1) === ((2L, 0L, "")))
+    assert(out(2) === ((3L, 0L, "")))
+    // "cab": splg(c)+splg(ab) vs splg(c)+splg(a)+splg(b) etc — c|ab wins
+    assert(out(3) === ((4L, 2L, "c|ab")))
+  }
+}
