@@ -58,7 +58,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * drops old manifests independently of data retention.
   */
 class Versioned(val spark: SparkSession, val root: String,
-                val checkpointInterval: Int = 20) {
+                val checkpointInterval: Int = 20,
+                val dvPredicateMax: Long = 4000000L) {
   require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
 
   private def conf = spark.sessionState.newHadoopConf()
@@ -581,13 +582,60 @@ class Versioned(val spark: SparkSession, val root: String,
     concat_ws("/", element_at(parts, -2), element_at(parts, -1))
   }
 
-  /** Scan `files` with the snapshot's deletion vectors applied: rows whose
-    * (file, position) appears in a sidecar are subtracted by a LEFT ANTI
-    * join on the codegen'd (rel, row_index) pair. `_metadata.row_index` is
-    * the parquet reader's stable per-file row ordinal (public Spark ≥3.5
-    * metadata column), so positions captured at delete time address the
-    * same rows forever — files are immutable once staged. No deletion
-    * vectors → the untouched scan (zero overhead on the common path). */
+  /** Resolved deletion vectors, cached per immutable sidecar-file set:
+    * the total deleted-row count (parquet footers — no job), and, when it
+    * fits `dvPredicateMax`, the per-file sorted position arrays that fuel
+    * the scan-fused predicate path. Sidecars are manifest-addressed and
+    * never rewritten, so an entry can never go stale — superseded
+    * versions just age out of the bounded LRU (r9 verdict #8: resolve a
+    * version's DVs ONCE per session, not once per read). */
+  private case class ResolvedDvs(total: Long, positions: Option[Map[String, Array[Long]]])
+  private val dvCache = new java.util.LinkedHashMap[String, ResolvedDvs](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, ResolvedDvs]): Boolean =
+      size() > 64
+  }
+  private[io] def dvCacheSize: Int = dvCache.synchronized(dvCache.size())
+  private def resolvedDvs(table: String, dvs: Seq[String]): ResolvedDvs = {
+    val key = table + "\n" + dvs.sorted.mkString("\n") // rels never contain newlines
+    dvCache.synchronized {
+      val hit = dvCache.get(key)
+      if (hit != null) return hit
+    }
+    val total = dvs.map { rel =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(dataDir(table), rel), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    val positions =
+      if (total > dvPredicateMax) None
+      else Some(spark.read.parquet(dvs.map(abs(table, _)): _*)
+        .select("__dv_file", "__dv_pos").collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) =>
+          val a = rows.map(_.getLong(1))
+          java.util.Arrays.sort(a)
+          (f, a)
+        })
+    val built = ResolvedDvs(total, positions)
+    dvCache.synchronized(dvCache.put(key, built))
+    built
+  }
+
+  /** Scan `files` with the snapshot's deletion vectors applied. Fast path
+    * (deleted rows ≤ `dvPredicateMax`): the resolved per-file sorted
+    * position arrays ride the plan and each row is filtered by a
+    * codegen'd binary-search predicate ([[graft.functions.DvExprs]]) —
+    * no broadcast-build job, no join, the scan stays one codegen span;
+    * this is the shape production lakehouse readers give DV application,
+    * and the resolved vectors are cached per (immutable) sidecar set so
+    * repeated reads of a version pay nothing. Beyond the cap, the LEFT
+    * ANTI join on the (rel, row_index) pair — bounded by DV size, not
+    * table size. `_metadata.row_index` is the parquet reader's stable
+    * per-file row ordinal (public Spark ≥3.5 metadata column), so
+    * positions captured at delete time address the same rows forever —
+    * files are immutable once staged. No deletion vectors → the untouched
+    * scan (zero overhead on the common path). */
   private def readWithDvs(table: String, files: Seq[String], dvs: Seq[String],
                           mergeSchema: Boolean): DataFrame = {
     val base = spark.read
@@ -596,16 +644,22 @@ class Versioned(val spark: SparkSession, val root: String,
     if (dvs.isEmpty) base
     else {
       import org.apache.spark.sql.functions.col
-      val dataCols = base.columns.toSeq
-      val dv = spark.read.parquet(dvs.map(abs(table, _)): _*)
-      base
-        .select(col("*"),
-          relOfPath(col("_metadata.file_path")).as("__dv_rel"),
-          col("_metadata.row_index").as("__dv_idx"))
-        .join(dv,
-          col("__dv_rel") === dv("__dv_file") && col("__dv_idx") === dv("__dv_pos"),
-          "left_anti")
-        .select(dataCols.map(col): _*)
+      resolvedDvs(table, dvs).positions match {
+        case Some(pos) =>
+          base.filter(graft.functions.DvExprs.dv_not_deleted(
+            relOfPath(col("_metadata.file_path")), col("_metadata.row_index"), pos))
+        case None =>
+          val dataCols = base.columns.toSeq
+          val dv = spark.read.parquet(dvs.map(abs(table, _)): _*)
+          base
+            .select(col("*"),
+              relOfPath(col("_metadata.file_path")).as("__dv_rel"),
+              col("_metadata.row_index").as("__dv_idx"))
+            .join(dv,
+              col("__dv_rel") === dv("__dv_file") && col("__dv_idx") === dv("__dv_pos"),
+              "left_anti")
+            .select(dataCols.map(col): _*)
+      }
     }
   }
 

@@ -101,6 +101,22 @@ object ProfileVersioned {
       phase("resolve v51 (chain <= checkpoint interval)")(vt.snapshotFiles("t", 51L))
       phase("read latest after 50 appends")(vt.read("t").count())
     }
+
+    println(s"[profile] == MOR read path: scan-fused DV predicate vs anti-join (8 reads) ==")
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("prof_dvread").toString
+      val fast = new Versioned(spark, root)
+      val anti = new Versioned(spark, root, dvPredicateMax = 0L)
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+      fast.commit("t", li)
+      fast.deleteWhere("t", col("l_returnflag") === "R" && col("l_quantity") < 10)
+      fast.deleteWhere("t", col("l_linestatus") === "F" && col("l_quantity") > 45)
+      phase("8x MOR read, predicate path (1st resolves+caches)")((1 to 8).foreach(_ =>
+        fast.read("t").groupBy("l_returnflag").agg(sum("l_quantity")).count()))
+      phase("8x MOR read, anti-join path")((1 to 8).foreach(_ =>
+        anti.read("t").groupBy("l_returnflag").agg(sum("l_quantity")).count()))
+    }
     spark.stop()
   }
 }

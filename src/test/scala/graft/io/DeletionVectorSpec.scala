@@ -264,4 +264,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ch.head.getAs[String]("change_type") === "delete")
     assert(ch.head.getAs[Long]("k") === 2L)
   }
+
+  test("scan-fused DV predicate equals the anti-join path, joins nothing, and caches") {
+    val root = tmpRoot()
+    val fast = new Versioned(spark, root) // default cap → predicate path
+    val anti = new Versioned(spark, root, dvPredicateMax = 0L) // force anti-join
+    fast.commit("t", (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"))
+    fast.deleteWhere("t", col("k") % 3 === 0)
+    fast.deleteWhere("t", col("k") > 90) // overlapping second vector
+    val a = fast.read("t").select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+    val b = anti.read("t").select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_._1).toSet === (1L to 90L).filter(_ % 3 != 0).toSet)
+    // plan shape: DV application is a scan-fused predicate — no join node
+    val plan = fast.read("t").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(anti.read("t").queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // resolved vectors cache per immutable sidecar set: re-reads don't grow it
+    val n = fast.dvCacheSize
+    fast.read("t").count(); fast.read("t").count()
+    assert(fast.dvCacheSize === n)
+    // time travel below the vectors still bypasses everything
+    assert(fast.readVersion("t", 1L).count() === 100L)
+  }
 }
