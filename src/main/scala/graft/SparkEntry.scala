@@ -4510,6 +4510,25 @@ object SparkEntry {
       .select(col("doc_id"), col("u.n_pieces").as("n_pieces"), col("u.seg").as("seg"))
   }
 
+  /** UNIGRAM VOCABULARY PRUNING ([[graft.text.Unigram.pruneTable]] — the
+    * SentencePiece OUTER loop's signature step, hard-EM form): after the
+    * q260 EM rounds, every multi-code-point piece is scored by the corpus
+    * likelihood it would sacrifice if removed — Σ freq · (best Viterbi
+    * score − best score with the piece EXCLUDED), probed only for words
+    * whose best path uses the piece (all others contribute exactly 0) —
+    * and the 48 least-important pieces are marked pruned (importance ASC,
+    * piece ASC; singles are the segmentability floor and always survive).
+    * The oracle re-derives every importance from the brute-force mask
+    * table: alt = max score over the masks NOT containing the piece. */
+  private def q262_unigram_prune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = graft.text.Unigram.wordWeights(par(s, Tables.documents(s, dir)), "text")
+    val model = graft.text.Unigram.trainFromWords(words,
+      maxPieceLen = 5, maxVocab = 128, emRounds = 3)
+    graft.text.Unigram.pruneTable(words, model, nPrune = 48)
+      .toSeq.toDF("piece", "cnt", "loss", "kept")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4774,6 +4793,7 @@ object SparkEntry {
     "q259_corpus_prep" -> (q259_corpus_prep _),
     "q260_unigram_vocab" -> (q260_unigram_vocab _),
     "q261_unigram_segment" -> (q261_unigram_segment _),
+    "q262_unigram_prune" -> (q262_unigram_prune _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7555,6 +7575,37 @@ object SparkEntry {
          SELECT doc.doc_id, coalesce(a.np, 0)::BIGINT AS n_pieces,
                 coalesce(a.seg, '') AS seg
          FROM documents doc LEFT JOIN agg a USING (doc_id)""",
+    // q262: piece importance from the brute-force mask table — alt = max
+    // score over this word's masks NOT containing the piece; prune rank
+    // over multis by (importance ASC, piece ASC), singles always kept
+    "q262_unigram_prune" ->
+      s"""WITH ${unigramTrainCtes(maxPieceLen = 5, maxVocab = 128, rounds = 3, finalSeg = true)},
+         bests AS (SELECT w, freq, score, pieces FROM (
+             SELECT w, freq, score, pieces,
+                    row_number() OVER (PARTITION BY w
+                      ORDER BY score DESC, k ASC, m ASC) AS rn
+             FROM scored3) WHERE rn = 1),
+         used AS (SELECT DISTINCT b.w, b.freq, b.score AS best, u.p
+                  FROM bests b, LATERAL (SELECT unnest(b.pieces) AS p) u
+                  WHERE len(u.p) >= 2),
+         alts AS (SELECT u.w, u.p, max(sc.score) AS alt
+                  FROM (SELECT DISTINCT w, p FROM used) u
+                  JOIN scored3 sc ON sc.w = u.w AND NOT list_contains(sc.pieces, u.p)
+                  GROUP BY u.w, u.p),
+         loss AS (SELECT u.p AS piece,
+                         sum(u.freq * (u.best - a.alt))::BIGINT AS loss
+                  FROM used u JOIN alts a ON a.w = u.w AND a.p = u.p
+                  GROUP BY u.p),
+         ranked AS (SELECT v.piece, v.cnt,
+                           (CASE WHEN len(v.piece) >= 2
+                                 THEN coalesce(l.loss, 0) ELSE 0 END)::BIGINT AS loss,
+                           len(v.piece) >= 2 AS multi
+                    FROM vocab3 v LEFT JOIN loss l ON l.piece = v.piece),
+         pr AS (SELECT piece, row_number() OVER (ORDER BY loss ASC, piece ASC) AS rk
+                FROM ranked WHERE multi)
+         SELECT r.piece, r.cnt, r.loss,
+                (NOT r.multi) OR p.rk > 48 AS kept
+         FROM ranked r LEFT JOIN pr p ON p.piece = r.piece""",
     // q256: each Gopher rule restated relationally (integer/rational
     // comparisons only), composite = conjunction
     "q256_gopher_rules" ->
@@ -7992,15 +8043,17 @@ object SparkEntry {
                 LATERAL (SELECT unnest(mk.pieces) AS p,
                                 generate_subscripts(mk.pieces, 1) AS pos) u
            JOIN lg$r v ON v.piece = u.p),
+         scored$r AS MATERIALIZED (
+           SELECT w, m, freq, n, k, sum(splg) AS score,
+                  list(p ORDER BY pos) AS pieces
+           FROM pc$r GROUP BY w, m, freq, n, k
+           HAVING count(*) = k),
          best$r AS MATERIALIZED (
            SELECT w, freq, pieces FROM (
              SELECT w, freq, pieces,
                     row_number() OVER (PARTITION BY w
                       ORDER BY score DESC, k ASC, m ASC) AS rn
-             FROM (SELECT w, m, freq, n, k, sum(splg) AS score,
-                          list(p ORDER BY pos) AS pieces
-                   FROM pc$r GROUP BY w, m, freq, n, k
-                   HAVING count(*) = k))
+             FROM scored$r)
            WHERE rn = 1)"""
     val ems = (0 until rounds).map { r =>
       s"""${segRound(r)},

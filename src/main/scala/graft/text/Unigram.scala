@@ -188,6 +188,122 @@ object Unigram {
               unkSplg: Long, maxPieceLen: Int): Array[String] =
     viterbi(word.codePoints().toArray, splg, unkSplg, maxPieceLen)
 
+  /** The Viterbi-best SCORE (Σ splg) of `word`, optionally with one piece
+    * EXCLUDED from the vocabulary entirely (no unknown-piece fallback for
+    * it — the SentencePiece prune asks "how well does the rest of the
+    * vocabulary segment this word?"). `excluded` must be a multi-code-
+    * point piece, so the all-singles segmentation always survives and a
+    * score always exists. Kept separate from [[viterbi]]: the prune loop
+    * needs only scores, and the exclusion must not disturb the
+    * segmentation path's tie-break contract. */
+  def viterbiScore(cp: Array[Int], splg: java.util.HashMap[String, java.lang.Long],
+                   unkSplg: Long, maxPieceLen: Int, excluded: String = null): Long = {
+    require(excluded == null || excluded.codePointCount(0, excluded.length) > 1,
+      s"viterbiScore: excluded piece must be multi-code-point, got '$excluded'")
+    val n = cp.length
+    if (n == 0) return 0L
+    val NEG = Long.MinValue / 4
+    val score = new Array[Long](n + 1)
+    java.util.Arrays.fill(score, NEG)
+    score(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (score(i) != NEG) {
+          val piece = new String(cp, i, j - i)
+          if (excluded == null || piece != excluded) {
+            val w = splg.get(piece)
+            val sp =
+              if (w != null) w.longValue
+              else if (j - i == 1) unkSplg
+              else NEG
+            if (sp != NEG && score(i) + sp > score(j)) score(j) = score(i) + sp
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    score(n)
+  }
+
+  /** PRUNE IMPORTANCE (the SentencePiece outer-loop statistic, hard-EM
+    * form): for every multi-code-point piece, the total corpus score
+    * sacrificed if it were removed — Σ_w freq(w) · (bestScore(w) −
+    * bestScoreWithout(w, p)) over the words whose Viterbi-best path uses
+    * p (words not using p contribute exactly 0, so only path pieces are
+    * probed). Always ≥ 0; a piece on no best path has importance 0 and is
+    * pruned first. Single code points are never candidates — they are
+    * the segmentability floor. */
+  def pruneLosses(words: Array[(String, Long)], model: Model): Map[String, Long] = {
+    val splg = model.splgMap
+    val unk = model.unkSplg
+    val maxLen = model.maxPieceLen
+    val loss = new java.util.HashMap[String, java.lang.Long]()
+    for ((w, f) <- words) {
+      val cp = w.codePoints().toArray
+      val seg = viterbi(cp, splg, unk, maxLen)
+      lazy val best = viterbiScore(cp, splg, unk, maxLen)
+      for (p <- seg.distinct if p.codePointCount(0, p.length) > 1) {
+        val alt = viterbiScore(cp, splg, unk, maxLen, excluded = p)
+        val prev = loss.get(p)
+        loss.put(p, java.lang.Long.valueOf(
+          (if (prev == null) 0L else prev.longValue) + f * (best - alt)))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    loss.asScala.map { case (k, v) => (k, v.longValue) }.toMap
+  }
+
+  /** [[pruneLosses]] CLUSTER-SIDE — the headroom twin (same shape as
+    * [[emRoundDistributed]]): per-word probes are independent, partial
+    * losses sum order-free, bit-identical to the driver pass. */
+  def pruneLossesDistributed(words: DataFrame, wordCol: String, freqCol: String,
+                             model: Model): Map[String, Long] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    words.select(col(wordCol).as[String], col(freqCol).as[Long])
+      .mapPartitions { it =>
+        val m = bc.value
+        val splg = m.splgMap
+        val unk = m.unkSplg
+        val maxLen = m.maxPieceLen
+        it.flatMap { case (w, f) =>
+          val cp = w.codePoints().toArray
+          val seg = viterbi(cp, splg, unk, maxLen)
+          val multis = seg.distinct.filter(p => p.codePointCount(0, p.length) > 1)
+          if (multis.isEmpty) Iterator.empty
+          else {
+            val best = viterbiScore(cp, splg, unk, maxLen)
+            multis.iterator.map(p =>
+              (p, f * (best - viterbiScore(cp, splg, unk, maxLen, excluded = p))))
+          }
+        }
+      }
+      .toDF("piece", "loss")
+      .groupBy("piece").agg(sum("loss").as("loss"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  /** The prune verdict table: every vocabulary piece with its final count,
+    * importance, and whether it survives a prune of the `nPrune`
+    * least-important multi-code-point pieces (importance ASC, piece ASC
+    * byte order — total, engine-portable). Singles always survive. */
+  def pruneTable(words: Array[(String, Long)], model: Model,
+                 nPrune: Int): Array[(String, Long, Long, Boolean)] = {
+    val losses = pruneLosses(words, model)
+    def isMulti(p: String): Boolean = p.codePointCount(0, p.length) > 1
+    val pruned = model.pieces.filter(isMulti)
+      .map(p => (p, losses.getOrElse(p, 0L)))
+      .sortWith((a, b) => if (a._2 != b._2) a._2 < b._2 else byteLess(a._1, b._1))
+      .take(nPrune).map(_._1).toSet
+    model.pieces.zip(model.counts).map { case (p, c) =>
+      (p, c, if (isMulti(p)) losses.getOrElse(p, 0L) else 0L, !pruned.contains(p))
+    }
+  }
+
   /** Seed vocabulary from a (word, freq) table: all single code points,
     * plus the top (maxVocab − #singles) longer substrings (length ≤
     * maxPieceLen) by (Σ freq over occurrence POSITIONS desc, piece asc
@@ -271,14 +387,12 @@ object Unigram {
     Model(model.pieces, model.pieces.map(p => 1L + counted.getOrElse(p, 0L)))
   }
 
-  /** TRAIN: one corpus-scale Spark job (the distinct-word weight count),
-    * then seed + `emRounds` hard-EM rounds driver-side over the
-    * Heaps-bounded word table. `maxWords` bounds the driver collect
-    * exactly like [[Bpe.learnMerges]]'s maxVocab — beyond it, pre-floor
-    * the tail or run [[emRoundDistributed]] rounds cluster-side. */
-  def train(docs: DataFrame, textCol: String, maxPieceLen: Int, maxVocab: Int,
-            emRounds: Int, maxWords: Int = 1 << 20): Model = {
-    require(emRounds >= 0 && emRounds <= 64, s"train: emRounds=$emRounds")
+  /** The ONE corpus-scale job: distinct-word weights, collected under the
+    * `maxWords` driver bound (the [[Bpe.learnMerges]] contract — Heaps'
+    * law keeps a 100 TB web corpus in the tens of millions; beyond it,
+    * pre-floor the tail or run the Distributed round twins). */
+  def wordWeights(docs: DataFrame, textCol: String,
+                  maxWords: Int = 1 << 20): Array[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
@@ -287,15 +401,29 @@ object Unigram {
       .limit(maxWords + 1)
       .as[(String, Long)].collect()
     require(words.length <= maxWords,
-      s"train: distinct words exceed maxWords=$maxWords — " +
-        "apply a frequency floor or run emRoundDistributed rounds")
-    require(words.nonEmpty, "train: corpus has no words")
+      s"wordWeights: distinct words exceed maxWords=$maxWords — " +
+        "apply a frequency floor or run the Distributed round twins")
+    require(words.nonEmpty, "wordWeights: corpus has no words")
+    words
+  }
+
+  /** Seed + `emRounds` hard-EM rounds over a collected word table. */
+  def trainFromWords(words: Array[(String, Long)], maxPieceLen: Int,
+                     maxVocab: Int, emRounds: Int): Model = {
+    require(emRounds >= 0 && emRounds <= 64, s"train: emRounds=$emRounds")
     val seed = seedVocab(words, maxPieceLen, maxVocab)
     var model = Model(seed.map(_._1), seed.map(_._2))
     var r = 0
     while (r < emRounds) { model = emRound(words, model); r += 1 }
     model
   }
+
+  /** TRAIN: one corpus-scale Spark job (the distinct-word weight count),
+    * then seed + `emRounds` hard-EM rounds driver-side over the
+    * Heaps-bounded word table. */
+  def train(docs: DataFrame, textCol: String, maxPieceLen: Int, maxVocab: Int,
+            emRounds: Int, maxWords: Int = 1 << 20): Model =
+    trainFromWords(wordWeights(docs, textCol, maxWords), maxPieceLen, maxVocab, emRounds)
 
   /** The trained vocabulary as a DataFrame (piece, cnt) — the query
     * surface for the hash-exact oracle. */

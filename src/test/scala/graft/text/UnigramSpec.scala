@@ -133,6 +133,83 @@ class UnigramSpec extends SparkSpec {
     assert(m0.pieces.toSeq === m1.pieces.toSeq)
   }
 
+  test("viterbiScore matches enumeration, with and without an excluded piece (seeded)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 150) {
+      val alpha = "abc".take(2 + rnd.nextInt(2))
+      val maxLen = 2 + rnd.nextInt(2)
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for (c <- alpha) counts(c.toString) = 1L + rnd.nextInt(500)
+      val multis = (0 until 6).map { _ =>
+        val p = Seq.fill(2 + rnd.nextInt(maxLen - 1))(alpha(rnd.nextInt(alpha.length))).mkString
+        counts(p) = 1L + rnd.nextInt(500); p
+      }
+      val total = counts.values.sum
+      val lgT = Unigram.fixedLog2Q16(total)
+      for ((p, c) <- counts) m.put(p, java.lang.Long.valueOf(Unigram.fixedLog2Q16(c) - lgT))
+      val word = Seq.fill(1 + rnd.nextInt(8))(alpha(rnd.nextInt(alpha.length))).mkString
+      val cp = word.codePoints().toArray
+      // brute force: best score over all masks, optionally excluding a piece
+      def brute(excl: String): Long = {
+        val n = cp.length
+        (0L until (1L << (n - 1))).flatMap { mask =>
+          val cuts = (0 until n - 1).filter(i => ((mask >> i) & 1L) == 1L).map(_ + 1)
+          val bounds = 0 +: cuts :+ n
+          val pieces = bounds.zip(bounds.tail).map { case (a, b) => new String(cp, a, b - a) }
+          if (excl != null && pieces.contains(excl)) None
+          else {
+            var s = 0L; var ok = true
+            for (p <- pieces) {
+              val v = m.get(p)
+              if (v != null && p.length <= maxLen) s += v.longValue
+              else if (p.length == 1) s += -lgT
+              else ok = false
+            }
+            if (ok) Some(s) else None
+          }
+        }.max
+      }
+      assert(Unigram.viterbiScore(cp, m, -lgT, maxLen) === brute(null), s"word=$word")
+      val excl = multis(rnd.nextInt(multis.length))
+      assert(Unigram.viterbiScore(cp, m, -lgT, maxLen, excl) === brute(excl),
+        s"word=$word excl=$excl")
+    }
+  }
+
+  test("pruneLosses: only best-path pieces probed, hand-checked toy importance") {
+    // vocab {a:4, b:2, ab:6}, T=12 — "ab" best = ['ab']; without 'ab' the
+    // only path is ['a','b']: loss = freq * (splg(ab) - splg(a) - splg(b))
+    val model = Unigram.Model(Array("a", "b", "ab"), Array(4L, 2L, 6L))
+    val lgT = Unigram.fixedLog2Q16(12L)
+    val want = 3L * ((Unigram.fixedLog2Q16(6L) - lgT) -
+      ((Unigram.fixedLog2Q16(4L) - lgT) + (Unigram.fixedLog2Q16(2L) - lgT)))
+    val losses = Unigram.pruneLosses(Array(("ab", 3L)), model)
+    assert(losses === Map("ab" -> want))
+    assert(want > 0L)
+  }
+
+  test("pruneLossesDistributed is bit-identical to the driver pass; pruneTable verdicts") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val wordsDf = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val words = wordsDf.as[(String, Long)].collect()
+    val model = Unigram.trainFromWords(words, 4, 96, 2)
+    val driver = Unigram.pruneLosses(words, model)
+    val dist = Unigram.pruneLossesDistributed(wordsDf, "w", "freq", model)
+    assert(driver === dist)
+    val table = Unigram.pruneTable(words, model, nPrune = 20)
+    assert(table.length === model.pieces.length)
+    assert(table.filter(t => t._1.length == 1).forall(_._4), "singles must survive")
+    assert(table.count(t => !t._4) === 20)
+    // pruned pieces are exactly the 20 lowest-importance multis
+    val multiLoss = table.filter(_._1.length > 1).map(t => (t._1, t._3)).toMap
+    val prunedSet = table.filter(t => !t._4).map(_._1).toSet
+    val expect = multiLoss.toSeq.sortBy { case (p, l) => (l, p) }.take(20).map(_._1).toSet
+    assert(prunedSet === expect)
+  }
+
   test("unigram_segment kernel matches direct viterbi word-by-word") {
     import spark.implicits._
     val model = Unigram.Model(Array("a", "b", "c", "ab"), Array(3L, 2L, 5L, 10L))
