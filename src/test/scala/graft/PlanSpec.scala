@@ -300,4 +300,17 @@ class PlanSpec extends SparkSpec {
     assert(!lines.slice(fi + 1, si).exists(_.contains("Exchange")),
       "no shuffle between the documents scan and the quality predicate:\n" + pq)
   }
+
+  test("q261: unigram segmentation is a zero-shuffle projection (model rides the plan)") {
+    val df = SparkEntry.queries("q261_unigram_segment")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "segmentation must not join a word table:\n" + plan)
+    // the ONLY exchange permitted is par()'s round-robin parallelism
+    // split (single parquet file = single split locally); the segmenting
+    // projection itself adds none
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.size <= 1 && exchanges.forall(_.contains("RoundRobinPartitioning")),
+      "segmentation added a shuffle:\n" + plan)
+    assert(plan.contains("unigram_segment"), plan)
+  }
 }
