@@ -4529,6 +4529,26 @@ object SparkEntry {
       .toSeq.toDF("piece", "cnt", "loss", "kept")
   }
 
+  /** KNESER–NEY BIGRAM PERPLEXITY ([[graft.text.LangModel.trainKneserNey]]
+    * → [[graft.text.LangModel.scoreKnQ16]]) — the smoothing the CCNet
+    * filter's KenLM actually uses, next to q198's add-one baseline:
+    * absolute discount d = 3/4 with add-one-floored continuation backoff,
+    * every probability an exact rational, per-doc score Σ of Q16
+    * fixed-point negative log2s via the codegen'd
+    * [[graft.functions.LogExprs.flog2_q16]] kernel. Same 80% hash-split
+    * and minCount=100 vocabulary as q198, so the two scorers are directly
+    * comparable rows. Training is one pass (pairs is the sufficient
+    * statistic; contexts/continuations/totals derive from it); scoring's
+    * one big shuffle is the (w1,w2) facts⋈pairs join; KnSpec proves
+    * Σ_w2 P(w2|w1) = 1 exactly in BigInt rationals on the trained frames. */
+  private def q263_kneser_ney(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    val isTrain = RelOps.hashSampleFilter(col("doc_id"), 0.8)
+    val lm = graft.text.LangModel.trainKneserNey(
+      docs.filter(isTrain), "doc_id", "text", minCount = 100L)
+    graft.text.LangModel.scoreKnQ16(docs.filter(!isTrain), "doc_id", "text", lm)
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4794,6 +4814,7 @@ object SparkEntry {
     "q260_unigram_vocab" -> (q260_unigram_vocab _),
     "q261_unigram_segment" -> (q261_unigram_segment _),
     "q262_unigram_prune" -> (q262_unigram_prune _),
+    "q263_kneser_ney" -> (q263_kneser_ney _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7606,6 +7627,53 @@ object SparkEntry {
          SELECT r.piece, r.cnt, r.loss,
                 (NOT r.multi) OR p.rk > 48 AS kept
          FROM ranked r LEFT JOIN pr p ON p.piece = r.piece""",
+    // q263: Kneser–Ney restated relationally — the pairs table is the
+    // sufficient statistic (c1 = Σ c12, t1/r2/R = row counts over it);
+    // with d = 3/4, num/den are the exact integer rational of each
+    // P_KN(w2|w1) and the score is the same Q16 log recurrence q260 uses
+    "q263_kneser_ney" ->
+      s"""WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS l,
+             substring(md5(cast(doc_id as varchar)), 1, 4) < 'cccd' AS is_train
+           FROM documents),
+         prr AS (SELECT u.doc_id, u.is_train, u.p.w1 AS w1r, u.p.w2 AS w2r
+           FROM (SELECT doc_id, is_train,
+               unnest(list_transform(range(1, len(l)),
+                 i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+             FROM d) u),
+         vocab AS (SELECT tok FROM (SELECT is_train, unnest(l) AS tok FROM d)
+           WHERE is_train GROUP BY tok HAVING count(*) >= 100),
+         pr AS (SELECT doc_id, is_train,
+             coalesce(v1.tok, '<unk>') AS w1, coalesce(v2.tok, '<unk>') AS w2
+           FROM prr LEFT JOIN vocab v1 ON prr.w1r = v1.tok
+             LEFT JOIN vocab v2 ON prr.w2r = v2.tok),
+         c12t AS (SELECT w1, w2, cast(count(*) as bigint) AS c12
+           FROM pr WHERE is_train GROUP BY 1, 2),
+         ctx AS (SELECT w1, cast(sum(c12) as bigint) AS c1,
+             cast(count(*) as bigint) AS t1 FROM c12t GROUP BY 1),
+         contn AS (SELECT w2, cast(count(*) as bigint) AS r2
+           FROM c12t GROUP BY 1),
+         tot AS (SELECT (SELECT cast(count(*) as bigint) FROM c12t) AS r,
+             (SELECT cast(count(*) + 1 as bigint) FROM vocab) AS v),
+         terms AS (SELECT p.doc_id,
+             CASE WHEN coalesce(ctx.c1, 0) > 0
+               THEN greatest(4 * coalesce(c12t.c12, 0) - 3, 0) * (tot.r + tot.v)
+                    + 3 * ctx.t1 * (coalesce(contn.r2, 0) + 1)
+               ELSE coalesce(contn.r2, 0) + 1 END AS num,
+             CASE WHEN coalesce(ctx.c1, 0) > 0
+               THEN 4 * ctx.c1 * (tot.r + tot.v)
+               ELSE tot.r + tot.v END AS den
+           FROM pr p LEFT JOIN c12t ON p.w1 = c12t.w1 AND p.w2 = c12t.w2
+             LEFT JOIN ctx ON p.w1 = ctx.w1
+             LEFT JOIN contn ON p.w2 = contn.w2, tot
+           WHERE NOT p.is_train),
+         nl AS (SELECT doc_id,
+             ${unigramFlogSql("den")} - ${unigramFlogSql("num")} AS t
+           FROM terms)
+         SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           cast(sum(t) as bigint) AS nlg2_q16,
+           cast(sum(t) as bigint) // cast(count(*) as bigint) AS mean_nlg2_q16
+         FROM nl GROUP BY 1""",
     // q256: each Gopher rule restated relationally (integer/rational
     // comparisons only), composite = conjunction
     "q256_gopher_rules" ->

@@ -161,4 +161,120 @@ object LangModel {
       scorePerplexity(docs, docId, textCol, lm)
         .filter(col("ppl") <= maxPpl).select(col(docId), col("ppl")),
       Seq(docId))
+
+  // ---------------------------------------------------------------------
+  // Kneser–Ney smoothing — the industry-standard n-gram smoothing (Kneser
+  // & Ney 1995; Chen & Goodman 1999 established it as the strongest
+  // classical method; KenLM — the LM CCNet actually deploys for this
+  // filter — implements its "modified" variant). Absolute-discount form
+  // with d = 3/4, which keeps EVERY probability an exact rational with
+  // integer numerator/denominator, so Q16 fixed-point log scoring is
+  // hash-exact across engines.
+  //
+  //   P(w2|w1) = max(c12 − d, 0)/c1 + d·t1/c1 · Pc(w2)      if c1 > 0
+  //            = Pc(w2)                                       if c1 = 0
+  //   Pc(w2)   = (r2 + 1)/(R + V)          (add-one continuation floor)
+  //
+  // where t1 = N1+(w1,·) distinct followers of w1, r2 = N1+(·,w2)
+  // distinct predecessors of w2, R = N1+(·,·) total bigram types, V =
+  // |vocab|+1 slots. With d = 3/4 and common denominator 4·c1·(R+V):
+  //
+  //   num = max(4·c12 − 3, 0)·(R+V) + 3·t1·(r2+1),  den = 4·c1·(R+V)
+  //
+  // Exactness: Σ_{w2} P(w2|w1) = 1 for every seen w1 — the discount mass
+  // d·t1 freed from the t1 seen followers is exactly the λ(w1) weight on
+  // Pc, and Σ Pc = (R+V)/(R+V) = 1 (KnSpec proves the rational identity
+  // with BigInt sums on the trained frames). Hence num ≤ den per term and
+  // the per-bigram negative log is a non-negative long.
+  // ---------------------------------------------------------------------
+
+  /** A trained Kneser–Ney bigram LM. `pairs` is the SUFFICIENT STATISTIC:
+    * contexts (c1 = Σ c12, t1 = row count), continuations (r2) and totals
+    * (R, V) all derive from it without touching the corpus again, so
+    * training is ONE pass over the reference slice (the pairs plan carries
+    * a lazy localCheckpoint — it is referenced four times below and once
+    * per scoring join, and Spark re-executes shared subtrees per
+    * reference).
+    *
+    * @param vocab         kept tokens (count >= minCount), 1 column `tok`
+    * @param pairs         (__w1, __w2, __c12) mapped bigram counts
+    * @param contexts      (__w1, __c1, __t1) — ≤ V+1 rows, broadcastable
+    * @param continuations (__w2, __r2) — ≤ V+1 rows, broadcastable
+    * @param totals        1 row (__r, __v)
+    */
+  final case class KnLM(vocab: DataFrame, pairs: DataFrame,
+                        contexts: DataFrame, continuations: DataFrame,
+                        totals: DataFrame)
+
+  /** Train a Kneser–Ney bigram LM on `refDocs`. Same vocabulary contract
+    * as [[trainBigram]] (global count >= minCount, rest `<unk>`), so the
+    * model stays heavy-hitter bounded at any corpus scale. Count envelope
+    * for the Q16 scorer: exact while c1·(R+V) < 2^61 — at web scale
+    * (c1 ≤ 10^12 tokens, R+V ≤ 10^6 types after thresholding) that is
+    * 4·10^18 < 9.2·10^18, inside long range by construction of the
+    * thresholded vocabulary. */
+  def trainKneserNey(refDocs: DataFrame, docId: String, textCol: String,
+                     minCount: Long): KnLM = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val vocab = refDocs
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("tok")
+      .localCheckpoint(false)
+    val pairs = mapToVocab(bigramFacts(refDocs, docId, textCol), vocab)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(false)
+    val contexts = pairs.groupBy("__w1")
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__t1"))
+    val continuations = pairs.groupBy("__w2")
+      .agg(count(lit(1)).as("__r2"))
+    val totals = pairs.agg(count(lit(1)).as("__r"))
+      .crossJoin(vocab.agg((count(lit(1)) + 1L).as("__v")))
+    KnLM(vocab, pairs, contexts, continuations, totals)
+  }
+
+  /** Per-document Kneser–Ney score in Q16 fixed point — integer-exact, so
+    * an external engine reproduces it bit-for-bit (the oracle mode, like
+    * [[scorePpm]] for add-one). Each bigram contributes
+    * flog2_q16(den) − flog2_q16(num) ≥ 0 (a Q16 negative log2 of its KN
+    * probability, computed by [[graft.functions.LogExprs.flog2_q16]]
+    * inside whole-stage codegen); output is
+    * `(docId, n_bigrams, nlg2_q16, mean_nlg2_q16)` with mean as floor
+    * division of non-negative longs (truncating and flooring division
+    * agree there — engines differ on negatives, which is why the score is
+    * kept negated-positive). Lower = more reference-like. Docs with fewer
+    * than 2 tokens have no bigrams and are absent.
+    *
+    * Plan shape: the one big shuffle is the facts ⋈ pairs equi-join on
+    * (w1, w2); contexts/continuations/totals are broadcasts; the per-doc
+    * sum partial-aggregates map-side.
+    */
+  def scoreKnQ16(docs: DataFrame, docId: String, textCol: String,
+                 lm: KnLM): DataFrame = {
+    import graft.functions.LogExprs.flog2_q16
+    val facts = mapToVocab(bigramFacts(docs, docId, textCol), lm.vocab)
+      .join(lm.pairs, Seq("__w1", "__w2"), "left")
+      .join(broadcast(lm.contexts), Seq("__w1"), "left")
+      .join(broadcast(lm.continuations), Seq("__w2"), "left")
+      .crossJoin(broadcast(lm.totals))
+      .select(col("__doc"),
+        coalesce(col("__c12"), lit(0L)).as("__c12"),
+        coalesce(col("__c1"), lit(0L)).as("__c1"),
+        coalesce(col("__t1"), lit(0L)).as("__t1"),
+        coalesce(col("__r2"), lit(0L)).as("__r2"),
+        col("__r"), col("__v"))
+    val rv = col("__r") + col("__v")
+    val num = when(col("__c1") > 0L,
+        greatest(lit(4L) * col("__c12") - lit(3L), lit(0L)) * rv +
+          lit(3L) * col("__t1") * (col("__r2") + lit(1L)))
+      .otherwise(col("__r2") + lit(1L))
+    val den = when(col("__c1") > 0L, lit(4L) * col("__c1") * rv).otherwise(rv)
+    facts
+      .select(col("__doc"), (flog2_q16(den) - flog2_q16(num)).as("__nl"))
+      .groupBy("__doc")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nl")).as("nlg2_q16"))
+      .select(col("__doc").as(docId), col("n_bigrams"), col("nlg2_q16"),
+        expr("nlg2_q16 div n_bigrams").as("mean_nlg2_q16"))
+  }
 }
