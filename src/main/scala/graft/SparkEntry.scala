@@ -4549,6 +4549,38 @@ object SparkEntry {
     graft.text.LangModel.scoreKnQ16(docs.filter(!isTrain), "doc_id", "text", lm)
   }
 
+  /** WORDPIECE TRAINING ([[graft.text.WordPiece.learn]]) — the BERT
+    * tokenizer's likelihood-gain merge loop, completing the subword trio
+    * next to q219/q257 (BPE, frequency argmax) and q260-q262 (unigram,
+    * EM + pruning): 64 rounds, each merging the pair maximizing
+    * c12/(c1·c2) with exact BigInt cross-multiplied comparison and UTF-8
+    * byte-order tie-break, non-initial symbols ##-prefixed. Output rows
+    * carry the integer score inputs (c12, c1, c2), so the oracle hash
+    * pins every argmax decision, not just the chosen pair string. One
+    * corpus-scale job (the word-weight count); the loop is driver-side
+    * over the Heaps-bounded word table. */
+  private def q264_wordpiece_learn(s: SparkSession, dir: String): DataFrame =
+    graft.text.WordPiece.learn(
+      par(s, Tables.documents(s, dir)), "text", nMerges = 64)
+
+  /** WORDPIECE SEGMENTATION ([[graft.functions.WordPieceExprs]]) — greedy
+    * longest-match-first (the BERT runtime) under the q264 model's
+    * vocabulary (initial symbols + 64 merges), as a ZERO-SHUFFLE
+    * projection: the vocabulary rides the plan like q261's unigram model.
+    * `seg` pins the exact per-word piece sequence in the result hash;
+    * n_unk counts words the vocabulary cannot cover (none on the training
+    * corpus itself — the UNK path is exercised by WordPieceSpec). */
+  private def q265_wordpiece_segment(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    val words = graft.text.WordPiece.wordWeights(docs, "text")
+    val merges = graft.text.WordPiece.trainFromWords(words, nMerges = 64)
+    val vocab = graft.text.WordPiece.vocabOf(words, merges)
+    docs.select(col("doc_id"),
+        graft.functions.WordPieceExprs.wordpiece_segment(col("text"), vocab.toSeq).as("u"))
+      .select(col("doc_id"), col("u.n_pieces").as("n_pieces"),
+        col("u.n_unk").as("n_unk"), col("u.seg").as("seg"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4815,6 +4847,8 @@ object SparkEntry {
     "q261_unigram_segment" -> (q261_unigram_segment _),
     "q262_unigram_prune" -> (q262_unigram_prune _),
     "q263_kneser_ney" -> (q263_kneser_ney _),
+    "q264_wordpiece_learn" -> (q264_wordpiece_learn _),
+    "q265_wordpiece_segment" -> (q265_wordpiece_segment _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7217,6 +7251,11 @@ object SparkEntry {
     // early-stop point is the checked output (iterations past exhaustion
     // produce empty b/v CTEs in both engines)
     "q219_bpe_learn" -> bpeOracleSql(nMerges = 256),
+    // q264/q265: the WordPiece merge loop and its greedy segmenter,
+    // replayed relationally (unrolled rounds, exact HUGEINT rational
+    // argmax, 8-step longest-match unroll)
+    "q264_wordpiece_learn" -> wordpieceLearnOracleSql(nMerges = 64),
+    "q265_wordpiece_segment" -> wordpieceSegmentOracleSql(nMerges = 64),
     // q220: train (shared CTEs) + segment every doc with the learned
     // merges in rank order; per-doc subword token/type counts
     "q220_bpe_segment" -> bpeSegmentOracleSql(nMerges = 8),
@@ -7949,6 +7988,110 @@ object SparkEntry {
     * characters in this encoding. */
   /** The shared BPE-training CTE chain (v0, then p/b/v per iteration) —
     * b$t is iteration t's chosen merge as a 1-row (pair, mrg, c). */
+  /** Shared CTE chain for q264/q265: the WordPiece merge loop unrolled —
+    * same wrapped-word encoding as [[bpeTrainCtes]], but v0 carries the
+    * ##-continuation prefixes, the per-round argmax is the exact rational
+    * likelihood score (HUGEINT cross-multiplied NOT-EXISTS self-join, the
+    * relational form of the BigInt compare), and the fused symbol strips
+    * the right piece's ## prefix. pc/b/v MATERIALIZED: b references pc
+    * twice and v chains, so plain-CTE inlining would blow up
+    * exponentially across rounds. */
+  private def wordpieceTrainCtes(nMerges: Int): String = {
+    val iters = (1 to nMerges).map { t =>
+      s"""w${t - 1} AS (
+           SELECT string_split(substr(wstr, 2, len(wstr) - 2), chr(2) || chr(1)) AS s, cnt
+           FROM v${t - 1}),
+         sc$t AS (SELECT sym, cast(sum(cnt) as bigint) AS c
+           FROM (SELECT unnest(s) AS sym, cnt FROM w${t - 1}) GROUP BY 1),
+         pc$t AS MATERIALIZED (
+           SELECT pr.l, pr.r, pr.c12, sl.c AS c1, sr.c AS c2
+           FROM (SELECT s[i] AS l, s[i+1] AS r, cast(sum(cnt) as bigint) AS c12 FROM (
+                   SELECT s, cnt, unnest(range(1, len(s))) AS i FROM w${t - 1} WHERE len(s) >= 2)
+                 GROUP BY 1, 2) pr
+           JOIN sc$t sl ON sl.sym = pr.l JOIN sc$t sr ON sr.sym = pr.r),
+         b$t AS MATERIALIZED (
+           SELECT l, r, l || ' ' || r AS pair,
+             l || (CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END) AS mrg,
+             c12, c1, c2
+           FROM pc$t a
+           WHERE NOT EXISTS (SELECT 1 FROM pc$t b WHERE
+               b.c12::HUGEINT * a.c1 * a.c2 > a.c12::HUGEINT * b.c1 * b.c2
+               OR (b.c12::HUGEINT * a.c1 * a.c2 = a.c12::HUGEINT * b.c1 * b.c2
+                   AND b.l || ' ' || b.r < a.l || ' ' || a.r))),
+         v$t AS MATERIALIZED (
+           SELECT replace(v.wstr,
+               chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+               chr(1) || b.mrg || chr(2)) AS wstr, cnt
+           FROM v${t - 1} v CROSS JOIN b$t b)"""
+    }.mkString(",\n         ")
+    s"""v0 AS (
+           SELECT array_to_string(list_transform(range(1, len(cs) + 1),
+               i -> chr(1) || (CASE WHEN i = 1 THEN cs[i] ELSE '##' || cs[i] END) || chr(2)), '') AS wstr,
+             cast(cnt as bigint) AS cnt
+           FROM (SELECT regexp_extract_all(w, '.') AS cs, count(*) AS cnt FROM (
+             SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS w
+             FROM documents) GROUP BY 1)),
+         $iters"""
+  }
+
+  private def wordpieceLearnOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(t =>
+      s"SELECT cast($t as bigint) AS rank, pair, mrg AS merged, c12, c1, c2 FROM b$t")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${wordpieceTrainCtes(nMerges)}
+         $out"""
+  }
+
+  /** q265's oracle: train (shared CTEs), derive the piece vocabulary
+    * (v0's initial symbols plus every merged symbol), then greedy
+    * longest-match-first over each distinct word as 8 unrolled steps
+    * (corpus words are ≤ 8 chars, each step consumes ≥ 1), re-joined to
+    * per-doc word positions for the exact seg string. */
+  private def wordpieceSegmentOracleSql(nMerges: Int): String = {
+    val mrgUnion = (1 to nMerges).map(t => s"SELECT mrg FROM b$t").mkString("\n           UNION ")
+    val segSteps = (1 to 8).map { k =>
+      s"""best$k AS (SELECT w, piece, adv FROM (
+             SELECT s.w, v.piece, v.clen AS adv,
+               row_number() OVER (PARTITION BY s.w ORDER BY v.clen DESC) AS rn
+             FROM s${k - 1} s JOIN vocab v
+               ON s.pos <= len(s.w) AND NOT s.unk
+              AND (CASE WHEN s.pos = 1 THEN NOT v.cont ELSE v.cont END)
+              AND substr(s.w, s.pos, v.clen) = v.chars) WHERE rn = 1),
+         s$k AS MATERIALIZED (
+           SELECT s.w,
+             CASE WHEN s.pos > len(s.w) OR s.unk OR m.adv IS NULL THEN s.pos
+                  ELSE s.pos + m.adv END AS pos,
+             CASE WHEN s.pos > len(s.w) OR s.unk OR m.adv IS NULL THEN s.seg
+                  WHEN s.seg = '' THEN m.piece ELSE s.seg || '|' || m.piece END AS seg,
+             CASE WHEN s.pos > len(s.w) OR s.unk THEN s.unk
+                  WHEN m.adv IS NULL THEN true ELSE s.unk END AS unk
+           FROM s${k - 1} s LEFT JOIN best$k m ON m.w = s.w)"""
+    }.mkString(",\n         ")
+    s"""WITH ${wordpieceTrainCtes(nMerges)},
+         vocab AS (
+           SELECT piece, piece LIKE '##%' AS cont,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS chars,
+             len(CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END) AS clen
+           FROM (SELECT DISTINCT sym AS piece FROM (SELECT unnest(s) AS sym FROM w0)
+                 UNION $mrgUnion)),
+         dw AS (SELECT doc_id, wi, w FROM (
+             SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS w,
+               generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0), 1) AS wi
+             FROM documents)),
+         s0 AS (SELECT DISTINCT w, 1 AS pos, '' AS seg, false AS unk FROM dw),
+         $segSteps,
+         wordseg AS (SELECT w,
+             CASE WHEN unk THEN '[UNK]' ELSE seg END AS seg,
+             CASE WHEN unk THEN 1 ELSE len(string_split(seg, '|')) END AS np,
+             CASE WHEN unk THEN 1 ELSE 0 END AS nu
+           FROM s8)
+         SELECT dw.doc_id, cast(sum(ws.np) as bigint) AS n_pieces,
+           cast(sum(ws.nu) as bigint) AS n_unk,
+           array_to_string(list(ws.seg ORDER BY dw.wi), ' ') AS seg
+         FROM dw JOIN wordseg ws ON ws.w = dw.w
+         GROUP BY 1"""
+  }
+
   private def bpeTrainCtes(nMerges: Int): String = {
     // b/v MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
     // iteration references the previous twice (pair count + rewrite) — at
