@@ -4549,6 +4549,36 @@ object SparkEntry {
     graft.text.LangModel.scoreKnQ16(docs.filter(!isTrain), "doc_id", "text", lm)
   }
 
+  /** CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.3, the head/middle/
+    * tail split CCNet publishes its corpus in): q263's Kneser–Ney scores
+    * cut into RANK THIRDS per language — rank by (mean_nlg2_q16, doc_id),
+    * bucket = head/middle/tail — all-integer, so the oracle reproduces
+    * every boundary doc exactly (CCNet cuts on perplexity value; rank
+    * thirds are the same split with a deterministic tie policy). Plan
+    * shape: scoring as q263, then one shuffle on lang for the per-language
+    * rank window. At extreme per-language cardinality the variant is
+    * value-cuts (two exact tercile scores per lang, broadcast back); the
+    * rank window keeps exact per-doc reproducibility and languages
+    * partition the sort. */
+  private def q266_ccnet_buckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = par(s, Tables.documents(s, dir))
+    val isTrain = RelOps.hashSampleFilter(col("doc_id"), 0.8)
+    val lm = graft.text.LangModel.trainKneserNey(
+      docs.filter(isTrain), "doc_id", "text", minCount = 100L)
+    val scored = graft.text.LangModel
+      .scoreKnQ16(docs.filter(!isTrain), "doc_id", "text", lm)
+    val w = Window.partitionBy("lang").orderBy(col("mean_nlg2_q16"), col("doc_id"))
+    scored.join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("mean_nlg2_q16"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .select(col("doc_id"), col("lang"), col("mean_nlg2_q16"),
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** WORDPIECE TRAINING ([[graft.text.WordPiece.learn]]) — the BERT
     * tokenizer's likelihood-gain merge loop, completing the subword trio
     * next to q219/q257 (BPE, frequency argmax) and q260-q262 (unigram,
@@ -4849,6 +4879,7 @@ object SparkEntry {
     "q263_kneser_ney" -> (q263_kneser_ney _),
     "q264_wordpiece_learn" -> (q264_wordpiece_learn _),
     "q265_wordpiece_segment" -> (q265_wordpiece_segment _),
+    "q266_ccnet_buckets" -> (q266_ccnet_buckets _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7671,48 +7702,22 @@ object SparkEntry {
     // with d = 3/4, num/den are the exact integer rational of each
     // P_KN(w2|w1) and the score is the same Q16 log recurrence q260 uses
     "q263_kneser_ney" ->
-      s"""WITH d AS (SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS l,
-             substring(md5(cast(doc_id as varchar)), 1, 4) < 'cccd' AS is_train
-           FROM documents),
-         prr AS (SELECT u.doc_id, u.is_train, u.p.w1 AS w1r, u.p.w2 AS w2r
-           FROM (SELECT doc_id, is_train,
-               unnest(list_transform(range(1, len(l)),
-                 i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
-             FROM d) u),
-         vocab AS (SELECT tok FROM (SELECT is_train, unnest(l) AS tok FROM d)
-           WHERE is_train GROUP BY tok HAVING count(*) >= 100),
-         pr AS (SELECT doc_id, is_train,
-             coalesce(v1.tok, '<unk>') AS w1, coalesce(v2.tok, '<unk>') AS w2
-           FROM prr LEFT JOIN vocab v1 ON prr.w1r = v1.tok
-             LEFT JOIN vocab v2 ON prr.w2r = v2.tok),
-         c12t AS (SELECT w1, w2, cast(count(*) as bigint) AS c12
-           FROM pr WHERE is_train GROUP BY 1, 2),
-         ctx AS (SELECT w1, cast(sum(c12) as bigint) AS c1,
-             cast(count(*) as bigint) AS t1 FROM c12t GROUP BY 1),
-         contn AS (SELECT w2, cast(count(*) as bigint) AS r2
-           FROM c12t GROUP BY 1),
-         tot AS (SELECT (SELECT cast(count(*) as bigint) FROM c12t) AS r,
-             (SELECT cast(count(*) + 1 as bigint) FROM vocab) AS v),
-         terms AS (SELECT p.doc_id,
-             CASE WHEN coalesce(ctx.c1, 0) > 0
-               THEN greatest(4 * coalesce(c12t.c12, 0) - 3, 0) * (tot.r + tot.v)
-                    + 3 * ctx.t1 * (coalesce(contn.r2, 0) + 1)
-               ELSE coalesce(contn.r2, 0) + 1 END AS num,
-             CASE WHEN coalesce(ctx.c1, 0) > 0
-               THEN 4 * ctx.c1 * (tot.r + tot.v)
-               ELSE tot.r + tot.v END AS den
-           FROM pr p LEFT JOIN c12t ON p.w1 = c12t.w1 AND p.w2 = c12t.w2
-             LEFT JOIN ctx ON p.w1 = ctx.w1
-             LEFT JOIN contn ON p.w2 = contn.w2, tot
-           WHERE NOT p.is_train),
-         nl AS (SELECT doc_id,
-             ${unigramFlogSql("den")} - ${unigramFlogSql("num")} AS t
-           FROM terms)
-         SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
-           cast(sum(t) as bigint) AS nlg2_q16,
-           cast(sum(t) as bigint) // cast(count(*) as bigint) AS mean_nlg2_q16
-         FROM nl GROUP BY 1""",
+      s"""WITH $knScoreCtes
+         SELECT doc_id, n_bigrams, nlg2_q16, mean_nlg2_q16 FROM knsc""",
+    // q266: the q263 scores bucketed CCNet-style — rank thirds within
+    // each language, rank = (mean score, doc_id), all-integer
+    "q266_ccnet_buckets" ->
+      s"""WITH $knScoreCtes,
+         sl AS (SELECT k.doc_id, doc.lang, k.mean_nlg2_q16,
+             row_number() OVER (PARTITION BY doc.lang
+               ORDER BY k.mean_nlg2_q16, k.doc_id) AS rn,
+             count(*) OVER (PARTITION BY doc.lang) AS n
+           FROM knsc k JOIN documents doc ON doc.doc_id = k.doc_id)
+         SELECT doc_id, lang, mean_nlg2_q16,
+           CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM sl""",
     // q256: each Gopher rule restated relationally (integer/rational
     // comparisons only), composite = conjunction
     "q256_gopher_rules" ->
@@ -7996,6 +8001,55 @@ object SparkEntry {
     * the right piece's ## prefix. pc/b/v MATERIALIZED: b references pc
     * twice and v chains, so plain-CTE inlining would blow up
     * exponentially across rounds. */
+
+  /** Shared CTE core for q263/q266: the Kneser–Ney sufficient statistics
+    * on the 80% hash split, per-bigram exact rationals, Q16 log terms,
+    * and the per-doc aggregate as `knsc`(doc_id, n_bigrams, nlg2_q16,
+    * mean_nlg2_q16) over the held-out 20%. */
+  private def knScoreCtes: String =
+    s"""d AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS l,
+             substring(md5(cast(doc_id as varchar)), 1, 4) < 'cccd' AS is_train
+           FROM documents),
+         prr AS (SELECT u.doc_id, u.is_train, u.p.w1 AS w1r, u.p.w2 AS w2r
+           FROM (SELECT doc_id, is_train,
+               unnest(list_transform(range(1, len(l)),
+                 i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+             FROM d) u),
+         vocab AS (SELECT tok FROM (SELECT is_train, unnest(l) AS tok FROM d)
+           WHERE is_train GROUP BY tok HAVING count(*) >= 100),
+         pr AS (SELECT doc_id, is_train,
+             coalesce(v1.tok, '<unk>') AS w1, coalesce(v2.tok, '<unk>') AS w2
+           FROM prr LEFT JOIN vocab v1 ON prr.w1r = v1.tok
+             LEFT JOIN vocab v2 ON prr.w2r = v2.tok),
+         c12t AS (SELECT w1, w2, cast(count(*) as bigint) AS c12
+           FROM pr WHERE is_train GROUP BY 1, 2),
+         ctx AS (SELECT w1, cast(sum(c12) as bigint) AS c1,
+             cast(count(*) as bigint) AS t1 FROM c12t GROUP BY 1),
+         contn AS (SELECT w2, cast(count(*) as bigint) AS r2
+           FROM c12t GROUP BY 1),
+         tot AS (SELECT (SELECT cast(count(*) as bigint) FROM c12t) AS r,
+             (SELECT cast(count(*) + 1 as bigint) FROM vocab) AS v),
+         terms AS (SELECT p.doc_id,
+             CASE WHEN coalesce(ctx.c1, 0) > 0
+               THEN greatest(4 * coalesce(c12t.c12, 0) - 3, 0) * (tot.r + tot.v)
+                    + 3 * ctx.t1 * (coalesce(contn.r2, 0) + 1)
+               ELSE coalesce(contn.r2, 0) + 1 END AS num,
+             CASE WHEN coalesce(ctx.c1, 0) > 0
+               THEN 4 * ctx.c1 * (tot.r + tot.v)
+               ELSE tot.r + tot.v END AS den
+           FROM pr p LEFT JOIN c12t ON p.w1 = c12t.w1 AND p.w2 = c12t.w2
+             LEFT JOIN ctx ON p.w1 = ctx.w1
+             LEFT JOIN contn ON p.w2 = contn.w2, tot
+           WHERE NOT p.is_train),
+         nl AS (SELECT doc_id,
+             ${unigramFlogSql("den")} - ${unigramFlogSql("num")} AS t
+           FROM terms),
+         knsc AS (SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           cast(sum(t) as bigint) AS nlg2_q16,
+           cast(sum(t) as bigint) // cast(count(*) as bigint) AS mean_nlg2_q16
+         FROM nl GROUP BY 1)"""
+
   private def wordpieceTrainCtes(nMerges: Int): String = {
     val iters = (1 to nMerges).map { t =>
       s"""w${t - 1} AS (

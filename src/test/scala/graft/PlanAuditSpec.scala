@@ -68,6 +68,7 @@ class PlanAuditSpec extends SparkSpec {
     "q104_incremental_stats" -> "merge of O(partitions) partial-stat rows",
     "q103_snapshot_diff" -> "diff summary over O(changed keys at tiny sf) - bounded by construction here",
     "q165_versioned_timetravel" -> "two 1-row snapshot aggregates unioned",
+    "q266_ccnet_buckets" -> "false conjunction: the SinglePartition exchange is the KN model's 1-row totals aggregate; the rank window itself is PARTITIONED BY lang",
     "q169_stream_versioned" -> "post-drain batch aggregate; union of tiny slices",
     "q175_versioned_merge" -> "three 1-row slice aggregates unioned",
     "q176_versioned_delta" -> "four 1-row increment aggregates unioned",
