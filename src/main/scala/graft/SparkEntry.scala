@@ -4579,6 +4579,21 @@ object SparkEntry {
           .otherwise("tail").as("bucket"))
   }
 
+  /** DEPTH-8 SUFFIX RANKS BY PREFIX DOUBLING
+    * ([[graft.dedup.SuffixRanks.suffixRanks]]) — the ExactSubstr-dedup
+    * backbone (Lee et al. 2021): every token position ranked by its
+    * ≤ 8-token window via 3 Manber–Myers doubling rounds (sort/join over
+    * two longs per position — never materializing the windows the direct
+    * form ships), plus the corpus-wide duplicated-window flag. Exact twin
+    * of q207's md5-fingerprint spans: same 8-token granularity, no hash —
+    * rank ties ARE string-identical windows. The oracle computes the
+    * ranks from the DEFINITION (dense_rank over the materialized token
+    * slices, lexicographic with shorter-first), so the hash proves the
+    * doubling recurrence, and shares no shape with it. */
+  private def q267_suffix_ranks(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SuffixRanks.suffixRanks(
+      par(s, Tables.documents(s, dir)), "doc_id", "text", depth = 8)
+
   /** WORDPIECE TRAINING ([[graft.text.WordPiece.learn]]) — the BERT
     * tokenizer's likelihood-gain merge loop, completing the subword trio
     * next to q219/q257 (BPE, frequency argmax) and q260-q262 (unigram,
@@ -4880,6 +4895,7 @@ object SparkEntry {
     "q264_wordpiece_learn" -> (q264_wordpiece_learn _),
     "q265_wordpiece_segment" -> (q265_wordpiece_segment _),
     "q266_ccnet_buckets" -> (q266_ccnet_buckets _),
+    "q267_suffix_ranks" -> (q267_suffix_ranks _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7287,6 +7303,22 @@ object SparkEntry {
     // argmax, 8-step longest-match unroll)
     "q264_wordpiece_learn" -> wordpieceLearnOracleSql(nMerges = 64),
     "q265_wordpiece_segment" -> wordpieceSegmentOracleSql(nMerges = 64),
+    // q267: suffix ranks from the DEFINITION — dense_rank over the
+    // materialized ≤8-token slices (list order = lexicographic,
+    // shorter-first, matching the -1 padding of the doubling recurrence)
+    "q267_suffix_ranks" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS l
+           FROM documents),
+         p AS (SELECT doc_id, cast(wi as bigint) AS wi,
+             list_slice(l, wi, least(wi + 7, len(l))) AS win
+           FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS wi FROM d)),
+         r AS (SELECT doc_id, wi, win,
+             cast(dense_rank() OVER (ORDER BY win) as bigint) AS rank
+           FROM p)
+         SELECT doc_id, wi, rank,
+           (count(*) OVER (PARTITION BY win)) > 1 AS is_dup
+         FROM r""",
     // q220: train (shared CTEs) + segment every doc with the learned
     // merges in rank order; per-doc subword token/type counts
     "q220_bpe_segment" -> bpeSegmentOracleSql(nMerges = 8),

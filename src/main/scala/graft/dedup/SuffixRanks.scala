@@ -1,0 +1,134 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.TextOps
+
+/** Depth-bounded suffix ranks by DISTRIBUTED PREFIX DOUBLING — the
+  * construction behind exact-substring dedup (Lee et al. 2021 build a
+  * suffix array of the concatenated corpus to find every duplicated span;
+  * a span of length ≥ L duplicates iff two suffixes share an L-prefix, so
+  * suffix ORDER BEYOND DEPTH L is irrelevant and the doubling loop stops
+  * at ⌈log₂ L⌉ rounds).
+  *
+  * Round 0 ranks single tokens against the sorted distinct vocabulary;
+  * round j orders each position by the pair (key_k(p), key_k(p+k)) with
+  * k = 2^j — the Manber–Myers recurrence — never materializing the
+  * depth-L token windows themselves. That is the point at 100 TB: the
+  * direct form ships an L-token string per corpus position (L× write
+  * amplification before the sort); the doubling form ships two longs per
+  * position per round. Suffixes stay INSIDE documents (the ExactSubstr
+  * separator discipline), so document boundaries never create phantom
+  * duplicates.
+  *
+  * INTERMEDIATE keys only need to be ORDER-ISOMORPHIC to the prefix
+  * order, not dense — so each round first tries the shuffle-free combine
+  * key = a·(B+2) + (b+1) (exact lexicographic order embedding while the
+  * key bound B stays below 2^31.5), and falls back to a re-densification
+  * (global sort + zipWithIndex over the distinct key table — the
+  * deterministic stable-id pattern, NOT monotonically_increasing_id)
+  * only when the bound would overflow a long. Small vocabularies never
+  * densify mid-loop; a 10^6-token vocabulary densifies once per two
+  * rounds — each densification is the one sort the classic algorithm
+  * pays every round. Only the FINAL rank is made dense (1-based, ties =
+  * identical windows), fused with the duplicate-multiplicity count in a
+  * single pass over the distinct-key table.
+  *
+  * Missing right halves (suffix shorter than the window) key as -1, so
+  * shorter suffixes sort before their extensions — the order an engine
+  * gives lexicographic comparison of the truncated token lists, which is
+  * exactly how the oracle recomputes it.
+  */
+object SuffixRanks {
+
+  /** Largest safe bound: combining needs (B+1)·(B+2) ≤ Long.MaxValue. */
+  private val MaxCombineBound = 3000000000L
+
+  /** Per-token-position suffix ranks truncated at `depth` tokens, plus
+    * the duplicated-window flag: `(docId, wi, rank, is_dup)` where `wi`
+    * is the 1-based token position, `rank` the dense 1-based rank of the
+    * ≤ depth-token window starting there (ties = identical windows), and
+    * `is_dup` marks windows occurring more than once corpus-wide — the
+    * positions an ExactSubstr pass strips. `depth` must be a power of
+    * two (the doubling schedule). */
+  def suffixRanks(docs: DataFrame, docId: String, textCol: String,
+                  depth: Int): DataFrame = {
+    require(depth >= 1 && (depth & (depth - 1)) == 0 && depth <= 1024,
+      s"suffixRanks: depth=$depth must be a power of two in [1, 1024]")
+    val spark = docs.sparkSession
+
+    val toks = docs
+      .select(col(docId).as("__doc"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__wi0", "__tok")))
+      .select(col("__doc"), (col("__wi0") + 1).cast("long").as("__wi"), col("__tok"))
+
+    // round 0: vocabulary ranks — sorted distinct tokens (Heaps-bounded).
+    // DF orderBy sorts by UTF8String BYTE order, the binary collation an
+    // external engine's varchar sort gives; zipWithIndex then follows the
+    // total sort order deterministically.
+    val vocab = toks.select("__tok").distinct().orderBy("__tok").rdd
+      .map(_.getString(0)).zipWithIndex()
+      .map { case (t, i) => Row(t, i + 1L) }
+    val vocabSize = vocab.count()
+    val vocabRanks = spark.createDataFrame(vocab,
+      StructType(Seq(StructField("__tok", StringType, nullable = false),
+        StructField("__r", LongType, nullable = false))))
+    var ranked = toks.join(vocabRanks, "__tok")
+      .select(col("__doc"), col("__wi"), col("__r"))
+    var bound = vocabSize
+
+    // Each round's right half is lead(__r, k) over the per-document
+    // position order — ONE exchange + sort for the whole loop (every
+    // subsequent window reuses the doc partitioning and wi order), and a
+    // combine round is then a pure projection: no self-join, no extra
+    // shuffle, linear lineage.
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("__doc").orderBy("__wi")
+    var k = 1
+    while (k < depth) {
+      val paired = ranked.withColumn("__r2",
+        coalesce(lead(col("__r"), k).over(byPos), lit(-1L)))
+      if (bound <= MaxCombineBound) {
+        // order-isomorphic combine: (a, b) → a·(B+2) + (b+1); b ∈ [-1, B]
+        // keeps the second component inside one "digit" of base B+2
+        ranked = paired.select(col("__doc"), col("__wi"),
+          (col("__r") * (bound + 2) + col("__r2") + 1L).as("__r"))
+        bound = bound * (bound + 2) + bound + 1L
+      } else {
+        // re-densify: global sort + deterministic zipWithIndex over the
+        // distinct pair table, joined back (the classic rank round)
+        val pairs = paired.select("__r", "__r2").distinct()
+          .orderBy("__r", "__r2").rdd
+          .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex()
+          .map { case ((a, b), i) => Row(a, b, i + 1L) }
+        val pairRanks = spark.createDataFrame(pairs, StructType(Seq(
+          StructField("__ra", LongType, nullable = false),
+          StructField("__rb", LongType, nullable = false),
+          StructField("__nr", LongType, nullable = false))))
+        ranked = paired.join(pairRanks,
+            paired("__r") === pairRanks("__ra") && paired("__r2") === pairRanks("__rb"))
+          .select(col("__doc"), col("__wi"), col("__nr").as("__r"))
+          .localCheckpoint(false)
+        bound = pairRanks.count()
+      }
+      k *= 2
+    }
+
+    // final densification fused with the duplicate count: one aggregate
+    // gives the distinct-key table WITH multiplicities; sort +
+    // zipWithIndex ranks it; one join decorates every position
+    val finals = ranked.groupBy("__r").agg(count(lit(1)).as("__n"))
+      .orderBy("__r").rdd
+      .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex()
+      .map { case ((key, n), i) => Row(key, n, i + 1L) }
+    val rankTable = spark.createDataFrame(finals, StructType(Seq(
+      StructField("__key", LongType, nullable = false),
+      StructField("__n", LongType, nullable = false),
+      StructField("__rank", LongType, nullable = false))))
+    ranked.join(rankTable, ranked("__r") === rankTable("__key"))
+      .select(col("__doc").as(docId), col("__wi").as("wi"),
+        col("__rank").as("rank"), (col("__n") > 1L).as("is_dup"))
+  }
+}

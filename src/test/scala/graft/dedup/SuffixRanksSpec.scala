@@ -1,0 +1,72 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Prefix-doubling suffix ranks: hand-computed ranks on a crafted corpus
+  * (lexicographic order, shorter-suffix-first, cross-doc duplicate
+  * windows), equivalence with a brute-force window sort at several
+  * depths, and the doc-boundary discipline.
+  */
+class SuffixRanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  // d1 = "b a b a", d2 = "a b a c": depth-2 windows
+  //   d1: (b,a) (a,b) (b,a) (a)     d2: (a,b) (b,a) (a,c) (c)
+  // sorted distinct: (a) < (a,b) < (a,c) < (b,a) < (c)  → ranks 1..5
+  private lazy val docs =
+    Seq((1L, "b a b a"), (2L, "a b a c")).toDF("doc_id", "text")
+
+  test("depth 2: hand-computed ranks, dup flags, shorter-suffix-first order") {
+    val got = SuffixRanks.suffixRanks(docs, "doc_id", "text", depth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((4L, true)), (1L, 2L) -> ((2L, true)),
+      (1L, 3L) -> ((4L, true)), (1L, 4L) -> ((1L, false)),
+      (2L, 1L) -> ((2L, true)), (2L, 2L) -> ((4L, true)),
+      (2L, 3L) -> ((3L, false)), (2L, 4L) -> ((5L, false))))
+  }
+
+  test("windows never cross document boundaries") {
+    // "x y" + "y x": if windows crossed docs, (y, x) would duplicate
+    val d = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    val got = SuffixRanks.suffixRanks(d, "doc_id", "text", depth = 2)
+    assert(got.filter(col("is_dup")).count() == 0)
+  }
+
+  /** Brute-force reference: dense rank of the materialized ≤ depth-token
+    * windows under (lexicographic, shorter-first) — the oracle's
+    * definition, recomputed driver-side. */
+  private def bruteRanks(rows: Seq[(Long, String)], depth: Int) = {
+    val pos = for {
+      (did, text) <- rows
+      ws = text.split("\\s+").filter(_.nonEmpty)
+      i <- ws.indices
+    } yield (did, i + 1L, ws.slice(i, i + depth).toSeq)
+    implicit val ord: Ordering[Seq[String]] = Ordering.Implicits.seqOrdering
+    val rank = pos.map(_._3).distinct.sorted.zipWithIndex
+      .map { case (w, i) => w -> (i + 1L) }.toMap
+    val cnt = pos.groupBy(_._3).map { case (w, g) => w -> g.size }
+    pos.map { case (d, i, w) => (d, i) -> ((rank(w), cnt(w) > 1)) }.toMap
+  }
+
+  test("doubling equals the brute-force window sort at depths 1, 2, 4, 8") {
+    val rows = Seq(
+      (1L, "a b a b a b c"), (2L, "b a b a"), (3L, "c"), (4L, ""),
+      (5L, "a b a b a b c"), (6L, "ab a b"))
+    val d = rows.toDF("doc_id", "text")
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val got = SuffixRanks.suffixRanks(d, "doc_id", "text", depth)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getBoolean(3)))).toMap
+      assert(got == bruteRanks(rows, depth), s"depth=$depth")
+    }
+  }
+
+  test("depth must be a power of two") {
+    intercept[IllegalArgumentException] {
+      SuffixRanks.suffixRanks(docs, "doc_id", "text", depth = 6)
+    }
+  }
+}
