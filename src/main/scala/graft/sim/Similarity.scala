@@ -788,15 +788,8 @@ object Similarity {
     * NO SHUFFLE — at a 100 TB corpus the assignment pass stays entirely
     * map-side inside the scan stage, which is what makes IVF build viable
     * at that scale. */
-  def nearestCentroidExpr(vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
-    val scored = centroids.map { case (id, cv) =>
-      struct(cosine(vec, typedLit(cv)).as("cs"), lit(-id).as("negId"))
-    }
-    // greatest() requires ≥ 2 args — a 1-centroid set (nlist=1, or a
-    // 1-row training sample) trivially assigns everything to it
-    if (scored.size == 1) -scored.head.getField("negId")
-    else -greatest(scored: _*).getField("negId")
-  }
+  def nearestCentroidExpr(vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
+    graft.functions.CentroidExprs.nearest_centroid(vec, centroids)
 
   /** Lloyd (k-means) refinement of an IVF centroid set: assign every corpus
     * vector to its nearest centroid with the shuffle-free
@@ -1261,21 +1254,6 @@ object Similarity {
   final case class PqCodebooks(m: Int, ksub: Int, dsub: Int,
                                books: Seq[Seq[(Long, Array[Float])]])
 
-  /** L2 argmin over a literal centroid list as a pure row expression:
-    * argmin_c ‖sub − c‖² = argmax_c (dot(sub, c) − ½‖c‖²) — one codegen'd
-    * dot per centroid, no join, NO SHUFFLE (the PQ-encode analogue of
-    * [[nearestCentroidExpr]]). Ties → smallest code. */
-  private def argminL2Expr(sub: Column, cents: Seq[(Long, Array[Float])]): Column = {
-    val scored = cents.map { case (code, cv) =>
-      val halfNorm = cv.map(x => x.toDouble * x).sum / 2.0
-      struct((dot(sub, typedLit(cv)) - lit(halfNorm)).as("s"), lit(-code).as("negId"))
-    }
-    // greatest() requires ≥ 2 args — a 1-centroid codebook (1-row
-    // training sample) encodes everything as its only code
-    if (scored.size == 1) -scored.head.getField("negId")
-    else -greatest(scored: _*).getField("negId")
-  }
-
   /** Train the PQ codebooks: one L2 k-means per subspace, seeded AND
     * refined on a bounded hash-sample of the corpus (deterministic — the
     * xxhash64 order used by every sampler here; default
@@ -1319,7 +1297,7 @@ object Similarity {
   }
 
   /** Driver-side Lloyd over the bounded training sample, mirroring
-    * [[argminL2Expr]]'s semantics exactly: assignment maximizes
+    * [[graft.functions.CentroidExprs.PqCodes]]'s semantics exactly: assignment maximizes
     * dot(v, c) − ½‖c‖² (= L2 argmin), ties → smallest code (ascending scan
     * with strict `>`), empty cells keep their previous centroid, means in
     * double then truncated to float — so a sample that covers the whole
@@ -1370,8 +1348,8 @@ object Similarity {
                coarse: Seq[(Long, Array[Float])], cb: PqCodebooks): DataFrame =
     corpus.select(col(cId), col(cVec))
       .withColumn("cell", nearestCentroidExpr(col(cVec), coarse))
-      .withColumn("codes", array((0 until cb.m).map(mi =>
-        argminL2Expr(slice(col(cVec), mi * cb.dsub + 1, cb.dsub), cb.books(mi))): _*))
+      .withColumn("codes",
+        graft.functions.CentroidExprs.pq_codes(col(cVec), cb.books))
       .withColumn("norm", sqrt(dot(col(cVec), col(cVec))))
       .select(col(cId), col("cell"), col("codes"), col("norm"))
 
@@ -1447,8 +1425,7 @@ object Similarity {
     // candidate row — m²·ksub comparisons/row on the hottest loop of the
     // whole query (the dominant cost at bench scale once training was
     // sample-bounded).
-    val tabVals = array((for (mi <- 0 until cb.m; (_, cv) <- cb.books(mi))
-      yield dot(slice(col(qVec), mi * cb.dsub + 1, cb.dsub), typedLit(cv))): _*)
+    val tabVals = graft.functions.CentroidExprs.pq_adc_table(col(qVec), cb.books)
     val probes = probeCells(queries.select(col(qId), col(qVec)), qId, qVec,
         centroidDf(spark, coarse), nprobeEff)
       .withColumn("__qtab", tabVals)
