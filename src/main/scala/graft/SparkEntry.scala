@@ -2253,12 +2253,19 @@ object SparkEntry {
     */
   private def pagerankCore(s: SparkSession, dir: String, dangling: Boolean): DataFrame = {
     val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+    // lazy localCheckpoints: edges is referenced by deg/nodes/both steps
+    // (and nodes by every step's left join) — without the cut the
+    // li ⋈ orders + distinct subtree re-executes per reference, and the
+    // dangling step references the previous rank twice (contrib + sink
+    // mass), squaring the replay across step(step(r0))
     val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select((col("o_custkey").cast("long") * 2).as("src"),
         (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       .distinct()
+      .localCheckpoint(false)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
     def step(rank: DataFrame): DataFrame = {
@@ -2279,7 +2286,7 @@ object SparkEntry {
       }
     }
     val r0 = nodes.select(col("node"), lit(1000000L).as("r"))
-    step(step(r0)).select(
+    step(step(r0).localCheckpoint(false)).select(
       when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
         .otherwise(concat(lit("s"), expr("(node - 1) div 2"))).as("node"),
       col("r").as("rank_ppm"))
