@@ -4586,6 +4586,55 @@ object SparkEntry {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Deterministic structured-page fixture for q268: `documents.text` is
+    * a flat word stream (no newlines, no punctuation), so C4's line rules
+    * would be vacuously constant on it. Following q166's synthetic-payload
+    * precedent (PPM bytes from ids), each doc is re-laid-out as a page
+    * whose STRUCTURE is a pure function of (doc_id, text): lines of
+    * 3 + doc_id%8 words, terminal punctuation cycling '.', '!', none, '?'
+    * by (line + doc_id) % 4, plus injected pathologies — a lorem-ipsum
+    * line every 13th doc, a JS-warning line every 17th, a brace line
+    * every 19th, and a short punctuated line every 7th — so every C4 rule
+    * fires on a deterministic, oracle-reproducible subset. */
+  private def c4PageFixture(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"),
+      (pmod(col("doc_id"), lit(8L)) + 3L).as("__k"))
+    .withColumn("__nl", expr("(size(__toks) + __k - 1) div __k"))
+    .withColumn("__lines", when(col("__nl") > 0L,
+        transform(sequence(lit(0L), col("__nl") - 1L), i =>
+          concat(
+            array_join(slice(col("__toks"),
+              (i * col("__k") + 1L).cast("int"), col("__k").cast("int")), " "),
+            element_at(array(lit("."), lit("!"), lit(""), lit("?")),
+              (pmod(i + col("doc_id"), lit(4L)) + 1L).cast("int")))))
+      .otherwise(array().cast("array<string>")))
+    .withColumn("__extras", filter(array(
+        when(pmod(col("doc_id"), lit(13L)) === 0L,
+          lit("Lorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17L)) === 0L,
+          lit("please enable javascript to continue browsing.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(19L)) === 0L,
+          lit("body { display: none }")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          lit("too short here.")).otherwise(lit(""))),
+      x => length(x) > 0))
+    .select(col("doc_id"),
+      array_join(concat(col("__lines"), col("__extras")), "\n").as("page"))
+
+  /** C4 CLEANING RULES ([[TextOps.c4Flags]], Raffel et al. 2020 §2.2) —
+    * the line + page filter battery C4 was built with, run over the
+    * deterministic structured-page fixture: line retention (terminal
+    * punctuation, ≥ 5 words, no "javascript"), page verdicts (≥ 3
+    * sentences after filtering, no "lorem ipsum", no brace), and
+    * `clean_md5` pinning the exact retained-line output. Every rule
+    * fires on a doc_id-determined subset (line width 3..10 words makes
+    * the 5-word rule split the corpus; the punctuation cycle drops every
+    * 4th line; injections hit the lorem/JS/brace rules). */
+  private def q268_c4_rules(s: SparkSession, dir: String): DataFrame =
+    TextOps.c4Flags(c4PageFixture(par(s, Tables.documents(s, dir))), "page")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_sentences"),
+        col("has_lorem"), col("has_brace"), col("c4_pass"), col("clean_md5"))
+
   /** DEPTH-8 SUFFIX RANKS BY PREFIX DOUBLING
     * ([[graft.dedup.SuffixRanks.suffixRanks]]) — the ExactSubstr-dedup
     * backbone (Lee et al. 2021): every token position ranked by its
@@ -4903,6 +4952,7 @@ object SparkEntry {
     "q265_wordpiece_segment" -> (q265_wordpiece_segment _),
     "q266_ccnet_buckets" -> (q266_ccnet_buckets _),
     "q267_suffix_ranks" -> (q267_suffix_ranks _),
+    "q268_c4_rules" -> (q268_c4_rules _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7310,6 +7360,52 @@ object SparkEntry {
     // argmax, 8-step longest-match unroll)
     "q264_wordpiece_learn" -> wordpieceLearnOracleSql(nMerges = 64),
     "q265_wordpiece_segment" -> wordpieceSegmentOracleSql(nMerges = 64),
+    // q268: the structured-page fixture rebuilt relationally, then every
+    // C4 rule recomputed (regex + integer counts) down to the md5 of the
+    // retained-line output
+    "q268_c4_rules" ->
+      """WITH s AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+             (doc_id % 8) + 3 AS k
+           FROM documents),
+         b AS (SELECT doc_id, toks, k, (len(toks) + k - 1) // k AS nl FROM s),
+         pg AS (SELECT doc_id,
+             array_to_string(
+               (CASE WHEN nl > 0 THEN list_transform(range(0, nl), i ->
+                   array_to_string(list_slice(toks, i*k + 1, least((i+1)*k, len(toks))), ' ')
+                   || (['.', '!', '', '?'])[((i + doc_id) % 4) + 1])
+                 ELSE [] END)
+               || list_filter([
+                   CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet.' ELSE '' END,
+                   CASE WHEN doc_id % 17 = 0 THEN 'please enable javascript to continue browsing.' ELSE '' END,
+                   CASE WHEN doc_id % 19 = 0 THEN 'body { display: none }' ELSE '' END,
+                   CASE WHEN doc_id % 7 = 0 THEN 'too short here.' ELSE '' END],
+                 x -> len(x) > 0),
+               chr(10)) AS page
+           FROM b),
+         fl AS (SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines
+           FROM pg),
+         kp AS (SELECT doc_id, page, lines,
+             list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM fl),
+         cl AS (SELECT doc_id, page, lines, kept,
+             -- array_to_string([]) is NULL in this engine; Spark's
+             -- array_join gives '' — coalesce to match
+             coalesce(array_to_string(kept, chr(10)), '') AS clean
+           FROM kp)
+         SELECT doc_id,
+           cast(len(lines) as bigint) AS n_lines,
+           cast(len(kept) as bigint) AS n_kept,
+           cast(len(regexp_extract_all(clean, '[.!?]')) as bigint) AS n_sentences,
+           contains(lower(page), 'lorem ipsum') AS has_lorem,
+           contains(page, '{') AS has_brace,
+           (len(regexp_extract_all(clean, '[.!?]')) >= 3
+             AND NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')) AS c4_pass,
+           md5(clean) AS clean_md5
+         FROM cl""",
     // q267: suffix ranks from the DEFINITION — dense_rank over the
     // materialized ≤8-token slices (list order = lexicographic,
     // shorter-first, matching the -1 padding of the doubling recurrence)
