@@ -4635,6 +4635,43 @@ object SparkEntry {
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_sentences"),
         col("has_lorem"), col("has_brace"), col("c4_pass"), col("clean_md5"))
 
+  /** C4 THREE-SENTENCE-SPAN DEDUP (Raffel et al. 2020 §2.2, the corpus-
+    * level step after [[TextOps.c4Flags]]'s local rules: "we discard all
+    * but one of any three-sentence span occurring more than once") over
+    * the q268 structured pages. Sentences = terminal-punctuation-
+    * delimited segments of the newline-flattened page; spans = sliding
+    * windows of 3; the RETAINED occurrence of each duplicated span is the
+    * (doc_id, position)-smallest, every other occurrence counts as
+    * removed. One shuffle — the hash-by-span-content exchange every
+    * exact-dedup pass pays — then a per-doc aggregate. Summary row per
+    * page: (n_sentences, n_spans, n_removed), all integers, hash-exact. */
+  private def q269_c4_span_dedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = c4PageFixture(par(s, Tables.documents(s, dir)))
+      .select(col("doc_id"),
+        transform(
+          regexp_extract_all(regexp_replace(col("page"), "\n", " "),
+            lit("[^.!?]+[.!?]"), lit(0)),
+          x => trim(x)).as("sents"))
+    val spans = sents.filter(size(col("sents")) >= 3)
+      .select(col("doc_id"), col("sents"),
+        explode(sequence(lit(1), size(col("sents")) - 2)).as("si"))
+      .select(col("doc_id"), col("si").cast("long").as("si"),
+        array_join(slice(col("sents"), col("si"), lit(3)), " ").as("span"))
+    val wCnt = Window.partitionBy("span")
+    val wRn = Window.partitionBy("span").orderBy(col("doc_id"), col("si"))
+    val perDoc = spans
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .withColumn("rn", row_number().over(wRn))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("cnt") > 1L && col("rn") > 1, 1)).as("n_removed"))
+    sents.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("sents")).cast("long").as("n_sentences"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** DEPTH-8 SUFFIX RANKS BY PREFIX DOUBLING
     * ([[graft.dedup.SuffixRanks.suffixRanks]]) — the ExactSubstr-dedup
     * backbone (Lee et al. 2021): every token position ranked by its
@@ -4953,6 +4990,7 @@ object SparkEntry {
     "q266_ccnet_buckets" -> (q266_ccnet_buckets _),
     "q267_suffix_ranks" -> (q267_suffix_ranks _),
     "q268_c4_rules" -> (q268_c4_rules _),
+    "q269_c4_span_dedup" -> (q269_c4_span_dedup _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7364,25 +7402,7 @@ object SparkEntry {
     // C4 rule recomputed (regex + integer counts) down to the md5 of the
     // retained-line output
     "q268_c4_rules" ->
-      """WITH s AS (SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
-             (doc_id % 8) + 3 AS k
-           FROM documents),
-         b AS (SELECT doc_id, toks, k, (len(toks) + k - 1) // k AS nl FROM s),
-         pg AS (SELECT doc_id,
-             array_to_string(
-               (CASE WHEN nl > 0 THEN list_transform(range(0, nl), i ->
-                   array_to_string(list_slice(toks, i*k + 1, least((i+1)*k, len(toks))), ' ')
-                   || (['.', '!', '', '?'])[((i + doc_id) % 4) + 1])
-                 ELSE [] END)
-               || list_filter([
-                   CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet.' ELSE '' END,
-                   CASE WHEN doc_id % 17 = 0 THEN 'please enable javascript to continue browsing.' ELSE '' END,
-                   CASE WHEN doc_id % 19 = 0 THEN 'body { display: none }' ELSE '' END,
-                   CASE WHEN doc_id % 7 = 0 THEN 'too short here.' ELSE '' END],
-                 x -> len(x) > 0),
-               chr(10)) AS page
-           FROM b),
+      ("""WITH """ + c4PageCtes + """,
          fl AS (SELECT doc_id, page,
              list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines
            FROM pg),
@@ -7405,7 +7425,32 @@ object SparkEntry {
            (len(regexp_extract_all(clean, '[.!?]')) >= 3
              AND NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')) AS c4_pass,
            md5(clean) AS clean_md5
-         FROM cl""",
+         FROM cl"""),
+    // q269: the C4 span-dedup step over the same fixture — sentences by
+    // terminal punctuation, 3-sentence sliding spans, retained occurrence
+    // = (doc_id, position)-smallest
+    "q269_c4_span_dedup" ->
+      ("""WITH """ + c4PageCtes + """,
+         sent AS (SELECT doc_id,
+             list_transform(regexp_extract_all(replace(page, chr(10), ' '), '[^.!?]+[.!?]'),
+               x -> trim(x)) AS sents
+           FROM pg),
+         spans AS (SELECT doc_id, cast(si as bigint) AS si,
+             array_to_string(list_slice(sents, si, si + 2), ' ') AS span
+           FROM (SELECT doc_id, sents, unnest(range(1, len(sents) - 1)) AS si FROM sent)
+           WHERE len(sents) >= 3),
+         marked AS (SELECT doc_id, si, span,
+             count(*) OVER (PARTITION BY span) AS cnt,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, si) AS rn
+           FROM spans)
+         SELECT s.doc_id,
+           cast(len(s.sents) as bigint) AS n_sentences,
+           cast(coalesce(m.n_spans, 0) as bigint) AS n_spans,
+           cast(coalesce(m.n_removed, 0) as bigint) AS n_removed
+         FROM sent s LEFT JOIN (
+           SELECT doc_id, count(*) AS n_spans,
+             count(*) FILTER (cnt > 1 AND rn > 1) AS n_removed
+           FROM marked GROUP BY 1) m ON m.doc_id = s.doc_id"""),
     // q267: suffix ranks from the DEFINITION — dense_rank over the
     // materialized ≤8-token slices (list order = lexicographic,
     // shorter-first, matching the -1 padding of the doubling recurrence)
@@ -8136,6 +8181,32 @@ object SparkEntry {
     * the right piece's ## prefix. pc/b/v MATERIALIZED: b references pc
     * twice and v chains, so plain-CTE inlining would blow up
     * exponentially across rounds. */
+
+
+  /** Shared CTE core for q268/q269: the deterministic structured-page
+    * fixture rebuilt relationally — `pg`(doc_id, page). Mirrors
+    * [[c4PageFixture]] exactly (line width, punctuation cycle,
+    * injections). */
+  private def c4PageCtes: String =
+    """s AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+             (doc_id % 8) + 3 AS k
+           FROM documents),
+         b AS (SELECT doc_id, toks, k, (len(toks) + k - 1) // k AS nl FROM s),
+         pg AS (SELECT doc_id,
+             array_to_string(
+               (CASE WHEN nl > 0 THEN list_transform(range(0, nl), i ->
+                   array_to_string(list_slice(toks, i*k + 1, least((i+1)*k, len(toks))), ' ')
+                   || (['.', '!', '', '?'])[((i + doc_id) % 4) + 1])
+                 ELSE [] END)
+               || list_filter([
+                   CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet.' ELSE '' END,
+                   CASE WHEN doc_id % 17 = 0 THEN 'please enable javascript to continue browsing.' ELSE '' END,
+                   CASE WHEN doc_id % 19 = 0 THEN 'body { display: none }' ELSE '' END,
+                   CASE WHEN doc_id % 7 = 0 THEN 'too short here.' ELSE '' END],
+                 x -> len(x) > 0),
+               chr(10)) AS page
+           FROM b)"""
 
   /** Shared CTE core for q263/q266: the Kneser–Ney sufficient statistics
     * on the 80% hash split, per-bigram exact rationals, Q16 log terms,
