@@ -4672,6 +4672,34 @@ object SparkEntry {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** STREAMING C4 GATE — the q268 battery run as a Structured Streaming
+    * drain (parquet file source over the 8-file docs fixture, AvailableNow,
+    * append-mode memory sink): [[c4PageFixture]] and [[TextOps.c4Flags]]
+    * are stateless projections, so the stream form is row-identical to
+    * the batch form BY CONSTRUCTION and q270 shares q268's oracle — the
+    * q252/q253 streaming-equals-batch discipline applied to the quality
+    * gate (the shape a production ingest runs: filter at the door, not in
+    * a nightly batch). */
+  private def q270_stream_c4_gate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val fixture = docsStreamFixture(s, dir, files = 8)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val name = s"q270_c4_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val src = s.readStream.schema(schema).parquet(fixture)
+    val q = TextOps.c4Flags(c4PageFixture(src), "page")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_sentences"),
+        col("has_lorem"), col("has_brace"), col("c4_pass"), col("clean_md5"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** DEPTH-8 SUFFIX RANKS BY PREFIX DOUBLING
     * ([[graft.dedup.SuffixRanks.suffixRanks]]) — the ExactSubstr-dedup
     * backbone (Lee et al. 2021): every token position ranked by its
@@ -4991,6 +5019,7 @@ object SparkEntry {
     "q267_suffix_ranks" -> (q267_suffix_ranks _),
     "q268_c4_rules" -> (q268_c4_rules _),
     "q269_c4_span_dedup" -> (q269_c4_span_dedup _),
+    "q270_stream_c4_gate" -> (q270_stream_c4_gate _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7401,31 +7430,10 @@ object SparkEntry {
     // q268: the structured-page fixture rebuilt relationally, then every
     // C4 rule recomputed (regex + integer counts) down to the md5 of the
     // retained-line output
-    "q268_c4_rules" ->
-      ("""WITH """ + c4PageCtes + """,
-         fl AS (SELECT doc_id, page,
-             list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines
-           FROM pg),
-         kp AS (SELECT doc_id, page, lines,
-             list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
-               AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5
-               AND NOT contains(lower(l), 'javascript')) AS kept
-           FROM fl),
-         cl AS (SELECT doc_id, page, lines, kept,
-             -- array_to_string([]) is NULL in this engine; Spark's
-             -- array_join gives '' — coalesce to match
-             coalesce(array_to_string(kept, chr(10)), '') AS clean
-           FROM kp)
-         SELECT doc_id,
-           cast(len(lines) as bigint) AS n_lines,
-           cast(len(kept) as bigint) AS n_kept,
-           cast(len(regexp_extract_all(clean, '[.!?]')) as bigint) AS n_sentences,
-           contains(lower(page), 'lorem ipsum') AS has_lorem,
-           contains(page, '{') AS has_brace,
-           (len(regexp_extract_all(clean, '[.!?]')) >= 3
-             AND NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')) AS c4_pass,
-           md5(clean) AS clean_md5
-         FROM cl"""),
+    "q268_c4_rules" -> c4RulesOracleSql,
+    // q270: the SAME oracle — the streaming drain must equal the batch
+    // battery row-for-row (stateless projections, q253 discipline)
+    "q270_stream_c4_gate" -> c4RulesOracleSql,
     // q269: the C4 span-dedup step over the same fixture — sentences by
     // terminal punctuation, 3-sentence sliding spans, retained occurrence
     // = (doc_id, position)-smallest
@@ -8182,6 +8190,34 @@ object SparkEntry {
     * twice and v chains, so plain-CTE inlining would blow up
     * exponentially across rounds. */
 
+
+  /** q268's oracle, shared with q270's streaming drain (row-identical by
+    * construction — stateless projections). */
+  private def c4RulesOracleSql: String =
+    ("""WITH """ + c4PageCtes + """,
+         fl AS (SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines
+           FROM pg),
+         kp AS (SELECT doc_id, page, lines,
+             list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM fl),
+         cl AS (SELECT doc_id, page, lines, kept,
+             -- array_to_string([]) is NULL in this engine; Spark's
+             -- array_join gives '' — coalesce to match
+             coalesce(array_to_string(kept, chr(10)), '') AS clean
+           FROM kp)
+         SELECT doc_id,
+           cast(len(lines) as bigint) AS n_lines,
+           cast(len(kept) as bigint) AS n_kept,
+           cast(len(regexp_extract_all(clean, '[.!?]')) as bigint) AS n_sentences,
+           contains(lower(page), 'lorem ipsum') AS has_lorem,
+           contains(page, '{') AS has_brace,
+           (len(regexp_extract_all(clean, '[.!?]')) >= 3
+             AND NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')) AS c4_pass,
+           md5(clean) AS clean_md5
+         FROM cl""")
 
   /** Shared CTE core for q268/q269: the deterministic structured-page
     * fixture rebuilt relationally — `pg`(doc_id, page). Mirrors
