@@ -4715,6 +4715,25 @@ object SparkEntry {
     graft.dedup.SuffixRanks.suffixRanks(
       par(s, Tables.documents(s, dir)), "doc_id", "text", depth = 8)
 
+  /** MODIFIED KNESER–NEY ([[graft.text.LangModel.trainModifiedKn]] →
+    * [[graft.text.LangModel.scoreMknQ16]]) — the Chen & Goodman variant
+    * KenLM actually implements, next to q263's single-discount form:
+    * three discounts D1/D2/D3+ estimated from the bigram count-of-counts
+    * n1..n4, kept as EXACT clamped rationals on the common denominator
+    * (n1+2n2)·n2·n3 (numerators floored at 1 — the SRI-style floor made
+    * exact; this corpus at sf0.1 has n4 > n3, where the raw C&G estimate
+    * goes negative and KenLM refuses). Same 80% split, vocabulary, Q16
+    * scoring, and output shape as q263, so the two smoothers are directly
+    * comparable rows; MknSpec proves Σ_w2 P(w2|w1) = 1 exactly with the
+    * clamped discounts. */
+  private def q271_modified_kn(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    val isTrain = RelOps.hashSampleFilter(col("doc_id"), 0.8)
+    val lm = graft.text.LangModel.trainModifiedKn(
+      docs.filter(isTrain), "doc_id", "text", minCount = 100L)
+    graft.text.LangModel.scoreMknQ16(docs.filter(!isTrain), "doc_id", "text", lm)
+  }
+
   /** WORDPIECE TRAINING ([[graft.text.WordPiece.learn]]) — the BERT
     * tokenizer's likelihood-gain merge loop, completing the subword trio
     * next to q219/q257 (BPE, frequency argmax) and q260-q262 (unigram,
@@ -5020,6 +5039,7 @@ object SparkEntry {
     "q268_c4_rules" -> (q268_c4_rules _),
     "q269_c4_span_dedup" -> (q269_c4_span_dedup _),
     "q270_stream_c4_gate" -> (q270_stream_c4_gate _),
+    "q271_modified_kn" -> (q271_modified_kn _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7892,6 +7912,49 @@ object SparkEntry {
     "q263_kneser_ney" ->
       s"""WITH $knScoreCtes
          SELECT doc_id, n_bigrams, nlg2_q16, mean_nlg2_q16 FROM knsc""",
+    // q271: modified KN — count-of-count discounts D1/D2/D3 as exact
+    // clamped rationals on Dden = (n1+2n2)·n2·n3, same Q16 log scoring
+    "q271_modified_kn" ->
+      s"""WITH $knBaseCtes,
+         ctxm AS (SELECT w1, cast(sum(c12) as bigint) AS c1,
+             cast(count(*) FILTER (c12 = 1) as bigint) AS m1,
+             cast(count(*) FILTER (c12 = 2) as bigint) AS m2,
+             cast(count(*) FILTER (c12 >= 3) as bigint) AS m3
+           FROM c12t GROUP BY 1),
+         cc AS (SELECT cast(count(*) FILTER (c12 = 1) as bigint) AS n1,
+             cast(count(*) FILTER (c12 = 2) as bigint) AS n2,
+             cast(count(*) FILTER (c12 = 3) as bigint) AS n3,
+             cast(count(*) FILTER (c12 = 4) as bigint) AS n4
+           FROM c12t),
+         disc AS (SELECT n1 * n2 * n3 AS d1n,
+             greatest((2 * (n1 + 2*n2) * n2 - 3 * n1 * n3) * n3, 1) AS d2n,
+             greatest((3 * (n1 + 2*n2) * n3 - 4 * n1 * n4) * n2, 1) AS d3n,
+             (n1 + 2*n2) * n2 * n3 AS dden
+           FROM cc),
+         terms AS (SELECT p.doc_id,
+             CASE WHEN coalesce(x.c1, 0) > 0 THEN
+               (coalesce(c12t.c12, 0) * disc.dden -
+                 CASE WHEN coalesce(c12t.c12, 0) = 0 THEN 0
+                      WHEN c12t.c12 = 1 THEN disc.d1n
+                      WHEN c12t.c12 = 2 THEN disc.d2n
+                      ELSE disc.d3n END) * (tot.r + tot.v)
+               + (disc.d1n * x.m1 + disc.d2n * x.m2 + disc.d3n * x.m3)
+                 * (coalesce(contn.r2, 0) + 1)
+             ELSE coalesce(contn.r2, 0) + 1 END AS num,
+             CASE WHEN coalesce(x.c1, 0) > 0
+               THEN x.c1 * disc.dden * (tot.r + tot.v)
+               ELSE tot.r + tot.v END AS den
+           FROM pr p LEFT JOIN c12t ON p.w1 = c12t.w1 AND p.w2 = c12t.w2
+             LEFT JOIN ctxm x ON p.w1 = x.w1
+             LEFT JOIN contn ON p.w2 = contn.w2, tot, disc
+           WHERE NOT p.is_train),
+         nl AS (SELECT doc_id,
+             ${unigramFlogSql("den")} - ${unigramFlogSql("num")} AS t
+           FROM terms)
+         SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           cast(sum(t) as bigint) AS nlg2_q16,
+           cast(sum(t) as bigint) // cast(count(*) as bigint) AS mean_nlg2_q16
+         FROM nl GROUP BY 1""",
     // q266: the q263 scores bucketed CCNet-style — rank thirds within
     // each language, rank = (mean score, doc_id), all-integer
     "q266_ccnet_buckets" ->
@@ -8248,7 +8311,10 @@ object SparkEntry {
     * on the 80% hash split, per-bigram exact rationals, Q16 log terms,
     * and the per-doc aggregate as `knsc`(doc_id, n_bigrams, nlg2_q16,
     * mean_nlg2_q16) over the held-out 20%. */
-  private def knScoreCtes: String =
+  /** Base CTE chain shared by the KN-family oracles (q263/q266/q271):
+    * split, vocab, mapped bigrams, bigram counts, continuation counts,
+    * totals. */
+  private def knBaseCtes: String =
     s"""d AS (SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS l,
              substring(md5(cast(doc_id as varchar)), 1, 4) < 'cccd' AS is_train
@@ -8271,7 +8337,10 @@ object SparkEntry {
          contn AS (SELECT w2, cast(count(*) as bigint) AS r2
            FROM c12t GROUP BY 1),
          tot AS (SELECT (SELECT cast(count(*) as bigint) FROM c12t) AS r,
-             (SELECT cast(count(*) + 1 as bigint) FROM vocab) AS v),
+             (SELECT cast(count(*) + 1 as bigint) FROM vocab) AS v)"""
+
+  private def knScoreCtes: String =
+    s"""$knBaseCtes,
          terms AS (SELECT p.doc_id,
              CASE WHEN coalesce(ctx.c1, 0) > 0
                THEN greatest(4 * coalesce(c12t.c12, 0) - 3, 0) * (tot.r + tot.v)

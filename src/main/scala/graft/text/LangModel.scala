@@ -277,4 +277,147 @@ object LangModel {
       .select(col("__doc").as(docId), col("n_bigrams"), col("nlg2_q16"),
         expr("nlg2_q16 div n_bigrams").as("mean_nlg2_q16"))
   }
+
+  // ---------------------------------------------------------------------
+  // MODIFIED Kneser–Ney (Chen & Goodman 1999 §3; the variant KenLM
+  // implements): three discounts D1, D2, D3+ estimated from the bigram
+  // count-of-counts n1..n4 instead of one fixed d —
+  //
+  //   Y  = n1/(n1 + 2·n2)            (write A := n1 + 2·n2)
+  //   D1 = 1 − 2·Y·n2/n1 = n1/A
+  //   D2 = 2 − 3·Y·n3/n2 = (2·A·n2 − 3·n1·n3)/(A·n2)
+  //   D3 = 3 − 4·Y·n4/n3 = (3·A·n3 − 4·n1·n4)/(A·n3)
+  //
+  // all exact rationals on the common denominator Dden = A·n2·n3:
+  //   D1 → n1·n2·n3/Dden,  D2 → (2An2−3n1n3)·n3/Dden,  D3 → (3An3−4n1n4)·n2/Dden.
+  //
+  // The C&G estimates can leave the legal range on degenerate count
+  // distributions (this corpus at sf0.1 has n4 > n3 ⇒ D3 < 0; KenLM
+  // REFUSES such stats, SRILM floors them). We floor each numerator at 1 —
+  // the smallest POSITIVE rational on Dden — which keeps 0 < D(c) ≤ c, so
+  // every probability stays positive AND the mass identity survives
+  // exactly: the same clamped D appears in the discount and in the backoff
+  // weight γ(w1) = (D1·N1(w1) + D2·N2(w1) + D3·N3+(w1))/c1, hence
+  // Σ_w2 P(w2|w1) = 1 identically (MknSpec proves it in BigInt). γ ≥
+  // N1+(w1)/Dden ≥ 1/Dden > 0 for every seen context, so unseen
+  // continuations never hit a zero numerator.
+  //
+  //   P(w2|w1) = (c12 − D(c12))/c1 + γ(w1)·Pc(w2)        if c1 > 0
+  //            = Pc(w2)                                    if c1 = 0
+  //   Pc(w2)   = (r2 + 1)/(R + V)     (same add-one continuation floor
+  //                                    as the d = 3/4 form above)
+  //
+  // num = (c12·Dden − Dn(c12))·(R+V) + (D1n·m1 + D2n·m2 + D3n·m3)·(r2+1)
+  // den = c1·Dden·(R+V)   — exact while that product < 2^63; the
+  // heavy-hitter thresholded vocab bounds bigram TYPES (so n_i and Dden),
+  // and train() rejects stats outside the envelope rather than overflow.
+  // ---------------------------------------------------------------------
+
+  /** Exact clamped modified-KN discount numerators over Dden = A·n2·n3.
+    * Requires n1, n2, n3 ≥ 1 (KenLM's precondition). */
+  private[text] def mknDiscounts(n1: Long, n2: Long, n3: Long, n4: Long):
+      (Long, Long, Long, Long) = {
+    require(n1 >= 1 && n2 >= 1 && n3 >= 1,
+      s"modified KN needs n1, n2, n3 >= 1, got ($n1, $n2, $n3) — " +
+        "not enough low-count bigram types to estimate discounts")
+    val a = n1 + 2 * n2
+    val dden = a * n2 * n3
+    val d1n = n1 * n2 * n3
+    val d2n = math.max((2 * a * n2 - 3 * n1 * n3) * n3, 1L)
+    val d3n = math.max((3 * a * n3 - 4 * n1 * n4) * n2, 1L)
+    (d1n, d2n, d3n, dden)
+  }
+
+  /** A trained modified-KN bigram LM. Frames as [[KnLM]], plus per-context
+    * follower-type counts (m1 = N1(w1), m2 = N2(w1), m3 = N3+(w1)) on
+    * `contexts` and the clamped discount numerators as plain longs (the
+    * count-of-count statistics are ONE scalar-aggregate row — collected at
+    * train time like every sampler bound here, then literals in the
+    * scoring plan). */
+  final case class MknLM(vocab: DataFrame, pairs: DataFrame,
+                         contexts: DataFrame, continuations: DataFrame,
+                         totals: DataFrame,
+                         d1n: Long, d2n: Long, d3n: Long, dden: Long)
+
+  /** Train modified KN on `refDocs`: same vocabulary contract and same
+    * one-pass sufficient statistic as [[trainKneserNey]]; adds the
+    * count-of-count scalar aggregate (one tiny driver row) for the
+    * discounts and the per-context N1/N2/N3+ splits. Envelope check:
+    * rejects stats where c1max·Dden·(R+V) could overflow a long. */
+  def trainModifiedKn(refDocs: DataFrame, docId: String, textCol: String,
+                      minCount: Long): MknLM = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val vocab = refDocs
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("tok")
+      .localCheckpoint(false)
+    val pairs = mapToVocab(bigramFacts(refDocs, docId, textCol), vocab)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(false)
+    val contexts = pairs.groupBy("__w1")
+      .agg(sum(col("__c12")).as("__c1"),
+        count(when(col("__c12") === 1L, 1)).as("__m1"),
+        count(when(col("__c12") === 2L, 1)).as("__m2"),
+        count(when(col("__c12") >= 3L, 1)).as("__m3"))
+    val continuations = pairs.groupBy("__w2")
+      .agg(count(lit(1)).as("__r2"))
+    val totals = pairs.agg(count(lit(1)).as("__r"))
+      .crossJoin(vocab.agg((count(lit(1)) + 1L).as("__v")))
+    val row = pairs.agg(
+      count(when(col("__c12") === 1L, 1)).as("n1"),
+      count(when(col("__c12") === 2L, 1)).as("n2"),
+      count(when(col("__c12") === 3L, 1)).as("n3"),
+      count(when(col("__c12") === 4L, 1)).as("n4"),
+      coalesce(sum(col("__c12")), lit(0L)).as("ctot"))
+      .crossJoin(totals)
+      .collect().head
+    val (n1, n2, n3, n4) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val (ctot, rr, vv) = (row.getLong(4), row.getLong(5), row.getLong(6))
+    val (d1n, d2n, d3n, dden) = mknDiscounts(n1, n2, n3, n4)
+    // den = c1·Dden·(R+V) with c1 ≤ ctot (total mapped bigram tokens)
+    require(BigInt(ctot max 1L) * dden * (rr + vv) < BigInt(Long.MaxValue),
+      s"modified-KN exact envelope exceeded: ctot=$ctot, Dden=$dden, (R+V)=${rr + vv} — " +
+        "use trainKneserNey (d = 3/4) beyond this scale")
+    MknLM(vocab, pairs, contexts, continuations, totals, d1n, d2n, d3n, dden)
+  }
+
+  /** Per-document modified-KN score in Q16 fixed point — same output
+    * shape, log kernel, and plan shape as [[scoreKnQ16]]; the discounts
+    * are literals in the plan. */
+  def scoreMknQ16(docs: DataFrame, docId: String, textCol: String,
+                  lm: MknLM): DataFrame = {
+    import graft.functions.LogExprs.flog2_q16
+    val facts = mapToVocab(bigramFacts(docs, docId, textCol), lm.vocab)
+      .join(lm.pairs, Seq("__w1", "__w2"), "left")
+      .join(broadcast(lm.contexts), Seq("__w1"), "left")
+      .join(broadcast(lm.continuations), Seq("__w2"), "left")
+      .crossJoin(broadcast(lm.totals))
+      .select(col("__doc"),
+        coalesce(col("__c12"), lit(0L)).as("__c12"),
+        coalesce(col("__c1"), lit(0L)).as("__c1"),
+        coalesce(col("__m1"), lit(0L)).as("__m1"),
+        coalesce(col("__m2"), lit(0L)).as("__m2"),
+        coalesce(col("__m3"), lit(0L)).as("__m3"),
+        coalesce(col("__r2"), lit(0L)).as("__r2"),
+        col("__r"), col("__v"))
+    val rv = col("__r") + col("__v")
+    val dn = when(col("__c12") === 0L, lit(0L))
+      .when(col("__c12") === 1L, lit(lm.d1n))
+      .when(col("__c12") === 2L, lit(lm.d2n))
+      .otherwise(lit(lm.d3n))
+    val gamma = lit(lm.d1n) * col("__m1") + lit(lm.d2n) * col("__m2") +
+      lit(lm.d3n) * col("__m3")
+    val num = when(col("__c1") > 0L,
+        (col("__c12") * lm.dden - dn) * rv + gamma * (col("__r2") + lit(1L)))
+      .otherwise(col("__r2") + lit(1L))
+    val den = when(col("__c1") > 0L, col("__c1") * lm.dden * rv).otherwise(rv)
+    facts
+      .select(col("__doc"), (flog2_q16(den) - flog2_q16(num)).as("__nl"))
+      .groupBy("__doc")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nl")).as("nlg2_q16"))
+      .select(col("__doc").as(docId), col("n_bigrams"), col("nlg2_q16"),
+        expr("nlg2_q16 div n_bigrams").as("mean_nlg2_q16"))
+  }
 }
