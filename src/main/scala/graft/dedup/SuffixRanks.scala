@@ -68,9 +68,13 @@ object SuffixRanks {
     // DF orderBy sorts by UTF8String BYTE order, the binary collation an
     // external engine's varchar sort gives; zipWithIndex then follows the
     // total sort order deterministically.
+    // cache: both the size probe (the combine bound) and the join consume
+    // this RDD — uncached, the distinct+sort+zipWithIndex lineage would
+    // execute twice
     val vocab = toks.select("__tok").distinct().orderBy("__tok").rdd
       .map(_.getString(0)).zipWithIndex()
       .map { case (t, i) => Row(t, i + 1L) }
+      .cache()
     val vocabSize = vocab.count()
     val vocabRanks = spark.createDataFrame(vocab,
       StructType(Seq(StructField("__tok", StringType, nullable = false),

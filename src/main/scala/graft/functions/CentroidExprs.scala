@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * SAME arithmetic as [[VectorAlgs]] (ascending-index double
   * accumulation), so assignments are bit-identical to the old trees.
   * Tie-break matches `greatest(struct(s, -id))`: equal score → smallest
-  * id (strict `>` replacement scanning all centroids).
+  * id. Comparison goes through java.lang.Double.compare, which orders
+  * NaN GREATEST and equal to itself — the same total order Spark's
+  * struct comparison gave the old trees, so even zero-norm inputs
+  * (NaN cosine) assign identically.
   */
 object CentroidExprs {
 
@@ -63,7 +66,8 @@ object CentroidExprs {
           i += 1
         }
         val s = dot / (math.sqrt(na) * math.sqrt(nb))
-        if (first || s > bestS || (s == bestS && idArr(j) < bestId)) {
+        val cmp = java.lang.Double.compare(s, bestS)
+        if (first || cmp > 0 || (cmp == 0 && idArr(j) < bestId)) {
           bestS = s; bestId = idArr(j); first = false
         }
         j += 1
@@ -122,7 +126,8 @@ object CentroidExprs {
           var i = 0
           while (i < dsub) { dot += vec.getFloat(off + i).toDouble * c(i); i += 1 }
           val s = dot - halfNorms(mi)(j)
-          if (first || s > bestS || (s == bestS && idArr(mi)(j) < bestId)) {
+          val cmp = java.lang.Double.compare(s, bestS)
+          if (first || cmp > 0 || (cmp == 0 && idArr(mi)(j) < bestId)) {
             bestS = s; bestId = idArr(mi)(j); first = false
           }
           j += 1

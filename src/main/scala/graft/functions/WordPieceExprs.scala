@@ -27,6 +27,7 @@ object WordPieceExprs {
     * result hash. */
   case class WordPieceSegmentText(child: Expression, vocab: Seq[String])
       extends UnaryExpression {
+    require(vocab.nonEmpty, "wordpiece_segment: empty vocabulary")
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
