@@ -4700,6 +4700,52 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** FINEWEB-STYLE PREP CHAIN — the round-10 stages composed end-to-end,
+    * the way a production corpus actually flows (q259 composes the
+    * Gopher-era stages; this is its successor built from the newer
+    * operators): (1) the C4 page gate over the structured pages
+    * ([[TextOps.c4Flags]]); (2) Kneser–Ney perplexity on the held-out 80%
+    * split ([[graft.text.LangModel.scoreKnQ16]]), keeping the head+middle
+    * CCNet buckets per language — ranks computed over the C4-surviving
+    * held-out set (filter first, THEN rank: bucket membership is relative
+    * to the pool that reaches the stage); (3) exact duplicated-window
+    * strip via the suffix ranks ([[graft.dedup.SuffixRanks]]), dropping
+    * docs with ≥ 20% duplicated 8-token positions; (4) a per-(lang,
+    * source) corpus-composition summary. Every stage is individually
+    * oracle-proven (q268/q263/q266/q267); the chain's oracle re-assembles
+    * their CTE families with disjoint names, so the COMPOSITION —
+    * filter-order, pool definitions, join keys — is what this query's
+    * hash pins. `kept` is localCheckpointed: it feeds both the survivor
+    * semi-join and the final join (the replay rule). */
+  private def q272_fineweb_prep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = par(s, Tables.documents(s, dir))
+    val c4pass = TextOps.c4Flags(c4PageFixture(docs), "page")
+      .filter(col("c4_pass")).select("doc_id")
+    val isTrain = RelOps.hashSampleFilter(col("doc_id"), 0.8)
+    val lm = graft.text.LangModel.trainKneserNey(
+      docs.filter(isTrain), "doc_id", "text", minCount = 100L)
+    val scored = graft.text.LangModel
+      .scoreKnQ16(docs.filter(!isTrain), "doc_id", "text", lm)
+    val w = Window.partitionBy("lang").orderBy(col("mean_nlg2_q16"), col("doc_id"))
+    val kept = scored
+      .join(c4pass, Seq("doc_id"), "left_semi")
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") * 3 <= col("n") * 2)
+      .select("doc_id", "lang", "source")
+      .localCheckpoint(false)
+    val survivors = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    val dupStats = graft.dedup.SuffixRanks
+      .dupWindowStats(survivors, "doc_id", "text", depth = 8)
+    kept.join(dupStats, "doc_id")
+      .filter(col("n_dup") * 5 < col("n_pos"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_pos").as("n_positions"),
+        sum("n_dup").as("n_dup_positions"))
+  }
+
   /** DEPTH-8 SUFFIX RANKS BY PREFIX DOUBLING
     * ([[graft.dedup.SuffixRanks.suffixRanks]]) — the ExactSubstr-dedup
     * backbone (Lee et al. 2021): every token position ranked by its
@@ -5040,6 +5086,7 @@ object SparkEntry {
     "q269_c4_span_dedup" -> (q269_c4_span_dedup _),
     "q270_stream_c4_gate" -> (q270_stream_c4_gate _),
     "q271_modified_kn" -> (q271_modified_kn _),
+    "q272_fineweb_prep" -> (q272_fineweb_prep _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7479,6 +7526,49 @@ object SparkEntry {
            SELECT doc_id, count(*) AS n_spans,
              count(*) FILTER (cnt > 1 AND rn > 1) AS n_removed
            FROM marked GROUP BY 1) m ON m.doc_id = s.doc_id"""),
+    // q272: the composed chain — C4 pass from the page CTEs, KN scores
+    // from the shared knsc core, rank-thirds bucket filter over the
+    // C4-surviving held-out pool, duplicated-window strip over the
+    // survivor corpus, per-(lang, source) summary
+    "q272_fineweb_prep" ->
+      ("""WITH """ + c4PageCtes + """,
+         c4fl AS (SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines
+           FROM pg),
+         c4kp AS (SELECT doc_id, page,
+             coalesce(array_to_string(
+               list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
+                 AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5
+                 AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS clean
+           FROM c4fl),
+         c4p AS (SELECT doc_id FROM c4kp
+           WHERE len(regexp_extract_all(clean, '[.!?]')) >= 3
+             AND NOT contains(lower(page), 'lorem ipsum')
+             AND NOT contains(page, '{')),
+         """ + knScoreCtes + """,
+         keptx AS (SELECT doc_id, lang, source FROM (
+             SELECT k.doc_id, doc.lang, doc.source,
+               row_number() OVER (PARTITION BY doc.lang
+                 ORDER BY k.mean_nlg2_q16, k.doc_id) AS rn,
+               count(*) OVER (PARTITION BY doc.lang) AS n
+             FROM knsc k
+               JOIN c4p ON c4p.doc_id = k.doc_id
+               JOIN documents doc ON doc.doc_id = k.doc_id)
+           WHERE rn * 3 <= n * 2),
+         sposx AS (SELECT t.doc_id,
+             list_slice(t.l, t.wi, least(t.wi + 7, len(t.l))) AS win
+           FROM (SELECT d.doc_id, d.l, unnest(range(1, len(d.l) + 1)) AS wi
+                 FROM d JOIN keptx kk ON kk.doc_id = d.doc_id) t),
+         scntx AS (SELECT doc_id, count(*) OVER (PARTITION BY win) AS cnt FROM sposx),
+         dstatx AS (SELECT doc_id, cast(count(*) as bigint) AS n_pos,
+             cast(count(*) FILTER (cnt > 1) as bigint) AS n_dup
+           FROM scntx GROUP BY 1)
+         SELECT k.lang, k.source, cast(count(*) as bigint) AS n_docs,
+           cast(sum(ds.n_pos) as bigint) AS n_positions,
+           cast(sum(ds.n_dup) as bigint) AS n_dup_positions
+         FROM keptx k JOIN dstatx ds ON ds.doc_id = k.doc_id
+         WHERE ds.n_dup * 5 < ds.n_pos
+         GROUP BY 1, 2"""),
     // q267: suffix ranks from the DEFINITION — dense_rank over the
     // materialized ≤8-token slices (list order = lexicographic,
     // shorter-first, matching the -1 padding of the doubling recurrence)

@@ -55,6 +55,44 @@ object SuffixRanks {
     * two (the doubling schedule). */
   def suffixRanks(docs: DataFrame, docId: String, textCol: String,
                   depth: Int): DataFrame = {
+    val (spark, ranked) = windowKeys(docs, docId, textCol, depth)
+    // final densification fused with the duplicate count: one aggregate
+    // gives the distinct-key table WITH multiplicities; sort +
+    // zipWithIndex ranks it; one join decorates every position
+    val finals = ranked.groupBy("__r").agg(count(lit(1)).as("__n"))
+      .orderBy("__r").rdd
+      .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex()
+      .map { case ((key, n), i) => Row(key, n, i + 1L) }
+    val rankTable = spark.createDataFrame(finals, StructType(Seq(
+      StructField("__key", LongType, nullable = false),
+      StructField("__n", LongType, nullable = false),
+      StructField("__rank", LongType, nullable = false))))
+    ranked.join(rankTable, ranked("__r") === rankTable("__key"))
+      .select(col("__doc").as(docId), col("wi"),
+        col("__rank").as("rank"), (col("__n") > 1L).as("is_dup"))
+  }
+
+  /** Duplicated-window statistics WITHOUT the dense ranks: per doc, total
+    * window positions and how many are duplicated corpus-wide —
+    * `(docId, n_pos, n_dup)`. Consumers that only strip/score duplication
+    * (the ExactSubstr pass itself) skip the final global rank sort, which
+    * the full [[suffixRanks]] pays only for its canonical output. Same
+    * is_dup semantics (multiplicity of the depth-window key > 1). */
+  def dupWindowStats(docs: DataFrame, docId: String, textCol: String,
+                     depth: Int): DataFrame = {
+    val (_, ranked) = windowKeys(docs, docId, textCol, depth)
+    val counts = ranked.groupBy("__r").agg(count(lit(1)).as("__n"))
+    ranked.join(counts, "__r")
+      .groupBy(col("__doc").as(docId))
+      .agg(count(lit(1)).as("n_pos"),
+        count(when(col("__n") > 1L, 1)).as("n_dup"))
+  }
+
+  /** The doubling loop: per-position keys ORDER-ISOMORPHIC to the
+    * ≤ depth-token window order (equal keys ⟺ identical windows), as
+    * `(__doc, wi, __r)`. */
+  private def windowKeys(docs: DataFrame, docId: String, textCol: String,
+                         depth: Int): (org.apache.spark.sql.SparkSession, DataFrame) = {
     require(depth >= 1 && (depth & (depth - 1)) == 0 && depth <= 1024,
       s"suffixRanks: depth=$depth must be a power of two in [1, 1024]")
     val spark = docs.sparkSession
@@ -119,20 +157,6 @@ object SuffixRanks {
       }
       k *= 2
     }
-
-    // final densification fused with the duplicate count: one aggregate
-    // gives the distinct-key table WITH multiplicities; sort +
-    // zipWithIndex ranks it; one join decorates every position
-    val finals = ranked.groupBy("__r").agg(count(lit(1)).as("__n"))
-      .orderBy("__r").rdd
-      .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex()
-      .map { case ((key, n), i) => Row(key, n, i + 1L) }
-    val rankTable = spark.createDataFrame(finals, StructType(Seq(
-      StructField("__key", LongType, nullable = false),
-      StructField("__n", LongType, nullable = false),
-      StructField("__rank", LongType, nullable = false))))
-    ranked.join(rankTable, ranked("__r") === rankTable("__key"))
-      .select(col("__doc").as(docId), col("__wi").as("wi"),
-        col("__rank").as("rank"), (col("__n") > 1L).as("is_dup"))
+    (spark, ranked.select(col("__doc"), col("__wi").as("wi"), col("__r")))
   }
 }

@@ -64,6 +64,18 @@ class SuffixRanksSpec extends SparkSpec {
     }
   }
 
+  test("dupWindowStats equals the per-doc aggregate of suffixRanks' is_dup") {
+    val d = Seq((1L, "a b a b a b c"), (2L, "b a b a"), (3L, "c"),
+      (5L, "a b a b a b c")).toDF("doc_id", "text")
+    val viaRanks = SuffixRanks.suffixRanks(d, "doc_id", "text", 4)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"), count(when(col("is_dup"), 1)).as("n_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = SuffixRanks.dupWindowStats(d, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct == viaRanks && direct.nonEmpty)
+  }
+
   test("depth must be a power of two") {
     intercept[IllegalArgumentException] {
       SuffixRanks.suffixRanks(docs, "doc_id", "text", depth = 6)
