@@ -4746,6 +4746,49 @@ object SparkEntry {
         sum("n_dup").as("n_dup_positions"))
   }
 
+  /** TOKENIZER FERTILITY COMPARISON — the evaluation every tokenizer
+    * family needs beside its trainers: all three subword tokenizers (BPE
+    * 64 merges, unigram-LM, WordPiece 64 merges) trained on the SAME
+    * corpus and applied to it, one row each with the corpus-wide
+    * pieces-per-100-words rate (integer division — "fertility", the
+    * standard tokenizer-efficiency metric; lower = better compression).
+    * Three corpus aggregates, each a zero-shuffle segmentation projection
+    * (applyMerges chain / the two model-rides-the-plan kernels) feeding
+    * one sum. The oracle replays all THREE training loops and segmenters
+    * in one SQL statement (the q219/q261/q265 oracle families with
+    * disjoint CTE names — WordPiece's generator takes a prefix for
+    * exactly this composition), so the comparison row set is hash-pinned
+    * end-to-end. */
+  private def q273_tokenizer_fertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = par(s, Tables.documents(s, dir))
+    val nWords = docs.agg(sum(TextOps.tokenCount(col("text")))).as[Long].head()
+
+    val bpeMerges = graft.text.Bpe.learnMerges(docs, "text", nMerges = 64)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val bpeNp = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .agg(sum(size(graft.text.Bpe.applyMerges(col("w"), bpeMerges)).cast("long")))
+      .as[Long].head()
+
+    val uni = graft.text.Unigram.train(docs, "text",
+      maxPieceLen = 5, maxVocab = 128, emRounds = 3)
+    val uniNp = docs
+      .agg(sum(graft.functions.UnigramExprs.unigram_segment(col("text"), uni)
+        .getField("n_pieces"))).as[Long].head()
+
+    val words = graft.text.WordPiece.wordWeights(docs, "text")
+    val wpVocab = graft.text.WordPiece.vocabOf(words,
+      graft.text.WordPiece.trainFromWords(words, nMerges = 64))
+    val wpNp = docs
+      .agg(sum(graft.functions.WordPieceExprs.wordpiece_segment(col("text"), wpVocab.toSeq)
+        .getField("n_pieces"))).as[Long].head()
+
+    Seq(("bpe64", bpeNp), ("unigram", uniNp), ("wordpiece64", wpNp))
+      .toDF("tokenizer", "n_pieces")
+      .select(col("tokenizer"), lit(nWords).as("n_words"), col("n_pieces"),
+        expr("n_pieces * 100 div n_words").as("pieces_per_100w"))
+  }
+
   /** DEPTH-8 SUFFIX RANKS BY PREFIX DOUBLING
     * ([[graft.dedup.SuffixRanks.suffixRanks]]) — the ExactSubstr-dedup
     * backbone (Lee et al. 2021): every token position ranked by its
@@ -5087,6 +5130,7 @@ object SparkEntry {
     "q270_stream_c4_gate" -> (q270_stream_c4_gate _),
     "q271_modified_kn" -> (q271_modified_kn _),
     "q272_fineweb_prep" -> (q272_fineweb_prep _),
+    "q273_tokenizer_fertility" -> (q273_tokenizer_fertility _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7493,6 +7537,8 @@ object SparkEntry {
     // replayed relationally (unrolled rounds, exact HUGEINT rational
     // argmax, 8-step longest-match unroll)
     "q264_wordpiece_learn" -> wordpieceLearnOracleSql(nMerges = 64),
+    // q273: all three tokenizers replayed in one statement
+    "q273_tokenizer_fertility" -> tokenizerFertilityOracleSql(nMerges = 64),
     "q265_wordpiece_segment" -> wordpieceSegmentOracleSql(nMerges = 64),
     // q268: the structured-page fixture rebuilt relationally, then every
     // C4 rule recomputed (regex + integer counts) down to the md5 of the
@@ -8451,35 +8497,35 @@ object SparkEntry {
            cast(sum(t) as bigint) // cast(count(*) as bigint) AS mean_nlg2_q16
          FROM nl GROUP BY 1)"""
 
-  private def wordpieceTrainCtes(nMerges: Int): String = {
+  private def wordpieceTrainCtes(nMerges: Int, px: String = ""): String = {
     val iters = (1 to nMerges).map { t =>
-      s"""w${t - 1} AS (
+      s"""${px}w${t - 1} AS (
            SELECT string_split(substr(wstr, 2, len(wstr) - 2), chr(2) || chr(1)) AS s, cnt
-           FROM v${t - 1}),
-         sc$t AS (SELECT sym, cast(sum(cnt) as bigint) AS c
-           FROM (SELECT unnest(s) AS sym, cnt FROM w${t - 1}) GROUP BY 1),
-         pc$t AS MATERIALIZED (
+           FROM ${px}v${t - 1}),
+         ${px}sc$t AS (SELECT sym, cast(sum(cnt) as bigint) AS c
+           FROM (SELECT unnest(s) AS sym, cnt FROM ${px}w${t - 1}) GROUP BY 1),
+         ${px}pc$t AS MATERIALIZED (
            SELECT pr.l, pr.r, pr.c12, sl.c AS c1, sr.c AS c2
            FROM (SELECT s[i] AS l, s[i+1] AS r, cast(sum(cnt) as bigint) AS c12 FROM (
-                   SELECT s, cnt, unnest(range(1, len(s))) AS i FROM w${t - 1} WHERE len(s) >= 2)
+                   SELECT s, cnt, unnest(range(1, len(s))) AS i FROM ${px}w${t - 1} WHERE len(s) >= 2)
                  GROUP BY 1, 2) pr
-           JOIN sc$t sl ON sl.sym = pr.l JOIN sc$t sr ON sr.sym = pr.r),
-         b$t AS MATERIALIZED (
+           JOIN ${px}sc$t sl ON sl.sym = pr.l JOIN ${px}sc$t sr ON sr.sym = pr.r),
+         ${px}b$t AS MATERIALIZED (
            SELECT l, r, l || ' ' || r AS pair,
              l || (CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END) AS mrg,
              c12, c1, c2
-           FROM pc$t a
-           WHERE NOT EXISTS (SELECT 1 FROM pc$t b WHERE
+           FROM ${px}pc$t a
+           WHERE NOT EXISTS (SELECT 1 FROM ${px}pc$t b WHERE
                b.c12::HUGEINT * a.c1 * a.c2 > a.c12::HUGEINT * b.c1 * b.c2
                OR (b.c12::HUGEINT * a.c1 * a.c2 = a.c12::HUGEINT * b.c1 * b.c2
                    AND b.l || ' ' || b.r < a.l || ' ' || a.r))),
-         v$t AS MATERIALIZED (
+         ${px}v$t AS MATERIALIZED (
            SELECT replace(v.wstr,
                chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
                chr(1) || b.mrg || chr(2)) AS wstr, cnt
-           FROM v${t - 1} v CROSS JOIN b$t b)"""
+           FROM ${px}v${t - 1} v CROSS JOIN ${px}b$t b)"""
     }.mkString(",\n         ")
-    s"""v0 AS (
+    s"""${px}v0 AS (
            SELECT array_to_string(list_transform(range(1, len(cs) + 1),
                i -> chr(1) || (CASE WHEN i = 1 THEN cs[i] ELSE '##' || cs[i] END) || chr(2)), '') AS wstr,
              cast(cnt as bigint) AS cnt
@@ -8545,6 +8591,74 @@ object SparkEntry {
            array_to_string(list(ws.seg ORDER BY dw.wi), ' ') AS seg
          FROM dw JOIN wordseg ws ON ws.w = dw.w
          GROUP BY 1"""
+  }
+
+
+  /** q273's oracle: all three tokenizer training loops and segmenters in
+    * ONE statement — BPE's z-chain (q220's form, totals instead of
+    * per-doc), WordPiece's train + 8-step greedy unroll under the `wp`
+    * prefix, the unigram brute-force DP (q261's form) — each reduced to a
+    * corpus-total piece count over per-occurrence word counts. */
+  private def tokenizerFertilityOracleSql(nMerges: Int): String = {
+    val bpeChain = (1 to nMerges).map { t =>
+      s"""z$t AS (
+           SELECT replace(z.wstr,
+               chr(1) || replace(b.pair, ' ', chr(2) || chr(1)) || chr(2),
+               chr(1) || b.mrg || chr(2)) AS wstr, z.c AS c
+           FROM z${t - 1} z CROSS JOIN b$t b)"""
+    }.mkString(",\n         ")
+    val wpSeg = (1 to 8).map { k =>
+      s"""wpbest$k AS (SELECT w, piece, adv FROM (
+             SELECT s.w, v.piece, v.clen AS adv,
+               row_number() OVER (PARTITION BY s.w ORDER BY v.clen DESC) AS rn
+             FROM wps${k - 1} s JOIN wpvocab v
+               ON s.pos <= len(s.w) AND NOT s.unk
+              AND (CASE WHEN s.pos = 1 THEN NOT v.cont ELSE v.cont END)
+              AND substr(s.w, s.pos, v.clen) = v.chars) WHERE rn = 1),
+         wps$k AS MATERIALIZED (
+           SELECT s.w,
+             CASE WHEN s.pos > len(s.w) OR s.unk OR m.adv IS NULL THEN s.pos
+                  ELSE s.pos + m.adv END AS pos,
+             CASE WHEN s.pos > len(s.w) OR s.unk OR m.adv IS NULL THEN s.np
+                  ELSE s.np + 1 END AS np,
+             CASE WHEN s.pos > len(s.w) OR s.unk THEN s.unk
+                  WHEN m.adv IS NULL THEN true ELSE s.unk END AS unk
+           FROM wps${k - 1} s LEFT JOIN wpbest$k m ON m.w = s.w)"""
+    }.mkString(",\n         ")
+    val wpMrgUnion = (1 to nMerges).map(t => s"SELECT mrg FROM wpb$t").mkString("\n           UNION ")
+    s"""WITH dwc AS (
+           SELECT w, cast(count(*) as bigint) AS c FROM (
+             SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS w
+             FROM documents) GROUP BY 1),
+         nwt AS (SELECT cast(sum(c) as bigint) AS nw FROM dwc),
+         ${bpeTrainCtes(nMerges)},
+         z0 AS (SELECT array_to_string(list_transform(regexp_extract_all(w, '.'),
+               ch -> chr(1) || ch || chr(2)), '') AS wstr, c
+           FROM dwc),
+         $bpeChain,
+         bnp AS (SELECT cast(sum(c * len(string_split(substr(wstr, 2, len(wstr) - 2),
+               chr(2) || chr(1)))) as bigint) AS np
+           FROM z$nMerges),
+         ${wordpieceTrainCtes(nMerges, "wp")},
+         wpvocab AS (
+           SELECT piece, piece LIKE '##%' AS cont,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS chars,
+             len(CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END) AS clen
+           FROM (SELECT DISTINCT sym AS piece FROM (SELECT unnest(s) AS sym FROM wpw0)
+                 UNION $wpMrgUnion)),
+         wps0 AS (SELECT w, 1 AS pos, 0 AS np, false AS unk FROM dwc),
+         $wpSeg,
+         wnp AS (SELECT cast(sum(dwc.c * (CASE WHEN s.unk THEN 1 ELSE s.np END)) as bigint) AS np
+           FROM wps8 s JOIN dwc ON dwc.w = s.w),
+         ${unigramTrainCtes(maxPieceLen = 5, maxVocab = 128, rounds = 3, finalSeg = true)},
+         unp AS (SELECT cast(sum(dwc.c * len(b.pieces)) as bigint) AS np
+           FROM best3 b JOIN dwc ON dwc.w = b.w)
+         SELECT 'bpe64' AS tokenizer, nwt.nw AS n_words, bnp.np AS n_pieces,
+           bnp.np * 100 // nwt.nw AS pieces_per_100w FROM bnp, nwt
+         UNION ALL
+         SELECT 'unigram', nwt.nw, unp.np, unp.np * 100 // nwt.nw FROM unp, nwt
+         UNION ALL
+         SELECT 'wordpiece64', nwt.nw, wnp.np, wnp.np * 100 // nwt.nw FROM wnp, nwt"""
   }
 
   private def bpeTrainCtes(nMerges: Int): String = {
