@@ -4746,6 +4746,40 @@ object SparkEntry {
         sum("n_dup").as("n_dup_positions"))
   }
 
+  /** STREAMING WORDPIECE SEGMENTATION — the train-offline / serve-online
+    * tokenizer pattern: the q264 model is trained BATCH-side (word-count
+    * job + driver loop), then applied to a parquet file STREAM
+    * (AvailableNow, append-mode memory sink) as the same
+    * model-rides-the-plan projection — stateless, so the drain is
+    * row-identical to q265 by construction and shares its oracle. This is
+    * the production shape for tokenizing a continuously-landing corpus:
+    * the vocabulary is a versioned artifact, the segmentation is a
+    * per-batch map with no state store. */
+  private def q274_stream_wordpiece(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = par(s, Tables.documents(s, dir))
+    val words = graft.text.WordPiece.wordWeights(docs, "text")
+    val vocab = graft.text.WordPiece.vocabOf(words,
+      graft.text.WordPiece.trainFromWords(words, nMerges = 64))
+    val fixture = docsStreamFixture(s, dir, files = 8)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val name = s"q274_wp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.schema(schema).parquet(fixture)
+      .select(col("doc_id"),
+        graft.functions.WordPieceExprs.wordpiece_segment(col("text"), vocab.toSeq).as("u"))
+      .select(col("doc_id"), col("u.n_pieces").as("n_pieces"),
+        col("u.n_unk").as("n_unk"), col("u.seg").as("seg"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** TOKENIZER FERTILITY COMPARISON — the evaluation every tokenizer
     * family needs beside its trainers: all three subword tokenizers (BPE
     * 64 merges, unigram-LM, WordPiece 64 merges) trained on the SAME
@@ -5131,6 +5165,7 @@ object SparkEntry {
     "q271_modified_kn" -> (q271_modified_kn _),
     "q272_fineweb_prep" -> (q272_fineweb_prep _),
     "q273_tokenizer_fertility" -> (q273_tokenizer_fertility _),
+    "q274_stream_wordpiece" -> (q274_stream_wordpiece _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7540,6 +7575,9 @@ object SparkEntry {
     // q273: all three tokenizers replayed in one statement
     "q273_tokenizer_fertility" -> tokenizerFertilityOracleSql(nMerges = 64),
     "q265_wordpiece_segment" -> wordpieceSegmentOracleSql(nMerges = 64),
+    // q274: the SAME oracle — batch-trained model applied in a streaming
+    // drain equals the batch segmentation row-for-row (q253 discipline)
+    "q274_stream_wordpiece" -> wordpieceSegmentOracleSql(nMerges = 64),
     // q268: the structured-page fixture rebuilt relationally, then every
     // C4 rule recomputed (regex + integer counts) down to the md5 of the
     // retained-line output
