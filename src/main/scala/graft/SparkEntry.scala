@@ -4797,6 +4797,7 @@ object SparkEntry {
     import s.implicits._
     val docs = par(s, Tables.documents(s, dir))
     val nWords = docs.agg(sum(TextOps.tokenCount(col("text")))).as[Long].head()
+    require(nWords > 0L, "tokenizer_fertility: empty corpus (no tokens)")
 
     val bpeMerges = graft.text.Bpe.learnMerges(docs, "text", nMerges = 64)
       .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
