@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *              convention of the open Gopher reimplementations)
   *  - top-n   = chars covered by the most frequent word n-gram:
   *              count × Σ word chars; ties broken by (count DESC,
-  *              gram chars DESC, gram string ASC) — deterministic and
-  *              restatable as a SQL window
+  *              gram chars DESC, gram UTF-8 bytes ASC — [[graft.text.Bpe.byteLess]],
+  *              the binary collation DuckDB and Spark both give ORDER BY
+  *              on strings) — deterministic and restatable as a SQL window
   *  - dup-n   = chars of words covered by ≥1 POSITION of any n-gram that
   *              occurs ≥ 2 times in the doc — positional UNION, overlaps
   *              counted once (the paper's "fraction of characters
@@ -96,7 +97,7 @@ object RepetitionAlgs {
       counts.forEach { (g, c) =>
         val gc = cpLen(g) - (n - 1) // words carry no whitespace
         if (c > bestCnt || (c == bestCnt && (gc > bestChars ||
-            (gc == bestChars && (bestGram == null || g.compareTo(bestGram) < 0))))) {
+            (gc == bestChars && (bestGram == null || graft.text.Bpe.byteLess(g, bestGram)))))) {
           bestCnt = c; bestChars = gc; bestGram = g
         }
       }

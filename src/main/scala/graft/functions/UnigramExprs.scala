@@ -46,15 +46,20 @@ object UnigramExprs {
     @transient private lazy val unk = model.unkSplg
     @transient private lazy val maxLen = model.maxPieceLen
     @transient private lazy val memo =
-      new ThreadLocal[java.util.HashMap[String, String]] {
-        override def initialValue() = new java.util.HashMap[String, String]()
+      new ThreadLocal[java.util.HashMap[String, (Int, String)]] {
+        override def initialValue() = new java.util.HashMap[String, (Int, String)]()
       }
 
-    private def segWord(w: String): String = {
+    /** (piece count, '|'-joined pieces). The count comes from the
+      * segmentation itself, NOT from counting '|' in the joined string —
+      * a corpus word that CONTAINS '|' (a seeded single-code-point piece)
+      * would otherwise inflate the count. */
+    private def segWord(w: String): (Int, String) = {
       val m = memo.get()
       val hit = m.get(w)
       if (hit != null) return hit
-      val s = String.join("|", Unigram.viterbi(w, splg, unk, maxLen): _*)
+      val pieces = Unigram.viterbi(w, splg, unk, maxLen)
+      val s = (pieces.length, String.join("|", pieces: _*))
       if (m.size < (1 << 16)) m.put(w, s)
       s
     }
@@ -69,11 +74,11 @@ object UnigramExprs {
       while (i < words.length) {
         val w = words(i)
         if (w.nonEmpty) {
-          val s = segWord(w)
+          val (n, s) = segWord(w)
           if (!first) sb.append(' ')
           sb.append(s)
           first = false
-          nPieces += 1L + s.count(_ == '|')
+          nPieces += n
         }
         i += 1
       }

@@ -46,15 +46,19 @@ object WordPieceExprs {
       vocab.iterator.map(p =>
         if (p.startsWith("##")) p.length - 2 else p.length).max
     @transient private lazy val memo =
-      new ThreadLocal[java.util.HashMap[String, String]] {
-        override def initialValue() = new java.util.HashMap[String, String]()
+      new ThreadLocal[java.util.HashMap[String, (Int, String)]] {
+        override def initialValue() = new java.util.HashMap[String, (Int, String)]()
       }
 
-    private def segWord(w: String): String = {
+    /** (piece count, '|'-joined pieces) — the count comes from the
+      * segmentation itself, not from counting '|' in the joined string
+      * (a '|'-containing word would inflate a delimiter-derived count). */
+    private def segWord(w: String): (Int, String) = {
       val m = memo.get()
       val hit = m.get(w)
       if (hit != null) return hit
-      val s = String.join("|", WordPiece.segment(w, vocabSet, maxPieceChars): _*)
+      val pieces = WordPiece.segment(w, vocabSet, maxPieceChars)
+      val s = (pieces.length, String.join("|", pieces: _*))
       if (m.size < (1 << 16)) m.put(w, s)
       s
     }
@@ -70,12 +74,12 @@ object WordPieceExprs {
       while (i < words.length) {
         val w = words(i)
         if (w.nonEmpty) {
-          val s = segWord(w)
+          val (n, s) = segWord(w)
           if (!first) sb.append(' ')
           sb.append(s)
           first = false
-          if (s == WordPiece.Unk) { nPieces += 1L; nUnk += 1L }
-          else nPieces += 1L + s.count(_ == '|')
+          nPieces += n
+          if (n == 1 && s == WordPiece.Unk) nUnk += 1L
         }
         i += 1
       }

@@ -589,12 +589,19 @@ class Versioned(val spark: SparkSession, val root: String,
     * never rewritten, so an entry can never go stale — superseded
     * versions just age out of the bounded LRU (r9 verdict #8: resolve a
     * version's DVs ONCE per session, not once per read). */
-  private case class ResolvedDvs(total: Long, positions: Option[Map[String, Array[Long]]])
-  private val dvCache = new java.util.LinkedHashMap[String, ResolvedDvs](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, ResolvedDvs]): Boolean =
-      size() > 64
+  private case class ResolvedDvs(total: Long, positions: Option[Map[String, Array[Long]]]) {
+    /** Retained driver longs — the unit the LRU budget is counted in. */
+    val nPositions: Long = positions.fold(0L)(_.valuesIterator.map(_.length.toLong).sum)
   }
+  /** LRU budget in TOTAL cached positions, not entries: 64 entries ×
+    * dvPredicateMax sorted longs would retain ~2 GB of driver arrays when
+    * many versions of heavily-deleted tables are read in one session.
+    * 4×dvPredicateMax longs ≈ 128 MB at the default cap. */
+  private val dvCacheMaxPositions: Long = 4L * dvPredicateMax
+  private val dvCache = new java.util.LinkedHashMap[String, ResolvedDvs](16, 0.75f, true)
+  private var dvCachePositions = 0L // guarded by dvCache's monitor
   private[io] def dvCacheSize: Int = dvCache.synchronized(dvCache.size())
+  private[io] def dvCachePositionCount: Long = dvCache.synchronized(dvCachePositions)
   private def resolvedDvs(table: String, dvs: Seq[String]): ResolvedDvs = {
     val key = table + "\n" + dvs.sorted.mkString("\n") // rels never contain newlines
     dvCache.synchronized {
@@ -609,16 +616,34 @@ class Versioned(val spark: SparkSession, val root: String,
     }.sum
     val positions =
       if (total > dvPredicateMax) None
-      else Some(spark.read.parquet(dvs.map(abs(table, _)): _*)
-        .select("__dv_file", "__dv_pos").collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rows) =>
-          val a = rows.map(_.getLong(1))
-          java.util.Arrays.sort(a)
-          (f, a)
-        })
+      else {
+        // Group + sort on the EXECUTORS: the driver receives one row per
+        // data file carrying an already-sorted primitive array — never a
+        // multi-million-Row collect.
+        import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+        Some(spark.read.parquet(dvs.map(abs(table, _)): _*)
+          .groupBy("__dv_file")
+          .agg(sort_array(collect_list(col("__dv_pos"))).as("__pos"))
+          .collect()
+          .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+          .toMap)
+      }
     val built = ResolvedDvs(total, positions)
-    dvCache.synchronized(dvCache.put(key, built))
+    dvCache.synchronized {
+      if (dvCache.put(key, built) == null) dvCachePositions += built.nPositions
+      // Evict eldest-first until both budgets hold; always keep the entry
+      // just inserted (it is newest in access order) so an oversized
+      // single resolve still serves this read.
+      val it = dvCache.entrySet().iterator()
+      while ((dvCache.size() > 64 || dvCachePositions > dvCacheMaxPositions) &&
+             dvCache.size() > 1 && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          dvCachePositions -= e.getValue.nPositions
+          it.remove()
+        }
+      }
+    }
     built
   }
 

@@ -104,7 +104,7 @@ object Bpe {
     * the binary collation every engine gives the (count DESC, pair ASC)
     * tie-break. Differs from Java's String.compareTo only beyond the BMP;
     * matching bytes is what keeps the argmax engine-exact. */
-  private[text] def byteLess(a: String, b: String): Boolean = {
+  private[graft] def byteLess(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

@@ -320,12 +320,20 @@ object LangModel {
     require(n1 >= 1 && n2 >= 1 && n3 >= 1,
       s"modified KN needs n1, n2, n3 >= 1, got ($n1, $n2, $n3) — " +
         "not enough low-count bigram types to estimate discounts")
-    val a = n1 + 2 * n2
+    // All arithmetic in BigInt first: with web-scale count-of-counts the
+    // Long products (a·n2·n3, (2an2−3n1n3)·n3, …) can wrap negative, and a
+    // wrapped value would sail through the caller's < MaxValue envelope
+    // check. Narrow to Long only after proving each value fits.
+    val a = BigInt(n1) + 2 * BigInt(n2)
     val dden = a * n2 * n3
-    val d1n = n1 * n2 * n3
-    val d2n = math.max((2 * a * n2 - 3 * n1 * n3) * n3, 1L)
-    val d3n = math.max((3 * a * n3 - 4 * n1 * n4) * n2, 1L)
-    (d1n, d2n, d3n, dden)
+    val d1n = BigInt(n1) * n2 * n3
+    val d2n = ((2 * a * n2 - 3 * BigInt(n1) * n3) * n3) max BigInt(1)
+    val d3n = ((3 * a * n3 - 4 * BigInt(n1) * n4) * n2) max BigInt(1)
+    require(dden.isValidLong && d1n.isValidLong && d2n.isValidLong && d3n.isValidLong,
+      s"modified-KN discount statistics overflow Long: Dden=$dden, D1n=$d1n, " +
+        s"D2n=$d2n, D3n=$d3n from (n1=$n1, n2=$n2, n3=$n3, n4=$n4) — " +
+        "use trainKneserNey (d = 3/4) beyond this scale")
+    (d1n.toLong, d2n.toLong, d3n.toLong, dden.toLong)
   }
 
   /** A trained modified-KN bigram LM. Frames as [[KnLM]], plus per-context

@@ -57,4 +57,24 @@ class StringAlgsSpec extends AnyFunSuite {
         (if (d <= k) d else -1))
     }
   }
+
+  test("gopher top-n-gram tie-break uses UTF-8 byte order, not UTF-16 code units (r10 advisor)") {
+    // U+FF62 (EF BD A2) vs U+10000 (F0 90 80 80): UTF-8 bytes order the BMP
+    // char FIRST, while Java's String.compareTo (UTF-16 code units, 0xFF62
+    // vs surrogate 0xD800) orders it LAST -- the exact divergence the
+    // shared byteLess comparator exists to remove.
+    val bmp = "\uff62"
+    val supp = new String(Character.toChars(0x10000))
+    assert(graft.text.Bpe.byteLess(bmp, supp))
+    assert(bmp.compareTo(supp) > 0, "Java UTF-16 order must disagree for this pin to bite")
+    // a corpus where the 2-gram argmax ties on (count, chars) across the
+    // divergent grams: the reported coverage is tie-break-invariant (the
+    // gram itself is not emitted) and the kernel must stay exact on
+    // non-BMP input under the byteLess convention
+    val st = RepetitionAlgs.gopherRepetitionStats(
+      UTF8String.fromString(s"$bmp $bmp $supp $supp"))
+    val idx = RepetitionAlgs.fieldNames.indexOf("top2_chars")
+    assert(st.getLong(idx) === 2L) // count 1 x 2 code points, whichever gram wins
+    assert(st.getLong(RepetitionAlgs.fieldNames.indexOf("word_chars")) === 4L)
+  }
 }

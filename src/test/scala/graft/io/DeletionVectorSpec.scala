@@ -287,4 +287,27 @@ class DeletionVectorSpec extends SparkSpec {
     // time travel below the vectors still bypasses everything
     assert(fast.readVersion("t", 1L).count() === 100L)
   }
+
+  test("DV resolve cache is bounded by total cached positions, not entry count (r10 advisor)") {
+    // dvPredicateMax = 8 -> position budget 4x8 = 32 longs. Eight tables
+    // with 6 deleted rows each would retain 48 positions under an
+    // entries-only bound; the budget must evict eldest-first while reads
+    // stay correct (evicted versions simply re-resolve).
+    val vt = new Versioned(spark, tmpRoot(), dvPredicateMax = 8L)
+    for (i <- 1 to 8) {
+      val t = s"t$i"
+      vt.commit(t, (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"))
+      assert(vt.deleteWhere(t, col("k") <= 6L) === Some(2L)) // publishes version 2
+      assert(keys(vt, t) === Set(7L, 8L, 9L, 10L))
+    }
+    assert(vt.dvCachePositionCount <= 32L,
+      s"cache retains ${vt.dvCachePositionCount} positions, budget is 32")
+    assert(vt.dvCacheSize < 8, "some eldest entries must have been evicted")
+    // the newest resolve is still cached; an evicted one re-resolves correctly
+    assert(keys(vt, "t8") === Set(7L, 8L, 9L, 10L))
+    assert(keys(vt, "t1") === Set(7L, 8L, 9L, 10L))
+    // an oversized single resolve (6 > would-be-zero budget headroom) still
+    // serves its read: the just-inserted entry is never evicted
+    assert(vt.dvCacheSize >= 1)
+  }
 }

@@ -90,4 +90,21 @@ class MknSpec extends SparkSpec {
     assert(!got.contains(20L) && !got.contains(21L))
     assert(got(30L) < got(31L))
   }
+
+  test("mknDiscounts rejects count-of-counts whose products overflow Long (r10 advisor)") {
+    // 9e6 * 3e6 * 3e6 = 8.1e19 > 2^63: the old Long arithmetic wrapped
+    // NEGATIVE and sailed through the caller's < MaxValue envelope check.
+    val e = intercept[IllegalArgumentException] {
+      LangModel.mknDiscounts(3000000L, 3000000L, 3000000L, 1L)
+    }
+    assert(e.getMessage.contains("overflow Long"))
+    // d2n-only overflow: Dden = (n1+2n2)·n2·n3 ≈ 8.0e18 still fits, but
+    // D2n = (2an2−3n1n3)·n3 ≈ 1.6e19 does not
+    val e2 = intercept[IllegalArgumentException] {
+      LangModel.mknDiscounts(1L, 2000000000L, 1L, 1L)
+    }
+    assert(e2.getMessage.contains("overflow Long"))
+    // near the boundary but inside: still exact
+    assert(LangModel.mknDiscounts(1L, 1L, 2L, 6L) == ((2L, 1L, 1L, 6L)))
+  }
 }

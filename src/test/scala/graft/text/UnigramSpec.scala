@@ -223,4 +223,18 @@ class UnigramSpec extends SparkSpec {
     // "cab": splg(c)+splg(ab) vs splg(c)+splg(a)+splg(b) etc — c|ab wins
     assert(out(3) === ((4L, 2L, "c|ab")))
   }
+
+  test("unigram_segment n_pieces comes from the segmentation, not the '|' delimiter (r10 advisor)") {
+    import spark.implicits._
+    // '|' is itself a (seeded single-code-point) piece: a delimiter-derived
+    // count would read "a|a" -> seg "a|||a" as 5 pieces; the truth is 3.
+    val model = Unigram.Model(Array("|", "a"), Array(2L, 3L))
+    val df = Seq((1L, "a|a"), (2L, "|"), (3L, "a| |a")).toDF("id", "text")
+    val out = df.select(col("id"), UnigramExprs.unigram_segment(col("text"), model).as("u"))
+      .select(col("id"), col("u.n_pieces"), col("u.seg"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 3L, "a|||a")))
+    assert(out(1) === ((2L, 1L, "|")))
+    assert(out(2) === ((3L, 4L, "a|| ||a")))
+  }
 }

@@ -91,4 +91,19 @@ class WordPieceSpec extends SparkSpec {
       .map(m => (m.rank, m.pair, m.merged, m.c12, m.c1, m.c2))
     assert(fromDf == direct)
   }
+
+  test("wordpiece_segment n_pieces comes from the segmentation, not the '|' delimiter (r10 advisor)") {
+    // vocab contains '|' pieces: "a|a" segments to [a, ##|, ##a] = 3 pieces,
+    // but its joined seg "a|##||##a" holds three '|' characters — a
+    // delimiter-derived count would report 4.
+    val vocab = Seq("a", "|", "##|", "##a")
+    val docs = Seq((1L, "a|a"), (2L, "|"), (3L, "ba")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        WordPieceExprs.wordpiece_segment(col("text"), vocab).as("u"))
+      .select(col("doc_id"), col("u.n_pieces"), col("u.n_unk"), col("u.seg"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 0L, "a|##||##a")))
+    assert(got(2L) === ((1L, 0L, "|")))
+    assert(got(3L) === ((1L, 1L, WordPiece.Unk)))
+  }
 }
