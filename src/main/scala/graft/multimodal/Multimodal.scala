@@ -392,6 +392,192 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ------------------------------------------------- perceptual image hashes
+  // aHash/dHash over DECODED pixels (the public average-hash / difference-
+  // hash family every LAION-style image-dedup pipeline uses): grayscale,
+  // block-mean downsample to a tiny grid, derive 64 comparison bits. Near-
+  // duplicate images (small edits, re-encodes, lossy round-trips) land
+  // within a small Hamming distance; clustering happens on the DISTINCT
+  // hash table via banded grouping, so image count never enters a pairwise
+  // join — the 100 TB shape is scan (decode+hash) → hash-distinct groupBy →
+  // banded join over the far smaller distinct-hash table.
+
+  /** Integer luma, the Rec.601 weights with exact floor division —
+    * (299·R + 587·G + 114·B) div 1000 — so every engine (and the DuckDB
+    * oracle) reproduces the gray plane bit-exactly. */
+  @inline private def luma(r: Int, g: Int, b: Int): Int =
+    (299 * r + 587 * g + 114 * b) / 1000
+
+  /** Block-mean gray grid `gw`×`gh` (row-major) from a w×h RGB raster.
+    * Block boundaries are the floor map x0 = ⌊cx·w/gw⌋ (works for any
+    * dimensions, exact when gw | w), cell value = ⌊Σ luma / n⌋ — all
+    * integer, so the grid is engine-reproducible from the pixel values. */
+  private[multimodal] def grayGrid(w: Int, h: Int, rgb: Array[Byte],
+                                   gw: Int, gh: Int): Array[Int] = {
+    require(w >= gw && h >= gh, s"raster ${w}x$h smaller than grid ${gw}x$gh")
+    val out = new Array[Int](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh; val y1 = (cy + 1) * h / gh
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw; val x1 = (cx + 1) * w / gw
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = 3 * (y * w + x)
+            sum += luma(rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out(cy * gw + cx) = (sum / n).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** dHash64 over a 9×8 grid: bit r·8+c set iff cell(r,c+1) > cell(r,c) —
+    * the horizontal-gradient difference hash. */
+  private[multimodal] def dhash64(grid9x8: Array[Int]): Long = {
+    require(grid9x8.length == 72, s"dhash64 needs a 9x8 grid, got ${grid9x8.length}")
+    var hsh = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid9x8(r * 9 + c + 1) > grid9x8(r * 9 + c)) hsh |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hsh
+  }
+
+  /** aHash64 over an 8×8 grid: bit r·8+c set iff cell > ⌊Σcells/64⌋. */
+  private[multimodal] def ahash64(grid8x8: Array[Int]): Long = {
+    require(grid8x8.length == 64, s"ahash64 needs an 8x8 grid, got ${grid8x8.length}")
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += grid8x8(i); i += 1 }
+    val mean = sum / 64
+    var hsh = 0L
+    i = 0
+    while (i < 64) {
+      if (grid8x8(i) > mean) hsh |= 1L << i
+      i += 1
+    }
+    hsh
+  }
+
+  /** (media_id, dhash, ahash) for every decodable image payload — PPM, PNG,
+    * GIF (first frame), or baseline JPEG, dispatched by magic bytes. The
+    * decode+hash is a mapPartitions scan (embarrassingly parallel, pixels
+    * never leave the task); only 17 bytes per image ever shuffle. Lossy
+    * JPEG is included deliberately: unlike [[decodedPixelDigest]]'s exact
+    * dedup, perceptual hashes are STABLE under a lossy round-trip — the
+    * same picture as PNG and as its JPEG re-encode lands within a small
+    * Hamming distance (MultimodalSpec pins a cross-format pair). */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val decoded: Option[(Int, Int, Array[Byte])] =
+          if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+            Some(Codecs.decodePpm(bytes))
+          else if (Codecs.isPng(bytes)) Some(Codecs.decodePng(bytes))
+          else if (Gif.isGif(bytes)) {
+            val (w, h, frames) = Gif.decodeRgbFrames(bytes)
+            Some((w, h, frames.head._2))
+          } else if (Jpeg.isJpeg(bytes)) Some(Jpeg.decode(bytes))
+          else None
+        decoded.map { case (w, h, rgb) =>
+          Row(r.getLong(0), dhash64(grayGrid(w, h, rgb, 9, 8)),
+            ahash64(grayGrid(w, h, rgb, 8, 8)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Closed-form dHash target bit of the near-dup fixture (shared by the
+    * generator, the spec, and — re-stated in SQL — the q275 oracle): base
+    * pattern = bit r·8+c of k·2654435761 (Knuth's multiplicative constant;
+    * distinct classes are ≥8 bits apart for k < 41, measured exhaustively),
+    * and variant v flips the ≤3 positions (r=j, c=(k+j) mod 8) for j < v —
+    * so within a class every pair is ≤3 apart while cross-class pairs stay
+    * ≥8 apart: Hamming threshold 3 separates exactly. */
+  private[multimodal] def nearDupBit(k: Long, v: Long, r: Int, c: Int): Boolean = {
+    val base = ((k * 2654435761L) >>> (r * 8 + c) & 1L) == 1L
+    val flip = r < v && c == ((k + r) % 8)
+    base ^ flip
+  }
+
+  /** Near-duplicate image fixture (q275's input): class k = id mod
+    * `classes` picks the base picture, variant v = (id div classes) mod
+    * `variants` applies ≤3 one-bit edits, and the CONTAINER cycles
+    * PPM/PNG/GIF by id mod 3. The 18×16 raster replicates each 9×8 grid
+    * cell 2×2 with R=G=B, and each grid row walks from 128 by ±8 per
+    * [[nearDupBit]] — so dHash(decode(bytes)) recovers the closed-form bit
+    * pattern EXACTLY, and the DuckDB oracle can restate hash and clusters
+    * relationally without seeing a byte. */
+  def syntheticNearDupImages(df: DataFrame, idCol: String, classes: Int = 41,
+                             variants: Int = 4): DataFrame = {
+    require(classes >= 1 && classes <= 41 && variants >= 1 && variants <= 4,
+      s"fixture separation is verified for classes<=41, variants<=4; " +
+        s"got ($classes, $variants)")
+    val gen = udf { (id: Long) =>
+      val k = id % classes
+      val v = (id / classes) % variants
+      val gw = 9; val gh = 8; val w = 2 * gw; val h = 2 * gh
+      val grid = new Array[Int](gw * gh)
+      var r = 0
+      while (r < gh) {
+        grid(r * gw) = 128
+        var c = 0
+        while (c < gw - 1) {
+          grid(r * gw + c + 1) = grid(r * gw + c) + (if (nearDupBit(k, v, r, c)) 8 else -8)
+          c += 1
+        }
+        r += 1
+      }
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = grid((y / 2) * gw + (x / 2)).toByte
+          val p = 3 * (y * w + x)
+          rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+      (id % 3) match {
+        case 0 => Codecs.encodePpm(w, h, rgb)
+        case 1 => Codecs.encodePng(w, h, rgb)
+        case _ =>
+          val pal = Array.tabulate(256)(j => (j << 16) | (j << 8) | j)
+          val idx = Array.tabulate(w * h)(i => rgb(3 * i))
+          Gif.encode(w, h, pal, Seq(Gif.EncFrame(0, 0, w, h, 0, indices = idx)))
+      }
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("image").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("mixed").as("format"), lit(18).as("width"), lit(16).as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+
   /** Mixed-format image table (q186's input): pixel content is a closed form
     * of `id mod classes`, but the CONTAINER cycles PPM/PNG/GIF by `id mod 3`
     * — so byte-level hashing splits every pixel-identical cluster three ways
