@@ -158,4 +158,47 @@ class BpeSpec extends SparkSpec {
     assert(out(2) === Seq("a"))
     assert(out(3) === Seq.empty)
   }
+
+  test("batched trainer at tokenizer scale: 1024 exact merges, jobs/merges <= 0.3 (r10 verdict #3)") {
+    // The cap lift is only worth its complexity if jobs << merges HOLDS at
+    // real vocab scale. Spread regime scaled up: ~1300 distinct two-symbol
+    // words over a 2000-codepoint alphabet (symbol collisions rare, so
+    // accepted batches stay provably-sequential AND wide) with strictly
+    // decreasing weights (no count ties narrowing batches). The sequential
+    // driver trainer is the oracle twin (the 256-round DuckDB CTE of q257
+    // does not stretch to 1024; twin-equality is the pin, per the r10
+    // verdict), and the Spark listener counts ACTUAL scheduled jobs.
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 1400).map(_ =>
+      (0 until 2).map(_ => (0x100 + rnd.nextInt(2000)).toChar).mkString).distinct
+    assert(words.length >= 1300, s"fixture needs >=1300 distinct words, got ${words.length}")
+    val rows0 = words.zipWithIndex.map { case (w, i) =>
+      ((words.length - i).toLong, w) } // strictly decreasing weights
+    // corpus as one row per word, the word repeated weight times — the
+    // trainer only sees exploded tokens, so this is weight-equivalent to a
+    // flat corpus without building a multi-MB string
+    val df = rows0.map { case (wt, w) => Seq.fill(wt.toInt)(w).mkString(" ") }.toDF("text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val fast = rows(Bpe.learnMerges(df, "text", nMerges = 1024))
+    assert(fast.length === 1024, "fixture must sustain 1024 merges (no early exhaustion)")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dist =
+      try rows(Bpe.learnMergesDistributed(df, "text", nMerges = 1024))
+      finally {
+        var prev = -1
+        while (prev != jobs.get()) { prev = jobs.get(); Thread.sleep(250) }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(dist === fast, "batched distributed merges must replay sequential BPE exactly")
+    info(s"jobs = ${jobs.get()} for 1024 merges (ratio ${jobs.get() / 1024.0})")
+    assert(jobs.get() * 10 <= 1024 * 3,
+      s"jobs (${jobs.get()}) / merges (1024) must be <= 0.3 in the spread regime")
+  }
 }
