@@ -88,6 +88,56 @@ object SuffixRanks {
         count(when(col("__n") > 1L, 1)).as("n_dup"))
   }
 
+  /** EXACTSUBSTR SPAN STRIP — what the operator actually IS in Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): remove the duplicated spans THEMSELVES, keep the first
+    * occurrence, emit cleaned text. Every occurrence after the FIRST (in
+    * (doc, position) order) of any full `depth`-token window duplicated
+    * corpus-wide is a removal span; a token survives iff no removal span
+    * covers it. Output per input doc: `(docId, n_tokens, n_kept,
+    * clean_text)` with clean_text = surviving tokens joined by ' '
+    * (whitespace-normalized, the q268 convention — md5-pinnable).
+    *
+    * Scale shape: the window keys come from the same ⌈log₂ depth⌉
+    * doubling rounds (two longs per position per round — never the
+    * windows); multiplicity+first is one aggregate on the key; coverage
+    * explodes only depth × removal rows; the rebuild is a per-document
+    * sort-aggregate, bounded by document length. Tail windows shorter
+    * than `depth` are never removal spans (the paper strips ≥ L-token
+    * duplicates only). */
+  def stripDuplicatedSpans(docs: DataFrame, docId: String, textCol: String,
+                           depth: Int): DataFrame = {
+    val (_, ranked) = windowKeys(docs, docId, textCol, depth)
+    val toks = docs
+      .select(col(docId).as("__doc"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__wi0", "__tok")))
+      .select(col("__doc"), (col("__wi0") + 1).cast("long").as("__wi"), col("__tok"))
+    val nTok = toks.groupBy("__doc").agg(max("__wi").as("__n"))
+    val win = ranked.select(col("__doc"), col("wi").as("__wi"), col("__r"))
+      .join(nTok, "__doc")
+      .filter(col("__wi") + lit(depth - 1) <= col("__n"))
+      .select("__doc", "__wi", "__r")
+    val firsts = win.groupBy("__r").agg(count(lit(1)).as("__m"),
+      min(struct(col("__doc"), col("__wi"))).as("__f"))
+    val removals = win.join(firsts, "__r")
+      .filter(col("__m") > 1L &&
+        !(col("__doc") === col("__f.__doc") && col("__wi") === col("__f.__wi")))
+    val covered = removals.select(col("__doc"),
+      explode(sequence(col("__wi"), col("__wi") + lit(depth - 1))).as("__wi"))
+      .distinct()
+    val kept = toks.join(covered, Seq("__doc", "__wi"), "left_anti")
+    val rebuilt = kept.groupBy("__doc")
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(array_sort(collect_list(struct(col("__wi"), col("__tok")))),
+          x => x("__tok")), " ").as("__ct"))
+    docs.select(col(docId).as("__doc")).join(nTok, Seq("__doc"), "left")
+      .join(rebuilt, Seq("__doc"), "left")
+      .select(col("__doc").as(docId),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__ct"), lit("")).as("clean_text"))
+  }
+
   /** The doubling loop: per-position keys ORDER-ISOMORPHIC to the
     * ≤ depth-token window order (equal keys ⟺ identical windows), as
     * `(__doc, wi, __r)`. */

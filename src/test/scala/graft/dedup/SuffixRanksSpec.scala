@@ -81,4 +81,36 @@ class SuffixRanksSpec extends SparkSpec {
       SuffixRanks.suffixRanks(docs, "doc_id", "text", depth = 6)
     }
   }
+
+  test("stripDuplicatedSpans: first occurrence kept, overlap union, per-doc rebuild (hand fixture)") {
+    // depth 2: duplicated full windows across the fixture docs.
+    //   d1 = "x y z w"      windows (x,y) (y,z) (z,w)
+    //   d2 = "x y z q"      windows (x,y) (y,z) (z,q)
+    //   d3 = "q x y z w"    windows (q,x) (x,y) (y,z) (z,w)
+    //   d4 = "u v"          windows (u,v)           — unique, untouched
+    //   d5 = ""                                      — empty doc
+    // dup keys: (x,y) first at (1,1); (y,z) first at (1,2); (z,w) first
+    // at (1,3). Removals: d2 wi=1,2 → covers pos 1..3; d3 wi=2,3,4 →
+    // covers pos 2..5.
+    val docs = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "q x y z w"),
+      (4L, "u v"), (5L, "")).toDF("doc_id", "text")
+    val got = SuffixRanks.stripDuplicatedSpans(docs, "doc_id", "text", depth = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((4L, 4L, "x y z w")), "every dup window's FIRST occurrence is kept whole")
+    assert(got(2L) === ((4L, 1L, "q")), "positions 1-3 covered by two removal spans (union)")
+    assert(got(3L) === ((5L, 1L, "q")), "overlapping removals strip 2-5, position 1 survives")
+    assert(got(4L) === ((2L, 2L, "u v")), "unique windows never strip")
+    assert(got(5L) === ((0L, 0L, "")), "empty docs survive with empty clean text")
+  }
+
+  test("stripDuplicatedSpans: tail windows shorter than depth never strip") {
+    // "a b" and "c a b": the full depth-4 windows don't exist (docs are
+    // shorter), so even though "a b" repeats, nothing is stripped.
+    val docs = Seq((1L, "a b"), (2L, "c a b")).toDF("doc_id", "text")
+    val got = SuffixRanks.stripDuplicatedSpans(docs, "doc_id", "text", depth = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, "a b")))
+    assert(got(2L) === ((3L, 3L, "c a b")))
+  }
 }
