@@ -4797,6 +4797,84 @@ object SparkEntry {
         col("cluster_id"), col("cluster_size"))
   }
 
+  /** EXACTSUBSTR SPAN STRIP (r10 verdict #4 — the operator ExactSubstr
+    * actually IS, Lee et al. 2022): remove every occurrence after the
+    * first of any duplicated 8-token window and emit the CLEANED text —
+    * q267 ranks windows, q272 drops whole docs; this strips the spans
+    * themselves. [[graft.dedup.SuffixRanks.stripDuplicatedSpans]]: window
+    * keys from the same 3 doubling rounds, first-occurrence argmin + span
+    * coverage as position-set arithmetic, per-doc sort-aggregate rebuild.
+    * Output md5-pins the cleaned text (the q268 discipline), so the hash
+    * proves key equality ⟺ window identity, the (doc, wi) first-
+    * occurrence order, the coverage union, and the rebuild order at once.
+    * The oracle replays the definition on materialized token slices —
+    * no shape shared with the doubling. */
+  private def q276_exactsubstr_strip(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SuffixRanks.stripDuplicatedSpans(
+      par(s, Tables.documents(s, dir)), "doc_id", "text", depth = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  /** THE q272 SUCCESSOR: FineWeb-style prep where the duplication stage
+    * STRIPS the duplicated spans (q276's operator) instead of dropping
+    * whole ≥20%-duplicated documents — C4 gate → KN keep-best-⅔ per lang
+    * → ExactSubstr span strip over the surviving corpus → composition
+    * summary. Per (lang, source): docs, tokens in, tokens kept, and an
+    * order-pinned md5-of-md5s of every cleaned document — so the hash
+    * pins the whole composition: which docs survive the gates, what the
+    * strip removed (multiplicities counted over SURVIVORS only, exactly
+    * the corpus the strip sees), and every cleaned byte. The oracle
+    * re-assembles the q272 CTE families plus q276's strip CTEs restricted
+    * to the survivor set. Same two checkpoint boundaries as q272. */
+  private def q277_fineweb_strip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = par(s, Tables.documents(s, dir))
+    val c4pass = TextOps.c4Flags(c4PageFixture(docs), "page")
+      .filter(col("c4_pass")).select("doc_id")
+    val isTrain = RelOps.hashSampleFilter(col("doc_id"), 0.8)
+    val lm = graft.text.LangModel.trainKneserNey(
+      docs.filter(isTrain), "doc_id", "text", minCount = 100L)
+    val scored = graft.text.LangModel
+      .scoreKnQ16(docs.filter(!isTrain), "doc_id", "text", lm)
+    val w = Window.partitionBy("lang").orderBy(col("mean_nlg2_q16"), col("doc_id"))
+    val kept = scored
+      .join(c4pass, Seq("doc_id"), "left_semi")
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") * 3 <= col("n") * 2)
+      .select("doc_id", "lang", "source")
+      .localCheckpoint(false)
+    val survivors = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    val stripped = graft.dedup.SuffixRanks
+      .stripDuplicatedSpans(survivors, "doc_id", "text", depth = 8)
+      .withColumn("cmd5", md5(col("clean_text")))
+    kept.join(stripped, "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"), sum("n_kept").as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("cmd5")))),
+          x => x("cmd5")), "")).as("corpus_md5"))
+  }
+
+  /** SOFT-EM UNIGRAM TRAINING (r10 verdict #6 — the paper-faithful E-step,
+    * Kudo 2018 §3.2): seed exactly as q260, then 2 forward-backward rounds
+    * — expected piece counts over ALL segmentations, not just the Viterbi
+    * path ([[graft.text.Unigram.trainSoft]]). Determinized end-to-end in
+    * integers: Q12 lattice weights, exact BigInt path algebra, Q16-floor
+    * per-word posteriors, order-free integer M-step. The oracle replays
+    * both rounds by brute-force enumeration of every 2^(n−1) cut mask with
+    * exact HUGEINT path weights — the hash proves the forward-backward DP
+    * itself, count by count. Same scale shape as q260: ONE corpus-sized
+    * job (the distinct-word count), EM on the Heaps-bounded word table,
+    * with a spec-pinned distributed round twin. */
+  private def q278_unigram_softem(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.text.Unigram.trainSoft(par(s, Tables.documents(s, dir)), "text",
+      maxPieceLen = 5, maxVocab = 128, softRounds = 2)
+    graft.text.Unigram.vocabDf(s, model)
+  }
+
   /** STREAMING WORDPIECE SEGMENTATION — the train-offline / serve-online
     * tokenizer pattern: the q264 model is trained BATCH-side (word-count
     * job + driver loop), then applied to a parquet file STREAM
@@ -5219,6 +5297,9 @@ object SparkEntry {
     "q273_tokenizer_fertility" -> (q273_tokenizer_fertility _),
     "q274_stream_wordpiece" -> (q274_stream_wordpiece _),
     "q275_image_neardup" -> (q275_image_neardup _),
+    "q276_exactsubstr_strip" -> (q276_exactsubstr_strip _),
+    "q277_fineweb_strip" -> (q277_fineweb_strip _),
+    "q278_unigram_softem" -> (q278_unigram_softem _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -7706,6 +7787,64 @@ object SparkEntry {
          FROM keptx k JOIN dstatx ds ON ds.doc_id = k.doc_id
          WHERE ds.n_dup * 5 < ds.n_pos
          GROUP BY 1, 2"""),
+    // q277: q272's CTE families (C4 gate + KN keep-best + keptx) plus
+    // q276's strip CTEs restricted to the survivor set, with per-group
+    // order-pinned md5-of-md5s of the cleaned documents
+    "q277_fineweb_strip" ->
+      ("""WITH """ + c4PageCtes + """,
+         c4fl AS (SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines
+           FROM pg),
+         c4kp AS (SELECT doc_id, page,
+             coalesce(array_to_string(
+               list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
+                 AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5
+                 AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS clean
+           FROM c4fl),
+         c4p AS (SELECT doc_id FROM c4kp
+           WHERE len(regexp_extract_all(clean, '[.!?]')) >= 3
+             AND NOT contains(lower(page), 'lorem ipsum')
+             AND NOT contains(page, '{')),
+         """ + knScoreCtes + """,
+         keptx AS (SELECT doc_id, lang, source FROM (
+             SELECT k.doc_id, doc.lang, doc.source,
+               row_number() OVER (PARTITION BY doc.lang
+                 ORDER BY k.mean_nlg2_q16, k.doc_id) AS rn,
+               count(*) OVER (PARTITION BY doc.lang) AS n
+             FROM knsc k
+               JOIN c4p ON c4p.doc_id = k.doc_id
+               JOIN documents doc ON doc.doc_id = k.doc_id)
+           WHERE rn * 3 <= n * 2),
+         sdd AS MATERIALIZED (SELECT d.doc_id, d.l
+           FROM d JOIN keptx kk ON kk.doc_id = d.doc_id),
+         spn AS (SELECT doc_id, cast(wi as bigint) AS wi,
+             list_slice(l, wi, wi + 7) AS win
+           FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS wi FROM sdd)
+           WHERE wi + 7 <= len(l)),
+         srm AS (SELECT doc_id, wi FROM (
+             SELECT doc_id, wi, row_number() OVER (PARTITION BY win ORDER BY doc_id, wi) AS rn
+             FROM spn) WHERE rn > 1),
+         scov AS (SELECT DISTINCT doc_id, wi + o AS pos
+           FROM srm, (SELECT unnest(range(8)) AS o)),
+         stok AS (SELECT doc_id, cast(pos as bigint) AS pos, l[pos] AS tok
+           FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos FROM sdd)),
+         skept AS (SELECT t.doc_id, t.pos, t.tok FROM stok t
+           LEFT JOIN scov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+           WHERE c.doc_id IS NULL),
+         sdoc AS (SELECT doc_id, cast(len(l) as bigint) AS n_tokens FROM sdd),
+         sout AS (SELECT doc_id, cast(count(*) as bigint) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS ct
+           FROM skept GROUP BY doc_id),
+         sfin AS (SELECT s.doc_id, s.n_tokens,
+             cast(coalesce(o.n_kept, 0) as bigint) AS n_kept,
+             md5(coalesce(o.ct, '')) AS cmd5
+           FROM sdoc s LEFT JOIN sout o ON s.doc_id = o.doc_id)
+         SELECT k.lang, k.source, cast(count(*) as bigint) AS n_docs,
+           cast(sum(f.n_tokens) as bigint) AS n_tokens,
+           cast(sum(f.n_kept) as bigint) AS n_kept,
+           md5(string_agg(f.cmd5, '' ORDER BY f.doc_id)) AS corpus_md5
+         FROM keptx k JOIN sfin f ON f.doc_id = k.doc_id
+         GROUP BY 1, 2"""),
     // q267: suffix ranks from the DEFINITION — dense_rank over the
     // materialized ≤8-token slices (list order = lexicographic,
     // shorter-first, matching the -1 padding of the doubling recurrence)
@@ -8132,6 +8271,12 @@ object SparkEntry {
          SELECT r.piece, r.cnt, r.loss,
                 (NOT r.multi) OR p.rk > 48 AS kept
          FROM ranked r LEFT JOIN pr p ON p.piece = r.piece""",
+    // q278: soft-EM unigram — seed as q260, then 2 forward-backward
+    // rounds replayed by brute-force mask enumeration with exact HUGEINT
+    // path weights (Q12 lattice, Q16-floor posteriors, integer M-step)
+    "q278_unigram_softem" ->
+      s"""WITH ${unigramSoftCtes(maxPieceLen = 5, maxVocab = 128, rounds = 2)}
+         SELECT piece, cnt FROM svocab2""",
     // q263: Kneser–Ney restated relationally — the pairs table is the
     // sufficient statistic (c1 = Σ c12, t1/r2/R = row counts over it);
     // with d = 3/4, num/den are the exact integer rational of each
@@ -8460,6 +8605,33 @@ object SparkEntry {
            cast(sum(sqd) as bigint) AS sum_sqdist,
            min(vec_id) AS min_vec, max(vec_id) AS max_vec
          FROM a WHERE rn = 1 GROUP BY 1""",
+    // q276: the strip replayed from the DEFINITION on materialized
+    // 8-token slices - full windows only, first occurrence by (doc, wi),
+    // positional coverage union, order-preserving rebuild, md5 pin
+    "q276_exactsubstr_strip" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS l
+           FROM documents),
+         p AS (SELECT doc_id, cast(wi as bigint) AS wi, list_slice(l, wi, wi + 7) AS win
+           FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS wi FROM d)
+           WHERE wi + 7 <= len(l)),
+         rm AS (SELECT doc_id, wi FROM (
+             SELECT doc_id, wi, row_number() OVER (PARTITION BY win ORDER BY doc_id, wi) AS rn
+             FROM p) WHERE rn > 1),
+         cov AS (SELECT DISTINCT doc_id, wi + o AS pos
+           FROM rm, (SELECT unnest(range(8)) AS o)),
+         tok AS (SELECT doc_id, cast(pos as bigint) AS pos, l[pos] AS tok
+           FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos FROM d)),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+           LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+           WHERE c.doc_id IS NULL),
+         o AS (SELECT doc_id, cast(count(*) as bigint) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, cast(len(d.l) as bigint) AS n_tokens,
+           cast(coalesce(o.n_kept, 0) as bigint) AS n_kept,
+           md5(coalesce(o.clean_text, '')) AS clean_md5
+         FROM d LEFT JOIN o ON d.doc_id = o.doc_id""",
     // q275: the near-dup fixture's dHash restated relationally (base bit =
     // bit r·8+c of k·2654435761, variant v flips (r, (k+r) mod 8) for
     // r < v) and the clusters by construction (class = doc mod 41; within
@@ -8969,6 +9141,16 @@ object SparkEntry {
            FROM vocab$r v)"""
     }.mkString(",\n         ")
     val fin = if (finalSeg) s",\n         ${segRound(rounds)}" else ""
+    s"""${unigramSeedCtes(maxPieceLen, maxVocab)},
+         $ems$fin"""
+  }
+
+  /** The unigram SEED block shared by the hard-EM ([[unigramTrainCtes]])
+    * and soft-EM (q278) oracle chains: distinct-word weights, substring
+    * seeding (`vocab0` = all singles + top multis by weight), and the
+    * brute-force `masks` table — every 2^(n−1) cut mask of every word with
+    * its piece list. */
+  private def unigramSeedCtes(maxPieceLen: Int, maxVocab: Int): String =
     s"""words AS MATERIALIZED (
            SELECT w, count(*)::BIGINT AS freq, len(w)::INT AS n
            FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
@@ -8998,8 +9180,50 @@ object SparkEntry {
                         list_prepend(0, list_append(
                           list_filter(range(1, n), i -> (m >> (i - 1)) & 1 = 1), n)) AS cuts
                  FROM words,
-                      LATERAL (SELECT unnest(range(0, 1 << (n - 1)))::BIGINT AS m))),
-         $ems$fin"""
+                      LATERAL (SELECT unnest(range(0, 1 << (n - 1)))::BIGINT AS m)))"""
+
+  /** q278's oracle chain: the shared seed block, then `rounds` soft-EM
+    * rounds replayed by BRUTE-FORCE path enumeration — per mask an exact
+    * HUGEINT weight ∏ q(pᵢ)·2^(12·(n−k)) (masks with any out-of-vocab
+    * piece drop via the count(*)=k guard, exactly the missing lattice
+    * edge), per (word, piece) the Q16-floor posterior, per piece the
+    * integer M-step. `svocab0` = the seed vocabulary; output `svocab<r>`.
+    * HUGEINT bounds this oracle to words of ≤ 9 code points (the Scala
+    * side is BigInt — see Unigram.scala's soft-EM section). */
+  private def unigramSoftCtes(maxPieceLen: Int, maxVocab: Int, rounds: Int): String = {
+    val softRounds = (0 until rounds).map { r =>
+      s"""stot$r AS (SELECT sum(cnt)::BIGINT AS t FROM svocab$r),
+         sqp$r AS MATERIALIZED (
+           SELECT piece, (1 + (cnt * 4096) // (SELECT t FROM stot$r))::BIGINT AS q
+           FROM svocab$r),
+         spc$r AS MATERIALIZED (
+           SELECT mk.w, mk.m, mk.freq, len(mk.pieces) AS k, u.p, u.pos,
+                  (v.q * (1::BIGINT << (12 * (len(u.p) - 1))))::HUGEINT AS f
+           FROM masks mk,
+                LATERAL (SELECT unnest(mk.pieces) AS p,
+                                generate_subscripts(mk.pieces, 1) AS pos) u
+           JOIN sqp$r v ON v.piece = u.p),
+         swt$r AS MATERIALIZED (
+           SELECT w, m, freq, list_reduce(list(f ORDER BY pos), (a, b) -> a * b) AS wt
+           FROM spc$r GROUP BY w, m, freq
+           HAVING count(*) = max(k)),
+         stw$r AS (SELECT w, sum(wt) AS tw FROM swt$r GROUP BY w),
+         sex$r AS (
+           SELECT c.w, max(c.freq) AS freq, c.p,
+                  ((sum(t.wt) * 65536::HUGEINT) // max(g.tw))::BIGINT AS e
+           FROM spc$r c
+                JOIN swt$r t ON t.w = c.w AND t.m = c.m
+                JOIN stw$r g ON g.w = c.w
+           GROUP BY c.w, c.p),
+         svocab${r + 1} AS MATERIALIZED (
+           SELECT v.piece,
+                  (65536 + coalesce((SELECT sum(x.freq * x.e)
+                     FROM sex$r x WHERE x.p = v.piece), 0))::BIGINT AS cnt
+           FROM svocab$r v)"""
+    }.mkString(",\n         ")
+    s"""${unigramSeedCtes(maxPieceLen, maxVocab)},
+         svocab0 AS (SELECT piece, cnt FROM vocab0),
+         $softRounds"""
   }
 
   private def bpeOracleSql(nMerges: Int): String = {

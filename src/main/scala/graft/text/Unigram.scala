@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * instead of growing a vocabulary by greedy merges, unigram-LM starts
   * from a LARGE seed vocabulary of substrings and lets EM re-estimate
   * piece probabilities, segmenting each word by the Viterbi-best product
-  * of piece probabilities. This implementation is the deterministic
-  * HARD-EM variant (Viterbi counts, not forward-backward expected counts)
-  * with ADD-ONE smoothing on a FIXED seed piece set:
+  * of piece probabilities. TWO E-steps are implemented: the deterministic
+  * HARD-EM variant (Viterbi counts — the shipped default, used by
+  * [[train]] and the q260-q262 family) and the paper-faithful SOFT-EM
+  * variant (forward-backward expected counts over ALL segmentations,
+  * Kudo 2018 §3.2 — [[trainSoft]]/[[softEmRound]], determinized by
+  * exact-integer lattice weights and Q16-floor posteriors; see the
+  * soft-EM section below). Both run ADD-ONE smoothing on a FIXED seed
+  * piece set:
   *
   *  - seed: every single code point of the corpus, plus the top
   *    (maxVocab − #singles) multi-code-point substrings of length
@@ -430,5 +435,175 @@ object Unigram {
   def vocabDf(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
     model.pieces.zip(model.counts).toSeq.toDF("piece", "cnt")
+  }
+
+  // ───────────────────────── SOFT-EM (forward-backward) ─────────────────────────
+  // The paper-faithful E-step (Kudo 2018 §3.2 / SentencePiece's trainer):
+  // expected piece counts over ALL segmentations of each word, not just the
+  // Viterbi-best path. Determinized by the repo's fixed-point discipline so
+  // the round is ENGINE-EXACT:
+  //   1. model probabilities quantize to Q12 weights q(p) = 1 + ⌊cnt·2¹²/T⌋
+  //      (the +1 is the add-one floor in Q12 units — no piece's lattice edge
+  //      vanishes);
+  //   2. a segmentation's weight is the exact INTEGER
+  //      ∏ q(pᵢ) · 2^(12·(n−k)) (n code points, k pieces — each piece of
+  //      length L pads 2^(12·(L−1)), so all paths share denominator 2^(12n));
+  //   3. per-word posteriors quantize to Q16: e(w,p) = ⌊2¹⁶·S(w,p)/T(w)⌋
+  //      where S sums path-weight × multiplicity over the lattice and
+  //      T(w) = Σ path weights — exact BigInt forward-backward;
+  //   4. M-step: cnt′(p) = 2¹⁶ + Σ_w freq(w)·e(w,p) — an order-free integer
+  //      sum (2¹⁶ is add-one in Q16 units), so driver and distributed rounds
+  //      are bit-identical.
+  // The DuckDB oracle replays the round by BRUTE-FORCE path enumeration
+  // (all 2^(n−1) cut masks, exact HUGEINT path weights), so the hash proves
+  // the forward-backward DP itself. HUGEINT bounds the ORACLE to words of
+  // ≤ 9 code points (weights ≤ 2^(12n)·1.01, sums ≤ 2^(12n+7), ×2¹⁶ fits
+  // 2¹²⁷ for n ≤ 9); the Scala side is BigInt — unbounded.
+
+  /** Q12 lattice weights of `model` (step 1 above). Guarded: quantization
+    * needs cnt·2¹² in a Long — rescale counts past 2⁵¹ total. */
+  def softQ12(model: Model): java.util.HashMap[String, java.lang.Long] = {
+    require(model.total <= (Long.MaxValue >> 12),
+      s"softQ12: Σ counts = ${model.total} exceeds the Q12 envelope (2^51) — pre-scale counts")
+    val m = new java.util.HashMap[String, java.lang.Long](model.pieces.length * 2)
+    var i = 0
+    while (i < model.pieces.length) {
+      m.put(model.pieces(i), java.lang.Long.valueOf(1L + model.counts(i) * 4096L / model.total))
+      i += 1
+    }
+    m
+  }
+
+  /** Exact forward-backward over one word's segmentation lattice (steps
+    * 2-3): Q16-floor expected counts per piece. Lattice edges are IN-VOCAB
+    * pieces only (during training every single code point is seeded, so
+    * every corpus word has a path; a word with none — possible only under
+    * a foreign vocabulary — contributes nothing, exactly like its empty
+    * mask set in the oracle). Returns (piece, e) with e = ⌊2¹⁶·S/T⌋. */
+  def softExpectedCountsQ16(cp: Array[Int], q12: java.util.HashMap[String, java.lang.Long],
+                            maxPieceLen: Int): Iterator[(String, Long)] = {
+    val n = cp.length
+    if (n == 0) return Iterator.empty
+    def factor(i: Int, j: Int): BigInt = {
+      val q = q12.get(new String(cp, i, j - i))
+      if (q == null) null else BigInt(q.longValue) << (12 * (j - i - 1))
+    }
+    val alpha = Array.fill(n + 1)(BigInt(0)); alpha(0) = BigInt(1)
+    var j = 1
+    while (j <= n) {
+      var acc = BigInt(0)
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (alpha(i).signum != 0) {
+          val f = factor(i, j)
+          if (f != null) acc += alpha(i) * f
+        }
+        i += 1
+      }
+      alpha(j) = acc
+      j += 1
+    }
+    val tw = alpha(n)
+    if (tw.signum == 0) return Iterator.empty
+    val beta = Array.fill(n + 1)(BigInt(0)); beta(n) = BigInt(1)
+    var i0 = n - 1
+    while (i0 >= 0) {
+      var acc = BigInt(0)
+      var j2 = i0 + 1
+      val jmax = math.min(n, i0 + maxPieceLen)
+      while (j2 <= jmax) {
+        if (beta(j2).signum != 0) {
+          val f = factor(i0, j2)
+          if (f != null) acc += f * beta(j2)
+        }
+        j2 += 1
+      }
+      beta(i0) = acc
+      i0 -= 1
+    }
+    // edge (i,j): posterior mass α(i)·f·β(j); Σ over edges of a piece
+    // = Σ_paths weight × multiplicity — the standard lattice identity.
+    val s = new java.util.HashMap[String, BigInt]()
+    var i = 0
+    while (i < n) {
+      if (alpha(i).signum != 0) {
+        var j3 = i + 1
+        val jmax = math.min(n, i + maxPieceLen)
+        while (j3 <= jmax) {
+          if (beta(j3).signum != 0) {
+            val f = factor(i, j3)
+            if (f != null) {
+              val m = alpha(i) * f * beta(j3)
+              val p = new String(cp, i, j3 - i)
+              val prev = s.get(p)
+              s.put(p, if (prev == null) m else prev + m)
+            }
+          }
+          j3 += 1
+        }
+      }
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    s.entrySet().iterator().asScala.map(e => (e.getKey, ((e.getValue << 16) / tw).toLong))
+  }
+
+  /** One soft-EM round on the collected word table (step 4). The piece set
+    * is FIXED — only counts move, now in Q16 expected-count units (only
+    * ratios enter the next round's quantization, so units are free).
+    * Overflow-loud: the accumulate uses exact Long arithmetic. */
+  def softEmRound(words: Array[(String, Long)], model: Model): Model = {
+    val q12 = softQ12(model)
+    val maxLen = model.maxPieceLen
+    val idx = new java.util.HashMap[String, Integer](model.pieces.length * 2)
+    var i = 0
+    while (i < model.pieces.length) { idx.put(model.pieces(i), Integer.valueOf(i)); i += 1 }
+    val acc = new Array[Long](model.pieces.length)
+    for ((w, f) <- words) {
+      softExpectedCountsQ16(w.codePoints().toArray, q12, maxLen).foreach { case (p, e) =>
+        val j = idx.get(p)
+        if (j != null) acc(j.intValue) = Math.addExact(acc(j.intValue), Math.multiplyExact(f, e))
+      }
+    }
+    Model(model.pieces, acc.map(65536L + _))
+  }
+
+  /** One soft-EM round CLUSTER-SIDE — the [[emRoundDistributed]] twin: the
+    * Q12 model broadcasts, each partition runs the forward-backward on its
+    * words and emits (piece, freq·e), one aggregation sums. Integer sums
+    * are order-free ⇒ bit-identical to the driver round (UnigramSpec). */
+  def softEmRoundDistributed(words: DataFrame, wordCol: String, freqCol: String,
+                             model: Model): Model = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((softQ12(model), model.maxPieceLen))
+    val counted = words.select(col(wordCol).as[String], col(freqCol).as[Long])
+      .mapPartitions { it =>
+        val (q12, maxLen) = bc.value
+        it.flatMap { case (w, f) =>
+          softExpectedCountsQ16(w.codePoints().toArray, q12, maxLen)
+            .map { case (p, e) => (p, Math.multiplyExact(f, e)) }
+        }
+      }
+      .toDF("piece", "fe")
+      .groupBy("piece").agg(sum("fe").as("s"))
+      .as[(String, Long)].collect().toMap
+    Model(model.pieces, model.pieces.map(p => 65536L + counted.getOrElse(p, 0L)))
+  }
+
+  /** TRAIN, soft-EM variant: one corpus-scale job (the distinct-word
+    * weight count), then seed + `softRounds` forward-backward rounds
+    * driver-side over the Heaps-bounded word table — the same scale shape
+    * as [[train]], with [[softEmRoundDistributed]] as the cluster-side
+    * headroom twin. */
+  def trainSoft(docs: DataFrame, textCol: String, maxPieceLen: Int, maxVocab: Int,
+                softRounds: Int, maxWords: Int = 1 << 20): Model = {
+    require(softRounds >= 0 && softRounds <= 64, s"trainSoft: softRounds=$softRounds")
+    val words = wordWeights(docs, textCol, maxWords)
+    val seed = seedVocab(words, maxPieceLen, maxVocab)
+    var model = Model(seed.map(_._1), seed.map(_._2))
+    var r = 0
+    while (r < softRounds) { model = softEmRound(words, model); r += 1 }
+    model
   }
 }

@@ -237,4 +237,115 @@ class UnigramSpec extends SparkSpec {
     assert(out(1) === ((2L, 1L, "|")))
     assert(out(2) === ((3L, 4L, "a|| ||a")))
   }
+
+  // ───────────────────── soft-EM (forward-backward) ─────────────────────
+
+  /** Brute force for the soft E-step: enumerate every cut mask, keep the
+    * in-vocab ones, exact BigInt path weights ∏ q·2^(12·(len−1)), per-piece
+    * Q16-floor posteriors — exactly the DuckDB oracle's shape. */
+  private def bruteSoftE(word: String, q12: java.util.HashMap[String, java.lang.Long],
+                         maxLen: Int): Map[String, Long] = {
+    val cp = word.codePoints().toArray
+    val n = cp.length
+    require(n >= 1 && n <= 20, "bruteSoftE: test-sized words only")
+    def segOf(mask: Long): Seq[String] = {
+      val cuts = (0 until n - 1).filter(i => ((mask >> i) & 1L) == 1L).map(_ + 1)
+      val bounds = 0 +: cuts :+ n
+      bounds.zip(bounds.tail).map { case (a, b) => new String(cp, a, b - a) }
+    }
+    val paths = (0L until (1L << (n - 1))).flatMap { m =>
+      val seg = segOf(m)
+      val ok = seg.forall(p =>
+        q12.get(p) != null && p.codePointCount(0, p.length) <= maxLen)
+      if (!ok) None
+      else Some((seg, seg.map(p => BigInt(q12.get(p).longValue) <<
+        (12 * (p.codePointCount(0, p.length) - 1))).product))
+    }
+    if (paths.isEmpty) return Map.empty
+    val tw = paths.map(_._2).sum
+    val s = scala.collection.mutable.Map[String, BigInt]().withDefaultValue(BigInt(0))
+    for ((seg, w) <- paths; p <- seg) s(p) += w
+    s.map { case (p, v) => p -> ((v << 16) / tw).toLong }.toMap
+  }
+
+  test("softExpectedCountsQ16: hand-checked two-path lattice") {
+    // vocab {a:1, b:1, ab:2}, T=4 → q(a)=q(b)=1+4096/4=1025, q(ab)=1+2048=2049.
+    // word "ab": path [ab] weight 2049·4096; path [a,b] weight 1025².
+    val model = Unigram.Model(Array("a", "b", "ab"), Array(1L, 1L, 2L))
+    val q12 = Unigram.softQ12(model)
+    assert(q12.get("a").longValue === 1025L && q12.get("ab").longValue === 2049L)
+    val wAb = BigInt(2049) * 4096
+    val wSplit = BigInt(1025) * 1025
+    val tw = wAb + wSplit
+    val got = Unigram.softExpectedCountsQ16("ab".codePoints().toArray, q12, 2).toMap
+    assert(got("ab") === ((wAb << 16) / tw).toLong)
+    assert(got("a") === ((wSplit << 16) / tw).toLong)
+    assert(got("b") === got("a"))
+    // and the M-step: freq 3, add-one floor 2^16
+    val out = Unigram.softEmRound(Array(("ab", 3L)), model)
+    assert(out.pieces.toSeq === Seq("a", "b", "ab"))
+    assert(out.counts.toSeq === Seq(65536L + 3 * got("a"), 65536L + 3 * got("b"),
+      65536L + 3 * got("ab")))
+  }
+
+  test("softExpectedCountsQ16: multiplicity counted — repeated piece on one path") {
+    // vocab {a only}: the single path [a,a,a] must report e(a) = 3·2^16.
+    val model = Unigram.Model(Array("a"), Array(5L))
+    val got = Unigram.softExpectedCountsQ16("aaa".codePoints().toArray,
+      Unigram.softQ12(model), 1).toMap
+    assert(got === Map("a" -> 3L * 65536L))
+  }
+
+  test("softExpectedCountsQ16 equals exhaustive path enumeration (seeded)") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 200) {
+      val alpha = "abcd".take(2 + rnd.nextInt(3))
+      val maxLen = 2 + rnd.nextInt(3)
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for (c <- alpha) counts(c.toString) = 1L + rnd.nextInt(1000)
+      for (_ <- 0 until 10) {
+        val len = 2 + rnd.nextInt(maxLen - 1)
+        counts(Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString) = 1L + rnd.nextInt(1000)
+      }
+      val model0 = Unigram.Model(counts.keys.toArray.sorted, counts.keys.toArray.sorted.map(counts))
+      val q12 = Unigram.softQ12(model0)
+      val word = Seq.fill(1 + rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length))).mkString
+      val got = Unigram.softExpectedCountsQ16(word.codePoints().toArray, q12, maxLen).toMap
+      val want = bruteSoftE(word, q12, maxLen)
+      assert(got === want, s"word=$word vocab=$counts maxLen=$maxLen")
+    }
+  }
+
+  test("softExpectedCountsQ16: a word with no lattice path contributes nothing") {
+    // vocab lacks 'x' entirely (no unk fallback in the soft E-step —
+    // matching the oracle, whose mask set for the word is empty)
+    val model = Unigram.Model(Array("a"), Array(5L))
+    assert(Unigram.softExpectedCountsQ16("ax".codePoints().toArray,
+      Unigram.softQ12(model), 1).isEmpty)
+  }
+
+  test("softEmRoundDistributed is bit-identical to the driver round") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val collected = words.as[(String, Long)].collect()
+    val seed = Unigram.seedVocab(collected, 4, 96)
+    val m0 = Unigram.Model(seed.map(_._1), seed.map(_._2))
+    val driver = Unigram.softEmRound(collected, m0)
+    val dist = Unigram.softEmRoundDistributed(words, "w", "freq", m0)
+    assert(driver.pieces.toSeq === dist.pieces.toSeq)
+    assert(driver.counts.toSeq === dist.counts.toSeq)
+  }
+
+  test("trainSoft is deterministic; softQ12 guards its envelope") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val m1 = Unigram.trainSoft(docs, "text", maxPieceLen = 4, maxVocab = 96, softRounds = 2)
+    val m2 = Unigram.trainSoft(docs, "text", maxPieceLen = 4, maxVocab = 96, softRounds = 2)
+    assert(m1.pieces.toSeq === m2.pieces.toSeq)
+    assert(m1.counts.toSeq === m2.counts.toSeq)
+    assertThrows[IllegalArgumentException] {
+      Unigram.softQ12(Unigram.Model(Array("a", "b"), Array(Long.MaxValue / 2, Long.MaxValue / 2)))
+    }
+  }
 }
