@@ -4875,6 +4875,54 @@ object SparkEntry {
     graft.text.Unigram.vocabDf(s, model)
   }
 
+  /** THE CONTAINMENT GATE, batch form (r10 verdict #8): every incoming
+    * (odd-id) document checked against the even-id reference corpus under
+    * the q254/q255 directed relation C(A,B) = |A∩B|/|A| — per doc its
+    * shingle count, best-matching reference (max |A∩B|, ties → smallest
+    * ref id), and the τ = 0.8 gate verdict. The reference rides the plan
+    * as a model-like referenced object
+    * ([[graft.dedup.Dedup.containmentIndex]], loudly bounded — corpus-
+    * scale references belong to q255's inverted-index join), so the check
+    * is a ZERO-SHUFFLE codegen'd projection: gating 100 TB is one scan.
+    * The oracle restates the relation set-theoretically on both halves. */
+  private def q279_containment_gate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = graft.dedup.Dedup.containmentIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    graft.dedup.Dedup.containmentGate(
+      par(s, docs.filter(col("doc_id") % 2 === 1)), "doc_id", "text", idx, thresh10 = 8)
+  }
+
+  /** q279 STREAMING — the q270/q274 discipline applied to the round's
+    * flagship dedup relation: the same stateless gate projection run as an
+    * AvailableNow drain over the parquet doc stream into an append memory
+    * sink. Row-identical to q279 BY CONSTRUCTION (stateless projection,
+    * same rows), so it shares q279's oracle verbatim — hash-proven
+    * streaming coverage of the containment family. This is the shape a
+    * production ingest actually runs: decontaminate at the door, with the
+    * reference set shipped like a model. */
+  private def q280_stream_containment_gate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = Tables.documents(s, dir)
+    val idx = graft.dedup.Dedup.containmentIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val fixture = docsStreamFixture(s, dir, files = 8)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val name = s"q280_cg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = graft.dedup.Dedup.containmentGate(
+        s.readStream.schema(schema).parquet(fixture)
+          .filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, thresh10 = 8)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** STREAMING WORDPIECE SEGMENTATION — the train-offline / serve-online
     * tokenizer pattern: the q264 model is trained BATCH-side (word-count
     * job + driver loop), then applied to a parquet file STREAM
@@ -5300,6 +5348,8 @@ object SparkEntry {
     "q276_exactsubstr_strip" -> (q276_exactsubstr_strip _),
     "q277_fineweb_strip" -> (q277_fineweb_strip _),
     "q278_unigram_softem" -> (q278_unigram_softem _),
+    "q279_containment_gate" -> (q279_containment_gate _),
+    "q280_stream_containment_gate" -> (q280_stream_containment_gate _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -5320,6 +5370,37 @@ object SparkEntry {
          cast(len(a.sh) as bigint) AS n_a
        FROM s a JOIN s b ON a.doc_id <> b.doc_id
        WHERE len(list_intersect(a.sh, b.sh)) * 10 >= len(a.sh) * 8"""
+
+  /** Shared oracle for q279 (batch gate) and q280 (streaming drain —
+    * row-identical by construction): the q254/q255 containment relation
+    * restated as a per-incoming-doc best-reference aggregate. */
+  private val containmentGateOracleSql: String =
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+       shx AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' ')))
+                ELSE []::VARCHAR[] END AS sh
+         FROM tok),
+       inc AS (SELECT doc_id, sh FROM shx WHERE doc_id % 2 = 1),
+       ref AS (SELECT doc_id, sh FROM shx WHERE doc_id % 2 = 0),
+       cand AS (
+         SELECT a.doc_id, b.doc_id AS ref_id, len(list_intersect(a.sh, b.sh)) AS inter
+         FROM inc a, ref b
+         WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+       best AS (
+         SELECT doc_id, ref_id, inter FROM (
+           SELECT doc_id, ref_id, inter,
+             row_number() OVER (PARTITION BY doc_id ORDER BY inter DESC, ref_id ASC) AS rn
+           FROM cand) WHERE rn = 1)
+       SELECT i.doc_id, cast(len(i.sh) as bigint) AS n_sh,
+         b.ref_id AS best_ref,
+         cast(coalesce(b.inter, 0) as bigint) AS best_inter,
+         (len(i.sh) > 0 AND coalesce(b.inter, 0) * 10 >= len(i.sh) * 8) AS gated
+       FROM inc i LEFT JOIN best b ON b.doc_id = i.doc_id"""
 
   private val distDriftOracleSql: String =
     """WITH t AS (
@@ -8154,6 +8235,8 @@ object SparkEntry {
     // path (exact prefix filtering must reproduce the baseline verbatim)
     "q254_containment_pairs" -> containmentOracleSql,
     "q255_containment_indexed" -> containmentOracleSql,
+    "q279_containment_gate" -> containmentGateOracleSql,
+    "q280_stream_containment_gate" -> containmentGateOracleSql,
     // q257: the batched distributed trainer must reproduce sequential BPE
     // verbatim — q219's 256-round unrolled oracle, reused textually
     "q257_bpe_distributed" -> bpeOracleSql(nMerges = 256),

@@ -202,6 +202,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"))
   }
 
+  /** The CONTAINMENT GATE's reference model: (ref ids, shingle → posting
+    * indexes) collected from a reference corpus — the model-like artifact
+    * ([[graft.functions.ContainmentExprs]]) an online/streaming gate
+    * ships to executors, like a tokenizer vocabulary. LOUDLY bounded:
+    * the gate is for reference sets that are genuinely model-sized
+    * (decontamination benchmarks, boilerplate banks — MBs); checking a
+    * corpus against a corpus-scale reference is
+    * [[containmentPairsIndexed]]'s inverted-index join, not a broadcast.
+    * Ref ids sort ascending so the model bytes are deterministic (the
+    * gate's tie-break is (inter, refId) — order-free regardless). */
+  def containmentIndex(reference: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3,
+                       maxPostings: Int = 1 << 22): (Seq[Long], Seq[(String, Seq[Int])]) = {
+    val rows = reference
+      .select(col(idCol).cast("long"), shingleSet(col(textCol), shingleN))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+    val ids = rows.map(_._1)
+    require(ids.distinct.length == ids.length, "containmentIndex: duplicate reference ids")
+    val total = rows.iterator.map(_._2.length.toLong).sum
+    require(total <= maxPostings,
+      s"containmentIndex: $total postings exceed maxPostings=$maxPostings — a reference " +
+        "this large is a corpus, not a model; use containmentPairsIndexed")
+    val postings = scala.collection.mutable.Map[String, List[Int]]().withDefaultValue(Nil)
+    for (((_, sh), i) <- rows.zipWithIndex; g <- sh) postings(g) = i :: postings(g)
+    (ids.toSeq, postings.iterator.map { case (g, refs) => (g, refs.toSeq) }.toSeq)
+  }
+
+  /** Apply the gate: a ZERO-SHUFFLE projection over `incoming` — works
+    * identically on a batch DataFrame and a streaming source (stateless,
+    * so an AvailableNow drain is row-identical to batch by construction).
+    * Output per incoming doc: (id, n_sh, best_ref, best_inter, gated) —
+    * see [[graft.functions.ContainmentExprs.ContainmentGate]]. */
+  def containmentGate(incoming: DataFrame, idCol: String, textCol: String,
+                      index: (Seq[Long], Seq[(String, Seq[Int])]),
+                      thresh10: Int, shingleN: Int = 3): DataFrame =
+    incoming.select(col(idCol),
+        graft.functions.ContainmentExprs.containment_gate(
+          col(textCol), index._1, index._2, shingleN, thresh10).as("__g"))
+      .select(col(idCol), col("__g.n_sh").as("n_sh"), col("__g.best_ref").as("best_ref"),
+        col("__g.best_inter").as("best_inter"), col("__g.gated").as("gated"))
+
   /** EXACT n-gram(shingle)-set Jaccard near-dup pairs at scale, via prefix
     * filtering (AllPairs / Chaudhuri et al.): under any global total order
     * (here: the shingle hash value), two sets with J ≥ τ must share their

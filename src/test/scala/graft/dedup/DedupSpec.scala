@@ -349,4 +349,76 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(both.contains((0L, 3L)) && both.contains((3L, 0L)), "exact dups contain each other")
   }
+
+  test("containment gate: hand fixture — best ref, smallest-id tie-break, short/empty docs") {
+    import spark.implicits._
+    // refs (even ids): 2 and 4 are identical (tie on inter → smallest id),
+    // 6 is unrelated. incoming (odd ids): 1 fully inside 2/4; 3 shares
+    // nothing; 5 too short for a 3-gram (n_sh = 0); 7 half-contained.
+    val docs = Seq(
+      (2L, "alpha beta gamma delta epsilon"),
+      (4L, "alpha beta gamma delta epsilon"),
+      (6L, "zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta"),
+      (3L, "mu nu xi omicron"),
+      (5L, "pi rho"),
+      (7L, "alpha beta gamma nu xi omicron pi")).toDF("doc_id", "text")
+    val idx = Dedup.containmentIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+    val got = Dedup.containmentGate(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", idx, thresh10 = 8)
+      .as[(Long, Long, Option[Long], Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: shingles {a b g, b g d} both in 2 and 4 → inter 2 = n_sh, tie → ref 2
+    assert(got(1L) === ((2L, Some(2L), 2L, true)))
+    // doc 3: 2 shingles, none shared
+    assert(got(3L) === ((2L, None, 0L, false)))
+    // doc 5: too short — 0 shingles, never gated
+    assert(got(5L) === ((0L, None, 0L, false)))
+    // doc 7: 5 shingles, only "alpha beta gamma" in 2/4 → 1/5 < 0.8
+    assert(got(7L) === ((5L, Some(2L), 1L, false)))
+  }
+
+  test("containment gate agrees with the pairs baseline on corpus text") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val inc = docs.filter($"doc_id" % 2 === 1)
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val idx = Dedup.containmentIndex(ref, "doc_id", "text")
+    val gate = Dedup.containmentGate(inc, "doc_id", "text", idx, thresh10 = 8)
+      .as[(Long, Long, Option[Long], Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // baseline: directed exact pairs from the union corpus, restricted to
+    // incoming→reference direction, reduced to the per-A best
+    val pairs = Dedup.containmentPairsExact(docs, "doc_id", "text", thresh10 = 1)
+      .filter($"id_a" % 2 === 1 && $"id_b" % 2 === 0)
+      .as[(Long, Long, Long, Long)].collect()
+    val bestOf = pairs.groupBy(_._1).map { case (a, ps) =>
+      val best = ps.minBy(p => (-p._3, p._2))
+      a -> ((best._2, best._3, best._4))
+    }
+    for ((a, (refId, inter, nA)) <- bestOf) {
+      val g = gate(a)
+      // thresh10=1 baseline only surfaces pairs with inter*10 >= n_a, so
+      // compare where the baseline sees the true best (inter >= n_a/10)
+      if (g._4 * 10L >= nA) {
+        assert(g._3 === Some(refId) && g._4 === inter,
+          s"doc $a: gate=${g._3}/${g._4} baseline=$refId/$inter")
+        assert(g._5 === (inter * 10 >= nA * 8))
+      }
+    }
+    assert(bestOf.nonEmpty, "baseline found no incoming→reference pairs at sf0.001")
+  }
+
+  test("containmentIndex guards: corpus-scale reference refused, duplicate ids refused") {
+    import spark.implicits._
+    val docs = Seq((2L, "a b c d e"), (4L, "f g h i j")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentIndex(docs, "doc_id", "text", maxPostings = 3)
+    }
+    assert(e.getMessage.contains("containmentPairsIndexed"))
+    val dup = Seq((2L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      Dedup.containmentIndex(dup, "doc_id", "text")
+    }
+  }
 }
