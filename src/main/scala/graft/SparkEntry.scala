@@ -4923,6 +4923,49 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** Integer quality features over raw text — the distillation inputs for
+    * q281, every one exactly restatable in ANSI SQL: bias, token count,
+    * distinct tokens, char length, '.' count, max token length, count of
+    * long (>6-char) tokens. */
+  private def qualityFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        lit(1L).as("f0"),
+        size(col("__t")).cast("long").as("f1"),
+        size(array_distinct(col("__t"))).cast("long").as("f2"),
+        length(col("text")).cast("long").as("f3"),
+        (length(col("text")) - length(translate(col("text"), ".", ""))).cast("long").as("f4"),
+        coalesce(array_max(transform(col("__t"), t => length(t))), lit(0)).cast("long").as("f5"),
+        size(filter(col("__t"), t => length(t) > 6)).cast("long").as("f6"))
+
+  /** DISTILLED QUALITY CLASSIFIER ([[graft.sim.Perceptron]] — the
+    * FineWeb-edu pattern): the C4 page gate labels the even-id half
+    * (teacher), an integer batch perceptron distills it over 7 integer
+    * text features (4 epochs, one map-side-combined aggregation each),
+    * and the held-out odd half is scored by a ZERO-SHUFFLE projection
+    * with the learned literal weights. Deterministic end-to-end — the
+    * batch update is an order-free integer sum over the misclassified
+    * set — so the oracle replays training epoch by epoch in BIGINT and
+    * the hash pins every weight through every epoch plus every held-out
+    * score. This is the missing gate-family member: C4/Gopher are
+    * hand-written rules, this is the LEARNED gate a production pipeline
+    * distills from an expensive teacher. */
+  private def q281_quality_perceptron(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    val feats = qualityFeatures(docs)
+    val teacher = TextOps.c4Flags(c4PageFixture(docs), "page")
+      .select(col("doc_id"), col("c4_pass"))
+    val featCols = (0 to 6).map(i => s"f$i")
+    val trainSet = feats.filter(col("doc_id") % 2 === 0)
+      .join(teacher, "doc_id")
+      .withColumn("y", when(col("c4_pass"), lit(1L)).otherwise(lit(-1L)))
+      .localCheckpoint(false)
+    val w = graft.sim.Perceptron.train(trainSet, "y", featCols, epochs = 4)
+    feats.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), graft.sim.Perceptron.dot(featCols, w.toSeq).as("score"))
+      .withColumn("pred", col("score") > 0)
+  }
+
   /** STREAMING WORDPIECE SEGMENTATION — the train-offline / serve-online
     * tokenizer pattern: the q264 model is trained BATCH-side (word-count
     * job + driver loop), then applied to a parquet file STREAM
@@ -5350,6 +5393,7 @@ object SparkEntry {
     "q278_unigram_softem" -> (q278_unigram_softem _),
     "q279_containment_gate" -> (q279_containment_gate _),
     "q280_stream_containment_gate" -> (q280_stream_containment_gate _),
+    "q281_quality_perceptron" -> (q281_quality_perceptron _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -8237,6 +8281,9 @@ object SparkEntry {
     "q255_containment_indexed" -> containmentOracleSql,
     "q279_containment_gate" -> containmentGateOracleSql,
     "q280_stream_containment_gate" -> containmentGateOracleSql,
+    // q281: teacher gate (q277's C4 family) + 4 unrolled batch-perceptron
+    // epochs in BIGINT + the held-out projection under the final weights
+    "q281_quality_perceptron" -> perceptronOracleSql(epochs = 4),
     // q257: the batched distributed trainer must reproduce sequential BPE
     // verbatim — q219's 256-round unrolled oracle, reused textually
     "q257_bpe_distributed" -> bpeOracleSql(nMerges = 256),
@@ -8821,6 +8868,60 @@ object SparkEntry {
                  x -> len(x) > 0),
                chr(10)) AS page
            FROM b)"""
+
+  /** q281's oracle: the C4 teacher family (q277's CTE text), the 7
+    * integer feature columns, then `epochs` UNROLLED batch-perceptron
+    * rounds — each epoch one misclassified-sum row eN and the updated
+    * weight row wN, all BIGINT — and the held-out scores under the final
+    * weights. Plain-string concatenation (no interpolation) wherever a
+    * regex backslash appears. */
+  private def perceptronOracleSql(epochs: Int): String = {
+    val fs = 0 to 6
+    def dotOf(p: String, wp: String): String =
+      fs.map(i => s"$p.f$i * $wp.w$i").mkString(" + ")
+    val epochCtes = (1 to epochs).map { t =>
+      val sums = fs.map(i =>
+        s"sum(CASE WHEN (${dotOf("t", "w")}) * t.y <= 0 THEN t.y * t.f$i ELSE 0 END)::BIGINT AS d$i")
+        .mkString(",\n             ")
+      s"""e$t AS (SELECT $sums FROM tr t CROSS JOIN w${t - 1} w),
+         w$t AS (SELECT ${fs.map(i => s"w.w$i + e.d$i AS w$i").mkString(", ")}
+           FROM w${t - 1} w CROSS JOIN e$t e)"""
+    }.mkString(",\n         ")
+    ("""WITH """ + c4PageCtes + """,
+         c4fl AS (SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines
+           FROM pg),
+         c4kp AS (SELECT doc_id, page,
+             coalesce(array_to_string(
+               list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
+                 AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5
+                 AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS clean
+           FROM c4fl),
+         c4p AS (SELECT doc_id FROM c4kp
+           WHERE len(regexp_extract_all(clean, '[.!?]')) >= 3
+             AND NOT contains(lower(page), 'lorem ipsum')
+             AND NOT contains(page, '{')),
+         tokf AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         feat AS (SELECT doc_id,
+             1::BIGINT AS f0,
+             len(toks)::BIGINT AS f1,
+             len(list_distinct(toks))::BIGINT AS f2,
+             len(text)::BIGINT AS f3,
+             (len(text) - len(replace(text, '.', '')))::BIGINT AS f4,
+             coalesce(list_max(list_transform(toks, x -> len(x))), 0)::BIGINT AS f5,
+             len(list_filter(toks, x -> len(x) > 6))::BIGINT AS f6
+           FROM tokf),
+         tr AS (SELECT f.*, (CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE -1 END)::BIGINT AS y
+           FROM feat f LEFT JOIN c4p c ON c.doc_id = f.doc_id
+           WHERE f.doc_id % 2 = 0),
+         w0 AS (SELECT """ + fs.map(i => s"0::BIGINT AS w$i").mkString(", ") + """),
+         """ + epochCtes + s"""
+         SELECT f.doc_id, (${dotOf("f", "w")})::BIGINT AS score,
+           (${dotOf("f", "w")}) > 0 AS pred
+         FROM feat f CROSS JOIN w$epochs w WHERE f.doc_id % 2 = 1""")
+  }
 
   /** Shared CTE core for q263/q266: the Kneser–Ney sufficient statistics
     * on the 80% hash split, per-bigram exact rationals, Q16 log terms,
