@@ -4923,6 +4923,27 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** CROSS-CORPUS DECONTAMINATION STRIP
+    * ([[graft.dedup.SuffixRanks.stripContaminatedSpans]]): remove from the
+    * odd-id training half every span whose full 8-token window also occurs
+    * in the even-id benchmark half — EVERY occurrence, no first-kept
+    * survivor (contamination has no right of residence) — and emit the
+    * cleaned text, md5-pinned. Completes the decontamination family:
+    * q129-q133 DROP contaminated documents, q276 strips self-duplication
+    * with a first-occurrence survivor; this strips against an external
+    * reference. One doubling pass over the tagged union; the
+    * contaminated-key set is a bench-side distinct (broadcastable — bench
+    * sets are tiny next to train); the oracle replays the definition on
+    * materialized slices. */
+  private def q282_decontaminate_strip(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    graft.dedup.SuffixRanks.stripContaminatedSpans(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", depth = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+  }
+
   /** Integer quality features over raw text — the distillation inputs for
     * q281, every one exactly restatable in ANSI SQL: bias, token count,
     * distinct tokens, char length, '.' count, max token length, count of
@@ -5394,6 +5415,7 @@ object SparkEntry {
     "q279_containment_gate" -> (q279_containment_gate _),
     "q280_stream_containment_gate" -> (q280_stream_containment_gate _),
     "q281_quality_perceptron" -> (q281_quality_perceptron _),
+    "q282_decontaminate_strip" -> (q282_decontaminate_strip _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -8762,6 +8784,35 @@ object SparkEntry {
            cast(coalesce(o.n_kept, 0) as bigint) AS n_kept,
            md5(coalesce(o.clean_text, '')) AS clean_md5
          FROM d LEFT JOIN o ON d.doc_id = o.doc_id""",
+    // q282: the cross-corpus strip from the DEFINITION — train (odd)
+    // windows whose 8-token slice occurs among the bench (even) side's
+    // full windows are removed wholesale (no first-kept), positional
+    // coverage union, order-preserving rebuild of the train half only
+    "q282_decontaminate_strip" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS l
+           FROM documents),
+         p AS (SELECT doc_id, cast(wi as bigint) AS wi, list_slice(l, wi, wi + 7) AS win
+           FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS wi FROM d)
+           WHERE wi + 7 <= len(l)),
+         bk AS (SELECT DISTINCT win FROM p WHERE doc_id % 2 = 0),
+         rm AS (SELECT doc_id, wi FROM p JOIN bk USING (win) WHERE doc_id % 2 = 1),
+         cov AS (SELECT DISTINCT doc_id, wi + o AS pos
+           FROM rm, (SELECT unnest(range(8)) AS o)),
+         tok AS (SELECT doc_id, cast(pos as bigint) AS pos, l[pos] AS tok
+           FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos FROM d)
+           WHERE doc_id % 2 = 1),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+           LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+           WHERE c.doc_id IS NULL),
+         o AS (SELECT doc_id, cast(count(*) as bigint) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, cast(len(d.l) as bigint) AS n_tokens,
+           cast(coalesce(o.n_kept, 0) as bigint) AS n_kept,
+           md5(coalesce(o.clean_text, '')) AS clean_md5
+         FROM d LEFT JOIN o ON d.doc_id = o.doc_id
+         WHERE d.doc_id % 2 = 1""",
     // q275: the near-dup fixture's dHash restated relationally (base bit =
     // bit r·8+c of k·2654435761, variant v flips (r, (k+r) mod 8) for
     // r < v) and the clusters by construction (class = doc mod 41; within

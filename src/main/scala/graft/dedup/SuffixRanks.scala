@@ -122,6 +122,57 @@ object SuffixRanks {
     val removals = win.join(firsts, "__r")
       .filter(col("__m") > 1L &&
         !(col("__doc") === col("__f.__doc") && col("__wi") === col("__f.__wi")))
+    stripRebuild(docs.select(col(docId).as("__doc")), toks, nTok, removals,
+      docId, depth)
+  }
+
+  /** CROSS-CORPUS DECONTAMINATION STRIP — the ExactSubstr operator in its
+    * decontamination role (the Lee et al. 2022 technique applied the way
+    * FineWeb-era pipelines actually deploy it against benchmark sets):
+    * remove from `train` EVERY span whose full `depth`-token window also
+    * occurs in `bench` — no first-occurrence survivor; contaminated text
+    * has no right of residence — and emit the cleaned training text.
+    * Bench tail fragments shorter than `depth` never contaminate (the
+    * ≥ L-token rule, same as the self-strip). Output per train doc:
+    * `(docId, n_tokens, n_kept, clean_text)`.
+    *
+    * Scale shape: ONE doubling pass over the tagged union (train ids → 2k,
+    * bench → 2k+1 — window keys are shared, so a train/bench match is key
+    * equality, never a string comparison); the contaminated-key set is a
+    * distinct projection of the bench side; removals are one left-semi
+    * join. Bench corpora are typically tiny next to train — the key-set
+    * side of that join broadcasts. */
+  def stripContaminatedSpans(train: DataFrame, bench: DataFrame, docId: String,
+                             textCol: String, depth: Int): DataFrame = {
+    val t2 = train.select((col(docId).cast("long") * 2).as(docId), col(textCol))
+    val b2 = bench.select((col(docId).cast("long") * 2 + 1).as(docId), col(textCol))
+    val both = t2.unionByName(b2)
+    val (_, ranked) = windowKeys(both, docId, textCol, depth)
+    val toksAll = both
+      .select(col(docId).as("__doc"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__wi0", "__tok")))
+      .select(col("__doc"), (col("__wi0") + 1).cast("long").as("__wi"), col("__tok"))
+    val nTok = toksAll.groupBy("__doc").agg(max("__wi").as("__n"))
+    val win = ranked.select(col("__doc"), col("wi").as("__wi"), col("__r"))
+      .join(nTok, "__doc")
+      .filter(col("__wi") + lit(depth - 1) <= col("__n"))
+      .select("__doc", "__wi", "__r")
+    val benchKeys = win.filter(col("__doc") % 2 === 1).select("__r").distinct()
+    val removals = win.filter(col("__doc") % 2 === 0)
+      .join(benchKeys, Seq("__r"), "left_semi")
+    val trainToks = toksAll.filter(col("__doc") % 2 === 0)
+    val trainN = nTok.filter(col("__doc") % 2 === 0)
+    stripRebuild(t2.select(col(docId).as("__doc")), trainToks, trainN, removals,
+      docId, depth)
+      .withColumn(docId, shiftright(col(docId), 1))
+  }
+
+  /** Shared strip tail: positional coverage union of the removal windows,
+    * anti-join survivors, per-document order-preserving rebuild —
+    * left-joined onto `docIds` so empty/stripped-to-nothing docs still
+    * emit a row. */
+  private def stripRebuild(docIds: DataFrame, toks: DataFrame, nTok: DataFrame,
+                           removals: DataFrame, docId: String, depth: Int): DataFrame = {
     val covered = removals.select(col("__doc"),
       explode(sequence(col("__wi"), col("__wi") + lit(depth - 1))).as("__wi"))
       .distinct()
@@ -130,7 +181,7 @@ object SuffixRanks {
       .agg(count(lit(1)).as("__nk"),
         array_join(transform(array_sort(collect_list(struct(col("__wi"), col("__tok")))),
           x => x("__tok")), " ").as("__ct"))
-    docs.select(col(docId).as("__doc")).join(nTok, Seq("__doc"), "left")
+    docIds.join(nTok, Seq("__doc"), "left")
       .join(rebuilt, Seq("__doc"), "left")
       .select(col("__doc").as(docId),
         coalesce(col("__n"), lit(0L)).as("n_tokens"),

@@ -113,4 +113,31 @@ class SuffixRanksSpec extends SparkSpec {
     assert(got(1L) === ((2L, 2L, "a b")))
     assert(got(2L) === ((3L, 3L, "c a b")))
   }
+
+  test("stripContaminatedSpans: every match removed, bench fragments never contaminate") {
+    // bench: "x y z w" (full depth-2 windows); "u" (too short — inert).
+    // train: an exact copy (stripped to NOTHING — no first-kept survivor),
+    // a partial overlap, a doc repeating the inert bench fragment, empty.
+    val bench = Seq((2L, "x y z w"), (4L, "u")).toDF("doc_id", "text")
+    val train = Seq((1L, "x y z w"), (3L, "a x y b"), (5L, "u u"), (7L, ""))
+      .toDF("doc_id", "text")
+    val got = SuffixRanks.stripContaminatedSpans(train, bench, "doc_id", "text", depth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === Set(1L, 3L, 5L, 7L), "train docs only, original ids")
+    assert(got(1L) === ((4L, 0L, "")), "an exact benchmark copy is stripped wholesale")
+    assert(got(3L) === ((4L, 2L, "a b")), "only the contaminated window's positions go")
+    assert(got(5L) === ((2L, 2L, "u u")), "a bench doc shorter than depth contaminates nothing")
+    assert(got(7L) === ((0L, 0L, "")), "empty train docs survive with empty clean text")
+  }
+
+  test("stripContaminatedSpans: train-internal duplication is NOT removed") {
+    // both train docs repeat each other but share nothing with bench —
+    // decontamination must not dedup the training corpus
+    val bench = Seq((2L, "p q r s")).toDF("doc_id", "text")
+    val train = Seq((1L, "x y z w"), (3L, "x y z w")).toDF("doc_id", "text")
+    val got = SuffixRanks.stripContaminatedSpans(train, bench, "doc_id", "text", depth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((4L, 4L, "x y z w")))
+    assert(got(3L) === ((4L, 4L, "x y z w")))
+  }
 }
