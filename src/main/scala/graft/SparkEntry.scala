@@ -4945,10 +4945,22 @@ object SparkEntry {
   }
 
   /** Integer quality features over raw text — the distillation inputs for
-    * q281, every one exactly restatable in ANSI SQL: bias, token count,
-    * distinct tokens, char length, '.' count, max token length, count of
-    * long (>6-char) tokens. */
-  private def qualityFeatures(docs: DataFrame): DataFrame =
+    * q281/q283, every one exactly restatable in ANSI SQL: bias, token
+    * count, distinct tokens, char length, '.' count, max token length,
+    * count of long (>6-char) tokens. One codegen'd single-pass kernel
+    * ([[graft.functions.QualityExprs]]) — QualityExprsSpec pins it
+    * bit-identical to the builtin HOF form the oracle restates (the
+    * q247/q216 interpreted-lambda lesson, applied preemptively). */
+  private[graft] def qualityFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.QualityExprs.quality_features(col("text")).as("__q"))
+      .select(col("doc_id") +: lit(1L).as("f0") +:
+        (1 to 6).map(i => col(s"__q.f$i").as(s"f$i")): _*)
+
+  /** The retired builtin-HOF form of [[qualityFeatures]] — kept as the
+    * kernel's differential oracle (pure builtins, engine-independent
+    * semantics; QualityExprsSpec pins the two bit-identical). */
+  private[graft] def qualityFeaturesHof(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
         lit(1L).as("f0"),
@@ -4985,6 +4997,45 @@ object SparkEntry {
     feats.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), graft.sim.Perceptron.dot(featCols, w.toSeq).as("score"))
       .withColumn("pred", col("score") > 0)
+  }
+
+  /** q281 STREAMING — the learned gate served ONLINE (train-offline /
+    * score-online, the q274/q280 discipline): the perceptron trains
+    * batch-side exactly as q281, then the SAME zero-shuffle scoring
+    * projection (literal weights, builtin feature expressions) runs as an
+    * AvailableNow drain over the parquet doc stream, filtered to the
+    * held-out half. Row-identical to q281 by construction — stateless
+    * projection, same rows — so it shares q281's oracle verbatim:
+    * hash-proven streaming coverage of the distilled-classifier family. */
+  private def q283_stream_quality_score(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = par(s, Tables.documents(s, dir))
+    val feats = qualityFeatures(docs)
+    val teacher = TextOps.c4Flags(c4PageFixture(docs), "page")
+      .select(col("doc_id"), col("c4_pass"))
+    val featCols = (0 to 6).map(i => s"f$i")
+    val trainSet = feats.filter(col("doc_id") % 2 === 0)
+      .join(teacher, "doc_id")
+      .withColumn("y", when(col("c4_pass"), lit(1L)).otherwise(lit(-1L)))
+      .localCheckpoint(false)
+    val w = graft.sim.Perceptron.train(trainSet, "y", featCols, epochs = 4)
+    val fixture = docsStreamFixture(s, dir, files = 8)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val name = s"q283_qs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = qualityFeatures(
+        s.readStream.schema(schema).parquet(fixture)
+          .filter(col("doc_id") % 2 === 1))
+      .select(col("doc_id"), graft.sim.Perceptron.dot(featCols, w.toSeq).as("score"))
+      .withColumn("pred", col("score") > 0)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
   }
 
   /** STREAMING WORDPIECE SEGMENTATION — the train-offline / serve-online
@@ -5416,6 +5467,7 @@ object SparkEntry {
     "q280_stream_containment_gate" -> (q280_stream_containment_gate _),
     "q281_quality_perceptron" -> (q281_quality_perceptron _),
     "q282_decontaminate_strip" -> (q282_decontaminate_strip _),
+    "q283_stream_quality_score" -> (q283_stream_quality_score _),
   )
 
   /** q252's oracle, shared with q253's streaming drain (row-identical by
@@ -8306,6 +8358,9 @@ object SparkEntry {
     // q281: teacher gate (q277's C4 family) + 4 unrolled batch-perceptron
     // epochs in BIGINT + the held-out projection under the final weights
     "q281_quality_perceptron" -> perceptronOracleSql(epochs = 4),
+    // q283: the streaming drain of q281's scoring projection — stateless,
+    // row-identical to batch by construction, so the oracle is q281's
+    "q283_stream_quality_score" -> perceptronOracleSql(epochs = 4),
     // q257: the batched distributed trainer must reproduce sequential BPE
     // verbatim — q219's 256-round unrolled oracle, reused textually
     "q257_bpe_distributed" -> bpeOracleSql(nMerges = 256),

@@ -19,7 +19,7 @@ object HashAlgs {
     b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
   /** (start, end) byte offsets of whitespace-separated tokens. */
-  private def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+  private[functions] def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
     var cap = 16
     var starts = new Array[Int](cap)
     var ends = new Array[Int](cap)
