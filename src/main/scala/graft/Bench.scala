@@ -53,17 +53,44 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     val rounds = sys.env.get("SPARK_GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(3)
     val selected = SparkEntry.headlineQueries.filter(n => only.forall(_.contains(n)))
+    // Board-context experiment knobs (r11 verdict #2 — three rounds of
+    // "isolated says fine, board says +40%" is a measurement bug, not a
+    // plan bug; these make the mechanism measurable and killable):
+    //   SPARK_GRAFT_BENCH_SHUFFLE=<seed> — deterministic per-round query
+    //     order shuffle, so a query's samples never share fixed neighbors
+    //     (kills neighbor-bleed: a hot predecessor's checkpoint/GC debt
+    //     always taxing the same successor).
+    //   SPARK_GRAFT_BENCH_ISOLATE=1 — between timed queries, clear the SQL
+    //     cache and run a full GC. The GC matters more than the cache:
+    //     ContextCleaner frees cached/localCheckpoint BLOCKS only after the
+    //     driver GC collects the RDD objects, and with a 100+ GiB heap the
+    //     JVM may not GC for hundreds of queries — blocks from every prior
+    //     query pile up in the block manager and the unified memory pool.
+    // Every run logs per-query gc-ms / heap / persisted-RDD deltas on
+    // stderr so the mechanism is visible without a special build.
+    val shuffleSeed = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").map(_.toLong)
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala.toSeq
+    }
+    def gcMillis(): Long = gcBeans.map(_.getCollectionTime).sum
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val failCounts = scala.collection.mutable.Map.empty[String, Int]
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     def timeOne(r: String, name: String): Unit = {
       val fn = SparkEntry.queries(name)
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
         -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcMillis() - gc0
+      val rt = Runtime.getRuntime
+      val heapGb = (rt.totalMemory() - rt.freeMemory()) / 1e9
+      val nRdds = spark.sparkContext.getPersistentRDDs.size
       // a crashed round must NOT enter the sample list — its fast failure
       // would shrink the median and silently IMPROVE the total (r4 advisor);
       // failures are counted and surfaced in both artifacts instead
@@ -71,9 +98,17 @@ object Bench {
         samples(name) = sec :: samples.getOrElse(name, Nil)
         rowCounts(name) = n
       } else failCounts(name) = failCounts.getOrElse(name, 0) + 1
-      System.err.println(f"[bench] round $r $name%-28s $sec%8.2fs  rows=$n")
+      System.err.println(f"[bench] round $r $name%-28s $sec%8.2fs  rows=$n  gc=${gcMs}ms heap=$heapGb%.1fG rdds=$nRdds")
+      if (isolate) {
+        spark.catalog.clearCache()
+        System.gc() // drive ContextCleaner: release dead cached/checkpoint blocks NOW
+      }
     }
-    for (r <- 1 to rounds; name <- selected) timeOne(r.toString, name)
+    def roundOrder(r: Int): Seq[String] = shuffleSeed match {
+      case Some(seed) => new scala.util.Random(seed + r).shuffle(selected)
+      case None => selected
+    }
+    for (r <- 1 to rounds; name <- roundOrder(r)) timeOne(r.toString, name)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
     }

@@ -4769,8 +4769,11 @@ object SparkEntry {
   private def q275_image_neardup(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
     val media = Multimodal.syntheticNearDupImages(par(s, Tables.documents(s, dir)), "doc_id")
-    val hashes = Multimodal.perceptualHashes(media).select(col("media_id"), col("dhash"))
-    // referenced twice (bands + final map-back): cut the decode replay
+    // `hashes` is consumed twice (the distinct-hash groupBy AND the final
+    // map-back join) — checkpoint HERE so the image decode+hash scan runs
+    // once; distinctH is checkpointed too since it feeds three branches.
+    val hashes = Multimodal.perceptualHashes(media)
+      .select(col("media_id"), col("dhash")).localCheckpoint(false)
     val distinctH = hashes.groupBy("dhash")
       .agg(min("media_id").as("rep"), count(lit(1)).as("cnt"))
       .localCheckpoint(false)

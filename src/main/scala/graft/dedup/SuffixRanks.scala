@@ -144,6 +144,17 @@ object SuffixRanks {
     * side of that join broadcasts. */
   def stripContaminatedSpans(train: DataFrame, bench: DataFrame, docId: String,
                              textCol: String, depth: Int): DataFrame = {
+    // The 2k / 2k+1 tag encoding is arithmetic — ids outside [0, 2^62)
+    // would wrap or collide SILENTLY (and negative ids break the % 2
+    // side split). Enforce the envelope loudly, one cheap agg per input.
+    for ((df, side) <- Seq((train, "train"), (bench, "bench"))) {
+      val r = df.agg(min(col(docId).cast("long")).as("lo"),
+        max(col(docId).cast("long")).as("hi")).collect()(0)
+      if (!r.isNullAt(0))
+        require(r.getLong(0) >= 0L && r.getLong(1) < (1L << 62),
+          s"stripContaminatedSpans: $side $docId range [${r.getLong(0)}, ${r.getLong(1)}] " +
+            "outside [0, 2^62) — the 2k/2k+1 tag encoding would wrap or collide")
+    }
     val t2 = train.select((col(docId).cast("long") * 2).as(docId), col(textCol))
     val b2 = bench.select((col(docId).cast("long") * 2 + 1).as(docId), col(textCol))
     val both = t2.unionByName(b2)

@@ -31,18 +31,27 @@ import org.apache.spark.sql.functions._
 object Perceptron {
 
   /** ⟨w, x⟩ as a column over integer feature columns with literal
-    * weights. */
+    * weights. Computed in DECIMAL(38,0): Spark's non-ANSI Long arithmetic
+    * wraps silently, and feature magnitudes are caller-controlled — with
+    * |w| < 2⁴⁶ (the train envelope) a 38-digit decimal holds any dot over
+    * Long-valued features (2⁴⁶·2⁶³·64 ≈ 4·10³⁴ < 10³⁸), so an overflow
+    * is structurally impossible rather than silently wrong. */
   def dot(featCols: Seq[String], w: Seq[Long]): Column = {
     require(featCols.nonEmpty && featCols.length == w.length,
       s"Perceptron.dot: ${featCols.length} features vs ${w.length} weights")
-    featCols.zip(w).map { case (f, wi) => col(f) * lit(wi) }.reduce(_ + _)
+    require(featCols.length <= 64, s"Perceptron.dot: ${featCols.length} features exceeds 64")
+    featCols.zip(w).map { case (f, wi) =>
+      col(f).cast("decimal(38,0)") * lit(wi) }.reduce(_ + _)
   }
 
   /** Train `epochs` batch-perceptron rounds from w = 0 over `labeled`
-    * (integer feature columns + a ±1 label column). The per-epoch
-    * envelope require keeps every later ⟨w,x⟩ product inside Long for
-    * features up to 2¹⁶ — trip it and the fix is feature scaling, not a
-    * silent wrap. */
+    * (integer feature columns + a ±1 label column). All executor-side
+    * arithmetic — the misclassification dot AND the epoch feature sums —
+    * runs in DECIMAL(38,0) (Spark Longs wrap silently in non-ANSI mode),
+    * and the sums narrow to Long via BigDecimal.longValueExact, so any
+    * overflow is a loud ArithmeticException, never a silent wrap. The
+    * per-epoch |w| < 2⁴⁶ envelope then bounds the next epoch's decimal
+    * dot far inside 38 digits for ANY Long-valued features. */
   def train(labeled: DataFrame, yCol: String, featCols: Seq[String],
             epochs: Int): Array[Long] = {
     require(epochs >= 0 && epochs <= 64, s"Perceptron.train: epochs=$epochs")
@@ -52,11 +61,14 @@ object Perceptron {
       val mis = dot(featCols, w.toSeq) * col(yCol) <= 0
       val upd = labeled
         .select(featCols.map(f =>
-          sum(when(mis, col(yCol) * col(f)).otherwise(lit(0L))).as(f)): _*)
+          sum(when(mis, col(yCol) * col(f).cast("decimal(38,0)"))
+            .otherwise(lit(java.math.BigDecimal.ZERO))).as(f)): _*)
         .collect()(0)
       var i = 0
       while (i < w.length) {
-        w(i) = Math.addExact(w(i), if (upd.isNullAt(i)) 0L else upd.getLong(i))
+        val di = if (upd.isNullAt(i)) 0L
+                 else upd.getDecimal(i).toBigIntegerExact.longValueExact()
+        w(i) = Math.addExact(w(i), di)
         require(math.abs(w(i)) < (1L << 46),
           s"Perceptron.train: |w($i)| = ${w(i)} exceeds the 2^46 envelope — scale features down")
         i += 1

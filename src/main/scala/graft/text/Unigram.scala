@@ -387,8 +387,11 @@ object Unigram {
         it.flatMap { case (w, f) => viterbi(w, splg, unk, maxLen).iterator.map(p => (p, f)) }
       }
       .toDF("piece", "freq")
-      .groupBy("piece").agg(sum("freq").as("cnt"))
-      .as[(String, Long)].collect().toMap
+      // Same overflow discipline as softEmRoundDistributed: DECIMAL sum +
+      // exact narrowing, matching the driver twin's addExact loudness.
+      .groupBy("piece").agg(sum(col("freq").cast("decimal(38,0)")).as("cnt"))
+      .as[(String, java.math.BigDecimal)].collect()
+      .map { case (p, s) => (p, s.toBigIntegerExact.longValueExact()) }.toMap
     Model(model.pieces, model.pieces.map(p => 1L + counted.getOrElse(p, 0L)))
   }
 
@@ -586,8 +589,12 @@ object Unigram {
         }
       }
       .toDF("piece", "fe")
-      .groupBy("piece").agg(sum("fe").as("s"))
-      .as[(String, Long)].collect().toMap
+      // Spark's Long sum wraps silently; the driver twin uses addExact.
+      // Aggregate in DECIMAL(38,0) and narrow with longValueExact so an
+      // overflow diverges LOUDLY here too, never silently from the twin.
+      .groupBy("piece").agg(sum(col("fe").cast("decimal(38,0)")).as("s"))
+      .as[(String, java.math.BigDecimal)].collect()
+      .map { case (p, s) => (p, s.toBigIntegerExact.longValueExact()) }.toMap
     Model(model.pieces, model.pieces.map(p => 65536L + counted.getOrElse(p, 0L)))
   }
 

@@ -130,6 +130,22 @@ class SuffixRanksSpec extends SparkSpec {
     assert(got(7L) === ((0L, 0L, "")), "empty train docs survive with empty clean text")
   }
 
+  test("stripContaminatedSpans: ids outside [0, 2^62) are rejected loudly (r11 advisor)") {
+    // the 2k/2k+1 tag encoding wraps/collides silently past 2^62 (and a
+    // negative id breaks the % 2 side split) — must be a loud require
+    val ok = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val big = Seq((1L << 62, "a b c")).toDF("doc_id", "text")
+    val neg = Seq((-1L, "a b c")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      SuffixRanks.stripContaminatedSpans(big, ok, "doc_id", "text", depth = 2)
+    }
+    assert(e1.getMessage.contains("2^62"))
+    val e2 = intercept[IllegalArgumentException] {
+      SuffixRanks.stripContaminatedSpans(ok, neg, "doc_id", "text", depth = 2)
+    }
+    assert(e2.getMessage.contains("2^62"))
+  }
+
   test("stripContaminatedSpans: train-internal duplication is NOT removed") {
     // both train docs repeat each other but share nothing with bench —
     // decontamination must not dedup the training corpus

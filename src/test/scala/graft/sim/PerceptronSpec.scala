@@ -43,6 +43,17 @@ class PerceptronSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("decimal dot: huge features can't silently wrap the margin (r11 advisor)") {
+    import spark.implicits._
+    // Single row (f0 = 2^44, y = +1). Epoch 1: margin 0 → w = 2^44 (inside
+    // the 2^46 envelope). Epoch 2's margin is w·f = 2^88 — a Long dot
+    // wraps that to exactly 0 (2^88 mod 2^64) → "misclassified" → a
+    // silent second update to 2^45. The DECIMAL dot computes 2^88 exactly
+    // → correctly classified → no update. Pin the correct trajectory.
+    val df = Seq((1L << 44, 1L)).toDF("f0", "y")
+    assert(Perceptron.train(df, "y", Seq("f0"), epochs = 2).toSeq === Seq(1L << 44))
+  }
+
   test("guards: envelope require fires on runaway weights; epoch bound") {
     import spark.implicits._
     val big = Seq((1L << 50, 1L)).toDF("f0", "y")

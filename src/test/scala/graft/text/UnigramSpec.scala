@@ -338,6 +338,23 @@ class UnigramSpec extends SparkSpec {
     assert(driver.counts.toSeq === dist.counts.toSeq)
   }
 
+  test("softEmRoundDistributed overflows LOUDLY like the driver's addExact (r11 advisor)") {
+    import spark.implicits._
+    // Two rows of word "a" at freq 2^46: e(a) = 2^16 Q16, so each fe =
+    // 2^62 and the piece sum is 2^63 — one past Long.MaxValue. A plain
+    // Spark Long sum would wrap silently to −2^63 and the twins would
+    // DIVERGE; the decimal(38,0) sum narrows via longValueExact and
+    // throws, matching the driver round's addExact on the same input.
+    val model = Unigram.Model(Array("a"), Array(5L))
+    val words = Seq(("a", 1L << 46), ("a", 1L << 46)).toDF("w", "freq")
+    assertThrows[ArithmeticException] {
+      Unigram.softEmRoundDistributed(words, "w", "freq", model)
+    }
+    assertThrows[ArithmeticException] {
+      Unigram.softEmRound(Array(("a", 1L << 46), ("a", 1L << 46)), model)
+    }
+  }
+
   test("trainSoft is deterministic; softQ12 guards its envelope") {
     val docs = graft.Tables.documents(spark, sfDir)
     val m1 = Unigram.trainSoft(docs, "text", maxPieceLen = 4, maxVocab = 96, softRounds = 2)
