@@ -59,7 +59,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class Versioned(val spark: SparkSession, val root: String,
                 val checkpointInterval: Int = 20,
-                val dvPredicateMax: Long = 4000000L) {
+                val dvPredicateMax: Long = 4000000L,
+                val dvDirectCollectMax: Long = 100000L) {
   require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
 
   private def conf = spark.sessionState.newHadoopConf()
@@ -598,6 +599,12 @@ class Versioned(val spark: SparkSession, val root: String,
     * many versions of heavily-deleted tables are read in one session.
     * 4×dvPredicateMax longs ≈ 128 MB at the default cap. */
   private val dvCacheMaxPositions: Long = 4L * dvPredicateMax
+  // dvDirectCollectMax (constructor): sidecar row-count gate between the
+  // direct-collect resolve (at or under: one collect of tiny (file, pos)
+  // Rows, no exchange, no job churn) and the executor-side group/sort
+  // (above: multi-million-position sidecars never reach the driver as
+  // Rows). 100k rows ~ 2.4 MB of driver Rows worst-case - far below any
+  // driver-memory concern, far above every fresh-delete sidecar.
   private val dvCache = new java.util.LinkedHashMap[String, ResolvedDvs](16, 0.75f, true)
   private var dvCachePositions = 0L // guarded by dvCache's monitor
   private[io] def dvCacheSize: Int = dvCache.synchronized(dvCache.size())
@@ -616,10 +623,26 @@ class Versioned(val spark: SparkSession, val root: String,
     }.sum
     val positions =
       if (total > dvPredicateMax) None
-      else {
+      else if (total <= dvDirectCollectMax) {
+        // SIZE GATE (r11 board bisect): a resolve happens once per
+        // immutable sidecar set, and fresh deletes are tiny — the
+        // executor-side group/sort job below costs an exchange + job
+        // scheduling per resolve, which dominated the versioned read
+        // path at small scale (q203/q205). Under the gate, one direct
+        // collect + driver group/sort: same sorted arrays, no job.
+        Some(spark.read.parquet(dvs.map(abs(table, _)): _*)
+          .select("__dv_file", "__dv_pos").collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rows) =>
+            val a = rows.map(_.getLong(1))
+            java.util.Arrays.sort(a)
+            (f, a)
+          })
+      } else {
         // Group + sort on the EXECUTORS: the driver receives one row per
         // data file carrying an already-sorted primitive array — never a
-        // multi-million-Row collect.
+        // multi-million-Row collect. This stays the SCALE default: above
+        // the gate, shipping raw Rows to the driver is the anti-pattern.
         import org.apache.spark.sql.functions.{col, collect_list, sort_array}
         Some(spark.read.parquet(dvs.map(abs(table, _)): _*)
           .groupBy("__dv_file")

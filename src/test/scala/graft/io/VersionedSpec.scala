@@ -20,6 +20,27 @@ class VersionedSpec extends SparkSpec {
     assert(vt.versions("t") === Seq(1L, 2L))
   }
 
+  test("DV resolve: direct-collect and executor-side paths read identically (r11 size gate)") {
+    // Same data, same deletes; one table resolves DVs under the gate
+    // (direct collect), the other with the gate forced to 0 (executor
+    // group/sort job). Reads must be row-identical — the gate is a pure
+    // latency decision, never a semantics one.
+    val rows = (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v")
+    val byCollect = new Versioned(spark, tmpRoot())
+    val byJob = new Versioned(spark, tmpRoot(), dvDirectCollectMax = 0L)
+    for (vt <- Seq(byCollect, byJob)) {
+      vt.commit("t", rows.repartition(4))
+      vt.deleteWhere("t", col("k") % 7 === 0L)
+      vt.deleteWhere("t", col("k") > 480L)
+    }
+    val a = byCollect.read("t").orderBy("k").collect().toSeq
+    val b = byJob.read("t").orderBy("k").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty && a.forall { r =>
+      val k = r.getLong(0); k % 7 != 0 && k <= 480
+    })
+  }
+
   test("snapshot isolation: a reader pinned before a commit never sees it") {
     val vt = new Versioned(spark, tmpRoot())
     vt.commit("t", Seq((1L, "a")).toDF("k", "v"))
