@@ -4800,6 +4800,241 @@ object SparkEntry {
         col("cluster_id"), col("cluster_size"))
   }
 
+  /** DCT SPECTRAL-HASH NEAR-DUP (r11 verdict #3 — the pHash family member
+    * dHash can't cover): decode → 32×32 block-mean gray → integer Q10 DCT
+    * → low-frequency SIGN bits ([[graft.multimodal.Multimodal
+    * .dctSignHash64]]) → banded Hamming clustering. Input: the
+    * crop/rescale fixture — class k = doc mod 41 synthesizes a picture as
+    * the inverse DCT of 63 class-keyed ±1 coefficients; variants render
+    * it at 64×64, as a 2× UPSCALE, and as a 3-px-border CROP, containers
+    * cycling PPM/PNG. The crop re-mixes every block mean (dHash moves
+    * 3–16 bits, >3 for 40/41 classes — gradient hashing breaks these
+    * clusters; MultimodalSpec pins it) while the low-frequency spectrum
+    * holds (spectral hash moves ≤3, cross-class ≥10 — threshold 3
+    * separates exactly). The oracle re-derives grids, forward DCT, sign
+    * bits, and clusters from the closed form + the same 256 Q10 literals,
+    * never seeing a byte or this code. Scale shape identical to q275:
+    * decode+hash is a scan (17 bytes out per image), clustering runs on
+    * the ≤2-per-class DISTINCT-hash table. */
+  private def q284_image_phash_neardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticCropRescaleImages(par(s, Tables.documents(s, dir)), "doc_id")
+    // hashes feeds the distinct-hash groupBy AND the final map-back join:
+    // checkpoint so decode+DCT runs once (the q275 advisor lesson)
+    val hashes = Multimodal.spectralHashes(media)
+      .select(col("media_id"), col("phash")).localCheckpoint(false)
+    hashes.join(phashClusters(hashes), col("phash") === col("ha"))
+      .select(col("media_id").as("doc_id"),
+        expr("shiftrightunsigned(phash, 32)").as("phash_hi"),
+        expr("phash & 4294967295").as("phash_lo"),
+        col("cluster_id"), col("cluster_size"))
+  }
+
+  /** The q284/q290 cluster index: banded Hamming (4×16-bit bands,
+    * threshold 3), one-hop min-rep over the DISTINCT-hash table of
+    * `hashes` (media_id, phash). Returns (ha, cluster_id, cluster_size). */
+  private def phashClusters(hashes: DataFrame): DataFrame = {
+    val distinctH = hashes.groupBy("phash")
+      .agg(min("media_id").as("rep"), count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val bands = distinctH.select(col("phash"), explode(expr(
+      "transform(sequence(0, 3), b -> struct(b AS band, shiftrightunsigned(phash, b*16) & 65535 AS bv))")).as("bb"))
+      .select(col("phash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val edges = bands.select(col("phash").as("ha"), col("band"), col("bv"))
+      .join(bands.select(col("phash").as("hb"), col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("ha") < col("hb"))
+      .select("ha", "hb").distinct()
+      .filter(expr("bit_count(ha ^ hb) <= 3"))
+    val sym = edges
+      .union(edges.select(col("hb").as("ha"), col("ha").as("hb")))
+      .union(distinctH.select(col("phash").as("ha"), col("phash").as("hb")))
+    sym
+      .join(distinctH.select(col("phash").as("hb"), col("rep").as("nrep"),
+        col("cnt").as("ncnt")), "hb")
+      .groupBy("ha")
+      .agg(min("nrep").as("cluster_id"), sum("ncnt").as("cluster_size"))
+  }
+
+  /** Parquet (media_id, bytes) stream fixture for the image gate — the
+    * crop/rescale payloads written once per (dir) per JVM, 8 files. */
+  private def imageStreamFixture(s: SparkSession, dir: String): String =
+    fixtureCache.computeIfAbsent(s"cropimg:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_cropimg").toString
+      graft.multimodal.Multimodal
+        .syntheticCropRescaleImages(par(s, Tables.documents(s, dir)), "doc_id")
+        .select("media_id", "bytes").repartition(8).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** STREAMING IMAGE NEAR-DUP GATE (r11 verdict #8 — the q280/q283
+    * train-offline/serve-online pattern on q284): the distinct-hash
+    * cluster index is built batch-side from the same payload fixture,
+    * then a STREAM of raw image bytes is decoded+hashed by the SAME
+    * codegen'd projection ([[graft.functions.MediaExprs.spectral_hashes]]
+    * — a plain expression, so the batch operator runs on the stream
+    * unchanged) and resolved with a stateless stream-static equi-join.
+    * AvailableNow into an append memory sink ⇒ row-identical to q284 by
+    * construction — the oracle is shared verbatim. */
+  private def q290_stream_image_gate(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val fixture = imageStreamFixture(s, dir)
+    val batchHashes = Multimodal.spectralHashes(s.read.parquet(fixture))
+      .select(col("media_id"), col("phash")).localCheckpoint(false)
+    val clusters = phashClusters(batchHashes).localCheckpoint(false)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("bytes", BinaryType)))
+    val name = s"q290_ig_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = Multimodal.spectralHashes(s.readStream.schema(schema).parquet(fixture))
+      .join(clusters, col("phash") === col("ha"))
+      .select(col("media_id").as("doc_id"),
+        expr("shiftrightunsigned(phash, 32)").as("phash_hi"),
+        expr("phash & 4294967295").as("phash_lo"),
+        col("cluster_id"), col("cluster_size"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** VIDEO NEAR-DUP (r11 verdict #4 — clip-level, composing q187/q245's
+    * frame extraction with q275's perceptual kernels): per-frame dHash
+    * fingerprints ([[graft.multimodal.Multimodal.videoFrameHashes]]),
+    * clips grouped by DISTINCT fingerprint-set signature, signatures
+    * paired through an inverted fingerprint index, near-dup iff ≥4 shared
+    * frame fingerprints, one-hop min-rep clusters mapped back per clip.
+    * Input: the clip fixture — class k is a 6-frame sequence; variants
+    * are the original GIF, the SAME pictures RE-ENCODED as H.264 I_PCM
+    * (identical fingerprint set — re-encode invariance shows up as
+    * signature identity), and a TRIMMED GIF missing frame 0 (5 of 6
+    * fingerprints shared). Cross-class clips share 0 fingerprints
+    * (injective closed-form frame hashes), so threshold 4 separates
+    * exactly and clusters ARE the classes — which the oracle restates
+    * relationally, never decoding a byte. Scale shape: decode+hash is a
+    * scan (20 bytes/frame out); ALL pairwise work runs on the distinct-
+    * signature table (≤2 per class), never on clip count. */
+  private def q285_video_neardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = cachedFixture(s, s"clips:$dir",
+      Multimodal.syntheticNearDupClips(par(s, Tables.documents(s, dir)), "doc_id"))
+    val fh = Multimodal.videoFrameHashes(media).localCheckpoint(false)
+    val sigs = fh.select(col("media_id"), col("fhash")).distinct()
+      .groupBy("media_id").agg(sort_array(collect_set(col("fhash"))).as("sig"))
+    val distinctSig = sigs.groupBy("sig")
+      .agg(min("media_id").as("rep"), count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val sfp = distinctSig.select(col("rep"), explode(col("sig")).as("fhash"))
+    val edges = sfp.select(col("rep").as("ra"), col("fhash"))
+      .join(sfp.select(col("rep").as("rb"), col("fhash")), "fhash")
+      .filter(col("ra") < col("rb"))
+      .groupBy("ra", "rb").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 4)
+      .select("ra", "rb")
+    val sym = edges
+      .union(edges.select(col("rb").as("ra"), col("ra").as("rb")))
+      .union(distinctSig.select(col("rep").as("ra"), col("rep").as("rb")))
+    val clusters = sym
+      .join(distinctSig.select(col("rep").as("rb"), col("rep").as("nrep"),
+        col("cnt").as("ncnt")), "rb")
+      .groupBy("ra")
+      .agg(min("nrep").as("cluster_id"), sum("ncnt").as("cluster_size"))
+    val perClip = fh.groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min_by(col("fhash"), col("frame_idx")).as("f0hash"))
+    perClip.join(sigs, "media_id")
+      .join(distinctSig.select(col("sig"), col("rep")), "sig")
+      .join(clusters, col("rep") === col("ra"))
+      .select(col("media_id").as("doc_id"), col("n_frames"),
+        expr("shiftrightunsigned(f0hash, 32)").as("f0hash_hi"),
+        expr("f0hash & 4294967295").as("f0hash_lo"),
+        col("cluster_id"), col("cluster_size"))
+  }
+
+  /** AUDIO FINGERPRINT NEAR-DUP (r11 verdict #5): spectral-flux sign
+    * fingerprints over decoded PCM ([[graft.multimodal.Multimodal
+    * .audioFp64]] — integer band energies through the Q10 DCT rows,
+    * bit = energy rose/fell per band), banded Hamming clustering on the
+    * DISTINCT-fingerprint table (threshold 3, the q275 machinery). Input:
+    * the audio fixture — class k is a 288-sample composition; variants
+    * are the PCM16 original, a G.711 μ-LAW RE-ENCODE (companding noise
+    * sits under the fixture's ≥2.25× energy margins — fingerprint
+    * IDENTICAL, though every byte differs), and a HALF-VOLUME master with
+    * a 2-band outro remix (≤2 bits moved — the nonzero-distance pair the
+    * banding exists for). The `fmt` column pins that v=1 really decoded
+    * through the μ-law expand (format code 7). Oracle: fingerprints from
+    * the closed form (energy-comparison signs ARE amp-comparison signs by
+    * the margin construction), clusters by class — never a byte. */
+  private def q286_audio_neardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = cachedFixture(s, s"audio_nd:$dir",
+      Multimodal.syntheticNearDupAudio(par(s, Tables.documents(s, dir)), "doc_id"))
+    val fps = Multimodal.audioFingerprints(media)
+      .select(col("media_id"), col("fmt"), col("afp")).localCheckpoint(false)
+    val distinctH = fps.groupBy("afp")
+      .agg(min("media_id").as("rep"), count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val bands = distinctH.select(col("afp"), explode(expr(
+      "transform(sequence(0, 3), b -> struct(b AS band, shiftrightunsigned(afp, b*16) & 65535 AS bv))")).as("bb"))
+      .select(col("afp"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val edges = bands.select(col("afp").as("ha"), col("band"), col("bv"))
+      .join(bands.select(col("afp").as("hb"), col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("ha") < col("hb"))
+      .select("ha", "hb").distinct()
+      .filter(expr("bit_count(ha ^ hb) <= 3"))
+    val sym = edges
+      .union(edges.select(col("hb").as("ha"), col("ha").as("hb")))
+      .union(distinctH.select(col("afp").as("ha"), col("afp").as("hb")))
+    val clusters = sym
+      .join(distinctH.select(col("afp").as("hb"), col("rep").as("nrep"),
+        col("cnt").as("ncnt")), "hb")
+      .groupBy("ha")
+      .agg(min("nrep").as("cluster_id"), sum("ncnt").as("cluster_size"))
+    fps.join(clusters, fps("afp") === clusters("ha"))
+      .select(col("media_id").as("doc_id"), col("fmt"),
+        expr("shiftrightunsigned(afp, 32)").as("afp_hi"),
+        expr("afp & 4294967295").as("afp_lo"),
+        col("cluster_id"), col("cluster_size"))
+  }
+
+  /** BYTE-LEVEL BPE TRAINING (r11 verdict #6 — the production GPT-family
+    * alphabet): [[graft.text.Bpe.learnMergesBytes]] over an ACCENTED
+    * corpus (every vowel swapped for a 2-byte Latin-1 code point), so
+    * multi-byte characters start split across byte symbols and must EARN
+    * their fusion through ordinary merges — the byte-fallback property
+    * that lets the vocabulary segment anything with no unk. Same train
+    * chain as q219 with the byte-mapped v0; the oracle re-derives the
+    * GPT-2 byte→unicode alphabet from its published range rules and
+    * replays the merges. */
+  private def q287_bpe_bytes_learn(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+      .withColumn("text", translate(col("text"), "aeiou", "àéîöü"))
+    graft.text.Bpe.learnMergesBytes(docs, "text", nMerges = 48)
+  }
+
+  /** BYTE-LEVEL BPE SEGMENTATION (q220's shape over the byte alphabet):
+    * train 8 byte merges on the accented corpus, then segment every word
+    * through the codegen'd [[graft.functions.StringExprs.byte_alphabet]]
+    * kernel + the rank-order merge replay — the zero-shuffle scan a
+    * byte-level tokenizer runs over 100 TB. Hash-proven through training,
+    * the alphabet map, and the segmentation. */
+  private def q288_bpe_bytes_segment(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val docs = par(s, Tables.documents(s, dir))
+      .withColumn("text", translate(col("text"), "aeiou", "àéîöü"))
+    val merges = Bpe.learnMergesBytes(docs, "text", nMerges = 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), explode(Bpe.applyMerges(
+        graft.functions.StringExprs.byte_alphabet(col("w")), merges)).as("sub"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_subwords"),
+        countDistinct(col("sub")).as("n_subword_types"))
+  }
+
   /** EXACTSUBSTR SPAN STRIP (r10 verdict #4 — the operator ExactSubstr
     * actually IS, Lee et al. 2022): remove every occurrence after the
     * first of any duplicated 8-token window and emit the CLEANED text —
@@ -5039,6 +5274,52 @@ object SparkEntry {
       .start()
     q.awaitTermination()
     s.table(name)
+  }
+
+  /** CALIBRATED QUALITY SCORES (r11 verdict #7 — the step that finishes
+    * the FineWeb-edu distillation story): q281's perceptron margins mapped
+    * to Q16 probabilities by EXACT-INTEGER isotonic regression
+    * ([[graft.sim.Isotonic.pavQ16]] — PAV on the labeled train-split
+    * score groups, cross-multiplied rational compares). The held-out
+    * split is scored by the step function (greatest calibrated score ≤
+    * margin; below-range → the first block). The oracle replays training
+    * epoch by epoch (the q281 chain), then computes the isotonic fit by
+    * its MINIMAX CLOSED FORM — max-over-prefixes of min-over-suffixes of
+    * exact rational means via the ⌊p·2³²/n⌋ order key — and applies the
+    * step with an ASOF join: same rationals, zero shared algorithm shape.
+    * Scale: calibration is driver-side over the bounded labeled slice;
+    * application is a broadcast step-table lookup, zero shuffle. */
+  private def q289_quality_calibrated(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    val feats = qualityFeatures(docs)
+    val teacher = TextOps.c4Flags(c4PageFixture(docs), "page")
+      .select(col("doc_id"), col("c4_pass"))
+    val featCols = (0 to 6).map(i => s"f$i")
+    val trainSet = feats.filter(col("doc_id") % 2 === 0)
+      .join(teacher, "doc_id")
+      .withColumn("y", when(col("c4_pass"), lit(1L)).otherwise(lit(-1L)))
+      .localCheckpoint(false)
+    val w = graft.sim.Perceptron.train(trainSet, "y", featCols, epochs = 4)
+    val dotCol = graft.sim.Perceptron.dot(featCols, w.toSeq).cast("long")
+    val groups = trainSet
+      .select(dotCol.as("score"),
+        when(col("y") === 1L, lit(1L)).otherwise(lit(0L)).as("pos1"))
+      .groupBy("score").agg(sum("pos1").as("p"), count(lit(1)).as("n"))
+      .orderBy("score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cal = graft.sim.Isotonic.pavQ16(groups)
+    // step table: [score_i, score_{i+1}) → q16; broadcast, zero shuffle
+    import s.implicits._
+    val steps = cal.zip(cal.drop(1).map(c => Some(c._1)) :+ None)
+      .map { case ((lo, q), hi) => (lo, hi, q) }
+    val bdf = broadcast(steps.toDF("lo", "hi", "q16"))
+    val firstQ = cal.head._2
+    feats.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), dotCol.as("score"))
+      .join(bdf, col("score") >= col("lo") &&
+        (col("hi").isNull || col("score") < col("hi")), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("q16"), lit(firstQ)).as("calib_q16"))
   }
 
   /** STREAMING WORDPIECE SEGMENTATION — the train-offline / serve-online
@@ -5463,6 +5744,13 @@ object SparkEntry {
     "q273_tokenizer_fertility" -> (q273_tokenizer_fertility _),
     "q274_stream_wordpiece" -> (q274_stream_wordpiece _),
     "q275_image_neardup" -> (q275_image_neardup _),
+    "q284_image_phash_neardup" -> (q284_image_phash_neardup _),
+    "q285_video_neardup" -> (q285_video_neardup _),
+    "q286_audio_neardup" -> (q286_audio_neardup _),
+    "q287_bpe_bytes_learn" -> (q287_bpe_bytes_learn _),
+    "q288_bpe_bytes_segment" -> (q288_bpe_bytes_segment _),
+    "q289_quality_calibrated" -> (q289_quality_calibrated _),
+    "q290_stream_image_gate" -> (q290_stream_image_gate _),
     "q276_exactsubstr_strip" -> (q276_exactsubstr_strip _),
     "q277_fineweb_strip" -> (q277_fineweb_strip _),
     "q278_unigram_softem" -> (q278_unigram_softem _),
@@ -8066,6 +8354,12 @@ object SparkEntry {
     // q220: train (shared CTEs) + segment every doc with the learned
     // merges in rank order; per-doc subword token/type counts
     "q220_bpe_segment" -> bpeSegmentOracleSql(nMerges = 8),
+    "q287_bpe_bytes_learn" -> bpeBytesOracleSql(nMerges = 48),
+    "q288_bpe_bytes_segment" -> bpeBytesSegmentOracleSql(nMerges = 8),
+    "q289_quality_calibrated" -> perceptronCalibratedOracleSql(epochs = 4),
+    // streaming drain of q284's projection+lookup — stateless, AvailableNow:
+    // row-identical to the batch query by construction, oracle shared
+    "q290_stream_image_gate" -> q284OracleSql,
     // q221: every greedy MMR step unrolled — candidate window, per-step
     // argmax, max-sim update; integer sign·cos²-scaled scores throughout
     "q221_mmr_rerank" -> mmrOracleSql(c = 16, k = 5),
@@ -8904,7 +9198,168 @@ object SparkEntry {
          )
          SELECT h.doc_id, dhash_hi, dhash_lo, cluster_id, cluster_size
          FROM h JOIN cl ON h.doc_id = cl.doc_id""",
+
+    // q284: the crop/rescale fixture re-derived relationally — inverse-DCT
+    // cells from the closed form, the crop re-grid as positional means,
+    // forward DCT against the same 256 Q10 literals (constants shared
+    // with Multimodal.dctQ10; code not), sign bits, clusters-by-class
+    // (within-class Hamming ≤3, cross ≥10, threshold 3 ⇒ clusters ARE
+    // the classes). The engine only matches by decoding two container
+    // formats at three raster sizes, block-meaning 32×32, running the
+    // integer DCT, and banding correctly.
+    "q284_image_phash_neardup" -> q284OracleSql,
+
+    // q285: the clip fixture restated relationally — first-extracted-frame
+    // fingerprint from the injective closed form ((k·6+f₀+1)·2654435761,
+    // f₀ = 1 for the trimmed variant), frame counts by variant, clusters
+    // by class (cross-class clips share 0 fingerprints; within-class ≥ 5
+    // of 6; threshold 4 ⇒ clusters ARE the classes). The engine only
+    // matches by decoding GIF AND H.264 rasters, hashing every frame,
+    // and counting shared fingerprints over distinct signatures.
+    "q285_video_neardup" ->
+      """WITH dv AS (
+           SELECT doc_id, doc_id % 41 AS k, (doc_id // 41) % 3 AS v FROM documents
+         ),
+         f AS (
+           SELECT doc_id, k,
+             CASE WHEN v = 2 THEN 5 ELSE 6 END AS nf,
+             (k*6 + CASE WHEN v = 2 THEN 1 ELSE 0 END + 1) * 2654435761 AS fh
+           FROM dv
+         ),
+         cl AS (
+           SELECT doc_id,
+             cast(min(doc_id) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_id,
+             cast(count(*) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_size
+           FROM documents
+         )
+         SELECT f.doc_id, cast(f.nf as bigint) AS n_frames,
+           cast(fh >> 32 as bigint) AS f0hash_hi,
+           cast(fh & 4294967295 as bigint) AS f0hash_lo,
+           cl.cluster_id, cl.cluster_size
+         FROM f JOIN cl ON f.doc_id = cl.doc_id""",
+
+    // q286: the audio fixture restated relationally — band bits from the
+    // xor-folded multiplicative hash, fingerprint bits as amp² comparisons
+    // (the construction's ≥2.25× margins make energy signs EQUAL amp
+    // signs), format code by variant, clusters by class. The engine only
+    // matches by decoding PCM16 AND μ-law WAVs, windowing, running the
+    // integer band transform, and comparing real energies.
+    "q286_audio_neardup" ->
+      """WITH dv AS (
+           SELECT doc_id, doc_id % 41 AS k, (doc_id // 41) % 3 AS v FROM documents
+         ),
+         kv AS (SELECT DISTINCT k, v FROM dv),
+         wu AS (
+           SELECT w.i AS w, u.i AS u
+           FROM (SELECT unnest(range(9)) AS i) w, (SELECT unnest(range(8)) AS i) u
+         ),
+         rb AS (
+           SELECT kv.k, kv.v, wu.w, wu.u,
+             CASE WHEN kv.v = 2 AND wu.w = 8 AND wu.u < 2 THEN 1 - rbit ELSE rbit END AS b
+           FROM kv, wu,
+             LATERAL (SELECT ((kv.k*72 + wu.w*8 + wu.u + 1) * 2654435761) & 2147483647 AS h31) t1,
+             LATERAL (SELECT ((xor(t1.h31, t1.h31 >> 15) * 2246822519) >> 43) & 1 AS rbit) t2
+         ),
+         amp AS (SELECT k, v, w, u, 2*b + (w % 2) AS a FROM rb),
+         bits AS (
+           SELECT cur.k, cur.v, cur.w, cur.u,
+             CASE WHEN cur.a * cur.a > prv.a * prv.a THEN 1 ELSE 0 END AS bit
+           FROM amp cur JOIN amp prv
+             ON prv.k = cur.k AND prv.v = cur.v AND prv.u = cur.u AND prv.w = cur.w - 1
+           WHERE cur.w >= 1
+         ),
+         hsh AS (
+           SELECT k, v,
+             cast(sum(CASE WHEN bit = 1 AND (w-1)*8+u >= 32
+                           THEN (1::BIGINT << ((w-1)*8+u-32)) ELSE 0 END) as bigint) AS afp_hi,
+             cast(sum(CASE WHEN bit = 1 AND (w-1)*8+u < 32
+                           THEN (1::BIGINT << ((w-1)*8+u)) ELSE 0 END) as bigint) AS afp_lo
+           FROM bits GROUP BY k, v
+         ),
+         cl AS (
+           SELECT doc_id,
+             cast(min(doc_id) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_id,
+             cast(count(*) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_size
+           FROM documents
+         )
+         SELECT dv.doc_id,
+           cast(CASE WHEN dv.v = 1 THEN 7 ELSE 1 END as int) AS fmt,
+           h.afp_hi, h.afp_lo, cl.cluster_id, cl.cluster_size
+         FROM dv JOIN hsh h ON h.k = dv.k AND h.v = dv.v
+         JOIN cl ON cl.doc_id = dv.doc_id""",
   )
+
+  private def q284OracleSql: String = {
+    val tt = (for (u <- 0 until 8; n <- 0 until 32)
+      yield "(" + u + "," + n + "," + graft.multimodal.Multimodal.dctQ10(u)(n) + ")").mkString(",")
+    """WITH tt(u, n, c) AS (VALUES """ + tt + """),
+       axis AS (SELECT unnest(range(32)) AS i),
+       uv AS (
+         SELECT a.i AS u, b.i AS v FROM axis a, axis b
+         WHERE a.i < 8 AND b.i < 8 AND NOT (a.i = 0 AND b.i = 0)
+       ),
+       ks AS (SELECT unnest(range(41)) AS k),
+       sgn AS (
+         SELECT k, u, v,
+           CASE WHEN ((k * 2654435761) >> (u*8 + v)) & 1 = 1 THEN 1 ELSE -1 END AS s
+         FROM ks, uv
+       ),
+       cells AS (
+         SELECT k, ty.n AS gy, tx.n AS gx,
+           GREATEST(0, LEAST(255, 128 + CAST(sum(s * ty.c * tx.c) // 131072 AS BIGINT))) AS val
+         FROM sgn
+         JOIN tt ty ON ty.u = sgn.u
+         JOIN tt tx ON tx.u = sgn.v
+         GROUP BY k, ty.n, tx.n
+       ),
+       px2 AS (
+         SELECT c.k, y.i58 AS y, x.i58 AS x, c.val
+         FROM (SELECT unnest(range(58)) AS i58) y,
+              (SELECT unnest(range(58)) AS i58) x,
+              cells c
+         WHERE c.gy = (y.i58 + 3) // 2 AND c.gx = (x.i58 + 3) // 2
+       ),
+       g2 AS (
+         SELECT p.k, cy.i AS gy, cx.i AS gx, CAST(sum(p.val) // count(*) AS BIGINT) AS val
+         FROM px2 p, axis cy, axis cx
+         WHERE p.y >= (cy.i * 58) // 32 AND p.y < ((cy.i + 1) * 58) // 32
+           AND p.x >= (cx.i * 58) // 32 AND p.x < ((cx.i + 1) * 58) // 32
+         GROUP BY p.k, cy.i, cx.i
+       ),
+       grids AS (
+         SELECT k, 0 AS var, gy, gx, val FROM cells
+         UNION ALL
+         SELECT k, 2 AS var, gy, gx, val FROM g2
+       ),
+       coef AS (
+         SELECT g.k, g.var, uv.u, uv.v, sum(g.val * ty.c * tx.c) AS f
+         FROM grids g
+         JOIN uv ON true
+         JOIN tt ty ON ty.u = uv.u AND ty.n = g.gy
+         JOIN tt tx ON tx.u = uv.v AND tx.n = g.gx
+         GROUP BY g.k, g.var, uv.u, uv.v
+       ),
+       hsh AS (
+         SELECT k, var,
+           cast(sum(CASE WHEN f > 0 AND u*8+v >= 32 THEN (1::BIGINT << (u*8+v-32)) ELSE 0 END) as bigint) AS phash_hi,
+           cast(sum(CASE WHEN f > 0 AND u*8+v < 32 THEN (1::BIGINT << (u*8+v)) ELSE 0 END) as bigint) AS phash_lo
+         FROM coef GROUP BY k, var
+       ),
+       dv AS (
+         SELECT doc_id, doc_id % 41 AS k,
+           CASE WHEN (doc_id // 41) % 3 = 2 THEN 2 ELSE 0 END AS var
+         FROM documents
+       ),
+       cl AS (
+         SELECT doc_id,
+           cast(min(doc_id) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_id,
+           cast(count(*) OVER (PARTITION BY doc_id % 41) as bigint) AS cluster_size
+         FROM documents
+       )
+       SELECT dv.doc_id, h.phash_hi, h.phash_lo, cl.cluster_id, cl.cluster_size
+       FROM dv JOIN hsh h ON h.k = dv.k AND h.var = dv.var
+       JOIN cl ON cl.doc_id = dv.doc_id"""
+  }
 
   /** q219's oracle: `nMerges` unrolled BPE iterations over the
     * marker-wrapped symbol encoding (each symbol as chr(1)·sym·chr(2) —
@@ -8984,10 +9439,12 @@ object SparkEntry {
     * weight row wN, all BIGINT — and the held-out scores under the final
     * weights. Plain-string concatenation (no interpolation) wherever a
     * regex backslash appears. */
+  private def perceptronDotOf(p: String, wp: String): String =
+    (0 to 6).map(i => s"$p.f$i * $wp.w$i").mkString(" + ")
+
   private def perceptronOracleSql(epochs: Int): String = {
     val fs = 0 to 6
-    def dotOf(p: String, wp: String): String =
-      fs.map(i => s"$p.f$i * $wp.w$i").mkString(" + ")
+    def dotOf(p: String, wp: String): String = perceptronDotOf(p, wp)
     val epochCtes = (1 to epochs).map { t =>
       val sums = fs.map(i =>
         s"sum(CASE WHEN (${dotOf("t", "w")}) * t.y <= 0 THEN t.y * t.f$i ELSE 0 END)::BIGINT AS d$i")
@@ -9030,6 +9487,46 @@ object SparkEntry {
          SELECT f.doc_id, (${dotOf("f", "w")})::BIGINT AS score,
            (${dotOf("f", "w")}) > 0 AS pred
          FROM feat f CROSS JOIN w$epochs w WHERE f.doc_id % 2 = 1""")
+  }
+
+  /** q289's oracle: the q281 training chain verbatim, then the isotonic
+    * fit by its MINIMAX closed form over exact rational means (the
+    * ⌊p·2³²/n⌋ key discriminates all denominators < 2¹⁶ and floors to the
+    * same Q16 the engine's PAV emits), applied to the held-out scores
+    * with an ASOF join (greatest calibrated score ≤ margin; below-range
+    * coalesces to the first group). */
+  private def perceptronCalibratedOracleSql(epochs: Int): String = {
+    val train = perceptronOracleSql(epochs)
+    val cut = train.lastIndexOf("SELECT f.doc_id,")
+    val ctes = train.substring(0, cut) // WITH ... w$epochs, trailing whitespace
+    val dot = perceptronDotOf("f", "w")
+    ctes + s""", trsc AS (
+           SELECT ($dot)::BIGINT AS score,
+             (CASE WHEN f.y = 1 THEN 1 ELSE 0 END)::BIGINT AS pos1
+           FROM tr f CROSS JOIN w$epochs w),
+         go AS (
+           SELECT score, row_number() OVER (ORDER BY score) AS rn, p, n,
+             sum(p) OVER (ORDER BY score) AS cp, sum(n) OVER (ORDER BY score) AS cn
+           FROM (SELECT score, cast(sum(pos1) as bigint) AS p,
+                   cast(count(*) as bigint) AS n
+                 FROM trsc GROUP BY 1)),
+         pm AS (
+           SELECT j.rn AS j, k.rn AS k,
+             (((k.cp - j.cp + j.p) << 32) // (k.cn - j.cn + j.n)) AS key
+           FROM go j, go k WHERE j.rn <= k.rn),
+         sm AS (
+           SELECT j, k AS gg, min(key) OVER (PARTITION BY j ORDER BY k DESC) AS mkey
+           FROM pm),
+         iso AS (SELECT gg, max(mkey) AS ykey FROM sm WHERE j <= gg GROUP BY gg),
+         cal AS (SELECT go.score, iso.ykey >> 16 AS q16
+           FROM iso JOIN go ON go.rn = iso.gg),
+         tesc AS (
+           SELECT f.doc_id, ($dot)::BIGINT AS score
+           FROM feat f CROSS JOIN w$epochs w WHERE f.doc_id % 2 = 1),
+         frst AS (SELECT q16 FROM cal ORDER BY score LIMIT 1)
+         SELECT t.doc_id, t.score,
+           cast(coalesce(c.q16, (SELECT q16 FROM frst)) as bigint) AS calib_q16
+         FROM tesc t ASOF LEFT JOIN cal c ON t.score >= c.score"""
   }
 
   /** Shared CTE core for q263/q266: the Kneser–Ney sufficient statistics
@@ -9250,7 +9747,7 @@ object SparkEntry {
          SELECT 'wordpiece64', nwt.nw, wnp.np, wnp.np * 100 // nwt.nw FROM wnp, nwt"""
   }
 
-  private def bpeTrainCtes(nMerges: Int): String = {
+  private def bpeTrainCtes(nMerges: Int, v0Override: Option[String] = None): String = {
     // b/v MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
     // iteration references the previous twice (pair count + rewrite) — at
     // 256 unrolled rounds un-materialized inlining blows up exponentially
@@ -9270,15 +9767,54 @@ object SparkEntry {
                chr(1) || b.mrg || chr(2)) AS wstr, cnt
            FROM v${t - 1} v CROSS JOIN b$t b)"""
     }.mkString(",\n         ")
-    s"""v0 AS (
+    val v0 = v0Override.getOrElse(
+      s"""v0 AS (
            SELECT array_to_string(list_transform(regexp_extract_all(w, '.'),
                c -> chr(1) || c || chr(2)), '') AS wstr,
              cast(cnt as bigint) AS cnt
            FROM (SELECT w, count(*) AS cnt FROM (
              SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS w
-             FROM documents) GROUP BY 1)),
+             FROM documents) GROUP BY 1))""")
+    s"""$v0,
          $iters"""
   }
+
+  /** The byte-alphabet map as inline SQL (GPT-2 bytes→unicode): byte value
+    * `x` → its printable char. Used by the q287/q288 oracles to re-derive
+    * [[graft.text.Bpe.byteCharTable]] from the published range rules —
+    * constants shared, code not. */
+  private def mbSql(x: String): String =
+    "CASE WHEN (" + x + " BETWEEN 33 AND 126) OR (" + x + " BETWEEN 161 AND 172) " +
+      "OR (" + x + " >= 174) THEN chr(" + x + ") " +
+      "WHEN " + x + " <= 32 THEN chr(256 + " + x + ") " +
+      "WHEN " + x + " <= 160 THEN chr(" + x + " + 162) " +
+      "ELSE chr(323) END"
+
+  /** Accented corpus (the byte-fallback exercise): every vowel swapped for
+    * a 2-byte Latin-1 code point, engine-side via `translate`. */
+  private val accentsSql = "translate(text, 'aeiou', " +
+    "chr(224) || chr(233) || chr(238) || chr(246) || chr(252))"
+
+  /** Word → byte-alphabet mapped char LIST in SQL, valid for code points
+    * < 2048 (1–2-byte UTF-8; the fixture's charset is ASCII + five
+    * Latin-1 vowels): cp < 128 → one byte, else (192 + cp div 64,
+    * 128 + cp mod 64). */
+  private def byteMapListSql(w: String): String =
+    "flatten(list_transform(regexp_extract_all(" + w + ", '.'), c -> " +
+      "CASE WHEN ord(c) < 128 THEN [" + mbSql("ord(c)") + "] " +
+      "ELSE [" + mbSql("(192 + ord(c) // 64)") + ", " +
+      mbSql("(128 + ord(c) % 64)") + "] END))"
+
+  /** q287's oracle v0: the byte-mapped wrapped-symbol vocab over the
+    * accented corpus. */
+  private def bpeBytesV0Sql: String =
+    """v0 AS (
+           SELECT array_to_string(list_transform(""" + byteMapListSql("w") + """,
+               m -> chr(1) || m || chr(2)), '') AS wstr,
+             cast(cnt as bigint) AS cnt
+           FROM (SELECT w, count(*) AS cnt FROM (
+             SELECT unnest(list_filter(string_split_regex(""" + accentsSql + """, '\s+'), x -> len(x) > 0)) AS w
+             FROM documents) GROUP BY 1))"""
 
   /** q258's oracle: the 18 Gopher repetition statistics recomputed
     * relationally per document — duplicate line/paragraph groups via
@@ -9525,6 +10061,44 @@ object SparkEntry {
       .mkString("\n         UNION ALL ")
     s"""WITH ${bpeTrainCtes(nMerges)}
          $out"""
+  }
+
+  /** q287's oracle: the q219 train chain verbatim over the BYTE-MAPPED
+    * accented vocab (v0 swapped; every other CTE shared). */
+  private def bpeBytesOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(t =>
+      s"SELECT cast($t as bigint) AS rank, pair, mrg AS merged, c AS weight FROM b$t")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${bpeTrainCtes(nMerges, Some(bpeBytesV0Sql))}
+         $out"""
+  }
+
+  /** q288's oracle: byte-level train (shared chain) + byte-level segment —
+    * z0 maps every document word through the byte alphabet before the
+    * rank-order replace chain. */
+  private def bpeBytesSegmentOracleSql(nMerges: Int): String = {
+    val chain = (1 to nMerges).map { t =>
+      s"""z$t AS (
+           SELECT doc_id, replace(z.wstr,
+               chr(1) || replace(b.pair, ' ', chr(2) || chr(1)) || chr(2),
+               chr(1) || b.mrg || chr(2)) AS wstr
+           FROM z${t - 1} z CROSS JOIN b$t b)"""
+    }.mkString(",\n         ")
+    s"""WITH ${bpeTrainCtes(nMerges, Some(bpeBytesV0Sql))},
+         z0 AS (
+           SELECT doc_id, array_to_string(list_transform(${byteMapListSql("w")},
+               m -> chr(1) || m || chr(2)), '') AS wstr
+           FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex($accentsSql, '\\s+'), x -> len(x) > 0)) AS w
+                 FROM documents)),
+         $chain,
+         sub AS (
+           SELECT doc_id,
+             unnest(string_split(substr(wstr, 2, len(wstr) - 2), chr(2) || chr(1))) AS s
+           FROM z$nMerges)
+         SELECT doc_id, cast(count(*) as bigint) AS n_subwords,
+           cast(count(DISTINCT s) as bigint) AS n_subword_types
+         FROM sub GROUP BY 1"""
   }
 
   /** q220's oracle: train (shared CTEs), then SEGMENT every document's

@@ -67,4 +67,41 @@ object StringExprs {
 
   def nfc_normalize(s: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
+
+  /** `byte_alphabet(s)`: s's UTF-8 bytes through the GPT-2 byte→unicode
+    * printable alphabet ([[graft.text.Bpe.byteCharTable]]) — the input
+    * normalization of a byte-level tokenizer, as ONE tight-loop codegen'd
+    * kernel (per-byte work in an interpreted HOF is the q247 cost class).
+    * Driver twin: [[graft.text.Bpe.byteMapStr]] (spec-pinned equal). */
+  case class ByteAlphabet(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got $t")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "byte_alphabet"
+
+    def compute(s: UTF8String): UTF8String = {
+      val bytes = s.getBytes
+      val table = graft.text.Bpe.byteCharTable
+      val out = new Array[Char](bytes.length)
+      var i = 0
+      while (i < bytes.length) { out(i) = table(bytes(i) & 0xff); i += 1 }
+      UTF8String.fromString(new String(out))
+    }
+
+    override protected def nullSafeEval(s: Any): Any =
+      compute(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("byteAlphabet", this, classOf[ByteAlphabet].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def byte_alphabet(s: Column): Column =
+    ColumnBridge.column(ByteAlphabet(ColumnBridge.expression(s)))
 }

@@ -184,6 +184,14 @@ object Avi {
     (w, h, scale, rate, frames.toSeq)
   }
 
+  /** Decoded (w, h, rgb) per frame — the raster feed for per-frame
+    * perceptual hashing ([[Multimodal.videoFrameHashes]]); each MJPEG
+    * chunk runs the full baseline-JPEG decode. */
+  def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    val (_, _, _, _, frames) = decodeMjpeg(bytes)
+    frames.map(Jpeg.decode)
+  }
+
   /** Oracle-checkable per-frame decode statistic, same tuple shape as
     * [[Gif.frameStats]]: (frameIdx, presentationStartMs = f·1000·scale÷rate,
     * nPixels, Σr, Σg, Σb, position-weighted Σ(i+1)·r_i) — each frame run

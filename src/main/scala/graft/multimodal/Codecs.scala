@@ -388,6 +388,36 @@ object Codecs {
     (if ((a & 0x80) != 0) t else -t).toShort
   }
 
+  /** Linear → μ-law code by NEAREST expanded level (ties toward the
+    * smaller level; among codes sharing a level, the smallest code).
+    * Quantizing against [[ulawExpand]]'s own output levels makes the
+    * round-trip exactly "snap to the nearest representable value" — the
+    * cleanest companding model an oracle can restate (256 literal
+    * levels + an argmin), with no second copy of the segment math. */
+  def ulawNearestCode(s: Short): Byte = {
+    val (levels, codes) = ulawLevelTable
+    var lo = 0; var hi = levels.length - 1
+    while (lo < hi) { // first level >= s
+      val mid = (lo + hi) >>> 1
+      if (levels(mid) < s) lo = mid + 1 else hi = mid
+    }
+    val pick =
+      if (lo == 0) 0
+      else if (math.abs(s - levels(lo - 1)) <= math.abs(levels(lo) - s)) lo - 1
+      else lo
+    codes(pick)
+  }
+  private lazy val ulawLevelTable: (Array[Short], Array[Byte]) = {
+    val byLevel = scala.collection.mutable.TreeMap.empty[Short, Byte]
+    for (c <- 255 to 0 by -1) byLevel(ulawExpand(c)) = c.toByte // min code wins
+    (byLevel.keysIterator.toArray, byLevel.valuesIterator.toArray)
+  }
+
+  /** μ-law round trip (compress → expand) — the quantizer the fixture and
+    * specs reason about. */
+  private[multimodal] def ulawRoundTrip(s: Short): Short =
+    ulawExpand(ulawNearestCode(s) & 0xff)
+
   /** Encode G.711 companded mono audio as RIFF/WAVE: format code 7 (μ-law)
     * or 6 (A-law), 8 bits/sample, one code byte per sample. */
   def encodeWavG711(sampleRate: Int, codes: Array[Byte], mulaw: Boolean): Array[Byte] = {

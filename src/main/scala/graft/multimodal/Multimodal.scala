@@ -509,6 +509,415 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ------------------------------------------------- DCT spectral hash
+  // The pHash idea (the public DCT perceptual hash): downsample to 32×32
+  // gray, take the low-frequency corner of the 2-D DCT-II, derive 64 bits.
+  // Bits here are COEFFICIENT SIGNS (the SimHash-style sign-projection
+  // variant) rather than median comparisons: sign bits flip only where a
+  // coefficient's magnitude falls under the perturbation, which is what
+  // makes the hash stable under crop/rescale/re-encode — exactly the
+  // robustness dHash's local gradients lack (MultimodalSpec measures a
+  // crop pair that the spectral hash clusters and dHash misses). All
+  // arithmetic is integer Q10 fixed-point so every engine (and the DuckDB
+  // oracle, which inlines the same 256-entry table as literals and shares
+  // no code) reproduces the hash bit-exactly.
+
+  /** Q10 DCT-II basis rows u = 0..7 over n = 0..31: T(u)(n) =
+    * round(cos(π·(2n+1)·u/64)·1024). StrictMath (not Math) so the table
+    * is bit-identical on every JVM; only the 8 low-frequency rows exist
+    * because the hash never reads coefficients above u,v = 7. */
+  private[graft] val dctQ10: Array[Array[Int]] =
+    Array.tabulate(8, 32)((u, n) =>
+      StrictMath.round(StrictMath.cos(StrictMath.PI * (2 * n + 1) * u / 64.0) * 1024.0).toInt)
+
+  /** Spectral hash over a 32×32 gray grid (row-major gy·32+gx): bit
+    * u·8+v set iff F(u,v) = Σ grid·T(u)(gy)·T(v)(gx) > 0, DC bit 0 always
+    * clear. |F| ≤ 1024·255·2²⁰ < 2⁴⁸ — exact in Long, no overflow path. */
+  private[multimodal] def dctSignHash64(grid32: Array[Int]): Long = {
+    require(grid32.length == 1024, s"dctSignHash64 needs a 32x32 grid, got ${grid32.length}")
+    val t = dctQ10
+    // separable: s(u)(x) = Σ_gy grid(gy,x)·T(u)(gy), then F(u,v) = Σ_x s(u)(x)·T(v)(x)
+    val s = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 32) {
+        var acc = 0L; var gy = 0
+        while (gy < 32) { acc += grid32(gy * 32 + x).toLong * t(u)(gy); gy += 1 }
+        s(u)(x) = acc; x += 1
+      }
+      u += 1
+    }
+    var hsh = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var acc = 0L; var x = 0
+          while (x < 32) { acc += s(u)(x) * t(v)(x); x += 1 }
+          if (acc > 0L) hsh |= 1L << (u * 8 + v)
+        }
+        v += 1
+      }
+      u += 1
+    }
+    hsh
+  }
+
+  /** Decode + both hashes for one image payload (PPM/PNG/GIF/JPEG by magic
+    * bytes, ≥ 32×32) — null when undecodable or below the spectral grid's
+    * resolution. The per-row kernel behind
+    * [[graft.functions.MediaExprs.spectral_hashes]]. */
+  private[graft] def spectralHashPair(bytes: Array[Byte]): (Long, Long) = {
+    val decoded: Option[(Int, Int, Array[Byte])] =
+      if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+        Some(Codecs.decodePpm(bytes))
+      else if (Codecs.isPng(bytes)) Some(Codecs.decodePng(bytes))
+      else if (Gif.isGif(bytes)) {
+        val (w, h, frames) = Gif.decodeRgbFrames(bytes)
+        Some((w, h, frames.head._2))
+      } else if (Jpeg.isJpeg(bytes)) Some(Jpeg.decode(bytes))
+      else None
+    decoded match {
+      case Some((w, h, rgb)) if w >= 32 && h >= 32 =>
+        (dctSignHash64(grayGrid(w, h, rgb, 32, 32)), dhash64(grayGrid(w, h, rgb, 9, 8)))
+      case _ => null
+    }
+  }
+
+  /** (media_id, phash, dhash) for every decodable image ≥ 32×32 — the
+    * spectral hash beside the gradient hash. A typed mapPartitions (a
+    * streaming-compatible operator, unlike an RDD hop — q290 runs it
+    * unchanged under AvailableNow), decoding each payload exactly ONCE:
+    * the pure-projection form ([[graft.functions.MediaExprs
+    * .spectral_hashes]], kept for expression composition) re-evaluates
+    * the decode when a filter is pushed through it, doubling the scan.
+    * Images smaller than the 32×32 grid are skipped. */
+  def spectralHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        spectralHashPair(bytes) match {
+          case null => None
+          case (p, d) => Some((id, p, d))
+        }
+      })
+      .toDF("media_id", "phash", "dhash")
+  }
+
+  /** Closed-form 32×32 cell value of the crop/rescale fixture: the grid is
+    * an INVERSE DCT of class-dependent ±1 low-frequency coefficients —
+    * cell(k, gy, gx) = clamp(128 + (Σ_{(u,v)≠(0,0), u,v<8} s_k(u,v)·
+    * T(u)(gy)·T(v)(gx)) quot 2¹⁷) with s_k(u,v) = ±1 from bit u·8+v of
+    * k·2654435761 (quot = truncating division, matching DuckDB's `//`).
+    * Forward-DCT of this grid recovers the 63 signs, so each class's
+    * spectral hash is a distinct 63-bit pattern (measured min cross-class
+    * Hamming 11 for k < 41) while crop leakage stays under every
+    * coefficient's magnitude (measured within-class ≤ 3). */
+  private[graft] def cropRescaleCell(k: Long, gy: Int, gx: Int): Int = {
+    val bits = k * 2654435761L
+    var sum = 0L
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          val s = if (((bits >>> (u * 8 + v)) & 1L) == 1L) 1L else -1L
+          sum += s * dctQ10(u)(gy) * dctQ10(v)(gx)
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val v = 128 + (sum / 131072L).toInt
+    if (v < 0) 0 else if (v > 255) 255 else v
+  }
+
+  /** Crop/rescale near-dup image fixture (q284's input): class k = id mod
+    * `classes` picks the base picture ([[cropRescaleCell]]); variant
+    * v = (id div classes) mod 3 renders it as the 64×64 original (v=0),
+    * the 128×128 2× upscale (v=1 — same 32×32 block means exactly), or
+    * the 58×58 3-px-border CROP (v=2 — block means re-mix across cell
+    * boundaries); the container cycles PPM/PNG by id mod 2. Measured for
+    * k < 41: within-class spectral-hash Hamming ≤ 3, cross-class ≥ 11 —
+    * threshold 3 separates exactly — while the crop moves dHash by up to
+    * 16 bits (min 3), so gradient hashing breaks these clusters and only
+    * decode → 32×32 grid → integer DCT → sign bits → banded Hamming
+    * reproduces the oracle. */
+  def syntheticCropRescaleImages(df: DataFrame, idCol: String,
+                                 classes: Int = 41): DataFrame = {
+    require(classes >= 1 && classes <= 41,
+      s"fixture separation is verified for classes<=41; got $classes")
+    val gen = udf { (id: Long) =>
+      val k = id % classes
+      val v = (id / classes) % 3
+      val cells = rasterCache.computeIfAbsent((k, v), _ => {
+        val base = Array.tabulate(32, 32)((gy, gx) => cropRescaleCell(k, gy, gx))
+        val (w, crop, scale) = v match {
+          case 0L => (64, 0, 2)
+          case 1L => (128, 0, 4)
+          case _ => (58, 3, 2)
+        }
+        val rgb = new Array[Byte](w * w * 3)
+        var y = 0
+        while (y < w) {
+          var x = 0
+          while (x < w) {
+            val g = base((y + crop) / scale)((x + crop) / scale).toByte
+            val p = 3 * (y * w + x)
+            rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+            x += 1
+          }
+          y += 1
+        }
+        (w, rgb)
+      })
+      val (w, rgb) = cells
+      if (id % 2 == 0) Codecs.encodePpm(w, w, rgb) else Codecs.encodePng(w, w, rgb)
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("image").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("mixed").as("format"), lit(64).as("width"), lit(64).as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+  /** Per-executor raster memo for the crop/rescale fixture: 41 classes ×
+    * 3 variants = 123 rasters; generation cost stays O(distinct), not
+    * O(images). Keys never collide across scale factors (content is a
+    * pure function of (k, v)). */
+  private val rasterCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), (Int, Array[Byte])]()
+
+  // ------------------------------------------------- audio fingerprint near-dup
+  // Spectral-flux sign fingerprinting (the Haitsma–Kalker family, temporal
+  // variant): window the PCM into 9×32 samples, measure 8 band energies
+  // per window through the SAME integer Q10 DCT rows as the image hash,
+  // fingerprint bit (w−1)·8+u = [E(w,u) > E(w−1,u)]. Energy-ratio signs
+  // are invariant under exact amplitude scaling and, with ≥2.25× margins,
+  // under G.711 companding noise (~3% relative) — so a μ-law re-encode and
+  // a half-volume master fingerprint identically, which is what exact
+  // payload hashing can never see.
+
+  /** 64-bit spectral-flux fingerprint over the first 288 linear PCM
+    * samples: E(w,u) = (Σ_{n<32} x(32w+n)·T(u)(n))², bit (w−1)·8+u set iff
+    * E(w,u) > E(w−1,u). |coef| < 2³⁰ ⇒ E < 2⁶⁰ — exact in Long. */
+  private[graft] def audioFp64(x: Array[Short]): Long = {
+    require(x.length >= 288, s"audioFp64 needs >= 288 samples, got ${x.length}")
+    val t = dctQ10
+    val e = Array.ofDim[Long](9, 8)
+    var w = 0
+    while (w < 9) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0L; var n = 0
+        while (n < 32) { acc += x(32 * w + n) * t(u)(n); n += 1 }
+        e(w)(u) = acc * acc; u += 1
+      }
+      w += 1
+    }
+    var hsh = 0L
+    w = 1
+    while (w < 9) {
+      var u = 0
+      while (u < 8) {
+        if (e(w)(u) > e(w - 1)(u)) hsh |= 1L << ((w - 1) * 8 + u)
+        u += 1
+      }
+      w += 1
+    }
+    hsh
+  }
+
+  /** (media_id, fmt, afp) for every decodable RIFF/WAVE payload with ≥288
+    * samples: the container's format code (1 PCM16, 7 μ-law, 6 A-law —
+    * part of the decode proof) and the spectral-flux fingerprint over the
+    * expanded linear samples. Scan-shaped; 20 bytes out per clip. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", IntegerType, nullable = false),
+      StructField("afp", LongType, nullable = false)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I') {
+          val (fmt, _, samples) = Codecs.decodeWavAny(bytes)
+          if (samples.length >= 288) Some(Row(r.getLong(0), fmt, audioFp64(samples)))
+          else None
+        } else None
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Closed-form band bit of the audio fixture: n = k·72+w·8+u+1,
+    * h31 = (n·2654435761) mod 2³¹, z = h31 xor (h31 >> 15) (the xor breaks
+    * the multiplicative hash's arithmetic-progression correlation), bit =
+    * (z·2246822519) >> 43 & 1. The remix variant inverts bits (w=8, u<2). */
+  private[graft] def audioRBit(k: Long, w: Int, u: Int, remix: Boolean): Int = {
+    val n = k * 72 + w * 8 + u + 1
+    val h31 = (n * 2654435761L) & 0x7FFFFFFFL
+    val z = h31 ^ (h31 >>> 15)
+    val b = (((z * 2246822519L) >>> 43) & 1L).toInt
+    if (remix && w == 8 && u < 2) 1 - b else b
+  }
+  /** Window-band amplitude: 2·rbit + (w mod 2) — consecutive windows carry
+    * different parities, so every energy comparison has a ≥2.25× ratio
+    * margin (amp² levels {0,4} vs {1,9}) and the fingerprint is a CLOSED
+    * FORM of the bits: E(w,u) > E(w−1,u) ⟺ amp(w,u)² > amp(w−1,u)². */
+  private[graft] def audioAmp(k: Long, w: Int, u: Int, remix: Boolean): Int =
+    2 * audioRBit(k, w, u, remix) + (w % 2)
+
+  /** Audio near-dup fixture (q286's input): class k = id mod `classes` is
+    * a 288-sample composition x(32w+n) = ((Σ_u amp·T(u)(n)) quot 4)·2 —
+    * EVEN samples, so the half-volume master divides exactly; variant
+    * v = (id div classes) mod 3 renders it as PCM16 WAV (v=0), as a
+    * G.711 μ-LAW re-encode (v=1 — nearest-level companding; the ~3%
+    * noise sits under every energy margin, fingerprint IDENTICAL), or as
+    * a HALF-VOLUME master with the last window's two low bands remixed
+    * (v=2 — fingerprint within Hamming 2). Cross-class fingerprints stay
+    * ≥8 apart (measured, k < 41), so threshold 3 separates exactly. */
+  def syntheticNearDupAudio(df: DataFrame, idCol: String,
+                            classes: Int = 41): DataFrame = {
+    require(classes >= 1 && classes <= 41, s"classes=$classes")
+    val gen = udf { (id: Long) =>
+      val k = id % classes
+      val v = (id / classes) % 3
+      audioCache.computeIfAbsent((k, v), _ => {
+        val remix = v == 2L
+        val x = new Array[Short](288)
+        var w = 0
+        while (w < 9) {
+          var n = 0
+          while (n < 32) {
+            var s = 0L
+            var u = 0
+            while (u < 8) { s += audioAmp(k, w, u, remix).toLong * dctQ10(u)(n); u += 1 }
+            val q = (if (s >= 0) s / 4 else -((-s) / 4)) * 2
+            x(32 * w + n) = (if (v == 2L) q / 2 else q).toShort
+            n += 1
+          }
+          w += 1
+        }
+        if (v == 1L) Codecs.encodeWavG711(8000, x.map(Codecs.ulawNearestCode), mulaw = true)
+        else Codecs.encodeWavPcm16(8000, x)
+      })
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("audio").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("wav").as("format"), lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), lit(36L).as("duration_ms"),
+        lit(8000).as("sample_rate")).as("meta"))
+  }
+  private val audioCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), Array[Byte]]()
+
+  // ------------------------------------------------- video near-dup
+  // Clip-level near-duplicate detection by frame fingerprinting (the
+  // public video copy-detection shape: per-frame perceptual hash → shared-
+  // fingerprint candidate join → match-count verify). Composes the q187/
+  // q245 frame extraction with the q275 perceptual kernels: a re-encoded
+  // clip (different container, same pictures) and a trimmed clip (frames
+  // dropped) both keep most frame hashes, so they cluster with the
+  // original — while exact payload digests see three unrelated blobs.
+
+  /** Per-frame perceptual hashes for really-decoded moving pictures —
+    * animated GIF, MJPEG AVI, H.264 I_PCM — one row per frame:
+    * (media_id, frame_idx, fhash = dHash64 of the frame's 9×8 block-mean
+    * gray grid). Rasters never leave the scan task; 20 bytes per frame
+    * do. Frames smaller than the 9×8 grid are skipped. */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("fhash", LongType, nullable = false)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val frames: Seq[(Int, Int, Array[Byte])] =
+          if (Gif.isGif(bytes)) {
+            val (w, h, fs) = Gif.decodeRgbFrames(bytes)
+            fs.map { case (_, rgb) => (w, h, rgb) }
+          } else if (Avi.isAvi(bytes)) Avi.decodeFrames(bytes)
+          else if (H264.isAnnexB(bytes)) H264.decodeFrames(bytes)
+          else Nil
+        frames.zipWithIndex.collect { case ((w, h, rgb), fi) if w >= 9 && h >= 8 =>
+          Row(r.getLong(0), fi, dhash64(grayGrid(w, h, rgb, 9, 8)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Closed-form frame-hash of the clip near-dup fixture: frame f of class
+    * k dHashes to exactly (k·6 + f + 1)·2654435761 mod 2⁶⁴ (the raster
+    * below walks each grid row ±8 per hash bit, so dHash recovers the
+    * bits). The multiplier is odd ⇒ the map is injective mod 2⁶⁴ ⇒ every
+    * (class, frame) fingerprint is DISTINCT, and clips share a fingerprint
+    * iff they share a (class, frame) — cross-class shared counts are
+    * exactly 0, within-class ≥ 5 of 6. */
+  private[graft] def clipFrameHash(k: Long, f: Int): Long = (k * 6 + f + 1) * 2654435761L
+
+  /** Clip near-dup fixture (q285's input): class k = id mod `classes` is a
+    * 6-frame 32×32 picture sequence; variant v = (id div classes) mod 3
+    * renders frames 0–5 as animated GIF (v=0), the SAME frames RE-ENCODED
+    * as an H.264 I_PCM stream (v=1 — different container, byte-identical
+    * rasters), or frames 1–5 as a TRIMMED GIF (v=2). Pixel (x,y) of frame
+    * f replicates grid cell (y div 4, ⌊(9x+8)/32⌋) — the exact partition
+    * [[grayGrid]] uses at 9×8 over 32×32 — so the decoded block means
+    * recover the walk grid and dHash recovers [[clipFrameHash]]'s bits
+    * through all three renderings. */
+  def syntheticNearDupClips(df: DataFrame, idCol: String,
+                            classes: Int = 41): DataFrame = {
+    require(classes >= 1 && classes <= 41, s"classes=$classes")
+    val gen = udf { (id: Long) =>
+      val k = id % classes
+      val v = (id / classes) % 3
+      clipCache.computeIfAbsent((k, v), _ => {
+        val fRange = if (v == 2L) 1 to 5 else 0 to 5
+        val rasters = fRange.map { f =>
+          val bits = clipFrameHash(k, f)
+          val grid = Array.ofDim[Int](8, 9)
+          var r = 0
+          while (r < 8) {
+            grid(r)(0) = 128
+            var c = 0
+            while (c < 8) {
+              val up = ((bits >>> (r * 8 + c)) & 1L) == 1L
+              grid(r)(c + 1) = grid(r)(c) + (if (up) 8 else -8)
+              c += 1
+            }
+            r += 1
+          }
+          Array.tabulate(1024) { i =>
+            val y = i / 32; val x = i % 32
+            grid(y / 4)((9 * x + 8) / 32).toByte
+          }
+        }
+        if (v == 1L) H264.encodeGrayPcm(32, 32, rasters)
+        else {
+          val pal = Array.tabulate(256)(j => (j << 16) | (j << 8) | j)
+          Gif.encode(32, 32, pal,
+            rasters.map(lu => Gif.EncFrame(0, 0, 32, 32, delayCs = 4, indices = lu)))
+        }
+      })
+    }
+    df.select(col(idCol).cast("long").as("media_id"), lit("video").as("kind"),
+      gen(col(idCol).cast("long")).as("bytes"),
+      struct(lit("mixed").as("format"), lit(32).as("width"), lit(32).as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+  /** Per-executor payload memo for the clip fixture: 41 classes × 3
+    * variants = 123 encoded clips, O(distinct) generation. */
+  private val clipCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), Array[Byte]]()
+
   /** Closed-form dHash target bit of the near-dup fixture (shared by the
     * generator, the spec, and — re-stated in SQL — the q275 oracle): base
     * pattern = bit r·8+c of k·2654435761 (Knuth's multiplicative constant;

@@ -100,6 +100,58 @@ object Bpe {
     trainInMemory(vocab, nMerges).toSeq.toDF("rank", "pair", "merged", "weight")
   }
 
+  // ------------------------------------------------- byte-level alphabet
+  // GPT-2's bytes→unicode table (Radford et al. 2019, encoder.py — public):
+  // printable bytes 33–126, 161–172, 174–255 keep their own code point; the
+  // 68 others (controls, space, DEL–NBSP, SHY) map to 256+i in increasing
+  // byte order. The map is injective onto printable BMP chars, so byte
+  // sequences become ordinary strings and the character trainer above
+  // becomes a BYTE trainer with built-in byte fallback — ANY UTF-8 input
+  // tokenizes, no unk symbol, exactly the production GPT-family alphabet.
+
+  /** byte value → its alphabet char (single BMP char, < U+0400). */
+  private[graft] val byteCharTable: Array[Char] = Array.tabulate(256) { b =>
+    (if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) || b >= 174) b
+     else if (b <= 32) 256 + b
+     else if (b <= 160) 256 + 33 + (b - 127)
+     else 256 + 67).toChar // b = 173 (SHY)
+  }
+
+  /** word → byte-alphabet string: one mapped char per UTF-8 byte. Driver-
+    * side twin of [[graft.functions.StringExprs.byte_alphabet]] (the
+    * codegen'd column kernel); StringExprsSpec pins them equal. */
+  private[graft] def byteMapStr(w: String): String = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    var i = 0
+    while (i < bs.length) { sb.append(byteCharTable(bs(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** TRAIN at tokenizer scale, BYTE-LEVEL: [[learnMerges]]'s exact contract
+    * and loop, but every word first passes through the byte alphabet — so
+    * merges are over UTF-8 bytes (multi-byte code points start as multiple
+    * symbols and must EARN their fusion), and the learned vocabulary can
+    * segment any input with no unk. Same single corpus-scale job, same
+    * Heaps-bounded driver loop, same (count DESC, pair ASC) determinism —
+    * the byte alphabet is injective, so the mapped vocab keys stay
+    * distinct and weights are untouched. */
+  def learnMergesBytes(docs: DataFrame, textCol: String, nMerges: Int,
+                       maxVocab: Int = 1 << 20): DataFrame = {
+    require(nMerges >= 1 && nMerges <= (1 << 16), s"learnMergesBytes: nMerges=$nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .limit(maxVocab + 1)
+      .as[(String, Long)].collect()
+    require(vocab.length <= maxVocab,
+      s"learnMergesBytes: distinct words exceed maxVocab=$maxVocab")
+    trainInMemory(vocab.map { case (w, c) => (byteMapStr(w), c) }, nMerges)
+      .toSeq.toDF("rank", "pair", "merged", "weight")
+  }
+
   /** UTF-8 unsigned-byte string order — Spark's UTF8String comparison and
     * the binary collation every engine gives the (count DESC, pair ASC)
     * tie-break. Differs from Java's String.compareTo only beyond the BMP;

@@ -52,6 +52,42 @@ class BpeSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("byte-level: alphabet is injective and published-range-exact; kernel == driver map") {
+    // the GPT-2 table's structure: printable bytes keep their code point,
+    // the 68 others land contiguously at 256+i in byte order
+    assert(Bpe.byteCharTable.toSeq.distinct.size === 256, "byte alphabet must be injective")
+    assert(Bpe.byteCharTable('a'.toInt) === 'a' && Bpe.byteCharTable(33) === '!')
+    assert(Bpe.byteCharTable(0) === 256.toChar && Bpe.byteCharTable(32) === (256 + 32).toChar)
+    assert(Bpe.byteCharTable(127) === (256 + 33).toChar && Bpe.byteCharTable(160) === (256 + 66).toChar)
+    assert(Bpe.byteCharTable(173) === (256 + 67).toChar && Bpe.byteCharTable(255) === 255.toChar)
+    // driver map == codegen'd kernel on ASCII, Latin-1, multi-byte, and empty
+    val probes = Seq("", "hello", "déjà vu", "aàb", "€100", "snow☃man")
+    val got = probes.toDF("s")
+      .select(graft.functions.StringExprs.byte_alphabet(col("s")).as("m"))
+      .as[String].collect().toSeq
+    assert(got === probes.map(Bpe.byteMapStr))
+  }
+
+  test("byte-level trainer: multi-byte code points start split and earn their fusion") {
+    // accented corpus: merges must fuse UTF-8 byte pairs of the 2-byte
+    // vowels — the byte-fallback property in action. Hand-checked: pair
+    // (d, Ã) ties (Ã, ©) at 14 (déjà×12 + dü×2 vs déjà×12 + ré×2) and
+    // wins the UTF-8 byte-order tie-break (0x64 < 0xC3); merge 2 then
+    // completes é's byte pair inside 'dÃ©'.
+    val docs = Seq.fill(6)("déjà déjà") ++ Seq.fill(2)("ré dü")
+    val got = Bpe.learnMergesBytes(docs.toDF("text"), "text", nMerges = 3)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val (dm, cm) = (Bpe.byteMapStr("d"), Bpe.byteMapStr("é"))
+    assert(got(0) === ((dm + " " + cm.substring(0, 1), dm + cm.substring(0, 1), 14L)), got.toString)
+    assert(got(1) === ((dm + cm.substring(0, 1) + " " + cm.substring(1), dm + cm, 12L)), got.toString)
+    // on a pure-ASCII corpus the byte alphabet is the identity, so the
+    // byte trainer IS the char trainer, row for row
+    val ascii = Seq.fill(5)("lowest lowest newest").toDF("text")
+    val a = Bpe.learnMerges(ascii, "text", nMerges = 6).orderBy("rank").collect().toSeq
+    val b = Bpe.learnMergesBytes(ascii, "text", nMerges = 6).orderBy("rank").collect().toSeq
+    assert(a === b)
+  }
+
   test("fast trainer == distributed trainer, row-identical, through exhaustion") {
     // the delta-maintained driver loop and the one-job-per-merge
     // distributed loop must produce the SAME merge table — including where
