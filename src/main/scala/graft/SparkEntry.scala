@@ -4974,30 +4974,55 @@ object SparkEntry {
       Multimodal.syntheticNearDupAudio(par(s, Tables.documents(s, dir)), "doc_id"))
     val fps = Multimodal.audioFingerprints(media)
       .select(col("media_id"), col("fmt"), col("afp")).localCheckpoint(false)
-    val distinctH = fps.groupBy("afp")
-      .agg(min("media_id").as("rep"), count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
-    val bands = distinctH.select(col("afp"), explode(expr(
-      "transform(sequence(0, 3), b -> struct(b AS band, shiftrightunsigned(afp, b*16) & 65535 AS bv))")).as("bb"))
-      .select(col("afp"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val edges = bands.select(col("afp").as("ha"), col("band"), col("bv"))
-      .join(bands.select(col("afp").as("hb"), col("band"), col("bv")), Seq("band", "bv"))
-      .filter(col("ha") < col("hb"))
-      .select("ha", "hb").distinct()
-      .filter(expr("bit_count(ha ^ hb) <= 3"))
-    val sym = edges
-      .union(edges.select(col("hb").as("ha"), col("ha").as("hb")))
-      .union(distinctH.select(col("afp").as("ha"), col("afp").as("hb")))
-    val clusters = sym
-      .join(distinctH.select(col("afp").as("hb"), col("rep").as("nrep"),
-        col("cnt").as("ncnt")), "hb")
-      .groupBy("ha")
-      .agg(min("nrep").as("cluster_id"), sum("ncnt").as("cluster_size"))
+    val clusters = phashClusters(fps.select(col("media_id"), col("afp").as("phash")))
     fps.join(clusters, fps("afp") === clusters("ha"))
       .select(col("media_id").as("doc_id"), col("fmt"),
         expr("shiftrightunsigned(afp, 32)").as("afp_hi"),
         expr("afp & 4294967295").as("afp_lo"),
         col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Parquet (media_id, bytes) stream fixture for the audio gate. */
+  private def audioStreamFixture(s: SparkSession, dir: String): String =
+    fixtureCache.computeIfAbsent(s"audiond:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_audiond").toString
+      graft.multimodal.Multimodal
+        .syntheticNearDupAudio(par(s, Tables.documents(s, dir)), "doc_id")
+        .select("media_id", "bytes").repartition(8).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** STREAMING AUDIO NEAR-DUP GATE — q286 as the q290 pattern: the
+    * fingerprint cluster index builds batch-side, a STREAM of raw WAV
+    * payloads is decoded+fingerprinted by the SAME typed-mapPartitions
+    * operator and resolved with a stateless stream-static equi-join.
+    * AvailableNow, append memory sink ⇒ row-identical to q286 by
+    * construction — oracle shared verbatim. */
+  private def q291_stream_audio_gate(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val fixture = audioStreamFixture(s, dir)
+    val batch = Multimodal.audioFingerprints(s.read.parquet(fixture))
+      .select(col("media_id"), col("afp")).localCheckpoint(false)
+    val clusters = phashClusters(batch.select(col("media_id"), col("afp").as("phash")))
+      .localCheckpoint(false)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("bytes", BinaryType)))
+    val name = s"q291_ag_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = Multimodal.audioFingerprints(s.readStream.schema(schema).parquet(fixture))
+      .join(clusters, col("afp") === col("ha"))
+      .select(col("media_id").as("doc_id"), col("fmt"),
+        expr("shiftrightunsigned(afp, 32)").as("afp_hi"),
+        expr("afp & 4294967295").as("afp_lo"),
+        col("cluster_id"), col("cluster_size"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
   }
 
   /** BYTE-LEVEL BPE TRAINING (r11 verdict #6 — the production GPT-family
@@ -5320,6 +5345,29 @@ object SparkEntry {
         (col("hi").isNull || col("score") < col("hi")), "left")
       .select(col("doc_id"), col("score"),
         coalesce(col("q16"), lit(firstQ)).as("calib_q16"))
+  }
+
+  /** CALIBRATION RELIABILITY TABLE (the ECE decomposition — Naeini et
+    * al.'s expected-calibration-error bins, AAAI 2015, evaluated on
+    * q289's output): the calibrated held-out scores joined back to the
+    * teacher labels, rolled up per calibrated bin with the integer gap
+    * numerator |n_pos·2¹⁶ − q̂·n| — no division, so the reliability table
+    * is hash-exact and ECE = Σ gap/(2¹⁶·N) is derivable from the rows.
+    * This closes the distillation loop: q281 trains, q289 calibrates,
+    * q292 MEASURES the calibration against the teacher. Isotonic fits
+    * are perfectly calibrated ON THE TRAIN SPLIT by construction; the
+    * held-out gaps here are the honest generalization number. */
+  private def q292_calibration_ece(s: SparkSession, dir: String): DataFrame = {
+    val docs = par(s, Tables.documents(s, dir))
+    val teacher = TextOps.c4Flags(c4PageFixture(docs), "page")
+      .select(col("doc_id"), col("c4_pass"))
+    q289_quality_calibrated(s, dir)
+      .join(teacher, "doc_id")
+      .groupBy("calib_q16")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c4_pass"), lit(1L)).otherwise(lit(0L))).as("n_pos"))
+      .select(col("calib_q16"), col("n_docs"), col("n_pos"),
+        abs(col("n_pos") * lit(65536L) - col("calib_q16") * col("n_docs")).as("gap_q16n"))
   }
 
   /** STREAMING WORDPIECE SEGMENTATION — the train-offline / serve-online
@@ -5751,6 +5799,8 @@ object SparkEntry {
     "q288_bpe_bytes_segment" -> (q288_bpe_bytes_segment _),
     "q289_quality_calibrated" -> (q289_quality_calibrated _),
     "q290_stream_image_gate" -> (q290_stream_image_gate _),
+    "q291_stream_audio_gate" -> (q291_stream_audio_gate _),
+    "q292_calibration_ece" -> (q292_calibration_ece _),
     "q276_exactsubstr_strip" -> (q276_exactsubstr_strip _),
     "q277_fineweb_strip" -> (q277_fineweb_strip _),
     "q278_unigram_softem" -> (q278_unigram_softem _),
@@ -8360,6 +8410,7 @@ object SparkEntry {
     // streaming drain of q284's projection+lookup — stateless, AvailableNow:
     // row-identical to the batch query by construction, oracle shared
     "q290_stream_image_gate" -> q284OracleSql,
+    "q292_calibration_ece" -> calibrationEceOracleSql(epochs = 4),
     // q221: every greedy MMR step unrolled — candidate window, per-step
     // argmax, max-sim update; integer sign·cos²-scaled scores throughout
     "q221_mmr_rerank" -> mmrOracleSql(c = 16, k = 5),
@@ -9244,7 +9295,13 @@ object SparkEntry {
     // signs), format code by variant, clusters by class. The engine only
     // matches by decoding PCM16 AND μ-law WAVs, windowing, running the
     // integer band transform, and comparing real energies.
-    "q286_audio_neardup" ->
+    "q286_audio_neardup" -> audioNeardupOracleSql,
+    // streaming drain of q286's fingerprint+lookup — stateless,
+    // AvailableNow: row-identical to the batch query, oracle shared
+    "q291_stream_audio_gate" -> audioNeardupOracleSql,
+  )
+
+  private def audioNeardupOracleSql: String =
       """WITH dv AS (
            SELECT doc_id, doc_id % 41 AS k, (doc_id // 41) % 3 AS v FROM documents
          ),
@@ -9286,8 +9343,7 @@ object SparkEntry {
            cast(CASE WHEN dv.v = 1 THEN 7 ELSE 1 END as int) AS fmt,
            h.afp_hi, h.afp_lo, cl.cluster_id, cl.cluster_size
          FROM dv JOIN hsh h ON h.k = dv.k AND h.v = dv.v
-         JOIN cl ON cl.doc_id = dv.doc_id""",
-  )
+         JOIN cl ON cl.doc_id = dv.doc_id"""
 
   private def q284OracleSql: String = {
     val tt = (for (u <- 0 until 8; n <- 0 until 32)
@@ -9527,6 +9583,26 @@ object SparkEntry {
          SELECT t.doc_id, t.score,
            cast(coalesce(c.q16, (SELECT q16 FROM frst)) as bigint) AS calib_q16
          FROM tesc t ASOF LEFT JOIN cal c ON t.score >= c.score"""
+  }
+
+  /** q292's oracle: the q289 chain with the final per-doc select folded
+    * into a CTE, joined to the teacher's pass set (c4p, already in the
+    * chain), rolled up per calibrated bin with the integer gap
+    * numerator. */
+  private def calibrationEceOracleSql(epochs: Int): String = {
+    val cal = perceptronCalibratedOracleSql(epochs)
+    val cut = cal.lastIndexOf("SELECT t.doc_id, t.score,")
+    cal.substring(0, cut) + s""", res AS (
+           SELECT t.doc_id,
+             cast(coalesce(c.q16, (SELECT q16 FROM frst)) as bigint) AS calib_q16
+           FROM tesc t ASOF LEFT JOIN cal c ON t.score >= c.score)
+         SELECT calib_q16, n_docs, n_pos,
+           abs(n_pos * 65536 - calib_q16 * n_docs) AS gap_q16n
+         FROM (
+           SELECT r.calib_q16, cast(count(*) as bigint) AS n_docs,
+             cast(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_pos
+           FROM res r LEFT JOIN c4p p ON p.doc_id = r.doc_id
+           GROUP BY 1)"""
   }
 
   /** Shared CTE core for q263/q266: the Kneser–Ney sufficient statistics

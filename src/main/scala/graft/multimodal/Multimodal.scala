@@ -734,24 +734,22 @@ object Multimodal {
   /** (media_id, fmt, afp) for every decodable RIFF/WAVE payload with ≥288
     * samples: the container's format code (1 PCM16, 7 μ-law, 6 A-law —
     * part of the decode proof) and the spectral-flux fingerprint over the
-    * expanded linear samples. Scan-shaped; 20 bytes out per clip. */
+    * expanded linear samples. A typed mapPartitions — streaming-legal
+    * (q291 drains the same operator under AvailableNow), one decode per
+    * payload, 20 bytes out per clip. */
   def audioFingerprints(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("fmt", IntegerType, nullable = false),
-      StructField("afp", LongType, nullable = false)))
-    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]]("bytes")
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
         if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I') {
           val (fmt, _, samples) = Codecs.decodeWavAny(bytes)
-          if (samples.length >= 288) Some(Row(r.getLong(0), fmt, audioFp64(samples)))
+          if (samples.length >= 288) Some((id, fmt, audioFp64(samples)))
           else None
         } else None
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      })
+      .toDF("media_id", "fmt", "afp")
   }
 
   /** Closed-form band bit of the audio fixture: n = k·72+w·8+u+1,
