@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q226_semdedup_far" -> "q218's shard shape - k-bounded seed-centroid dim broadcast; the dedup pair search is a shard equi-join",
     "q232_split_leakage" -> "q218's shard shape - k-bounded seed-centroid dim broadcast; the cross-split pair search is a shard equi-join + two id equi-joins",
     "q244_shard_purity" -> "q214's shard shape - k-bounded seed-centroid dim broadcast for assignment; the purity rollup is label-keyed aggregation",
-    "q289_quality_calibrated" -> "isotonic step-table lookup: the calibration table (bounded by the labeled slice, Isotonic's 2^16 envelope) broadcast as a range join - the histogram-bucketing shape; output rows = input rows")
+    "q289_quality_calibrated" -> "isotonic step-table lookup: the calibration table (bounded by the labeled slice, Isotonic's 2^16 envelope) broadcast as a range join - the histogram-bucketing shape; output rows = input rows",
+    "q292_calibration_ece" -> "q289's step-table range join inherited (the ECE rollup composes on q289's calibrated output); the rollup itself is an equi-join + aggregation")
 
   /** Queries allowed a single-partition (unpartitioned ORDER BY) window and
     * the domain bound that justifies it. */
