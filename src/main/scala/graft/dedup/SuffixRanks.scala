@@ -146,15 +146,17 @@ object SuffixRanks {
                              textCol: String, depth: Int): DataFrame = {
     // The 2k / 2k+1 tag encoding is arithmetic — ids outside [0, 2^62)
     // would wrap or collide SILENTLY (and negative ids break the % 2
-    // side split). Enforce the envelope loudly, one cheap agg per input.
-    for ((df, side) <- Seq((train, "train"), (bench, "bench"))) {
-      val r = df.agg(min(col(docId).cast("long")).as("lo"),
-        max(col(docId).cast("long")).as("hi")).collect()(0)
-      if (!r.isNullAt(0))
-        require(r.getLong(0) >= 0L && r.getLong(1) < (1L << 62),
-          s"stripContaminatedSpans: $side $docId range [${r.getLong(0)}, ${r.getLong(1)}] " +
-            "outside [0, 2^62) — the 2k/2k+1 tag encoding would wrap or collide")
-    }
+    // side split). Enforce the envelope loudly: ONE unioned id-column
+    // agg job covering both inputs (column-pruned scan, per-side rows).
+    val ranges = train.select(col(docId).cast("long").as("__id"), lit("train").as("__side"))
+      .unionByName(bench.select(col(docId).cast("long").as("__id"), lit("bench").as("__side")))
+      .groupBy("__side").agg(min("__id").as("lo"), max("__id").as("hi"))
+      .collect()
+    for (r <- ranges if !r.isNullAt(1))
+      require(r.getLong(1) >= 0L && r.getLong(2) < (1L << 62),
+        s"stripContaminatedSpans: ${r.getString(0)} $docId range " +
+          s"[${r.getLong(1)}, ${r.getLong(2)}] outside [0, 2^62) — " +
+          "the 2k/2k+1 tag encoding would wrap or collide")
     val t2 = train.select((col(docId).cast("long") * 2).as(docId), col(textCol))
     val b2 = bench.select((col(docId).cast("long") * 2 + 1).as(docId), col(textCol))
     val both = t2.unionByName(b2)

@@ -210,6 +210,20 @@ class MultimodalSpec extends SparkSpec {
     assert(cross.min >= 8, s"cross-class fingerprint min ${cross.min}")
   }
 
+  test("spectral hash is exactly invariant under brightness/contrast (affine luma)") {
+    // every hash bit reads an AC coefficient: an affine pixel map a·x+b
+    // (a > 0) scales all AC coefficients by a and lands b entirely on the
+    // EXCLUDED DC term, so sign bits cannot move — exact over all 41
+    // fixture classes for x → (3x)/4 + 32, integer truncation included
+    // (cells are constant per block, so block means transform exactly)
+    for (k <- 0L until 41L) {
+      val base = Array.tabulate(1024)(i => Multimodal.cropRescaleCell(k, i / 32, i % 32))
+      val moved = base.map(v => (3 * v) / 4 + 32)
+      assert(Multimodal.dctSignHash64(moved) === Multimodal.dctSignHash64(base),
+        s"class $k: affine luma moved the spectral hash")
+    }
+  }
+
   test("spectral_hashes expression == spectralHashes mapPartitions, row for row") {
     val ids = (0L until 123L).toDF("doc_id")
     val m = Multimodal.syntheticCropRescaleImages(ids, "doc_id")
