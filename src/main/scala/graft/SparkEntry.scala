@@ -4115,9 +4115,12 @@ object SparkEntry {
     * estimate itself is hash-exact. */
   private def q243_joinsize_sketch(s: SparkSession, dir: String): DataFrame = {
     import graft.sketch.CountMin
-    val a = CountMin.sketch(Tables.lineitem(s, dir).select(col("l_orderkey").as("k")),
+    // par(): the sketch build is md5-per-key CPU work and each table is one
+    // parquet file = one input split locally — without the repartition the
+    // whole hash pass ran on ONE core (measured: the md5 WAS the query)
+    val a = CountMin.sketch(par(s, Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))),
       "k", depth = 4, width = 64)
-    val b = CountMin.sketch(Tables.orders(s, dir).select(col("o_orderkey").as("k")),
+    val b = CountMin.sketch(par(s, Tables.orders(s, dir).select(col("o_orderkey").as("k"))),
       "k", depth = 4, width = 64)
     val exact = Tables.lineitem(s, dir).select(col("l_orderkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey")),
@@ -5316,14 +5319,30 @@ object SparkEntry {
     * application is a broadcast step-table lookup, zero shuffle. */
   private def q289_quality_calibrated(s: SparkSession, dir: String): DataFrame = {
     val docs = par(s, Tables.documents(s, dir))
-    val feats = qualityFeatures(docs)
     val teacher = TextOps.c4Flags(c4PageFixture(docs), "page")
       .select(col("doc_id"), col("c4_pass"))
+    calibratedScores(s, docs, teacher)
+  }
+
+  /** The q289 chain body, shared with q292 so the composed query computes
+    * the c4 teacher ONCE (r13 optimization — q292 used to re-derive the
+    * page fixture + flag battery a second time for its rollup join).
+    * The train-loop inputs are coalesced to 4 partitions after the eager
+    * checkpoint: the calibration slice is BOUNDED BY CONTRACT (pavQ16's
+    * Σn < 2¹⁶ envelope aborts loudly beyond ~65k rows), so the 4-epoch
+    * driver loop and the score-group aggregate run over a few small
+    * blocks instead of scheduling a full-width task wave per epoch
+    * (measured: 0.45 s → 0.21 s per epoch at 32 local cores; at cluster
+    * scale the same waves would be thousands of tasks over ≤65k rows). */
+  private def calibratedScores(s: SparkSession, docs: DataFrame,
+                               teacher: DataFrame): DataFrame = {
+    val feats = qualityFeatures(docs)
     val featCols = (0 to 6).map(i => s"f$i")
     val trainSet = feats.filter(col("doc_id") % 2 === 0)
       .join(teacher, "doc_id")
       .withColumn("y", when(col("c4_pass"), lit(1L)).otherwise(lit(-1L)))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
+      .coalesce(4)
     val w = graft.sim.Perceptron.train(trainSet, "y", featCols, epochs = 4)
     val dotCol = graft.sim.Perceptron.dot(featCols, w.toSeq).cast("long")
     val groups = trainSet
@@ -5359,9 +5378,14 @@ object SparkEntry {
     * held-out gaps here are the honest generalization number. */
   private def q292_calibration_ece(s: SparkSession, dir: String): DataFrame = {
     val docs = par(s, Tables.documents(s, dir))
+    // ONE teacher evaluation for the whole composed chain (r13): the lazy
+    // checkpoint materializes inside the train-set checkpoint job, and the
+    // rollup join below then reads the materialized blocks instead of
+    // re-running the page fixture + c4 battery over the corpus a second time
     val teacher = TextOps.c4Flags(c4PageFixture(docs), "page")
       .select(col("doc_id"), col("c4_pass"))
-    q289_quality_calibrated(s, dir)
+      .localCheckpoint(false)
+    calibratedScores(s, docs, teacher)
       .join(teacher, "doc_id")
       .groupBy("calib_q16")
       .agg(count(lit(1)).as("n_docs"),

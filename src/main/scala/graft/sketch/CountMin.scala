@@ -27,16 +27,20 @@ import graft.dedup.Dedup
   */
 object CountMin {
 
-  private def colOf(row: Column, key: Column, width: Int): Column =
-    Dedup.detPerm(row, Dedup.detTokenHash(key.cast("string"))) % width
-
-  /** The sketch cells: (row, col, cnt), one count per occupied cell. */
+  /** The sketch cells: (row, col, cnt), one count per occupied cell.
+    *
+    * PERFORMANCE (r13, guide §"per-task work"): the md5 key hash is
+    * row-INDEPENDENT — hash once per input row BELOW the depth-explode,
+    * then derive each row's cell with the cheap affine permutation, instead
+    * of re-hashing the key `depth` times (the explode used to multiply the
+    * md5 work ×depth: measured 4.7 s → the md5 was the whole query). Same
+    * algebra (detPerm(row, detTokenHash(k))), cell-identical output. */
   def sketch(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16 && width >= 2 && width <= (1 << 20),
       s"CountMin.sketch: depth=$depth width=$width")
-    df.select(col(keyCol).as("__k"),
-        explode(sequence(lit(0), lit(depth - 1))).as("row"))
-      .groupBy(col("row"), colOf(col("row"), col("__k"), width).as("col"))
+    df.select(Dedup.detTokenHash(col(keyCol).cast("string")).as("__h"))
+      .select(col("__h"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .groupBy(col("row"), (Dedup.detPerm(col("row"), col("__h")) % width).as("col"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -50,8 +54,11 @@ object CountMin {
   def estimates(keys: DataFrame, keyCol: String, cells: DataFrame,
                 depth: Int, width: Int): DataFrame =
     keys.select(col(keyCol),
+        Dedup.detTokenHash(col(keyCol).cast("string")).as("__h"))
+      .select(col(keyCol), col("__h"),
         explode(sequence(lit(0), lit(depth - 1))).as("row"))
-      .withColumn("col", colOf(col("row"), col(keyCol), width))
+      .withColumn("col", Dedup.detPerm(col("row"), col("__h")) % width)
+      .drop("__h")
       .join(broadcast(cells), Seq("row", "col"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))

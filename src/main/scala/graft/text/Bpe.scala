@@ -289,23 +289,55 @@ object Bpe {
     * 300 exact merges in that regime).
     */
   def learnMergesDistributed(docs: DataFrame, textCol: String, nMerges: Int,
-                             topK: Int = 4096): DataFrame = {
+                             topK: Int = 4096, driverVocabMax: Int = 4096): DataFrame = {
     require(nMerges >= 1 && nMerges <= (1 << 16), s"learnMergesDistributed: nMerges=$nMerges")
     require(topK >= 2, s"learnMergesDistributed: topK=$topK")
+    require(driverVocabMax >= 0, s"learnMergesDistributed: driverVocabMax=$driverVocabMax")
     val spark = docs.sparkSession
     import spark.implicits._
-    // the one corpus-scale job: word → weight, then wrap each char. The
-    // vocab table is Heaps-bounded; each round LOCAL-CHECKPOINTS the
-    // rewritten vocab so round t+1 starts from materialized data instead
-    // of replaying t rounds of replace() lineage (the r9 form chained
-    // lazily — O(rounds²) recompute and an unbounded plan).
-    // eager = false: the checkpoint materializes inside the NEXT round's
-    // collect job (1 job per round, not a checkpoint job + a collect job)
-    // and still truncates the replay lineage from then on
-    var vocab: DataFrame = docs
+    // the one corpus-scale job: word → weight. The vocab table is
+    // Heaps-bounded; each round LOCAL-CHECKPOINTS the rewritten vocab so
+    // round t+1 starts from materialized data instead of replaying t rounds
+    // of replace() lineage (the r9 form chained lazily — O(rounds²)
+    // recompute and an unbounded plan).
+    val wordCounts = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val vocabRows = wordCounts.count()
+    // DEGENERATE-VOCAB FAST PATH (r13, guide §1.2 "the distributed
+    // algorithm"): when the DISTINCT-WORD table is no larger than ONE
+    // round's collect budget (topK rows is what every loop round already
+    // pulls to the driver), scheduling O(rounds) sequential cluster jobs
+    // over it is pure overhead — collect it once and run the
+    // delta-maintained driver loop, which BpeSpec pins ROW-IDENTICAL to
+    // the batched loop (and q219's oracle hash-checks against DuckDB).
+    // Same adaptive-strategy move as broadcast-vs-shuffle join; results
+    // and driver-memory envelope unchanged. Tests exercise the loop by
+    // passing driverVocabMax = 0. Real corpora (vocab ≫ topK) take the
+    // distributed loop below, where the vocab never leaves the cluster.
+    if (vocabRows <= math.min(driverVocabMax, topK)) {
+      val v = wordCounts.as[(String, Long)].collect()
+      return trainInMemory(v, nMerges).toSeq.toDF("rank", "pair", "merged", "weight")
+    }
+    // SCALE-ADAPTIVE LOOP PARTITIONING (r13, guide §2): the vocab table is
+    // Heaps-bounded and TINY next to the corpus, but it inherits the
+    // corpus-wide shuffle partitioning — so every one of the O(rounds)
+    // sequential loop jobs scheduled a full task wave over near-empty
+    // partitions (measured: the wave latency WAS the round). Size the loop
+    // partitioning from the actual vocab row count (≈256k rows/partition,
+    // capped at the session parallelism), derived per run — never a
+    // constant tuned to one machine. The count materialized the checkpoint;
+    // coalesce is narrow (no shuffle) and pair counts / argmax are
+    // partitioning-independent, so the merges are unchanged.
+    val loopParts = math.max(1L, math.min(
+      docs.sparkSession.sparkContext.defaultParallelism.toLong,
+      (vocabRows + (1L << 18) - 1L) >> 18)).toInt
+    // eager = false: the wrapped form materializes inside the NEXT round's
+    // collect job and still truncates the replay lineage from then on
+    var vocab: DataFrame = wordCounts
       .select(wrapChars(col("w")).as("wstr"), col("cnt"))
+      .coalesce(loopParts)
       .localCheckpoint(eager = false)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]

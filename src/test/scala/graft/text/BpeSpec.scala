@@ -98,8 +98,14 @@ class BpeSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     val fast = rows(Bpe.learnMerges(docs, "text", nMerges = 64))
-    val dist = rows(Bpe.learnMergesDistributed(docs, "text", nMerges = 64))
+    // driverVocabMax = 0 forces the BATCHED LOOP (the r13 degenerate-vocab
+    // fast path would otherwise answer driver-side and leave it untested)
+    val dist = rows(Bpe.learnMergesDistributed(docs, "text", nMerges = 64,
+      driverVocabMax = 0))
     assert(fast === dist)
+    // and the default gate (vocab ≤ budget ⇒ driver loop) must be invisible
+    val gated = rows(Bpe.learnMergesDistributed(docs, "text", nMerges = 64))
+    assert(gated === dist, "fast-path gate must not change the merge table")
     assert(fast.nonEmpty && fast.size < 64, "fixture must exhaust before 64 merges")
     // jobs <= a handful regardless of nMerges: 256 merges on the corpus
     // completes in driver time (would be 256 Spark jobs distributed)
@@ -142,7 +148,8 @@ class BpeSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     val dist =
-      try rows(Bpe.learnMergesDistributed(df, "text", nMerges = 300))
+      try rows(Bpe.learnMergesDistributed(df, "text", nMerges = 300,
+        driverVocabMax = 0)) // force the loop: this test PINS its batching
       finally {
         // listener bus is async: wait for the count to stabilize before reading
         var prev = -1
@@ -226,7 +233,8 @@ class BpeSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     val dist =
-      try rows(Bpe.learnMergesDistributed(df, "text", nMerges = 1024))
+      try rows(Bpe.learnMergesDistributed(df, "text", nMerges = 1024,
+        driverVocabMax = 0)) // force the loop: this test PINS its job bound
       finally {
         var prev = -1
         while (prev != jobs.get()) { prev = jobs.get(); Thread.sleep(250) }
