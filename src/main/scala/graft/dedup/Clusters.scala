@@ -72,9 +72,18 @@ object Clusters {
     }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // ONE pass emitting both orientations (explode, not union-of-selects —
+    // the latter evaluated the caller's pair-producer twice), persisted
+    // PARTITIONED BY dst: the per-round neighbor join keys sym on dst, so
+    // the edge side's exchange is paid once here, not once per round
+    // (r13, guide §2.4; the Graphs.pagerankInt layout).
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+      .repartition(col("dst"))
       .cache()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
     var iter = 0
@@ -94,19 +103,35 @@ object Clusters {
           labels.select(col("id"), col("cluster_id").as("__p"))
             .join(labels.select(col("id").as("__p"), col("cluster_id").as("__pp")), "__p")
             .select(col("id"), col("__pp").as("cluster_id")))
-      // The changed flag rides along INSIDE the checkpointed round — the
-      // convergence probe is then a shuffle-free filter over materialized
-      // rows instead of a second join job per round. (groupBy(id) and the
-      // prior round's checkpoint share the id hash-partitioning, so the
-      // old-label join below adds no exchange either.)
-      val next = truncate(withParent
+      // The changed flag rides along INSIDE the materialized round — the
+      // convergence probe never needs a second pass over the join.
+      // (groupBy(id) and the prior round's materialization share the id
+      // hash-partitioning, so the old-label join below adds no exchange.)
+      val roundPlan = withParent
         .groupBy("id").agg(min("cluster_id").as("new_cid"))
         .join(labels.select(col("id"), col("cluster_id").as("old_cid")), "id")
         .select(col("id"), col("new_cid").as("cluster_id"),
-          (col("new_cid") =!= col("old_cid")).as("__changed")))
-      val changed = next.filter(col("__changed")).limit(1).count()
-      labels = next.select("id", "cluster_id")
-      converged = changed == 0L
+          (col("new_cid") =!= col("old_cid")).as("__changed"))
+      if (checkpointDir.isDefined) {
+        // reliable path: full checkpoint job, then a shuffle-free probe
+        // over the checkpointed rows (durability requires the write-out)
+        val next = truncate(roundPlan)
+        converged = next.filter(col("__changed")).limit(1).count() == 0L
+        labels = next.select("id", "cluster_id")
+      } else {
+        // local path (r13): ONE job per round instead of two — a LAZY local
+        // checkpoint truncates the logical plan immediately (each round
+        // references `labels` three times, so without truncation the plan
+        // TREE grows 3^rounds and analysis itself OOMs on chain graphs),
+        // and the convergence AGGREGATE is the materializing action (a
+        // full scan, so every partition checkpoints — a limit-probe would
+        // short-circuit and leave partitions uncomputed).
+        val next = roundPlan.localCheckpoint(false)
+        val anyChanged = next.agg(coalesce(max(col("__changed")), lit(false)))
+          .head().getBoolean(0)
+        converged = !anyChanged
+        labels = next.select("id", "cluster_id")
+      }
       iter += 1
     }
     sym.unpersist()

@@ -277,12 +277,16 @@ object Dedup {
                                 dfOrderedPrefixes: Boolean = false): DataFrame = {
     import graft.functions.HashExprs._
     import org.apache.spark.sql.expressions.Window
+    // sets feeds the prefix explode AND both verify joins (3 consumers) —
+    // the lazy checkpoint runs the shingle-hash scan once instead of three
+    // times (r13, guide §1.2; the replay rule)
     val sets = docs.select(
         col(idCol).as("id"),
         array_sort(array_distinct(shingle_hashes(col(textCol), shingleN))).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
       .withColumn("plen",
         (col("n") - floor((col("n") * thresh10 + lit(9)) / 10).cast("long") + 1))
+      .localCheckpoint(false)
     // `sh` itself stays VALUE-sorted for the O(n+m) merge-scan verifier.
     val prefixes =
       if (!dfOrderedPrefixes)

@@ -121,13 +121,13 @@ object Graphs {
     require(iters >= 0 && iters <= 50, s"pagerankInt: iters=$iters")
     import org.apache.spark.storage.StorageLevel
     def fdiv(a: Column, b: Column): Column = call_function("div", a, b)
-    val canon = edges0
-      .select(least(col(src), col(dst)).cast("long").as("a"),
-        greatest(col(src), col(dst)).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val edges = canon.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(canon.select(col("b").as("u"), col("a").as("v")))
+    // symmetrize in ONE pass over canon (explode, not unionAll-of-selects —
+    // the latter evaluated the whole upstream edge derivation twice; r13),
+    // and persist PARTITIONED BY u: every round's message join and the
+    // degree aggregate are keyed on u, so the exchange of the (big) edge
+    // list is paid once here instead of once per round (guide §2.4).
+    val edges = symmetrize(edges0, src, dst)
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -158,8 +158,16 @@ object Graphs {
         greatest(col(src), col(dst)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    canon.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(canon.select(col("b").as("u"), col("a").as("v")))
+    // ONE pass emitting both orientations (r13, guide §1.2 "don't compute
+    // things twice"): the old unionAll(select, select) evaluated `canon` —
+    // and therefore the caller's whole edge-derivation subtree (q231: a
+    // lineitem self-join) — TWICE before the first persist could help.
+    // explode duplicates each row after computing it once; row order is
+    // irrelevant to every consumer (joins/aggregates).
+    canon.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
   }
 
   /** BOUNDED K-CORE PEEL (Seidman 1983; the Batagelj–Zaveršnik peeling
@@ -291,7 +299,11 @@ object Graphs {
                      src: String = "src", dst: String = "dst"): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"labelPropagate: rounds=$rounds")
     import org.apache.spark.storage.StorageLevel
-    val edges = symmetrize(edges0, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    // persist partitioned by u — the per-round neighbor join's key — so the
+    // edge side never re-exchanges (guide §2.4; the pagerankInt layout)
+    val edges = symmetrize(edges0, src, dst)
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {

@@ -72,11 +72,17 @@ object Retrieval {
       .select(col(queryId).as("__q"), col(termCol).as("__t")).distinct()
     val tok = docs.select(col(docId).as("__doc"),
       explode(TextOps.tokens(col(textCol))).as("__t"))
+    // ONE pass over the corpus (r13, guide §1.2): the posting table tf is
+    // the sufficient statistic — dl = Σ tf per doc, df = row count per term,
+    // N = |dl|, S = Σ dl — so the scan+tokenize+explode runs once (it used
+    // to re-execute for each of tf/dl/dft/tot, 4×). The lazy checkpoint
+    // materializes tf inside the first consumer; every identity is exact
+    // integer algebra, so scores and ranks are unchanged.
     val tf = tok.groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
-    val dl = tok.groupBy("__doc").agg(count(lit(1)).as("__dl"))
-    val dft = tok.distinct().groupBy("__t").agg(count(lit(1)).as("__df"))
-    val tot = tok.agg(countDistinct(col("__doc")).as("__n"),
-      count(lit(1)).as("__s"))
+      .localCheckpoint(false)
+    val dl = tf.groupBy("__doc").agg(sum(col("__tf")).as("__dl"))
+    val dft = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val tot = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__s"))
     val matched = tf
       .join(broadcast(q), "__t") // prune the posting fact to query terms
       .join(broadcast(dft.join(q.select("__t").distinct(), "__t")), "__t")
