@@ -63,6 +63,55 @@ object VectorAlgs {
       while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
       acc
     }
+
+    /** round(x·2¹⁰) quantization of an array<float> — the tight-loop twin
+      * of `transform(v, x -> cast(round(cast(x as double) * 1024) as
+      * bigint))` (VectorExprsSpec pins bit-equality). Per element it
+      * replays Spark's exact builtin chain: float → double is widening;
+      * ×1024 scales the exponent (exact); Round(double, 0) is
+      * `BigDecimal.valueOf(d).setScale(0, HALF_UP)` with the NaN/Inf
+      * passthrough; the final double → long cast is the ANSI cast (the
+      * session default since Spark 4) — NaN/Inf/out-of-range THROW, never
+      * a silent 0 (SimilaritySpec pins both forms throwing). Null elements
+      * stay null, like the lambda. */
+    def quantize1024(a: ArrayData): ArrayData = {
+      val n = a.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val d = a.getFloat(i).toDouble * 1024.0
+          val r =
+            if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+            else java.math.BigDecimal.valueOf(d)
+              .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (java.lang.Double.isNaN(r) ||
+              r < Long.MinValue.toDouble || r > Long.MaxValue.toDouble)
+            throw new ArithmeticException(
+              s"quantize1024: value $r cannot be cast to BIGINT (ANSI cast overflow)")
+          out(i) = r.toLong
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    /** Σ q² over a quantized array<long> — the tight-loop twin of
+      * `aggregate(qv, 0L, (acc, x) -> acc + x*x)`. A null element nulls
+      * the whole sum, exactly like the HOF fold (null propagates through
+      * +). Returns boxed so codegen can carry the null. */
+    def qnormQ(a: ArrayData): java.lang.Long = {
+      val n = a.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = a.getLong(i)
+        acc += x * x
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
 }
 
 object VectorExprs {
@@ -131,6 +180,43 @@ object VectorExprs {
       copy(left = l, right = r)
   }
 
+  case class Quantize1024(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<FLOAT>, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "quantize1024"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorAlgs.quantize1024(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorAlgs.quantize1024($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class QnormQ(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isLongArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<BIGINT>, got ${child.dataType}")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // null element ⇒ null sum, like the HOF fold
+    override def prettyName: String = "qnorm_q"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorAlgs.qnormQ(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val boxed = ctx.freshName("qn")
+      // nullSafeCodeGen lets the body re-assign ev.isNull (the standard
+      // pattern for "non-null input can still yield null")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        java.lang.Long $boxed = graft.functions.VectorAlgs.qnormQ($a);
+        if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -139,4 +225,10 @@ object VectorExprs {
 
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def quantize1024(v: Column): Column =
+    ColumnBridge.column(Quantize1024(ColumnBridge.expression(v)))
+
+  def qnorm_q(v: Column): Column =
+    ColumnBridge.column(QnormQ(ColumnBridge.expression(v)))
 }

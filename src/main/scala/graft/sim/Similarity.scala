@@ -302,6 +302,10 @@ object Similarity {
       .select(col("__vid"), col("m.centroid_id").as("centroid_id"),
         col("m.__qv").as("__qv"), col("m.__d").as("__cd"))
       .withColumn("__nr", qnorm(col("__qv")))
+      // assign feeds BOTH pair sides and the caller's labeled join — the
+      // lazy checkpoint runs quantize + centroid assignment once, not 3×
+      // (r13, guide §1.2; the replay rule)
+      .localCheckpoint(false)
     val l = assign.select(col("centroid_id"), col("__vid").as("id_a"),
       col("__qv").as("__qa"), col("__nr").as("na"))
     val r = assign.select(col("centroid_id"), col("__vid").as("id_b"),
@@ -579,12 +583,23 @@ object Similarity {
 
   // ---- shared integer-exact scoring helpers (q217/q218/q221/q223/q224) --
 
-  /** round(x·2¹⁰) quantization (the q210 proven scheme). */
+  /** round(x·2¹⁰) quantization (the q210 proven scheme) — the codegen'd
+    * kernel (r13; the per-element transform lambda evaluated INTERPRETED
+    * with a BigDecimal round per element, ~µs each over corpus×dim).
+    * VectorExprsSpec pins kernel == HOF bit-identically. */
   private[sim] def quantize1024(v: Column): Column =
+    graft.functions.VectorExprs.quantize1024(v)
+
+  /** The retired HOF form — kept as the kernel's differential oracle. */
+  private[sim] def quantize1024Hof(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1024).cast("long"))
 
-  /** Σ q² over a quantized vector. */
+  /** Σ q² over a quantized vector — codegen'd kernel (r13). */
   private[sim] def qnorm(qv: Column): Column =
+    graft.functions.VectorExprs.qnorm_q(qv)
+
+  /** The retired HOF fold — kept as the kernel's differential oracle. */
+  private[sim] def qnormHof(qv: Column): Column =
     aggregate(qv, lit(0L), (acc, x) => acc + x * x)
 
   /** Integer dot product derived from the codegen'd sqdist kernel:

@@ -38,6 +38,44 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("quantize1024/qnorm kernels match the HOF forms bit-for-bit (corpus + adversarial)") {
+    // r13: the transform/aggregate lambdas evaluated INTERPRETED per
+    // element; the kernels replay Spark's exact builtin chain (widening
+    // cast, exact ×2¹⁰, BigDecimal HALF_UP round, truncating long cast;
+    // null element ⇒ null sum) — pinned here over the real corpus PLUS the
+    // adversarial values: rounding ties (±0.5/1024), negatives, NaN, ±Inf,
+    // null elements, empty and null arrays.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select($"embedding")
+    val advRows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(Seq[java.lang.Float](0.00048828125f, -0.00048828125f, 1.5f / 1024f, -1.5f / 1024f)),
+      org.apache.spark.sql.Row(Seq[java.lang.Float](-0.0f, 123.456f, -2.5f / 1024f, 0.49951172f)),
+      org.apache.spark.sql.Row(Seq[java.lang.Float](1.0f, null, 2.0f, 3.0f)),
+      org.apache.spark.sql.Row(Seq.empty[java.lang.Float]),
+      org.apache.spark.sql.Row(null))
+    val adv = spark.createDataFrame(advRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true)))))
+    for (df <- Seq(emb, adv)) {
+      val q = df.select(
+        Similarity.quantize1024($"embedding").as("k"),
+        Similarity.quantize1024Hof($"embedding").as("h"))
+      assert(q.filter(!($"k" <=> $"h")).count() === 0L)
+      val nrm = q.select(
+        Similarity.qnorm($"k").as("nk"), Similarity.qnormHof($"h").as("nh"))
+      assert(nrm.filter(!($"nk" <=> $"nh")).count() === 0L)
+    }
+    // NaN/Inf: the ANSI double→long cast throws in the HOF form — the
+    // kernel must throw too, never silently quantize to 0
+    val bad = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(Seq[java.lang.Float](Float.NaN))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true)))))
+    intercept[Exception](bad.select(Similarity.quantize1024Hof($"embedding")).collect())
+    intercept[Exception](bad.select(Similarity.quantize1024($"embedding")).collect())
+  }
+
   test("centroidShardQuantized: every vector sharded once, to its geometric centroid") {
     // centroids = ids 0..2 (k smallest). 10/11 plant near centroid 1's axis,
     // 12 near centroid 2's; ties impossible by construction
