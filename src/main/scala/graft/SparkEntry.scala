@@ -5444,32 +5444,55 @@ object SparkEntry {
   private def q273_tokenizer_fertility(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = par(s, Tables.documents(s, dir))
-    val nWords = docs.agg(sum(TextOps.tokenCount(col("text")))).as[Long].head()
-    require(nWords > 0L, "tokenizer_fertility: empty corpus (no tokens)")
 
-    val bpeMerges = graft.text.Bpe.learnMerges(docs, "text", nMerges = 64)
-      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    val bpeNp = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .agg(sum(size(graft.text.Bpe.applyMerges(col("w"), bpeMerges)).cast("long")))
-      .as[Long].head()
+    // r13 (guide §2.6 "overlap independent jobs"): the three tokenizer
+    // sub-chains (train → corpus-wide segment-count) and the word count
+    // are INDEPENDENT — running them from a small thread pool lets each
+    // chain's tail back-fill the executors the others leave idle, instead
+    // of paying four sequential job latencies. Each future's result is a
+    // deterministic scalar; the assembled row set is order-fixed below, so
+    // the output is unchanged.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fWords = Future(docs.agg(sum(TextOps.tokenCount(col("text")))).as[Long].head())
 
-    val uni = graft.text.Unigram.train(docs, "text",
-      maxPieceLen = 5, maxVocab = 128, emRounds = 3)
-    val uniNp = docs
-      .agg(sum(graft.functions.UnigramExprs.unigram_segment(col("text"), uni)
-        .getField("n_pieces"))).as[Long].head()
+      val fBpe = Future {
+        val bpeMerges = graft.text.Bpe.learnMerges(docs, "text", nMerges = 64)
+          .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+          .agg(sum(size(graft.text.Bpe.applyMerges(col("w"), bpeMerges)).cast("long")))
+          .as[Long].head()
+      }
 
-    val words = graft.text.WordPiece.wordWeights(docs, "text")
-    val wpVocab = graft.text.WordPiece.vocabOf(words,
-      graft.text.WordPiece.trainFromWords(words, nMerges = 64))
-    val wpNp = docs
-      .agg(sum(graft.functions.WordPieceExprs.wordpiece_segment(col("text"), wpVocab.toSeq)
-        .getField("n_pieces"))).as[Long].head()
+      val fUni = Future {
+        val uni = graft.text.Unigram.train(docs, "text",
+          maxPieceLen = 5, maxVocab = 128, emRounds = 3)
+        docs.agg(sum(graft.functions.UnigramExprs.unigram_segment(col("text"), uni)
+          .getField("n_pieces"))).as[Long].head()
+      }
 
-    Seq(("bpe64", bpeNp), ("unigram", uniNp), ("wordpiece64", wpNp))
+      val fWp = Future {
+        val words = graft.text.WordPiece.wordWeights(docs, "text")
+        val wpVocab = graft.text.WordPiece.vocabOf(words,
+          graft.text.WordPiece.trainFromWords(words, nMerges = 64))
+        docs.agg(sum(graft.functions.WordPieceExprs.wordpiece_segment(col("text"), wpVocab.toSeq)
+          .getField("n_pieces"))).as[Long].head()
+      }
+
+      val nWords = Await.result(fWords, Duration.Inf)
+      require(nWords > 0L, "tokenizer_fertility: empty corpus (no tokens)")
+      val bpeNp = Await.result(fBpe, Duration.Inf)
+      val uniNp = Await.result(fUni, Duration.Inf)
+      val wpNp = Await.result(fWp, Duration.Inf)
+
+      Seq(("bpe64", bpeNp), ("unigram", uniNp), ("wordpiece64", wpNp))
       .toDF("tokenizer", "n_pieces")
       .select(col("tokenizer"), lit(nWords).as("n_words"), col("n_pieces"),
         expr("n_pieces * 100 div n_words").as("pieces_per_100w"))
+    } finally pool.shutdown()
   }
 
   /** DEPTH-8 SUFFIX RANKS BY PREFIX DOUBLING

@@ -231,7 +231,14 @@ object SuffixRanks {
     val vocabRanks = spark.createDataFrame(vocab,
       StructType(Seq(StructField("__tok", StringType, nullable = false),
         StructField("__r", LongType, nullable = false))))
-    var ranked = toks.join(vocabRanks, "__tok")
+    // r13 (guide §3.1): the rank table is RDD-backed — no size statistics —
+    // so the planner defaulted this join to sort-merge, exchanging + sorting
+    // the WHOLE per-position token table against a vocabulary-sized side.
+    // The vocab row count is already measured above: broadcast when it is
+    // small (≤2^20 rows ≈ tens of MB built); huge vocabularies keep the
+    // shuffle join. Size-gated like every broadcast decision, never blind.
+    val vr = if (vocabSize <= (1L << 20)) broadcast(vocabRanks) else vocabRanks
+    var ranked = toks.join(vr, "__tok")
       .select(col("__doc"), col("__wi"), col("__r"))
     var bound = vocabSize
 

@@ -60,6 +60,12 @@ object LangModel {
     * inferred step would descend).
     */
   private def pairStructs(ts: Column): Column =
+    graft.functions.ArrayExprs.adjacent_pairs(ts)
+
+  /** The retired HOF form — kept as the kernel's differential oracle
+    * (LangModelSpec pins the two bit-identical; the per-element lambda
+    * evaluated INTERPRETED, which priced every bigram fact at µs). */
+  private[text] def pairStructsHof(ts: Column): Column =
     when(size(ts) < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(1), size(ts) - 1, lit(1)),
         i => struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))

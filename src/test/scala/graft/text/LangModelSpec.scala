@@ -17,6 +17,28 @@ class LangModelSpec extends SparkSpec {
     Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
   private lazy val lm = LangModel.trainBigram(trainDocs, "doc_id", "text", minCount = 2L)
 
+  test("adjacent_pairs kernel == HOF bigram structs bit-for-bit (corpus + edges)") {
+    // r13: the transform/element_at lambda evaluated interpreted per bigram;
+    // the kernel must agree on the real corpus AND the edge shapes (empty,
+    // single token, null elements, null array)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(TextOps.tokens(col("text")).as("ts"))
+    val edges = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(Seq[String]()),
+      org.apache.spark.sql.Row(Seq("solo")),
+      org.apache.spark.sql.Row(Seq("a", null, "b")),
+      org.apache.spark.sql.Row(null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, true)))))
+    for (df <- Seq(corpus, edges)) {
+      val cmp = df.select(
+        graft.functions.ArrayExprs.adjacent_pairs(col("ts")).as("k"),
+        LangModel.pairStructsHof(col("ts")).as("h"))
+      assert(cmp.filter(!(col("k") <=> col("h"))).count() === 0L)
+    }
+  }
+
   test("trainBigram: thresholded vocab, mapped pair and context counts") {
     assert(lm.vocab.as[String].collect().sorted.toSeq == Seq("a", "b"))
     val pairs = lm.pairs.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
