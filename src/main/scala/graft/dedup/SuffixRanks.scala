@@ -55,7 +55,14 @@ object SuffixRanks {
     * two (the doubling schedule). */
   def suffixRanks(docs: DataFrame, docId: String, textCol: String,
                   depth: Int): DataFrame = {
-    val (spark, ranked) = windowKeys(docs, docId, textCol, depth)
+    val (spark, ranked0) = windowKeys(docs, docId, textCol, depth)
+    // ranked feeds the rank-table derivation AND the decorate join — the
+    // lazy checkpoint runs the doubling chain once (r13, the replay rule).
+    // Scoped HERE, not in windowKeys: the strip consumers' outputs are
+    // column-prunable and a checkpoint there defeats the pruning (measured
+    // 2× slower on q276/q282 — the bench's count() legitimately skips
+    // their clean_text rebuild).
+    val ranked = ranked0.localCheckpoint(false)
     // final densification fused with the duplicate count: one aggregate
     // gives the distinct-key table WITH multiplicities; sort +
     // zipWithIndex ranks it; one join decorates every position
@@ -80,7 +87,9 @@ object SuffixRanks {
     * is_dup semantics (multiplicity of the depth-window key > 1). */
   def dupWindowStats(docs: DataFrame, docId: String, textCol: String,
                      depth: Int): DataFrame = {
-    val (_, ranked) = windowKeys(docs, docId, textCol, depth)
+    val (_, ranked0) = windowKeys(docs, docId, textCol, depth)
+    // two consumers (multiplicity agg + decorate join) — doubling chain once
+    val ranked = ranked0.localCheckpoint(false)
     val counts = ranked.groupBy("__r").agg(count(lit(1)).as("__n"))
     ranked.join(counts, "__r")
       .groupBy(col("__doc").as(docId))
